@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis expressions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All pure Catalyst built-ins (codegen'd, pushdown-safe) — no UDFs. Each
+  * is usable as a column inside any scan-shaped plan, so at 100 TB they run
+  * embedded in the parquet scan stage with zero extra shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  def distinctTokenCount(c: Column): Column =
+    size(array_distinct(tokens(c))).cast(LongType)
+
+  /** Lexical diversity: distinct tokens / tokens. */
+  def distinctRatio(c: Column): Column =
+    distinctTokenCount(c).cast(DoubleType) / tokenCount(c).cast(DoubleType)
+
+  /** Quality gate: plausible length and diversity (the reference-free
+    * heuristics used to filter LLM training text).
+    */
+  def qualityFlag(c: Column, minTokens: Int = 20, maxTokens: Int = 2000,
+      minDistinctRatio: Double = 0.15): Column =
+    when(
+      tokenCount(c) >= minTokens && tokenCount(c) <= maxTokens &&
+        distinctRatio(c) > minDistinctRatio, 1L).otherwise(0L)
+
+  /** True iff `word` occurs as a whitespace-delimited token. */
+  def hasMarkerWord(c: Column, word: String): Column =
+    concat(lit(" "), c, lit(" ")).like(s"% $word %")
+
+  /** Marker-word language-ID heuristic: first language whose marker hits.
+    * Markers are (language → distinctive stopword).
+    */
+  def langIdHeuristic(c: Column, markers: Seq[(String, String)]): Column =
+    markers.foldRight(lit("und"): Column) { case ((lang, w), acc) =>
+      when(hasMarkerWord(c, w), lang).otherwise(acc)
+    }
+
+  /** Word n-gram shingles (default 3) for MinHash; empty array when the
+    * text is shorter than `n` tokens. `element_at` is 1-indexed.
+    */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = split(c, " ")
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array())
+  }
+
+  /** Deterministic document fingerprint: md5 of the leading 64 chars. */
+  def fingerprint(c: Column): Column = md5(substring(c, 1, 64))
+}

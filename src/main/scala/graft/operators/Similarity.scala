@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast of the query
+  *    set — the correctness baseline. Linear in corpus size; the query set
+  *    must be small enough to broadcast.
+  *  - [[lshTopK]]: random-hyperplane LSH — vectors hash to sign-pattern
+  *    buckets, candidates come from an equi-join on the bucket key, so the
+  *    corpus is scanned once and never self-cross-joined. The scale path.
+  *
+  * Dot products use `zip_with` + `aggregate` (sequential fold, codegen'd,
+  * no UDF).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  private def toDouble(c: Column): Column =
+    transform(c, x => x.cast(DoubleType))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast against the corpus scan).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(
+      col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic ±1 random hyperplanes (seeded), as literal arrays. */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-pattern LSH bucket key for a vector column. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    concat(
+      planes(nPlanes, dim, seed).map { p =>
+        when(dot(vec, lit(p)) >= 0, "1").otherwise("0")
+      }: _*)
+
+  /** Approximate top-k: candidates share the query's LSH bucket; ranking
+    * within the bucket is exact cosine. Recall is tuned by `nPlanes`
+    * (fewer planes → bigger buckets → higher recall, more compute).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
+      .withColumn("bucket", lshBucket(col("cvec"), nPlanes, dim, seed))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), nPlanes, dim, seed))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
+}

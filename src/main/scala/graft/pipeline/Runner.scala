@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Cleaning.{dsumRound2, lcount}
+import graft.model.Constants
+import graft.operators.{DateDim, QualityChecks, Scd1, Scd2, Surrogates}
+import graft.sources.{Staging, TableStore, Tables}
+
+/** E1 — the end-to-end warehouse build (reference orchestrators
+  * bl_cl_load/run_3nf/run_dm, bl_cl.sql:274-287, 1351-1372, 2153-2176),
+  * mapped onto the harness star schema:
+  *
+  *   staging(+lineage/idempotence) → SCD1 dims(+surrogates, NA rows)
+  *   → SCD2 customer dim → year-partitioned fact with broadcast surrogate
+  *   lookups → materialized analytics views → QA report + run log.
+  *
+  * Each stage is a pure function + one table write; a fixed `runDate` is
+  * threaded through (F8) so output is deterministic.
+  */
+final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
+  private val store = new TableStore(spark, workDir)
+
+  private def log(stage: String, rows: Long, loadId: Int): Unit =
+    Logging.append(store, stage, rows, loadId)
+
+  /** Stage 1 — raw staging with lineage + duplicate-load guard. */
+  def stage(loadId: Int): Unit = {
+    Seq("orders", "lineitem", "customer").foreach { t =>
+      val src = Tables(spark, sfDir, t)
+      require(!src.isEmpty, s"There is no data in the source: $t") // C1
+      Staging.stageAppend(store, s"scr_$t", src, loadId)
+      log(s"stage_$t", src.count(), loadId)
+    }
+  }
+
+  /** Stage 2 — dimensions. Region/nation: SCD1 insert-if-absent with
+    * deterministic surrogates and the NA member. Customer: SCD2.
+    */
+  def loadDims(loadId: Int, runDate: Date): Unit = {
+    val region = Tables.region(spark, sfDir).select(
+      col("r_regionkey").as("region_nk"), col("r_name").as("region_name"))
+    val nation = Tables.nation(spark, sfDir).select(
+      col("n_nationkey").as("nation_nk"), col("n_name").as("nation_name"),
+      col("n_regionkey").as("region_nk"))
+
+    val naRegion = spark.range(1).select(
+      lit(Constants.NaKey).as("region_sk"), lit(-1).as("region_nk"),
+      lit(Constants.NA).as("region_name"))
+    val dimRegion = naRegion.unionByName(
+      Surrogates.assign(region, "region_sk", Seq(col("region_nk")))
+        .select(col("region_sk"), col("region_nk"), col("region_name")))
+    store.overwrite("dim_region", dimRegion)
+
+    val naNation = spark.range(1).select(
+      lit(Constants.NaKey).as("nation_sk"), lit(-1).as("nation_nk"),
+      lit(Constants.NA).as("nation_name"), lit(Constants.NaKey).as("region_sk"))
+    val dimNation = naNation.unionByName(
+      Surrogates.assign(nation, "nation_sk", Seq(col("nation_nk")))
+        .join(broadcast(dimRegion.select(col("region_sk"), col("region_nk"))),
+          Seq("region_nk"), "left")
+        .select(col("nation_sk"), col("nation_nk"), col("nation_name"),
+          coalesce(col("region_sk"), lit(Constants.NaKey)).as("region_sk")))
+    store.overwrite("dim_nation", dimNation)
+
+    // SCD2 customer: batch 1 bootstraps, later batches close+insert (M3/M5).
+    val src = store.read("scr_customer")
+      .filter(col("Load_id") === loadId.toString)
+      .select(
+        col("c_custkey").as("customer_nk"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation_nk"))
+    val dimCustomer =
+      if (!store.exists("dim_customer"))
+        Scd2.initial(src, Seq("customer_nk"), Constants.LowDt)
+      else
+        Scd2.scd2Apply(
+          store.read("dim_customer"), src, Seq("customer_nk"),
+          Seq("customer_name", "segment", "nation_nk"), runDate)
+    store.overwrite("dim_customer", dimCustomer)
+
+    store.overwrite("dim_date",
+      DateDim.build(spark, Date.valueOf("1995-01-01"), Date.valueOf("2002-12-31")))
+
+    log("load_dims", store.read("dim_customer").count(), loadId)
+  }
+
+  /** Stage 3 — fact load (reference f_orders, bl_cl.sql:1190-1347):
+    * staged batch filter (P2) → broadcast dim lookups (J1) → typed
+    * measures (F10) → year-partitioned append (G3).
+    */
+  def loadFact(loadId: Int): Unit = {
+    val li = store.read("scr_lineitem").filter(col("Load_id") === loadId.toString)
+    val o = store.read("scr_orders").filter(col("Load_id") === loadId.toString)
+    val cust = store.read("dim_customer")
+      .filter(col(Scd2.IsActive) && col(Scd2.EndDt) === lit(Constants.HighDt)) // P4
+      .select(col("customer_nk"), col("nation_nk"))
+    val nat = store.read("dim_nation").select(col("nation_nk"), col("nation_sk"))
+
+    val fact = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("customer_nk"), "left")
+      .join(broadcast(nat), Seq("nation_nk"), "left")
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("o_custkey").as("customer_nk"),
+        coalesce(col("nation_sk"), lit(Constants.NaKey)).as("nation_sk"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        year(col("o_orderdate")).as("order_year"),
+        lit(loadId.toString).as("load_id"))
+    store.append("fct_orders", fact, partitionBy = Seq("order_year"))
+    log("load_fact", fact.count(), loadId)
+  }
+
+  /** Stage 4 — materialized analytics views (reference bl_dm.sql:274-300):
+    * recompute + atomic overwrite (S5). Year partition pruning applies to
+    * any year-bounded read of the fact.
+    */
+  def refreshViews(): Unit = {
+    val fact = store.read("fct_orders")
+    val nat = store.read("dim_nation")
+    val reg = store.read("dim_region")
+    val joined = fact
+      .join(broadcast(nat.select(col("nation_sk"), col("region_sk"))), Seq("nation_sk"), "left")
+      .join(broadcast(reg.select(col("region_sk"), col("region_name"))), Seq("region_sk"), "left")
+    store.overwrite("yearly_sales_profit",
+      joined
+        .groupBy(col("order_year").cast(LongType).as("yr"),
+          coalesce(col("region_name"), lit(Constants.NA)).as("region"))
+        .agg(
+          dsumRound2(col("revenue")).as("revenue"),
+          dsumRound2(col("extendedprice") * col("discount")).as("discount_amt"),
+          lcount().as("n_items"))
+        .orderBy(col("yr"), col("region")))
+    store.overwrite("sales_customer_region",
+      fact
+        .join(broadcast(nat.select(col("nation_sk"), col("nation_name"))), Seq("nation_sk"), "left")
+        .groupBy(col("customer_nk"),
+          coalesce(col("nation_name"), lit(Constants.NA)).as("nation"))
+        .agg(dsumRound2(col("revenue")).as("revenue")))
+  }
+
+  /** Stage 5 — QA report (A7/A8/C3 + SCD2 invariant). */
+  def qaReport(): DataFrame = {
+    val tables = Seq("dim_region", "dim_nation", "dim_customer", "fct_orders",
+      "yearly_sales_profit").map(t => t -> store.read(t)).toMap
+    val sweep = QualityChecks.countSweep(tables)
+    val dupViolations = QualityChecks
+      .scd2ActiveViolations(store.read("dim_customer"), Seq("customer_nk"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .select(lit("scd2_active_violations").as("tbl"), col("n"))
+    sweep.unionByName(dupViolations)
+  }
+
+  /** C5 — full orchestration in dependency order. */
+  def runAll(loadId: Int, runDate: Date): DataFrame = {
+    stage(loadId)
+    loadDims(loadId, runDate)
+    loadFact(loadId)
+    refreshViews()
+    qaReport()
+  }
+
+  def table(name: String): DataFrame = store.read(name)
+}
+
+/** C4 — run logging (reference InsertLog, bl_3nf.sql:23-35). */
+object Logging {
+  def append(store: TableStore, stage: String, rows: Long, loadId: Int): Unit = {
+    val spark = SparkSession.active
+    store.append("log_table",
+      spark.range(1).select(
+        lit(stage).as("stage"),
+        lit(rows).as("rows"),
+        lit(loadId).as("load_id"),
+        current_timestamp().as("log_ts")))
+  }
+}

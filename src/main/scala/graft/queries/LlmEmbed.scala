@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.functions.Cleaning.lcount
+import graft.operators.Similarity
+import graft.sources.Tables
+import graft.queries.Q.C
+
+/** Embedding similarity-search queries over the `embeddings` table.
+  *
+  * The oracle-checked queries accumulate dot products / norms in
+  * DECIMAL(38,18): decimal addition is exact and order-independent, so
+  * Spark's partial aggregation and DuckDB's single-threaded sum produce
+  * bit-identical doubles; sqrt and division on identical doubles are
+  * IEEE-deterministic. That makes even floating-point cosine rankings
+  * hash-comparable across engines.
+  */
+object LlmEmbed {
+
+  private val dec = DecimalType(38, 18)
+
+  /** Element stream: (vec_id, i, x) with x widened to double. */
+  private def elements(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(
+        col("vec_id"), col("label"), col("pos").as("i"),
+        col("col").cast(DoubleType).as("x"))
+
+  private val elCte =
+    """el AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      |       FROM embeddings CROSS JOIN range(1, 4097) t(i)
+      |       WHERE i <= len(embedding))""".stripMargin
+
+  /** Per-label corpus stats with exact-arithmetic average L2 norm. */
+  private val normStats = Q(
+    "embed_norm_stats",
+    s"""WITH $elCte,
+       |norms AS (SELECT vec_id, label,
+       |                 CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |          FROM el GROUP BY 1, 2)
+       |SELECT CAST(label AS BIGINT) AS label, $C AS n,
+       |       CAST(SUM(CAST(sqrt(n2) AS DECIMAL(28,12))) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS avg_norm
+       |FROM norms GROUP BY 1""".stripMargin) { (s, d) =>
+    elements(s, d)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+      .groupBy(col("label").cast(LongType).as("label"))
+      .agg(
+        lcount().as("n"),
+        (sum(sqrt(col("n2")).cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_norm"))
+  }
+
+  /** Brute-force exact cosine top-3 for query vectors vec_id < 5 — the
+    * ANN correctness baseline.
+    */
+  private val bruteTopK = Q(
+    "embed_brute_topk",
+    s"""WITH $elCte,
+       |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |        FROM el GROUP BY 1),
+       |dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |         FROM el a JOIN el b
+       |           ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+       |         GROUP BY 1, 2),
+       |cosd AS (SELECT qid, nid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |         FROM dots
+       |         JOIN nrm na ON na.vec_id = dots.qid
+       |         JOIN nrm nb ON nb.vec_id = dots.nid)
+       |SELECT qid, nid, cosine, rnk
+       |FROM (SELECT qid, nid, cosine,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+       |      FROM cosd)
+       |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    val el = elements(s, d)
+    val nrm = el.groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    val a = el.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("i"), col("x").as("xa"))
+    val b = el.select(col("vec_id").as("nid"), col("i"), col("x").as("xb"))
+    val dots = a.join(b, Seq("i"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
+    val cosd = dots
+      .join(nrm.select(col("vec_id").as("qid"), col("n2").as("na")), Seq("qid"))
+      .join(nrm.select(col("vec_id").as("nid"), col("n2").as("nb")), Seq("nid"))
+      .select(
+        col("qid"), col("nid"),
+        (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    cosd
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+  }
+
+  /** Approximate top-3 via random-hyperplane LSH buckets — the scale path
+    * (bucket equi-join, no all-pairs). Recall vs brute force is asserted
+    * in SimilaritySpec; no SQL oracle (hash family is engine-side).
+    */
+  private val annLsh = Q.noOracle("embed_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nPlanes = 6, dim = 64)
+  }
+
+  val queries: Seq[Q] = Seq(normStats, bruteTopK, annLsh)
+}

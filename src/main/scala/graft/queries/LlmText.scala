@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Cleaning.lcount
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+import graft.sources.Tables
+import graft.queries.Q.C
+
+/** Training-data text-pipeline queries over the `documents` table:
+  * dedup (exact, MinHash-LSH, SimHash), token/quality stats, language ID,
+  * fingerprinting, and multimodal byte-column handling.
+  */
+object LlmText {
+
+  /** Shared oracle CTE: distinct word-3-shingles per document. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE i <= len(l) - 2)""".stripMargin
+
+  private val sigCte =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+       |               min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+       |        FROM sh CROSS JOIN generate_series(0, 15) s(seed) GROUP BY 1, 2)""".stripMargin
+
+  /** Exact dedup: hash-groupBy on content (one aggregate, fully scalable). */
+  private val exact = Q(
+    "dedup_exact",
+    s"""SELECT md5(text) AS fp, min(doc_id) AS keep_id, $C AS n_dups
+       |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** MinHash signatures (16 hashes, long format). */
+  private val sigs = Q(
+    "dedup_minhash_signatures",
+    s"""WITH $sigCte
+       |SELECT doc_id, seed, minhash FROM sig""".stripMargin) { (s, d) =>
+    Dedup.minhashSignatures(
+      Dedup.shingleSet(Tables.documents(s, d), "doc_id", "text"), "doc_id", 16)
+  }
+
+  /** Banded-LSH candidate near-dup pairs (4 bands × 4 rows) — bucket join,
+    * never an all-pairs cross join.
+    */
+  private val pairs = Q(
+    "dedup_minhash_pairs",
+    s"""WITH $sigCte,
+       |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+       |                 string_agg(minhash, ',' ORDER BY seed) AS band_key
+       |          FROM sig GROUP BY 1, 2)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin) {
+    (s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4)
+  }
+
+  /** SimHash near-dup candidates — hash family is Spark-native xxhash64,
+    * so no SQL oracle (recall is asserted in DedupSpec instead).
+    */
+  private val simhash = Q.noOracle("dedup_simhash_candidates") { (s, d) =>
+    Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** Token counting + per-language corpus stats. */
+  private val stats = Q(
+    "text_token_stats",
+    s"""SELECT lang, $C AS n_docs,
+       |       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |       CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+       |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        lcount().as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast(LongType).as("total_tokens"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"))
+  }
+
+  /** Per-document quality scoring: length + lexical-diversity gates. */
+  private val quality = Q(
+    "text_quality",
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS distinct_tokens
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, distinct_tokens,
+      |       CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+      |       CASE WHEN n_tokens >= 20 AND n_tokens <= 2000
+      |             AND CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.15
+      |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS quality
+      |FROM t""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.distinctTokenCount(col("text")).as("distinct_tokens"),
+      TextAnalysis.distinctRatio(col("text")).as("distinct_ratio"),
+      TextAnalysis.qualityFlag(col("text")).as("quality"))
+  }
+
+  /** Marker-word language-ID heuristic vs the labeled lang column. */
+  private val langId = Q(
+    "text_lang_id",
+    s"""SELECT lang,
+       |       CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en' ELSE 'und' END AS predicted,
+       |       $C AS n
+       |FROM documents GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(
+        col("lang"),
+        TextAnalysis.langIdHeuristic(col("text"), Seq("en" -> "the"))
+          .as("predicted"))
+      .agg(lcount().as("n"))
+  }
+
+  /** Deterministic document fingerprint (leading-64-char md5). */
+  private val fp = Q(
+    "text_fingerprint",
+    """SELECT doc_id, md5(substr(text, 1, 64)) AS fp64,
+      |       CAST(length(text) AS BIGINT) AS n_len
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp64"),
+      length(col("text")).cast(LongType).as("n_len"))
+  }
+
+  /** Multimodal byte-column stats: text treated as an opaque binary column
+    * (the pattern for image/audio payloads — see graft.operators.Multimodal).
+    */
+  private val bytes = Q(
+    "multimodal_bytes",
+    s"""SELECT source, $C AS n_docs,
+       |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       |       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+       |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    val blob = encode(col("text"), "UTF-8")
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        lcount().as("n_docs"),
+        sum(length(blob)).cast(LongType).as("total_bytes"),
+        max(length(blob)).cast(LongType).as("max_bytes"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(exact, sigs, pairs, simhash, stats, quality, langId, fp, bytes)
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query: a Spark DataFrame builder over the harness
+  * test tables plus (where SQL-expressible) an equivalent ANSI SQL oracle
+  * the driver runs in DuckDB. Column names and types must match exactly —
+  * the driver sorts columns by name and hashes values.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+
+  // --- Shared oracle SQL fragments (exact cross-engine arithmetic) --------
+
+  /** Order-independent exact sum of a double expression (see
+    * [[graft.functions.Cleaning.dsum]]): accumulate in DECIMAL, emit DOUBLE.
+    */
+  def DS(x: String): String =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** As [[DS]] but rounded to 2 decimals in decimal space (engine-stable). */
+  def DS2(x: String): String =
+    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS DOUBLE)"
+
+  /** count(*) pinned to BIGINT (DuckDB would otherwise return HUGEINT). */
+  val C: String = "CAST(count(*) AS BIGINT)"
+}

@@ -1,0 +1,515 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Cleaning._
+import graft.sources.Tables
+import graft.queries.Q.{C, DS, DS2}
+
+/** Relational operator catalog over the harness test tables.
+  *
+  * Each entry re-expresses one operator family from SURVEY.md §2 (reference
+  * file:line cited per query) as an idiomatic Spark plan, paired with an
+  * ANSI SQL oracle. Dimension-sized join sides are broadcast explicitly so
+  * the fact side never shuffles for a kilo-row dimension — the plan shape
+  * that survives a 100 TB fact table.
+  */
+object Relational {
+
+  private def rF(s: SparkSession, d: String) = Tables.region(s, d)
+  private def nF(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def cF(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def pF(s: SparkSession, d: String) = Tables.part(s, d)
+  private def oF(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def lF(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  private val revenueExpr: Column =
+    col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** S1/P1 — projection + rename over a columnar scan (bl_cl.sql:331-336).
+    * Column pruning reaches the parquet reader: ReadSchema lists 3 columns.
+    */
+  private val s1 = Q(
+    "s1_scan_project",
+    """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+      |       l_quantity AS qty
+      |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin) { (s, d) =>
+    lF(s, d)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").cast(LongType).as("line_no"),
+        col("l_quantity").as("qty"))
+  }
+
+  /** P2/F11 — constant batch filter before aggregation (bl_cl.sql:115). */
+  private val p2 = Q(
+    "p2_filter_agg",
+    s"""SELECT l_linestatus AS linestatus, $C AS n
+       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""".stripMargin) {
+    (s, d) =>
+      lF(s, d)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus").as("linestatus"))
+        .agg(lcount().as("n"))
+  }
+
+  /** P3/F5 — null guard + NA defaulting (bl_cl.sql:573, 331-336). */
+  private val p3 = Q(
+    "p3_null_coalesce",
+    s"""SELECT coalesce(nullif(o_orderstatus, 'O'), 'NA') AS status_na, $C AS n
+       |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    oF(s, d)
+      .groupBy(
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("NA"))
+          .as("status_na"))
+      .agg(lcount().as("n"))
+  }
+
+  /** P4/F15 — compound predicate + CASE bucketing (bl_cl.sql:1256, 101-110). */
+  private val p4 = Q(
+    "p4_case_buckets",
+    s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+       |            WHEN o_totalprice < 150000 THEN 'mid'
+       |            ELSE 'high' END AS bucket,
+       |       $C AS n, ${DS("o_totalprice")} AS total
+       |FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""".stripMargin) {
+    (s, d) =>
+      oF(s, d)
+        .filter(col("o_orderstatus") =!= "F")
+        .groupBy(
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high")
+            .as("bucket"))
+        .agg(lcount().as("n"), dsum(col("o_totalprice")).as("total"))
+  }
+
+  /** J1 — broadcast equi-join fact→dim lookup (bl_cl.sql:1255-1267). The
+    * `part` side is broadcast: no shuffle of the fact at any scale.
+    */
+  private val j1 = Q(
+    "j1_broadcast_dim",
+    s"""SELECT p_brand AS brand, $C AS n,
+       |       ${DS("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin) { (s, d) =>
+    lF(s, d)
+      .join(broadcast(pF(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(lcount().as("n"), dsum(revenueExpr).as("revenue"))
+  }
+
+  /** J2 — equi-join with extra non-equi conjunct (bl_cl.sql:1255-1257). */
+  private val j2 = Q(
+    "j2_join_conjunct",
+    s"""SELECT o_orderpriority AS priority, $C AS n
+       |FROM lineitem JOIN orders
+       |  ON l_orderkey = o_orderkey
+       | AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    lF(s, d)
+      .join(
+        oF(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast("date") > col("o_orderdate").cast("date"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(lcount().as("n"))
+  }
+
+  /** J3 — full outer source merge with per-column coalesce (bl_cl.sql:337-355). */
+  private val j3 = Q(
+    "j3_full_outer",
+    s"""WITH lhs AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+       |             WHERE c_custkey % 3 = 0),
+       |     rhs AS (SELECT o_custkey AS k, $C AS n_orders FROM orders
+       |             WHERE o_custkey % 5 = 0 GROUP BY 1)
+       |SELECT coalesce(lhs.k, rhs.k) AS custkey,
+       |       coalesce(lhs.bal, 0.0) AS bal,
+       |       coalesce(rhs.n_orders, 0) AS n_orders
+       |FROM lhs FULL OUTER JOIN rhs ON lhs.k = rhs.k""".stripMargin) { (s, d) =>
+    val lhs = cF(s, d)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val rhs = oF(s, d)
+      .filter(col("o_custkey") % 5 === 0)
+      .groupBy(col("o_custkey").as("rk"))
+      .agg(lcount().as("n_orders"))
+    lhs
+      .join(rhs, col("k") === col("rk"), "full_outer")
+      .select(
+        coalesce(col("k"), col("rk")).as("custkey"),
+        coalesce(col("bal"), lit(0.0)).as("bal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  /** J4 — left anti-join new-rows detection (bl_cl.sql:1401-1406). */
+  private val j4 = Q(
+    "j4_anti_join",
+    """SELECT c_custkey AS custkey, c_name AS name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) {
+    (s, d) =>
+      cF(s, d)
+        .join(oF(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+  }
+
+  /** J5 — constant/theta join: attach a one-row filtered dim (bl_cl.sql:908). */
+  private val j5 = Q(
+    "j5_const_cross",
+    s"""SELECT o_orderstatus AS status, r.r_name AS region0, $C AS n
+       |FROM orders CROSS JOIN (SELECT r_name FROM region WHERE r_regionkey = 0) r
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    oF(s, d)
+      .crossJoin(broadcast(
+        rF(s, d).filter(col("r_regionkey") === 0).select(col("r_name"))))
+      .groupBy(col("o_orderstatus").as("status"), col("r_name").as("region0"))
+      .agg(lcount().as("n"))
+  }
+
+  /** J6 — case-insensitive equi-join on upper() (bl_cl.sql:938, 1008). */
+  private val j6 = Q(
+    "j6_ci_join",
+    s"""WITH dim AS (SELECT DISTINCT upper(p_brand) AS ub FROM part)
+       |SELECT dim.ub AS brand_uc, $C AS n
+       |FROM part JOIN dim ON upper(p_brand) = dim.ub GROUP BY 1""".stripMargin) {
+    (s, d) =>
+      val dim = pF(s, d).select(upper(col("p_brand")).as("ub")).distinct()
+      pF(s, d)
+        .join(broadcast(dim), upper(col("p_brand")) === col("ub"))
+        .groupBy(col("ub").as("brand_uc"))
+        .agg(lcount().as("n"))
+  }
+
+  /** J7/J9/A5/F13/O1 — the flagship star join: the `yearly_sales_profit`
+    * analogue (bl_dm.sql:274-285). Fact ⋈ 4 broadcast dims → 2-key group →
+    * exact rounded sums → ORDER BY. One shuffle total (the aggregation).
+    */
+  private val j7 = Q(
+    "j7_star_year_region",
+    s"""SELECT r_name AS region, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |       $C AS n_items,
+       |       ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |       ${DS2("l_extendedprice * l_discount")} AS discount_amt
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2 ORDER BY yr, region""".stripMargin) { (s, d) =>
+    lF(s, d)
+      .join(oF(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cF(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nF(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(rF(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(
+        col("r_name").as("region"),
+        year(col("o_orderdate")).cast(LongType).as("yr"))
+      .agg(
+        lcount().as("n_items"),
+        dsumRound2(revenueExpr).as("revenue"),
+        dsumRound2(col("l_extendedprice") * col("l_discount"))
+          .as("discount_amt"))
+      .orderBy(col("yr"), col("region"))
+  }
+
+  /** J8 — snowflake traversal child→parent→grandparent (bl_cl.sql:1459-1462). */
+  private val j8 = Q(
+    "j8_snowflake",
+    s"""SELECT r_name AS region, $C AS n_cust, ${DS("c_acctbal")} AS bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    cF(s, d)
+      .join(broadcast(nF(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(rF(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(lcount().as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+  }
+
+  /** J10 — join on a coalesced / NA-defaulted key (bl_cl.sql:574-575). */
+  private val j10 = Q(
+    "j10_coalesce_key",
+    s"""WITH dim AS (SELECT DISTINCT coalesce(nullif(c_mktsegment, 'BUILDING'), 'NA') AS k
+       |             FROM customer)
+       |SELECT dim.k AS seg_key, $C AS n
+       |FROM customer
+       |JOIN dim ON coalesce(nullif(c_mktsegment, 'BUILDING'), 'NA') = dim.k
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val key = coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NA"))
+    val dim = cF(s, d).select(key.as("k")).distinct()
+    cF(s, d)
+      .join(broadcast(dim), key === col("k"))
+      .groupBy(col("k").as("seg_key"))
+      .agg(lcount().as("n"))
+  }
+
+  /** M14/D1/U1 — SCD1 insert-if-absent recipe: dedup + anti-join + append
+    * (bl_cl.sql:116 et al.), simulated as a two-batch split of orders.
+    */
+  private val m14 = Q(
+    "m14_insert_if_absent",
+    """WITH existing AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |                  WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'),
+      |     incoming AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |                  WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+      |SELECT k AS custkey, 'existing' AS src FROM existing
+      |UNION ALL
+      |SELECT k AS custkey, 'inserted' AS src FROM incoming
+      |WHERE k NOT IN (SELECT k FROM existing)""".stripMargin) { (s, d) =>
+    val o = oF(s, d)
+    val existing = o
+      .filter(col("o_orderdate").cast("date") < lit("1999-01-01").cast("date"))
+      .select(col("o_custkey").as("k")).distinct()
+      .withColumn("src", lit("existing"))
+    val incoming = o
+      .filter(col("o_orderdate").cast("date") >= lit("1999-01-01").cast("date"))
+      .select(col("o_custkey").as("k")).distinct()
+      .withColumn("src", lit("inserted"))
+    graft.operators.Scd1
+      .insertIfAbsent(existing, incoming, Seq("k"))
+      .select(col("k").as("custkey"), col("src"))
+  }
+
+  /** M15 — insert-or-update classification (bl_cl.sql:439). */
+  private val m15 = Q(
+    "m15_upsert_classify",
+    """WITH existing AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |                  WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'),
+      |     incoming AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |                  WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+      |SELECT coalesce(e.k, i.k) AS custkey,
+      |       CASE WHEN e.k IS NOT NULL AND i.k IS NOT NULL THEN 'updated'
+      |            WHEN i.k IS NULL THEN 'kept'
+      |            ELSE 'inserted' END AS action
+      |FROM existing e FULL OUTER JOIN incoming i ON e.k = i.k""".stripMargin) {
+    (s, d) =>
+      val o = oF(s, d)
+      val existing = o
+        .filter(col("o_orderdate").cast("date") < lit("1999-01-01").cast("date"))
+        .select(col("o_custkey").as("ek")).distinct()
+      val incoming = o
+        .filter(col("o_orderdate").cast("date") >= lit("1999-01-01").cast("date"))
+        .select(col("o_custkey").as("ik")).distinct()
+      existing
+        .join(incoming, col("ek") === col("ik"), "full_outer")
+        .select(
+          coalesce(col("ek"), col("ik")).as("custkey"),
+          when(col("ek").isNotNull && col("ik").isNotNull, "updated")
+            .when(col("ik").isNull, "kept")
+            .otherwise("inserted")
+            .as("action"))
+  }
+
+  /** A1/U1 — guard count over a deduplicating union (bl_cl.sql:313-323). */
+  private val a1 = Q(
+    "a1_union_distinct_count",
+    """SELECT CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT c_custkey AS k FROM customer
+      |      UNION SELECT o_custkey AS k FROM orders)""".stripMargin) { (s, d) =>
+    cF(s, d).select(col("c_custkey").as("k"))
+      .union(oF(s, d).select(col("o_custkey")))
+      .distinct()
+      .agg(lcount().as("n"))
+  }
+
+  /** A2 — COUNT(DISTINCT) guards (bl_cl.sql:373). */
+  private val a2 = Q(
+    "a2_count_distinct",
+    s"""SELECT l_returnflag AS flag,
+       |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, $C AS n
+       |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+    lF(s, d)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        countDistinct(col("l_partkey")).cast(LongType).as("n_parts"),
+        lcount().as("n"))
+  }
+
+  /** A4/U2 — MIN/MAX over a union (bl_cl.sql:1172-1180). */
+  private val a4 = Q(
+    "a4_minmax_union",
+    s"""SELECT min(dt) AS min_d, max(dt) AS max_d, $C AS n
+       |FROM (SELECT CAST(l_shipdate AS DATE) AS dt FROM lineitem
+       |      UNION ALL SELECT CAST(o_orderdate AS DATE) AS dt FROM orders)""".stripMargin) {
+    (s, d) =>
+      lF(s, d).select(col("l_shipdate").cast("date").as("dt"))
+        .union(oF(s, d).select(col("o_orderdate").cast("date")))
+        .agg(min(col("dt")).as("min_d"), max(col("dt")).as("max_d"),
+          lcount().as("n"))
+  }
+
+  /** A6/F14 — GROUP BY on a concat expression key (bl_dm.sql:289-300). */
+  private val a6 = Q(
+    "a6_group_concat_expr",
+    s"""SELECT n_name || '-' || c_mktsegment AS grp,
+       |       ${DS("c_acctbal")} AS bal, $C AS n
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    cF(s, d)
+      .join(broadcast(nF(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        concat(col("n_name"), lit("-"), col("c_mktsegment")).as("grp"))
+      .agg(dsum(col("c_acctbal")).as("bal"), lcount().as("n"))
+  }
+
+  /** A7/C3 — GROUP BY HAVING duplicate detector (bl_cl.sql:2217-2226). */
+  private val a7 = Q(
+    "a7_having_dups",
+    s"""SELECT l_orderkey AS okey, $C AS n FROM lineitem
+       |GROUP BY 1 HAVING count(*) > 4""".stripMargin) { (s, d) =>
+    lF(s, d)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(lcount().as("n"))
+      .filter(col("n") > 4)
+  }
+
+  /** A8/U2 — QA row-count sweep across all tables (bl_cl.sql:2191-2215). */
+  private val a8 = Q(
+    "a8_count_sweep",
+    Tables.all
+      .map(t => s"SELECT '$t' AS tbl, $C AS n FROM $t")
+      .mkString("\n", "\nUNION ALL\n", "")) { (s, d) =>
+    Tables.all
+      .map(t => Tables(s, d, t).agg(lcount().as("n")).select(lit(t).as("tbl"), col("n")))
+      .reduce(_ union _)
+  }
+
+  /** TPC-H Q1-shaped pricing summary — bench headline aggregation. */
+  private val q1 = Q(
+    "q1_pricing_summary",
+    s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       |       ${DS("l_quantity")} AS sum_qty,
+       |       ${DS("l_extendedprice")} AS sum_base,
+       |       ${DS("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |       ${DS("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |       ${DS("l_quantity")} / CAST(count(*) AS DOUBLE) AS avg_qty,
+       |       $C AS count_order
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    lF(s, d)
+      .filter(col("l_shipdate").cast("date") <= lit("2001-09-01").cast("date"))
+      .groupBy(
+        col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        dsum(revenueExpr).as("sum_disc_price"),
+        dsum(revenueExpr * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
+        lcount().as("count_order"))
+  }
+
+  /** F2 — `' -'`-suffix strip over constructed dirt (bl_cl.sql:106-110). */
+  private val f2 = Q(
+    "f2_suffix_strip",
+    """SELECT c_custkey AS custkey,
+      |       split_part(c_name || ' -dirt', ' -', 1) AS clean_name
+      |FROM customer""".stripMargin) { (s, d) =>
+    cF(s, d).select(
+      col("c_custkey").as("custkey"),
+      stripDashSuffix(concat(col("c_name"), lit(" -dirt"))).as("clean_name"))
+  }
+
+  /** F3 — SPLIT_PART extraction (bl_cl.sql:1069-1070). */
+  private val f3 = Q(
+    "f3_split_part",
+    """SELECT c_custkey AS custkey, split_part(c_name, '#', 2) AS cust_nr
+      |FROM customer""".stripMargin) { (s, d) =>
+    cF(s, d).select(
+      col("c_custkey").as("custkey"),
+      expr("split_part(c_name, '#', 2)").as("cust_nr"))
+  }
+
+  /** F6/F9 — dd-MM-yyyy format + parse roundtrip (bl_cl.sql:1246, 55). */
+  private val f6 = Q(
+    "f6_date_roundtrip",
+    s"""SELECT CAST(strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y') AS DATE) AS od,
+       |       $C AS n
+       |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    oF(s, d)
+      .groupBy(
+        parseSourceDate(date_format(col("o_orderdate"), "dd-MM-yyyy")).as("od"))
+      .agg(lcount().as("n"))
+  }
+
+  /** F12 — EXTRACT date parts as grouping keys (bl_cl.sql:1502-1505). */
+  private val f12 = Q(
+    "f12_extract_parts",
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       |       $C AS n, ${DS("o_totalprice")} AS total
+       |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    oF(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"))
+      .agg(lcount().as("n"), dsum(col("o_totalprice")).as("total"))
+  }
+
+  /** F16 — INTERVAL date arithmetic in a join predicate (bl_cl.sql:1494). */
+  private val f16 = Q(
+    "f16_interval_arith",
+    s"""SELECT $C AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 30""".stripMargin) {
+    (s, d) =>
+      lF(s, d)
+        .join(oF(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(
+          col("l_shipdate").cast("date") <=
+            date_add(col("o_orderdate").cast("date"), 30))
+        .agg(lcount().as("n"))
+  }
+
+  /** Window ranking — top customer per year (Business_Template.docx business
+    * question; SURVEY.md §2.8 note). Deterministic tie-break on custkey.
+    */
+  private val w1 = Q(
+    "w1_top_customer_per_year",
+    s"""WITH rev AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |                    o_custkey AS k, ${DS("o_totalprice")} AS total
+       |             FROM orders GROUP BY 1, 2)
+       |SELECT yr, k AS custkey, total
+       |FROM (SELECT yr, k, total,
+       |             row_number() OVER (PARTITION BY yr ORDER BY total DESC, k) AS rn
+       |      FROM rev)
+       |WHERE rn = 1""".stripMargin) { (s, d) =>
+    val rev = oF(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        col("o_custkey").as("k"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+    val w = Window.partitionBy(col("yr")).orderBy(col("total").desc, col("k"))
+    rev
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("yr"), col("k").as("custkey"), col("total"))
+  }
+
+  /** Time-window aggregation over the events table — the batch shape of the
+    * streaming hourly rollup (graft.streaming reuses this logic).
+    */
+  private val ev = Q(
+    "events_hourly",
+    s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
+       |       event_type, $C AS n, ${DS("value")} AS total_value
+       |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour_ts"),
+        col("event_type"))
+      .agg(lcount().as("n"), dsum(col("value")).as("total_value"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
+    m14, m15, a1, a2, a4, a6, a7, a8, q1,
+    f2, f3, f6, f12, f16, w1, ev)
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Constants
+import graft.operators.{DateDim, Scd2, Surrogates}
+import graft.sources.Tables
+
+/** Warehouse-machinery queries: SCD2 merge, surrogate keys, date dim —
+  * exercising the graft.operators library against the harness tables with
+  * closed-form oracles.
+  */
+object WarehouseQueries {
+
+  /** M1–M8/P5/F7/F8 — two-batch SCD2 close+insert over `customer`.
+    *
+    * Batch 1 bootstraps the dimension (history starts at LOW_DT). Batch 2
+    * lowers the segment of every custkey % 3 == 0 (a change → close, M3)
+    * and introduces new keys custkey + 100000 for custkey % 7 == 0 (an
+    * insert, M5). Quirk Q5 (SURVEY.md §8) applies: closed keys are not
+    * re-inserted in the same run.
+    */
+  private val scd2 = Q(
+    "scd2_close_insert",
+    """SELECT c_custkey AS custkey, c_mktsegment AS segment, c_name AS name,
+      |       DATE '1900-01-01' AS start_dt,
+      |       CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-06-01'
+      |            ELSE DATE '9999-12-31' END AS end_dt,
+      |       c_custkey % 3 <> 0 AS is_active
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 100000 AS custkey, c_mktsegment AS segment,
+      |       c_name AS name, DATE '2024-06-01' AS start_dt,
+      |       DATE '9999-12-31' AS end_dt, true AS is_active
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin) { (s, d) =>
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").as("custkey"),
+      col("c_mktsegment").as("segment"),
+      col("c_name").as("name"))
+    val target = Scd2.initial(base, Seq("custkey"), Constants.LowDt)
+    val changed = base
+      .filter(col("custkey") % 3 === 0)
+      .withColumn("segment", lower(col("segment")))
+    val arrivals = base
+      .filter(col("custkey") % 7 === 0)
+      .withColumn("custkey", col("custkey") + 100000L)
+    val batch2 = changed.unionByName(arrivals)
+    Scd2.scd2Apply(
+      target, batch2, Seq("custkey"), Seq("segment", "name"),
+      Date.valueOf("2024-06-01"))
+  }
+
+  /** G1 — deterministic dense surrogate keys + the reserved NA member
+    * (bl_3nf.sql:44, 221-277).
+    */
+  private val g1 = Q(
+    "g1_surrogate_keys",
+    """SELECT CAST(-1 AS BIGINT) AS sk, 'NA' AS segment
+      |UNION ALL
+      |SELECT CAST(row_number() OVER (ORDER BY segment) AS BIGINT) AS sk, segment
+      |FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)""".stripMargin) {
+    (s, d) =>
+      val segs = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("segment")).distinct()
+      val keyed = Surrogates.assign(segs, "sk", Seq(col("segment")))
+        .select(col("sk"), col("segment"))
+      val naRow = s.range(1).select(
+        lit(Constants.NaKey).as("sk"), lit(Constants.NA).as("segment"))
+      naRow.unionByName(keyed)
+  }
+
+  /** G2/F12/F16 — the generated 1,096-row date dimension
+    * (bl_cl.sql:1487-1507).
+    */
+  private val g2 = Q(
+    "g2_date_dim",
+    """SELECT CAST(d AS DATE) AS full_date,
+      |       CAST(datediff('day', DATE '2022-01-01', CAST(d AS DATE)) + 1 AS BIGINT) AS date_id,
+      |       CAST(dayofmonth(CAST(d AS DATE)) AS BIGINT) AS day,
+      |       CAST(month(CAST(d AS DATE)) AS BIGINT) AS month,
+      |       CAST(year(CAST(d AS DATE)) AS BIGINT) AS year,
+      |       CAST(quarter(CAST(d AS DATE)) AS BIGINT) AS quarter
+      |FROM generate_series(DATE '2022-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d)""".stripMargin) {
+    (s, _) => DateDim.referenceRange(s)
+  }
+
+  val queries: Seq[Q] = Seq(scd2, g1, g2)
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Staging ingest: schema-on-read CSV scan, lineage-stamped raw append,
+  * batch-id register, and the idempotence guard (reference S1–S3, S6 —
+  * consumer.sql:17-49, bl_cl.sql:12-68).
+  */
+object Staging {
+
+  /** S1 — read a CSV with an explicit all-string schema (NO inferSchema:
+    * bad values must survive staging and be typed at the 3NF load, exactly
+    * like the reference's VARCHAR(255) external tables).
+    */
+  def readCsvAllString(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(StructType(columns.map(StructField(_, StringType, nullable = true))))
+      .csv(path)
+
+  /** S6 — allocate the next load id from the staged data itself. */
+  def nextLoadId(store: TableStore, table: String): Int =
+    if (!store.exists(table)) 1
+    else {
+      val r = store.read(table).agg(max(col("Load_id").cast("int"))).head()
+      if (r.isNullAt(0)) 1 else r.getInt(0) + 1
+    }
+
+  /** S3 — duplicate-load guard: abort when the batch id is already staged
+    * (reference raises 'This data was already loaded', bl_cl.sql:49-62).
+    */
+  def assertNotLoaded(store: TableStore, table: String, loadId: Int): Unit =
+    if (store.exists(table) &&
+      !store.read(table).filter(col("Load_id") === loadId.toString).isEmpty) {
+      throw new IllegalStateException(
+        s"load_id $loadId already present in $table: this data was already loaded")
+    }
+
+  /** S2 — append the batch with lineage columns `Insert_Date` (formatted
+    * timestamp string, F9) and `Load_id` (stringified batch id, F11).
+    */
+  def stageAppend(store: TableStore, table: String, batch: DataFrame, loadId: Int): Unit = {
+    assertNotLoaded(store, table, loadId)
+    store.append(
+      table,
+      batch
+        .withColumn(
+          "Insert_Date",
+          date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("Load_id", lit(loadId.toString)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet-backed layer tables with crash-safe overwrite (reference C6 —
+  * per-procedure transactions; SURVEY.md §7.6.4).
+  *
+  * Overwrites write to a temp directory and atomically swap via rename, so
+  * a crash mid-write never corrupts the published table — the closest
+  * parquet analog of the reference's per-statement transactionality.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+  Files.createDirectories(Paths.get(root))
+
+  def path(table: String): String = s"$root/$table"
+
+  def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** Append a batch (the reference's INSERT INTO … SELECT). */
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(table))
+  }
+
+  /** Atomic full overwrite: write temp, swap, drop old. */
+  def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = Paths.get(s"$root/.tmp_$table")
+    deleteRecursively(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    val live = Paths.get(path(table))
+    val old = Paths.get(s"$root/.old_$table")
+    deleteRecursively(old)
+    if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    }
+}
