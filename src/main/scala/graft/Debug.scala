@@ -2,22 +2,35 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Local iteration harness: time named queries (noop write, like Bench) on
+  * SPARK_GRAFT_SF_DIR, or `--show` to print rows. Not part of the driver
+  * contract.
+  */
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { name =>
+    spark.sparkContext.setLogLevel("WARN")
+    val show = args.contains("--show")
+    val explain = args.contains("--explain")
+    args.filterNot(_.startsWith("--")).foreach { name =>
       try {
-        val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
-        df.show(5, false)
-        println(s"$name OK rows=${df.count()}")
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (explain) df.explain("formatted")
+        val t0 = System.nanoTime()
+        if (show) df.show(20, false)
+        else df.write.format("noop").mode("overwrite").save()
+        println(f"[debug] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       } catch {
         case e: Throwable =>
-          println(s"$name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          println(s"[debug] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
     }
     spark.stop()

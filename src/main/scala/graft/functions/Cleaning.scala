@@ -51,11 +51,13 @@ object Cleaning {
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
-  /** As [[dsum]] but rounded to 2 decimals *in decimal space* — avoids the
-    * `round(double, 2)` half-case divergence between engines (F13).
+  /** As [[dsum]] but rounded to 2 decimals *in decimal space* via
+    * `round(dec, 2)` — half-away-from-zero in Spark (HALF_UP) and DuckDB
+    * alike. NOT a `CAST(dec(18,4) AS dec(18,2))`: ANSI engines may truncate
+    * that downscale (DuckDB does), Spark rounds — .395 would diverge (F13).
     */
   def dsumRound2(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(18, 2)).cast(DoubleType)
+    round(sum(c.cast(DecimalType(18, 4))), 2).cast(DoubleType)
 
   /** Exact mean: decimal sum divided by count, in double. */
   def davg(c: Column): Column =

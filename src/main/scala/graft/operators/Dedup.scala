@@ -1,21 +1,24 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.TextAnalysis
 
 /** Document deduplication for training-data pipelines, designed for the
-  * banded-LSH shape that scales: candidate pairs come from equi-joins on
-  * band buckets — never an all-pairs cross join.
+  * banded-LSH shape that scales: candidate pairs come from per-bucket pair
+  * generation after a single shuffle on the bucket key — never an all-pairs
+  * cross join, and never a second pass over the corpus.
   *
-  * Scale notes (100 TB): the shingle explode is map-side; signatures are
-  * one shuffle on (doc, seed); banding one shuffle on (doc, band); the
-  * bucket self-join shuffles on (band, band_key) whose cardinality is the
-  * number of buckets, and AQE handles residual bucket skew. Exact dedup is
-  * a single hash aggregate on the text hash.
+  * Scale notes (100 TB): the shingle explode is map-side and runs at input
+  * parallelism (the scan is re-spread by doc id first, so a few big input
+  * files can't serialize the pipeline); signatures take one shuffle on
+  * (doc, seed); banding one shuffle on (doc, band); pair generation one
+  * shuffle on (band, band_key). Bucket membership lists are bounded by the
+  * duplicate-cluster size — a pathological mega-bucket means the banding
+  * parameters are wrong, not that the plan should degrade to a cross join.
+  * Exact dedup is a single hash aggregate on the text hash.
   */
 object Dedup {
 
@@ -27,25 +30,30 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).cast(LongType).as("n_dups"))
 
-  /** Distinct (id, shingle) pairs — the MinHash input set. */
+  /** Distinct (id, shingle) pairs — the MinHash input set. The repartition
+    * spreads docs across the cluster so the explode + hash work downstream
+    * parallelizes even when the source is a handful of large files.
+    */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs
+      .repartition(col(idCol))
       .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
   /** MinHash signatures in long format: (id, seed, minhash). The hash
     * family is md5(seed || '|' || shingle) — deterministic, portable, and
-    * string-min-comparable (fixed-width lowercase hex).
+    * string-min-comparable (fixed-width lowercase hex). Seeds are exploded
+    * map-side (no join of any kind).
     */
-  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val seeds = shingles.sparkSession.range(numHashes).select(col("id").as("seed"))
+  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame =
     shingles
-      .crossJoin(broadcast(seeds))
+      .select(
+        col(idCol), col("shingle"),
+        explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"))
       .groupBy(col(idCol), col("seed"))
       .agg(
         min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))))
           .as("minhash"))
-  }
 
   /** Collapse signatures into per-band bucket keys: band = seed / rows,
     * band_key = ordered concat of the band's minhashes.
@@ -62,15 +70,29 @@ object Dedup {
             s => s.getField("minhash")),
           ",").as("band_key"))
 
-  /** Candidate near-dup pairs: docs sharing any band bucket (a < b). */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_key"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+  /** All unordered (a < b) pairs drawn from an array column — nested
+    * `transform` over the sorted member list, flattened. Pure Catalyst
+    * expressions (codegen'd); output size is sum over buckets of C(n,2).
+    */
+  private def pairsFromSortedArray(ids: org.apache.spark.sql.Column) =
+    flatten(
+      transform(ids, (a, i) =>
+        transform(
+          slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))
+
+  /** Candidate near-dup pairs: docs sharing any band bucket (a < b).
+    * One shuffle on the bucket key, pairs generated per bucket — the band
+    * lineage is computed exactly once (no self-join, no recompute).
+    */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    bands
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsFromSortedArray(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-  }
 
   /** End-to-end MinHash-LSH candidate pairs. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -119,45 +141,47 @@ object Dedup {
 
   /** SimHash (64-bit) per document over its token set: per bit position,
     * sum ±1 weighted by each token-hash's bit, take the sign. Uses Spark's
-    * native xxhash64 — codegen'd, no UDF.
+    * native xxhash64 — codegen'd, no UDF. The 64 positions are 64 sum
+    * aggregates over the token rows (one shuffle on doc id), NOT a 64×
+    * row explosion.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
+      .repartition(col(idCol))
       .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { p =>
+      sum(
+        when(shiftright(col("h"), p).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$p")
+    }
     toks
-      .select(col(idCol), col("h"),
-        explode(sequence(lit(0), lit(63))).as("pos"))
-      .withColumn("bit",
-        when(expr("shiftright(h, pos)").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("pos"))
-      .agg(sum(col("bit")).as("s"))
       .groupBy(col(idCol))
-      .agg(
-        sum(
-          when(col("s") > 0, expr("shiftleft(1L, pos)")).otherwise(0L))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(idCol),
+        (0 until 64)
+          .map(p => when(col(s"b$p") > 0, lit(1L << p)).otherwise(0L))
+          .reduce(_ + _)
           .as("simhash"))
   }
 
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
     * chunks; docs sharing any chunk are candidates (finds all pairs within
-    * Hamming distance 3 by pigeonhole).
+    * Hamming distance 3 by pigeonhole). Same single-pass bucket-grouped
+    * pair generation as [[candidatePairs]].
     */
-  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
-    val chunks = sh.select(
-      col(idCol),
-      explode(sequence(lit(0), lit(3))).as("chunk"))
-      .join(sh, Seq(idCol))
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash(docs, idCol, textCol)
       .select(
-        col(idCol), col("chunk"),
-        expr("shiftright(simhash, chunk * 16)")
-          .bitwiseAND(0xFFFFL).as("chunk_val"))
-    val a = chunks.select(col(idCol).as("doc_a"), col("chunk"), col("chunk_val"))
-    val b = chunks.select(col(idCol).as("doc_b"), col("chunk"), col("chunk_val"))
-    a.join(b, Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+        col(idCol),
+        posexplode(
+          array((0 until 4).map(c =>
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .groupBy(col("pos").as("chunk"), col("col").as("chunk_val"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsFromSortedArray(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -8,20 +8,46 @@ import org.apache.spark.sql.types.LongType
 /** Deterministic surrogate key generation (reference BIGSERIAL, G1 —
   * bl_3nf.sql:44; NA member bl_3nf.sql:221-277).
   *
-  * Keys are `row_number()` over the natural-key ordering plus the current
-  * maximum — dense, collision-free, and stable across runs, unlike
+  * Keys are dense global ranks over the natural-key ordering plus an
+  * offset — collision-free and stable across runs, unlike
   * `monotonically_increasing_id` (partition-dependent) or a driver-side
-  * zip. The unpartitioned window funnels the *dimension* through one task;
-  * dimensions are small by definition (SURVEY.md §4) — never use this on a
-  * fact table.
+  * collect-and-zip. Two implementations, one contract:
+  *
+  *  - [[assign]]: `row_number()` over an unpartitioned window. One-task
+  *    sort — only for dimension-sized inputs (SURVEY.md §4 notes dims are
+  *    kilo-row by definition).
+  *  - [[assignScalable]]: global sort + `zipWithIndex` — the sort is a
+  *    distributed range shuffle and the index job runs over the *same*
+  *    partitioned RDD instance, so partition boundaries (and therefore
+  *    every key) are consistent and deterministic. Use for anything that
+  *    might be fact-sized.
+  *
+  * `orderBy` should be a unique key (natural keys are) so the global order
+  * — and every assigned key — is well-defined run to run.
   */
 object Surrogates {
 
-  /** Assign `keyCol` = offset + dense row number ordered by `orderBy`. */
+  /** Assign `keyCol` = offset + row_number ordered by `orderBy` (small
+    * dimensions only: single-task window sort).
+    */
   def assign(df: DataFrame, keyCol: String, orderBy: Seq[Column], offset: Long = 0L): DataFrame =
     df.withColumn(
       keyCol,
       (row_number().over(Window.orderBy(orderBy: _*)).cast(LongType) + offset))
+
+  /** As [[assign]] but cluster-scalable: distributed range-partitioned
+    * sort, then a per-partition index with cumulative offsets
+    * (`zipWithIndex` — one lightweight count job, no single-task stage).
+    */
+  def assignScalable(df: DataFrame, keyCol: String, orderBy: Seq[Column],
+      offset: Long = 0L): DataFrame = {
+    val sorted = df.orderBy(orderBy: _*)
+    val schema = sorted.schema.add(keyCol, LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L + offset))
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
 
   /** Assign keys continuing after the max key already present in `existing`
     * (reference sequences never reuse ids).

@@ -69,7 +69,8 @@ object LlmEmbed {
        |         FROM el a JOIN el b
        |           ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
        |         GROUP BY 1, 2),
-       |cosd AS (SELECT qid, nid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |cosd AS (SELECT qid, nid,
+       |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
        |         FROM dots
        |         JOIN nrm na ON na.vec_id = dots.qid
        |         JOIN nrm nb ON nb.vec_id = dots.nid)
@@ -93,7 +94,10 @@ object LlmEmbed {
       .join(nrm.select(col("vec_id").as("nid"), col("n2").as("nb")), Seq("nid"))
       .select(
         col("qid"), col("nid"),
-        (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cosine"))
+        // round to 12 decimals: the raw double differs between engines in
+        // the last ULP or two (decimal-cast rounding of the inputs);
+        // 12 digits is far above the noise and far below any real tie.
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     cosd
       .withColumn("rnk", row_number().over(w).cast(LongType))

@@ -28,9 +28,12 @@ object Q {
   def DS(x: String): String =
     s"CAST(SUM(CAST(($x) AS DECIMAL(18,4))) AS DOUBLE)"
 
-  /** As [[DS]] but rounded to 2 decimals in decimal space (engine-stable). */
+  /** As [[DS]] but rounded to 2 decimals in decimal space (engine-stable:
+    * round(dec, 2) is half-away-from-zero in both Spark and ANSI engines;
+    * a decimal downscale CAST is not — DuckDB truncates it).
+    */
   def DS2(x: String): String =
-    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS DOUBLE)"
+    s"CAST(round(SUM(CAST(($x) AS DECIMAL(18,4))), 2) AS DOUBLE)"
 
   /** count(*) pinned to BIGINT (DuckDB would otherwise return HUGEINT). */
   val C: String = "CAST(count(*) AS BIGINT)"

@@ -379,19 +379,35 @@ object Relational {
       .reduce(_ union _)
   }
 
-  /** TPC-H Q1-shaped pricing summary — bench headline aggregation. */
+  /** TPC-H Q1-shaped pricing summary — bench headline aggregation.
+    *
+    * disc_price/charge multiply each *factor* cast to its exact 2-decimal
+    * DECIMAL, then sum the exact products: the 6-decimal true product of
+    * three 2-decimal values is NOT a representable double, and rounding the
+    * double product to DECIMAL(18,4) hits genuine half-way ties that Spark
+    * (exact BigDecimal) and approximate double→decimal casts resolve
+    * differently. Factor-exact decimal arithmetic is bit-identical on any
+    * ANSI engine.
+    */
   private val q1 = Q(
     "q1_pricing_summary",
     s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
        |       ${DS("l_quantity")} AS sum_qty,
        |       ${DS("l_extendedprice")} AS sum_base,
-       |       ${DS("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-       |       ${DS("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       |                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+       |                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
        |       ${DS("l_quantity")} / CAST(count(*) AS DOUBLE) AS avg_qty,
        |       $C AS count_order
        |FROM lineitem
        |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val epD = col("l_extendedprice").cast(DecimalType(12, 2))
+    val discF = lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))
+    val taxF = lit(1).cast(DecimalType(3, 2)) + col("l_tax").cast(DecimalType(4, 2))
     lF(s, d)
       .filter(col("l_shipdate").cast("date") <= lit("2001-09-01").cast("date"))
       .groupBy(
@@ -400,8 +416,8 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base"),
-        dsum(revenueExpr).as("sum_disc_price"),
-        dsum(revenueExpr * (lit(1) + col("l_tax"))).as("sum_charge"),
+        sum(epD * discF).cast("double").as("sum_disc_price"),
+        sum(epD * discF * taxF).cast("double").as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
         lcount().as("count_order"))
   }
@@ -503,7 +519,9 @@ object Relational {
        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(
-        date_trunc("hour", col("ts")).as("hour_ts"),
+        // timestamp_ntz: parquet isAdjustedToUTC=false, so any ANSI reader
+        // sees the same naive UTC instants the oracle computes.
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
         col("event_type"))
       .agg(lcount().as("n"), dsum(col("value")).as("total_value"))
   }

@@ -64,7 +64,7 @@ object WarehouseQueries {
     (s, d) =>
       val segs = Tables.customer(s, d)
         .select(col("c_mktsegment").as("segment")).distinct()
-      val keyed = Surrogates.assign(segs, "sk", Seq(col("segment")))
+      val keyed = Surrogates.assignScalable(segs, "sk", Seq(col("segment")))
         .select(col("sk"), col("segment"))
       val naRow = s.range(1).select(
         lit(Constants.NaKey).as("sk"), lit(Constants.NA).as("segment"))

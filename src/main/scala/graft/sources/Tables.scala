@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Readers for the harness test tables (TESTDATA.md).
   *
@@ -23,7 +25,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  /** The events table carries a nanosecond INT64 parquet timestamp, which
+    * Spark only reads as a long (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set in every session here). Normalize `ts` back to a microsecond
+    * TimestampType (floor division — matches an ANSI CAST to TIMESTAMP).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
