@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operators: exact groups, MinHash-LSH recall vs brute-force
+  * Jaccard, SimHash candidate generation. The hash families are
+  * deterministic (md5 / xxhash64 over a fixed corpus), so these are exact
+  * assertions, not statistical ones.
+  */
+class DedupSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  /** 60-token base docs; near-dups differ in one token (shingle Jaccard
+    * ≈ 57/63 ≈ 0.90), distinct docs share nothing.
+    */
+  private def corpus = {
+    def doc(seed: Int, tweak: Int = -1) =
+      (0 until 60).map(t => if (t == tweak) s"X${seed}_$t" else s"w${seed}_$t").mkString(" ")
+    val rows =
+      (0 until 8).flatMap { c =>
+        Seq((c * 10L, doc(c)), (c * 10L + 1, doc(c, tweak = 30))) // near-dup pair
+      } ++
+        (100 until 110).map(i => (i.toLong, doc(i))) ++ // singletons
+        Seq((200L, doc(0)), (201L, doc(0))) // exact dups of cluster 0's base
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactGroups collapses identical texts") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text").cache()
+    assert(g.count() == 28 - 2) // 28 docs; ids 0/200/201 share one text
+    assert(g.filter(col("n_dups") === 3).count() == 1)
+    assert(g.filter(col("n_dups") === 3).head().getAs[Long]("keep_id") == 0L)
+    g.unpersist()
+  }
+
+  test("minhash LSH recall >= 0.9 against brute-force Jaccard >= 0.8") {
+    val truth = Dedup.bruteForceJaccardPairs(corpus, "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture must contain true near-dup pairs")
+    val candidates = Dedup.minhashPairs(corpus, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    val recall = truth.count(candidates.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+    // candidates stay bounded: no all-pairs explosion over 26 docs
+    assert(candidates.size < 26 * 25 / 4)
+  }
+
+  test("jaccardForPairs computes exact overlap") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(docs, "doc_id", "text")
+    val j = Dedup.jaccardForPairs(sh, "doc_id", Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      .head().getAs[Double]("jaccard")
+    // 4 shingles each, 3 shared -> 3/5
+    assert(math.abs(j - 0.6) < 1e-12)
+  }
+
+  test("simhash: identical texts collide, near-dups become candidates") {
+    val sh = Dedup.simhash(corpus, "doc_id", "text")
+    val h = sh.filter(col("doc_id").isin(0L, 200L, 201L))
+      .select("simhash").as[Long].collect()
+    assert(h.distinct.length == 1, "identical text must produce identical simhash")
+
+    val cand = Dedup.simhashCandidates(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // exact duplicates have Hamming distance 0 -> all chunks shared
+    assert(cand.contains((0L, 200L)) && cand.contains((200L, 201L)))
+    // a 1-of-60-token change flips ~10 of 64 bits (each bit flips when its
+    // ±1 vote margin is ≤ 2), so chunk collisions are likely but not
+    // certain per pair — require a majority of the 8 near-dup pairs
+    val nearDupHits = (0 until 8).count(c => cand.contains((c * 10L, c * 10L + 1)))
+    assert(nearDupHits >= 4, s"only $nearDupHits/8 near-dup pairs bucketed")
+  }
+}

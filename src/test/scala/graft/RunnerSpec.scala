@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Runner
+import graft.sources.Tables
+
+/** End-to-end pipeline (reference orchestrators C5 + guards S3/C1 +
+  * QA E3) over the sf0.001 tables in a throwaway work dir.
+  */
+class RunnerSpec extends SparkSpec {
+
+  private def newRunner() = {
+    val dir = Files.createTempDirectory("graft_runner").toString
+    new Runner(spark, sfDir, dir)
+  }
+
+  test("runAll builds dims, fact, views, and a clean QA report") {
+    val runner = newRunner()
+    val report = runner.runAll(1, Date.valueOf("2024-01-01")).cache()
+
+    val counts = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("scd2_active_violations") == 0L)
+    assert(counts("fct_orders") == Tables.lineitem(spark, sfDir).count(),
+      "every lineitem lands in the fact exactly once")
+
+    val view = runner.table("yearly_sales_profit").cache()
+    assert(view.count() > 0)
+    // every fact row carries a resolved region (customer->nation->region
+    // is total in the test data): no NA group should appear
+    assert(view.filter(col("region") === "NA").isEmpty)
+    assert(view.agg(sum("n_items")).head().getLong(0) ==
+      Tables.lineitem(spark, sfDir).count())
+    view.unpersist()
+    report.unpersist()
+  }
+
+  test("duplicate load id is rejected (idempotence guard S3)") {
+    val runner = newRunner()
+    runner.stage(1)
+    val e = intercept[IllegalStateException](runner.stage(1))
+    assert(e.getMessage.contains("already loaded"))
+    // a new batch id passes the guard
+    runner.stage(2)
+  }
+
+  test("second batch closes changed SCD2 customers instead of duplicating them") {
+    val runner = newRunner()
+    runner.runAll(1, Date.valueOf("2024-01-01"))
+    // replay the same customers as batch 2: no changes -> no closes
+    runner.stage(2)
+    runner.loadDims(2, Date.valueOf("2024-02-01"))
+    val dim = runner.table("dim_customer")
+    assert(dim.filter(!col("is_active")).isEmpty)
+    assert(dim.count() == Tables.customer(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Embedding similarity search: exact brute-force ranking and LSH-bucketed
+  * ANN recall. Planes are seeded, the corpus is fixed — deterministic.
+  */
+class SimilaritySpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  private val dim = 20
+
+  /** 4 well-separated cluster centers (one-hot blocks of FIVE dims — an
+    * odd count, so any ±1 hyperplane has margin ≥ 1 on the block and the
+    * ≤0.3 perturbations can never flip a bucket bit) with small
+    * deterministic perturbations: within-cluster cosine ≈ 1, across ≈ 0.
+    */
+  private def vectors = {
+    val rows = for {
+      c <- 0 until 4
+      m <- 0 until 6
+    } yield {
+      val v = Array.tabulate(dim) { i =>
+        val base = if (i / 5 == c) 1.0f else 0.0f
+        base + (if (i == (c * 7 + m) % dim) 0.05f * (m + 1) else 0.0f)
+      }
+      (c * 10L + m, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine expression matches hand computation") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks within-cluster neighbors first") {
+    val top = Similarity
+      .bruteForceTopK(vectors, vectors.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
+      .select("nid").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L, 4L, 5L), s"expected cluster 0 members, got $top")
+  }
+
+  test("lshTopK recall >= 0.8 vs brute force on clustered vectors") {
+    val queries = vectors.filter(col("vec_id") % 10 === 0)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(vectors, queries, "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vectors, queries, "vec_id", "embedding", k,
+      nPlanes = 4, dim = dim)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"ANN recall $recall (truth=${truth.size})")
+  }
+}

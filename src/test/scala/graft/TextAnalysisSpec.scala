@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  test("shingles emits word 3-grams in order, empty below n tokens") {
+    assert(
+      eval1(TextAnalysis.shingles(lit("a b c d"), 3)) ==
+        Seq("a b c", "b c d"))
+    assert(eval1(TextAnalysis.shingles(lit("a b"), 3)) == Seq())
+  }
+
+  test("token counting and distinct ratio") {
+    assert(eval1(TextAnalysis.tokenCount(lit("  x y  z x "))) == 4L)
+    assert(eval1(TextAnalysis.distinctTokenCount(lit("x y z x"))) == 3L)
+    assert(eval1(TextAnalysis.distinctRatio(lit("x x x x"))) == 0.25)
+  }
+
+  test("qualityFlag gates on length and diversity") {
+    val longRepetitive = ("w " * 100).trim // 100 tokens, 1 distinct
+    val healthy = (1 to 100).map(i => s"t$i").mkString(" ")
+    assert(eval1(TextAnalysis.qualityFlag(lit("too short"))) == 0L)
+    assert(eval1(TextAnalysis.qualityFlag(lit(longRepetitive))) == 0L)
+    assert(eval1(TextAnalysis.qualityFlag(lit(healthy))) == 1L)
+  }
+
+  test("langIdHeuristic hits the first matching marker word") {
+    val m = Seq("en" -> "the", "de" -> "der")
+    assert(eval1(TextAnalysis.langIdHeuristic(lit("over the hill"), m)) == "en")
+    assert(eval1(TextAnalysis.langIdHeuristic(lit("über der Brücke"), m)) == "de")
+    assert(eval1(TextAnalysis.langIdHeuristic(lit("sans marqueur"), m)) == "und")
+  }
+
+  test("fingerprint depends only on the leading 64 chars") {
+    val a = "x" * 64
+    assert(eval1(TextAnalysis.fingerprint(lit(a))) ==
+      eval1(TextAnalysis.fingerprint(lit(a + "tail"))))
+  }
+}
