@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmEmbed, LlmText, Q, Relational, WarehouseQueries}
+import graft.queries.{DmQueries, LlmEmbed, LlmText, PipelineQueries, Q, Relational, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
   /** All registered queries, in catalog order. */
   val catalog: Seq[Q] =
     Relational.queries ++ WarehouseQueries.queries ++
+      DmQueries.queries ++ PipelineQueries.queries ++
       LlmText.queries ++ LlmEmbed.queries
 
   /** Flagship: the `yearly_sales_profit` analogue — star join over the full

@@ -66,6 +66,46 @@ object Similarity {
         when(dot(vec, lit(p)) >= 0, "1").otherwise("0")
       }: _*)
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer (the
+    * `nCentroids` lowest-id corpus vectors) partitions the corpus into
+    * inverted lists; each query probes its `nProbe` nearest centroids and
+    * ranks only those lists by exact cosine.
+    *
+    * Scale shape: assignment is a map-side broadcast of the centroid set
+    * (n × nCentroids dot products, no shuffle of the corpus beyond the
+    * final per-list grouping); queries never touch lists they don't probe.
+    * A k-means-refined centroid set plugs in by swapping `centroids`.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
+    val centroids = c.orderBy(col("nid")).limit(nCentroids)
+      .select(col("nid").as("cid"), col("cvec").as("centvec"))
+
+    def nearestCentroids(df: DataFrame, vec: String, id: String, top: Int) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("csim").desc, col("cid"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosine(col(vec), col("centvec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= top)
+        .drop("centvec", "csim", "crank")
+    }
+
+    val lists = nearestCentroids(c, "cvec", "nid", 1)
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
+    val probes = nearestCentroids(q, "qvec", "qid", nProbe)
+    val scored = lists
+      .join(probes, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket; ranking
     * within the bucket is exact cosine. Recall is tuned by `nPlanes`
     * (fewer planes → bigger buckets → higher recall, more compute).

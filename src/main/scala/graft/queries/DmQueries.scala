@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Cleaning.lcount
+import graft.operators.{Scd1, Surrogates}
+import graft.sources.Tables
+import graft.queries.Q.C
+
+/** Data-mart propagation queries (reference M9–M13, bl_cl.sql:1410-2148):
+  * re-key upstream dimension rows to mart surrogates via snowflake-
+  * traversal joins, insert-if-absent against the already-loaded mart, and
+  * re-key the fact to the mart's surrogate space including the date-dim
+  * surrogate. Mart dims are broadcast; only the insert-detection anti-join
+  * shuffles, and only on the incoming (small) side.
+  */
+object DmQueries {
+
+  /** M9/J8 — dm dimension insert-if-absent with FK re-key: nations with
+    * key < 12 are pre-loaded in the mart; the remainder arrive and get
+    * surrogates continuing after the existing max, with the region FK
+    * re-keyed to the mart's own region surrogates.
+    */
+  private val m9 = Q(
+    "m9_dm_rekey_insert",
+    """WITH dmr AS (SELECT r_regionkey,
+      |                    CAST(row_number() OVER (ORDER BY r_name) AS BIGINT) AS region_sk
+      |             FROM region),
+      |pre AS (SELECT n_nationkey, n_name, n_regionkey,
+      |               CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS dm_sk
+      |        FROM nation WHERE n_nationkey < 12),
+      |ins AS (SELECT n_nationkey, n_name, n_regionkey,
+      |               (SELECT max(dm_sk) FROM pre)
+      |                 + CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS dm_sk
+      |        FROM nation WHERE n_nationkey >= 12)
+      |SELECT p.dm_sk, CAST(p.n_nationkey AS BIGINT) AS nation_nk,
+      |       p.n_name AS name, dmr.region_sk
+      |FROM (SELECT * FROM pre UNION ALL SELECT * FROM ins) p
+      |JOIN dmr ON p.n_regionkey = dmr.r_regionkey""".stripMargin) { (s, d) =>
+    val dmRegion = Surrogates.assign(
+      Tables.region(s, d), "region_sk", Seq(col("r_name")))
+    val nations = Tables.nation(s, d).select(
+      col("n_nationkey").cast(LongType).as("nation_nk"),
+      col("n_name").as("name"), col("n_regionkey"))
+    val pre = Surrogates.assign(
+      nations.filter(col("nation_nk") < 12), "dm_sk", Seq(col("name")))
+    val arrivals = nations.filter(col("nation_nk") >= 12)
+    val inserts = Surrogates.assignAfter(pre,
+      Scd1.newRows(pre, arrivals, Seq("nation_nk")), "dm_sk", Seq(col("name")))
+    pre.unionByName(inserts)
+      .join(broadcast(dmRegion.select(col("r_regionkey"), col("region_sk"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("dm_sk"), col("nation_nk"), col("name"), col("region_sk"))
+  }
+
+  /** M13/G2 — dm-fact insert-if-absent with full surrogate re-key: orders
+    * before 1995 are already in the mart fact; the rest insert, every row
+    * re-keyed to the mart customer surrogate and the date-dim day ordinal.
+    */
+  private val m13 = Q(
+    "m13_dm_fact_rekey",
+    """WITH dmc AS (SELECT c_custkey,
+      |                    CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS cust_sk
+      |             FROM customer),
+      |f AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+      |      FROM orders)
+      |SELECT f.o_orderkey AS orderkey, dmc.cust_sk,
+      |       CAST(datediff('day', DATE '1992-01-01', f.od) + 1 AS BIGINT) AS date_sk,
+      |       f.o_totalprice AS totalprice,
+      |       CASE WHEN f.od < DATE '1995-01-01' THEN 'existing' ELSE 'inserted' END AS src
+      |FROM f JOIN dmc ON f.o_custkey = dmc.c_custkey""".stripMargin) { (s, d) =>
+    val dmCustomer = Surrogates.assign(
+      Tables.customer(s, d).select(col("c_custkey")), "cust_sk", Seq(col("c_custkey")))
+    val rekeyed = Tables.orders(s, d)
+      .select(
+        col("o_orderkey").as("orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("od"),
+        col("o_totalprice").as("totalprice"))
+      .join(broadcast(dmCustomer), col("o_custkey") === col("c_custkey"))
+      .withColumn("date_sk",
+        (datediff(col("od"), lit("1992-01-01").cast("date")) + 1).cast(LongType))
+    val existing = rekeyed
+      .filter(col("od") < lit("1995-01-01").cast("date"))
+      .withColumn("src", lit("existing"))
+    val inserts = Scd1
+      .newRows(existing,
+        rekeyed.withColumn("src", lit("inserted")),
+        Seq("orderkey", "cust_sk", "date_sk"))
+    existing.unionByName(inserts)
+      .select(col("orderkey"), col("cust_sk"), col("date_sk"),
+        col("totalprice"), col("src"))
+  }
+
+  val queries: Seq[Q] = Seq(m9, m13)
+}

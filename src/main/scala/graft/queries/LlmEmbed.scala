@@ -116,5 +116,56 @@ object LlmEmbed {
       k = 3, nPlanes = 6, dim = 64)
   }
 
-  val queries: Seq[Q] = Seq(normStats, bruteTopK, annLsh)
+  /** IVF-bucketed approximate top-3 — coarse quantizer + probed inverted
+    * lists (recall asserted in SimilaritySpec; quantizer is engine-side).
+    */
+  private val annIvf = Q.noOracle("embed_ann_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nCentroids = 16, nProbe = 4)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over a bounded sample —
+    * exact-decimal dots so the pair set and scores hash-match the oracle.
+    * (The embeddings table has no true duplicates; 0.35 captures its
+    * closest-pair tail.)
+    */
+  private val cosineDups = Q(
+    "embed_cosine_dups",
+    s"""WITH $elCte,
+       |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |        FROM el GROUP BY 1),
+       |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |         FROM el a JOIN el b
+       |           ON a.i = b.i AND a.vec_id < b.vec_id
+       |          AND a.vec_id < 100 AND b.vec_id < 100
+       |         GROUP BY 1, 2)
+       |SELECT vec_a, vec_b,
+       |       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+       |FROM dots
+       |JOIN nrm na ON na.vec_id = dots.vec_a
+       |JOIN nrm nb ON nb.vec_id = dots.vec_b
+       |WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) >= 0.35""".stripMargin) {
+    (s, d) =>
+      val el = elements(s, d).filter(col("vec_id") < 100)
+      val nrm = el.groupBy(col("vec_id"))
+        .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+      val a = el.select(col("vec_id").as("vec_a"), col("i"), col("x").as("xa"))
+      val b = el.select(col("vec_id").as("vec_b"), col("i"), col("x").as("xb"))
+      val dots = a.join(b, Seq("i"))
+        .filter(col("vec_a") < col("vec_b"))
+        .groupBy(col("vec_a"), col("vec_b"))
+        .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
+      dots
+        .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
+        .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
+        .select(
+          col("vec_a"), col("vec_b"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+  }
+
+  val queries: Seq[Q] = Seq(normStats, bruteTopK, annLsh, annIvf, cosineDups)
 }

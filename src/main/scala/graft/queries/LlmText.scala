@@ -68,6 +68,33 @@ object LlmText {
     Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Exact n-gram Jaccard near-dup pairs over a bounded doc sample — the
+    * LSH verification stage, oracle-checked end to end (shingle sets,
+    * intersection counts, similarity arithmetic). The id bound keeps the
+    * quadratic shingle self-join constant-size at any sf.
+    */
+  private val jaccard = Q(
+    "dedup_jaccard_pairs",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |              WHERE doc_id < 200),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE i <= len(l) - 2),
+       |sz AS (SELECT doc_id, $C AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $C AS n_inter
+       |          FROM sh a JOIN sh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = inter.doc_a
+       |JOIN sz sb ON sb.doc_id = inter.doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2""".stripMargin) {
+    (s, d) =>
+      Dedup.bruteForceJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text", 0.2)
+  }
+
   /** Token counting + per-language corpus stats. */
   private val stats = Q(
     "text_token_stats",
@@ -153,5 +180,5 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, sigs, pairs, simhash, stats, quality, langId, fp, bytes)
+    Seq(exact, sigs, pairs, simhash, jaccard, stats, quality, langId, fp, bytes)
 }

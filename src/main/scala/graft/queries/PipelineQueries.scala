@@ -1,0 +1,141 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Date
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Cleaning.{dsum, lcount}
+import graft.pipeline.Runner
+import graft.sources.{Staging, TableStore, Tables}
+import graft.queries.Q.{C, DS, DS2}
+
+/** Queries that drive the REAL pipeline machinery (staging guard S2/S3,
+  * per-layer sinks S4, materialized-view refresh S5, orchestrator C5, QA
+  * C3/A8, year partitioning G3) and check its OUTPUT against a closed-form
+  * SQL oracle over the raw tables. One full `Runner.runAll` per sf dir,
+  * memoized — the three pipeline queries share its warehouse.
+  */
+object PipelineQueries {
+
+  private val runDate = Date.valueOf("2024-01-01")
+
+  private val runners = new ConcurrentHashMap[String, Runner]()
+  private def warehouse(s: SparkSession, d: String): Runner =
+    runners.computeIfAbsent(d, _ => {
+      val r = new Runner(s, d, Files.createTempDirectory("graft_wh").toString)
+      r.runAll(1, runDate)
+      r
+    })
+
+  private val facts = new ConcurrentHashMap[String, String]()
+  private def partitionedFact(s: SparkSession, d: String): String =
+    facts.computeIfAbsent(d, _ => {
+      val dir = Files.createTempDirectory("graft_fact").toString + "/fct"
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_quantity"),
+          year(col("o_orderdate").cast("date")).as("order_year"))
+        .write.partitionBy("order_year").parquet(dir)
+      dir
+    })
+
+  /** S5/C5/J9/A5 — the full ETL behind the flagship view: staging →
+    * dims (+SCD2 customer) → year-partitioned fact with broadcast
+    * surrogate lookups → recompute-and-overwrite materialized view. The
+    * oracle recomputes the same answer straight from the raw tables, so a
+    * hash match certifies every stage in between.
+    */
+  private val pipelineView = Q(
+    "s5_pipeline_view",
+    s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       |       r_name AS region,
+       |       ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |       ${DS2("l_extendedprice * l_discount")} AS discount_amt,
+       |       $C AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    warehouse(s, d).table("yearly_sales_profit")
+      .select(col("yr"), col("region"), col("revenue"), col("discount_amt"),
+        col("n_items"))
+  }
+
+  /** C3/C4/A8 — the QA report over the built warehouse: per-table row
+    * counts + the SCD2 single-active-version invariant, all predictable
+    * from the raw tables.
+    */
+  private val qaReport = Q(
+    "c5_qa_report",
+    s"""SELECT 'dim_customer' AS tbl, $C AS n FROM customer
+       |UNION ALL SELECT 'dim_nation', CAST((SELECT count(*) + 1 FROM nation) AS BIGINT)
+       |UNION ALL SELECT 'dim_region', CAST((SELECT count(*) + 1 FROM region) AS BIGINT)
+       |UNION ALL SELECT 'fct_orders', (SELECT $C FROM lineitem)
+       |UNION ALL SELECT 'yearly_sales_profit',
+       |  CAST((SELECT count(*) FROM (
+       |     SELECT DISTINCT year(CAST(o_orderdate AS DATE)), r_name
+       |     FROM lineitem
+       |     JOIN orders   ON l_orderkey = o_orderkey
+       |     JOIN customer ON o_custkey = c_custkey
+       |     JOIN nation   ON c_nationkey = n_nationkey
+       |     JOIN region   ON n_regionkey = r_regionkey)) AS BIGINT)
+       |UNION ALL SELECT 'scd2_active_violations', CAST(0 AS BIGINT)""".stripMargin) {
+    (s, d) =>
+      // dim_customer holds every distinct customer (all active after one
+      // batch); dims carry the extra NA member; the fact is lineitem-grain.
+      warehouse(s, d).qaReport()
+  }
+
+  /** S2/S3/S6/F9/F11 — staging ingest with lineage columns and the
+    * duplicate-load guard: the second append of load 1 must be rejected,
+    * leaving exactly one lineage-stamped copy of the batch.
+    */
+  private val stageGuard = Q(
+    "s3_stage_guard",
+    s"""SELECT '1' AS load_id, $C AS n, true AS dup_rejected,
+       |       true AS lineage_ok FROM orders""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_stage").toString)
+    val orders = Tables.orders(s, d)
+    Staging.stageAppend(store, "scr_orders", orders, 1)
+    val rejected =
+      try { Staging.stageAppend(store, "scr_orders", orders, 1); false }
+      catch { case _: IllegalStateException => true }
+    val staged = store.read("scr_orders")
+    staged
+      .filter(col("Load_id") === "1")
+      .agg(lcount().as("n"))
+      .select(
+        lit("1").as("load_id"), col("n"),
+        lit(rejected).as("dup_rejected"),
+        // F9 lineage: Insert_Date is a 'yyyy-MM-dd HH:mm:ss' string
+        lit(staged.filter(
+          col("Insert_Date").rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"))
+          .count() == staged.count()).as("lineage_ok"))
+  }
+
+  /** G3 — year-partitioned fact write + partition-pruned read: the filter
+    * on the partition column prunes to one directory (check `.explain`:
+    * PartitionFilters), and the pruned answer matches the raw-table oracle.
+    */
+  private val partitionPrune = Q(
+    "g3_partition_prune",
+    s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       |       $C AS n, ${DS("l_quantity")} AS qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE year(CAST(o_orderdate AS DATE)) = 1998
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    s.read.parquet(partitionedFact(s, d))
+      .filter(col("order_year") === 1998)
+      .groupBy(col("order_year").cast(LongType).as("yr"))
+      .agg(lcount().as("n"), dsum(col("l_quantity")).as("qty"))
+  }
+
+  val queries: Seq[Q] = Seq(pipelineView, qaReport, stageGuard, partitionPrune)
+}

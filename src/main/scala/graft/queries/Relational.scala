@@ -526,8 +526,131 @@ object Relational {
       .agg(lcount().as("n"), dsum(col("value")).as("total_value"))
   }
 
+  /** A3 — plain COUNT(*) (bl_cl.sql:1196-1197). */
+  private val a3 = Q(
+    "a3_plain_count",
+    s"SELECT $C AS n FROM lineitem") { (s, d) =>
+    lF(s, d).agg(lcount().as("n"))
+  }
+
+  /** A5/F13 — SUM + GROUP BY two plain keys (bl_dm.sql:275-284). */
+  private val a5 = Q(
+    "a5_sum_two_keys",
+    s"""SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       |       ${DS2("o_totalprice")} AS total, $C AS n
+       |FROM orders GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    oF(s, d)
+      .groupBy(
+        col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"))
+      .agg(dsumRound2(col("o_totalprice")).as("total"), lcount().as("n"))
+  }
+
+  /** D1 — SELECT DISTINCT dedup (bl_cl.sql:100 et al.). */
+  private val d1 = Q(
+    "d1_distinct",
+    "SELECT DISTINCT p_brand AS brand, p_type AS ptype FROM part") { (s, d) =>
+    pF(s, d)
+      .select(col("p_brand").as("brand"), col("p_type").as("ptype"))
+      .distinct()
+  }
+
+  /** U1 — deduplicating UNION across sources (bl_cl.sql:254 et al.). */
+  private val u1 = Q(
+    "u1_union_dedup",
+    """SELECT CAST(k AS BIGINT) AS nationkey FROM
+      |  (SELECT s_nationkey AS k FROM supplier
+      |   UNION SELECT c_nationkey AS k FROM customer)""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      .union(cF(s, d).select(col("c_nationkey")))
+      .distinct()
+      .select(col("k").cast(LongType).as("nationkey"))
+  }
+
+  /** U2 — UNION ALL keeping both sources' rows (bl_cl.sql:473). */
+  private val u2 = Q(
+    "u2_union_all",
+    s"""SELECT CAST(k AS BIGINT) AS nationkey, $C AS n FROM
+       |  (SELECT s_nationkey AS k FROM supplier
+       |   UNION ALL SELECT c_nationkey AS k FROM customer)
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      .union(cF(s, d).select(col("c_nationkey")))
+      .groupBy(col("k").cast(LongType).as("nationkey"))
+      .agg(lcount().as("n"))
+  }
+
+  /** F1 — `#`-suffix strip over constructed dirt (bl_cl.sql:101-105). */
+  private val f1 = Q(
+    "f1_hash_strip",
+    """SELECT p_partkey AS partkey,
+      |       split_part(p_name || '#' || CAST(p_partkey AS VARCHAR), '#', 1) AS clean_name,
+      |       split_part(p_name, '#', 1) AS passthrough
+      |FROM part""".stripMargin) { (s, d) =>
+    pF(s, d).select(
+      col("p_partkey").as("partkey"),
+      stripHashSuffix(concat(col("p_name"), lit("#"), col("p_partkey").cast("string")))
+        .as("clean_name"),
+      stripHashSuffix(col("p_name")).as("passthrough"))
+  }
+
+  /** F9 — timestamp → 'yyyy-MM-dd HH:mm:ss' lineage string (bl_cl.sql:55). */
+  private val f9 = Q(
+    "f9_timestamp_format",
+    s"""SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ins_dt,
+       |       $C AS n
+       |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    oF(s, d)
+      .groupBy(
+        date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+          .as("ins_dt"))
+      .agg(lcount().as("n"))
+  }
+
+  /** F10/F11 — staged-string typing round trip: numbers survive a string
+    * hop and cast back exactly (bl_cl.sql:1224-1228, 115).
+    */
+  private val f10 = Q(
+    "f10_measure_casts",
+    s"""SELECT l_returnflag AS flag,
+       |       ${DS("CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)")} AS qty_sum,
+       |       CAST(SUM(CAST(lpad(CAST(l_linenumber AS VARCHAR), 5, '0') AS INT)) AS BIGINT) AS line_sum
+       |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+    lF(s, d)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        dsum(col("l_quantity").cast("string").cast("double")).as("qty_sum"),
+        sum(lpad(col("l_linenumber").cast("string"), 5, "0").cast("int"))
+          .cast(LongType).as("line_sum"))
+  }
+
+  /** Window frame — running total over ordered months (the business-
+    * question surface SURVEY.md §2.8 adds beyond the reference's SQL).
+    * The cumulative sum stays in exact decimal until the final cast.
+    */
+  private val w2 = Q(
+    "w2_running_total",
+    s"""WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       |                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS t
+       |           FROM orders GROUP BY 1)
+       |SELECT ym, CAST(t AS DOUBLE) AS month_total,
+       |       CAST(SUM(t) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+       |FROM m""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val m = oF(s, d)
+      .groupBy(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast(LongType).as("ym"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("t"))
+    val w = Window.orderBy(col("ym")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.select(
+      col("ym"),
+      col("t").cast("double").as("month_total"),
+      sum(col("t")).over(w).cast("double").as("running_total"))
+  }
+
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
-    m14, m15, a1, a2, a4, a6, a7, a8, q1,
-    f2, f3, f6, f12, f16, w1, ev)
+    m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
+    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, ev)
 }

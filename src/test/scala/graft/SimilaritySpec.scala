@@ -46,6 +46,18 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Set(1L, 2L, 3L, 4L, 5L), s"expected cluster 0 members, got $top")
   }
 
+  test("ivfTopK recall >= 0.8 vs brute force on clustered vectors") {
+    val queries = vectors.filter(col("vec_id") % 10 === 0)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(vectors, queries, "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(vectors, queries, "vec_id", "embedding", k,
+      nCentroids = 8, nProbe = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"IVF recall $recall (truth=${truth.size})")
+  }
+
   test("lshTopK recall >= 0.8 vs brute force on clustered vectors") {
     val queries = vectors.filter(col("vec_id") % 10 === 0)
     val k = 3
