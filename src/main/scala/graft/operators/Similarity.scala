@@ -79,7 +79,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
-    val centroids = c.orderBy(col("nid")).limit(nCentroids)
+    // deterministic strided sample: one centroid every n/nCentroids ids,
+    // spread across the id range (a k-means pass would refine these)
+    val stride = math.max(1L, c.count() / nCentroids)
+    val centroids = c.filter(pmod(col("nid"), lit(stride)) === 0)
+      .orderBy(col("nid")).limit(nCentroids)
       .select(col("nid").as("cid"), col("cvec").as("centvec"))
 
     def nearestCentroids(df: DataFrame, vec: String, id: String, top: Int) = {

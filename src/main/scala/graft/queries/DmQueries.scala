@@ -92,5 +92,63 @@ object DmQueries {
         col("totalprice"), col("src"))
   }
 
-  val queries: Seq[Q] = Seq(m9, m13)
+  /** M10–M12 — SCD2 propagation from an upstream layer to the mart:
+    * upstream versions closed in 3NF close the matching mart rows; active
+    * upstream versions insert if their (key, start) version is absent.
+    * Simulated deterministically: custkey % 3 == 0 customers carry a
+    * closed old version plus an active successor.
+    */
+  private val m10 = Q(
+    "m10_dm_scd2_propagate",
+    """WITH v AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS attr,
+      |         DATE '1900-01-01' AS start_dt,
+      |         CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-01-01'
+      |              ELSE DATE '9999-12-31' END AS end_dt,
+      |         c_custkey % 3 <> 0 AS is_active
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, lower(c_mktsegment), DATE '2024-01-01',
+      |         DATE '9999-12-31', true
+      |  FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT k, attr, start_dt, end_dt, is_active FROM v""".stripMargin) { (s, d) =>
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("attr"))
+    // upstream (3NF) state after its own SCD2 run:
+    val upstream = base
+      .withColumn("start_dt", lit(java.sql.Date.valueOf("1900-01-01")))
+      .withColumn("end_dt",
+        when(col("k") % 3 === 0, lit(java.sql.Date.valueOf("2024-01-01")))
+          .otherwise(lit(java.sql.Date.valueOf("9999-12-31"))))
+      .withColumn("is_active", col("k") % 3 =!= 0)
+      .unionByName(
+        base.filter(col("k") % 3 === 0)
+          .withColumn("attr", lower(col("attr")))
+          .withColumn("start_dt", lit(java.sql.Date.valueOf("2024-01-01")))
+          .withColumn("end_dt", lit(java.sql.Date.valueOf("9999-12-31")))
+          .withColumn("is_active", lit(true)))
+    // mart before propagation: only the original versions, all open
+    val mart = base
+      .withColumn("start_dt", lit(java.sql.Date.valueOf("1900-01-01")))
+      .withColumn("end_dt", lit(java.sql.Date.valueOf("9999-12-31")))
+      .withColumn("is_active", lit(true))
+    // close mart rows whose (k, start_dt) version is closed upstream
+    val closedUpstream = upstream.filter(!col("is_active"))
+      .select(col("k").as("ck"), col("start_dt").as("cstart"),
+        col("end_dt").as("cend"))
+    val closed = mart
+      .join(broadcast(closedUpstream),
+        col("k") === col("ck") && col("start_dt") === col("cstart"))
+      .select(col("k"), col("attr"), col("start_dt"),
+        col("cend").as("end_dt"), lit(false).as("is_active"))
+    val untouched = mart.join(broadcast(closedUpstream),
+      col("k") === col("ck") && col("start_dt") === col("cstart"), "left_anti")
+    // insert active upstream versions absent from the mart (by k, start)
+    val inserts = Scd1.newRows(
+      mart.select(col("k"), col("start_dt")),
+      upstream.filter(col("is_active")), Seq("k", "start_dt"))
+    untouched.unionByName(closed).unionByName(inserts)
+  }
+
+  val queries: Seq[Q] = Seq(m9, m10, m13)
 }

@@ -649,8 +649,32 @@ object Relational {
       sum(col("t")).over(w).cast("double").as("running_total"))
   }
 
+  /** Gap-based sessionization (batch plan of graft.streaming.Sessionize;
+    * the flatMapGroupsWithState variant is equivalence-tested in
+    * SessionizeSpec). 30-minute gap.
+    */
+  private val sess = Q(
+    "events_sessions",
+    s"""WITH e AS (SELECT user_id, event_id,
+       |                  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+       |           FROM events),
+       |f AS (SELECT user_id, ts_s, event_id,
+       |             CASE WHEN lag(ts_s) OVER w IS NULL
+       |                    OR ts_s - lag(ts_s) OVER w > 1800
+       |                  THEN 1 ELSE 0 END AS is_new
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |g AS (SELECT user_id, ts_s,
+       |             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS session_idx
+       |      FROM f)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |       min(ts_s) AS start_s, max(ts_s) AS end_s, $C AS n
+       |FROM g GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    graft.streaming.Sessionize.batchSessions(Tables.events(s, d), 1800L)
+  }
+
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
-    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, ev)
+    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, ev, sess)
 }

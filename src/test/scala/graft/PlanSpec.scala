@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Physical-plan shape assertions — the properties that decide whether a
+  * query survives a 100 TB scale-up: dimension joins broadcast, filters
+  * reach the parquet scan, projections prune the read schema, partition
+  * filters prune the fact, hot paths stay in whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("star join broadcasts every dimension (fact side never reshuffles for dims)") {
+    val p = plan("j7_star_year_region")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3,
+      s"customer/nation/region must broadcast:\n$p")
+  }
+
+  test("snowflake dim traversal uses no sort-merge join at all") {
+    val p = plan("j8_snowflake")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("constant filter is pushed down to the parquet scan") {
+    val p = plan("p2_filter_agg")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"PushedFilters missing:\n$p")
+  }
+
+  test("projection prunes the read schema to the referenced columns") {
+    val p = plan("s1_scan_project")
+    assert(
+      p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("year filter prunes fact partitions (G3)") {
+    val p = plan("g3_partition_prune")
+    assert(p.contains("PartitionFilters") && p.contains("1998"),
+      s"partition pruning missing:\n$p")
+  }
+
+  test("aggregation hot path runs in whole-stage codegen") {
+    // AQE prints codegen stages only in the final plan -> execute first
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no WholeStageCodegen stage:\n$p")
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    val probe = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "v") // key 1 is hot
+    val build = (1 to 50).map(i => (i.toLong, s"b$i")).toDF("k", "b")
+    val plainJ = probe.join(build, Seq("k"))
+    val saltedJ = Skew.saltedJoin(probe, build, Seq("k"), saltFactor = 8)
+      .select(plainJ.columns.map(col): _*)
+    assert(saltedJ.exceptAll(plainJ).isEmpty && plainJ.exceptAll(saltedJ).isEmpty)
+  }
+}
