@@ -20,19 +20,31 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product via built-ins (`zip_with` + `aggregate`).
+    * Allocates an intermediate array per row — kept as the portable
+    * reference implementation; hot paths use [[dotNative]].
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x * y),
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** Fused native dot product ([[graft.plans.DotProduct]], codegen'd, no
+    * intermediate array, reads float arrays directly). The session must
+    * load `graft.plans.GraftExtensions`. Identical arithmetic to [[dot]]
+    * (sequential fold in index order).
+    */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_productf", a, b)
+
   private def toDouble(c: Column): Column =
     transform(c, x => x.cast(DoubleType))
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(dotNative(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    dotNative(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast against the corpus scan).

@@ -1,0 +1,22 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  * registers the native expressions so they resolve by name in SQL and via
+  * `functions.call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_productf"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_productf"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_productf(a, b) takes two arrays")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -167,5 +167,27 @@ object LlmEmbed {
         .filter(col("cosine") >= 0.35)
   }
 
-  val queries: Seq[Q] = Seq(normStats, bruteTopK, annLsh, annIvf, cosineDups)
+  /** The native fused DotProduct expression (graft.plans.DotProduct,
+    * registered via GraftExtensions) against an ANSI list_dot_product
+    * oracle: same sequential fold, same doubles — checked per row.
+    * (Self-dot is ≡1 on these unit vectors, so dot against the reversed
+    * vector keeps the value informative.)
+    */
+  private val dotNativeQ = Q(
+    "embed_dot_native",
+    """SELECT vec_id,
+      |       round(CAST(list_dot_product(
+      |                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS DOUBLE),
+      |             6) AS rev_dot
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      round(
+        graft.operators.Similarity.dotNative(
+          col("embedding"), reverse(col("embedding"))), 6).as("rev_dot"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(normStats, bruteTopK, annLsh, annIvf, cosineDups, dotNativeQ)
 }
