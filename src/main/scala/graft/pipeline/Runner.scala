@@ -118,7 +118,11 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
         year(col("o_orderdate")).as("order_year"),
         lit(loadId.toString).as("load_id"))
     store.append("fct_orders", fact, partitionBy = Seq("order_year"))
-    log("load_fact", fact.count(), loadId)
+    // count the written batch, not the plan — recomputing `fact` would run
+    // the whole join pipeline a second time
+    log("load_fact",
+      store.read("fct_orders").filter(col("load_id") === loadId.toString).count(),
+      loadId)
   }
 
   /** Stage 4 — materialized analytics views (reference bl_dm.sql:274-300):
