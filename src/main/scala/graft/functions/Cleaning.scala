@@ -30,8 +30,12 @@ object Cleaning {
     split_part(c, lit(" "), lit(idx))
   }
 
-  /** F6 — parse the source's `dd-MM-yyyy` dates (bl_cl.sql:1246). */
-  def parseSourceDate(c: Column): Column = to_date(c, "dd-MM-yyyy")
+  /** F6 — parse the source's `dd-MM-yyyy` dates (bl_cl.sql:1246).
+    * `try_to_date`: under Spark 4's ANSI default a malformed date would
+    * throw mid-pipeline; the staging contract is that bad values survive
+    * as nulls and are quarantined by the load's guard checks instead.
+    */
+  def parseSourceDate(c: Column): Column = try_to_date(c, "dd-MM-yyyy")
 
   /** F10 — type a staged all-string measure column (bl_cl.sql:1224-1228). */
   def asMeasure(c: Column): Column = c.cast(DoubleType)
