@@ -70,7 +70,8 @@ object DmQueries {
       |       f.o_totalprice AS totalprice,
       |       CASE WHEN f.od < DATE '1995-01-01' THEN 'existing' ELSE 'inserted' END AS src
       |FROM f JOIN dmc ON f.o_custkey = dmc.c_custkey""".stripMargin) { (s, d) =>
-    val dmCustomer = Surrogates.assign(
+    // customer scales with the fact side -> distributed rank, no one-task window
+    val dmCustomer = Surrogates.assignScalable(
       Tables.customer(s, d).select(col("c_custkey")), "cust_sk", Seq(col("c_custkey")))
     val rekeyed = Tables.orders(s, d)
       .select(
