@@ -59,6 +59,19 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** GPT-2-style pre-tokenizer regex (simplified, ASCII, engine-portable):
+    * contraction suffixes, letter runs, digit runs, punctuation runs.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches — a far better
+    * LLM-token estimate than whitespace splitting ("don't." is 4 tokens,
+    * not 1).
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast(LongType)
+
   /** Deterministic document fingerprint: md5 of the leading 64 chars. */
   def fingerprint(c: Column): Column = md5(substring(c, 1, 64))
 }

@@ -113,6 +113,27 @@ object LlmText {
           .as("avg_chars"))
   }
 
+  /** BPE-ish token accounting (GPT-2-style pre-tokenizer regex): the
+    * LLM-token estimate vs the whitespace count, per language.
+    */
+  private val bpe = Q(
+    "text_bpe_tokens", {
+      val pat = graft.functions.TextAnalysis.BpePattern.replace("'", "''")
+      s"""SELECT lang, $C AS n_docs,
+         |       CAST(SUM(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS bpe_tokens,
+         |       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens
+         |FROM documents GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        lcount().as("n_docs"),
+        sum(TextAnalysis.bpeTokenCount(col("text"))).cast(LongType)
+          .as("bpe_tokens"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast(LongType)
+          .as("ws_tokens"))
+  }
+
   /** Per-document quality scoring: length + lexical-diversity gates. */
   private val quality = Q(
     "text_quality",
@@ -180,5 +201,5 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, sigs, pairs, simhash, jaccard, stats, quality, langId, fp, bytes)
+    Seq(exact, sigs, pairs, simhash, jaccard, bpe, stats, quality, langId, fp, bytes)
 }

@@ -37,6 +37,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(eval1(TextAnalysis.langIdHeuristic(lit("sans marqueur"), m)) == "und")
   }
 
+  test("bpeTokenCount splits contractions, digits, and punctuation runs") {
+    // don ' t [don|'t]... "don't stop, it's 42km!!" ->
+    // don, 't, stop, ",", it, 's, 42, km, !!
+    assert(eval1(TextAnalysis.bpeTokenCount(lit("don't stop, it's 42km!!"))) == 9L)
+    assert(eval1(TextAnalysis.bpeTokenCount(lit("plain words"))) == 2L)
+  }
+
   test("fingerprint depends only on the leading 64 chars") {
     val a = "x" * 64
     assert(eval1(TextAnalysis.fingerprint(lit(a))) ==
