@@ -200,6 +200,35 @@ object LlmText {
         max(length(blob)).cast(LongType).as("max_bytes"))
   }
 
+  /** Multimodal decode stage over binary payloads (stub codec — the Spark
+    * plumbing is real: binary columns, mapPartitions decode, typed output
+    * schema). Deterministic but not SQL-expressible → rows-only check;
+    * semantics asserted in MultimodalSpec.
+    */
+  private val decode = Q.noOracle("multimodal_decode") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal
+      .decodeStub(Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"))
+      .groupBy(col("media_type"))
+      .agg(
+        lcount().as("n"),
+        sum(col("n_bytes")).cast(LongType).as("total_bytes"),
+        sum(col("n_frames")).cast(LongType).as("total_frames"))
+  }
+
+  /** Frame sampling over decoded video payloads (every 30th frame). */
+  private val frames = Q.noOracle("multimodal_frames") { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal
+      .sampleFrames(
+        Multimodal.decodeStub(
+          Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")),
+        stride = 30)
+      .agg(lcount().as("n_sampled_frames"),
+        countDistinct(col("doc_id")).cast(LongType).as("n_videos"))
+  }
+
   val queries: Seq[Q] =
-    Seq(exact, sigs, pairs, simhash, jaccard, bpe, stats, quality, langId, fp, bytes)
+    Seq(exact, sigs, pairs, simhash, jaccard, bpe, stats, quality, langId, fp,
+      bytes, decode, frames)
 }
