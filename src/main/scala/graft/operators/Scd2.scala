@@ -38,8 +38,11 @@ object Scd2 {
       changeCols: Seq[String],
       runDate: Date): DataFrame = {
     val outCols = target.columns.toSeq
-    val src = source.dropDuplicates(keys)
-      .select((keys ++ changeCols).map(col): _*)
+    // the source must carry EVERY attribute column (inserts need them);
+    // changeCols is only the change-DETECTION subset (reference M3 vs M4:
+    // each source watches its own columns, bl_cl.sql:915-918, 944-947)
+    val attrCols = outCols.filterNot(Seq(StartDt, EndDt, IsActive).contains)
+    val src = source.dropDuplicates(keys).select(attrCols.map(col): _*)
 
     val t = target.alias("t")
     val s = src.alias("s")

@@ -86,5 +86,54 @@ object WarehouseQueries {
     (s, _) => DateDim.referenceRange(s)
   }
 
-  val queries: Seq[Q] = Seq(scd2, g1, g2)
+  /** M3–M6/J5/J6 — the two-source SCD2 shape: each source feeds the same
+    * dimension with its own change-column set (consumer: name+segment;
+    * corporate: name only) and a case-insensitively looked-up constant
+    * segment for the corporate side (bl_cl.sql:890-1030, 908, 938).
+    * One batch per source, applied in reference order (consumer first).
+    */
+  private val scd2TwoSource = Q(
+    "scd2_two_source",
+    """SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment,
+      |       DATE '1900-01-01' AS start_dt,
+      |       CASE WHEN c_custkey % 2 = 0 AND upper(c_mktsegment) <> 'MACHINERY'
+      |              THEN DATE '2024-06-01'
+      |            WHEN c_custkey % 2 = 1 AND c_custkey % 5 = 0
+      |              THEN DATE '2024-06-02'
+      |            ELSE DATE '9999-12-31' END AS end_dt,
+      |       NOT ((c_custkey % 2 = 0 AND upper(c_mktsegment) <> 'MACHINERY')
+      |            OR (c_custkey % 2 = 1 AND c_custkey % 5 = 0)) AS is_active
+      |FROM customer""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val base = cust.select(
+      col("c_custkey").as("custkey"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"))
+    val target = Scd2.initial(base, Seq("custkey"), Constants.LowDt)
+
+    // corporate batch (even keys): J5 constant segment via a J6
+    // case-insensitive lookup against the segment dimension
+    val segDim = cust.select(col("c_mktsegment").as("seg")).distinct()
+      .filter(upper(col("seg")) === "MACHINERY") // one row
+    val corporate = base.filter(col("custkey") % 2 === 0)
+      .drop("segment")
+      .crossJoin(broadcast(segDim))
+      .withColumnRenamed("seg", "segment")
+    // consumer batch (odd keys): every 5th key changes its name
+    val consumer = base.filter(col("custkey") % 2 === 1)
+      .withColumn("name",
+        when(col("custkey") % 5 === 0, concat(col("name"), lit(" II")))
+          .otherwise(col("name")))
+
+    // reference order: consumer close/insert runs first, then corporate;
+    // per-source change-column sets (M3 vs M4)
+    val afterConsumer = Scd2.scd2Apply(
+      target, consumer, Seq("custkey"), Seq("name", "segment"),
+      java.sql.Date.valueOf("2024-06-02"))
+    Scd2.scd2Apply(
+      afterConsumer, corporate, Seq("custkey"), Seq("segment"),
+      java.sql.Date.valueOf("2024-06-01"))
+  }
+
+  val queries: Seq[Q] = Seq(scd2, scd2TwoSource, g1, g2)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Cleaning
+import graft.model.Constants
+import graft.operators.{QualityChecks, Scd2, Surrogates}
+
+/** Property-based invariants (SURVEY.md §5) over scalacheck generators
+  * sampled at fixed seeds (deterministic, no scalatest-plus bridge):
+  * cleaning idempotence, SCD2 single-active-version under arbitrary
+  * batches, surrogate density.
+  */
+class PropertiesSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(12).mkString)
+
+  test("suffix strips are idempotent and prefix-preserving") {
+    val cases = samples(Gen.zip(word, word), 25)
+    val df = cases.toDF("a", "b")
+      .withColumn("once", Cleaning.stripHashSuffix(concat_ws("#", col("a"), col("b"))))
+    val out = df
+      .withColumn("twice", Cleaning.stripHashSuffix(col("once")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("once") == r.getAs[String]("a"), r)
+      assert(r.getAs[String]("twice") == r.getAs[String]("once"), r)
+    }
+  }
+
+  test("scd2Apply keeps at most one active version per key for any batch pair") {
+    val keysGen = Gen.listOfN(12, Gen.chooseNum(1L, 8L)).map(_.distinct)
+    samples(Gen.zip(keysGen, keysGen, Gen.chooseNum(0, 3)), 8).foreach {
+      case (ks1, ks2, salt) if ks1.nonEmpty && ks2.nonEmpty =>
+        val b1 = ks1.map(k => (k, s"v$k")).toDF("k", "attr")
+        val b2 = ks2.map(k => (k, s"v${(k + salt) % 9}")).toDF("k", "attr")
+        val t = Scd2.initial(b1, Seq("k"), Constants.LowDt)
+        val out = Scd2.scd2Apply(t, b2, Seq("k"), Seq("attr"),
+          Date.valueOf("2024-06-01")).cache()
+        assert(QualityChecks.scd2ActiveViolations(out, Seq("k")).isEmpty,
+          s"violation for ks1=$ks1 ks2=$ks2 salt=$salt")
+        // versions only accumulate; nothing is lost
+        assert(out.count() >= t.count())
+        out.unpersist()
+      case _ => ()
+    }
+  }
+
+  test("surrogate keys are dense 1..n for any distinct key set") {
+    val setGen = Gen.listOfN(30, word).map(_.distinct)
+    samples(setGen, 8).filter(_.nonEmpty).foreach { ks =>
+      val keyed = Surrogates.assign(ks.toDF("nk"), "sk", Seq(col("nk")))
+        .select("sk").as[Long].collect().sorted
+      assert(keyed.toSeq == (1L to ks.length).toSeq, s"keys=$ks")
+    }
+  }
+}
