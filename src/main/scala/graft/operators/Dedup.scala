@@ -40,20 +40,32 @@ object Dedup {
       .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
+  /** All `numHashes` minhashes as ONE aggregation on the doc id: each
+    * seed's `min(md5(seed || '|' || shingle))` is its own agg column, so
+    * the shingle rows are never replicated `numHashes`× and the whole
+    * signature computation costs a single shuffle. Shingle duplicates
+    * don't need pre-deduping — min over a multiset equals min over its
+    * set. Output: (id, mh0 … mh{n-1}).
+    */
+  def minhashWide(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")
+    }
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash signatures in long format: (id, seed, minhash). The hash
     * family is md5(seed || '|' || shingle) — deterministic, portable, and
-    * string-min-comparable (fixed-width lowercase hex). Seeds are exploded
-    * map-side (no join of any kind).
+    * string-min-comparable (fixed-width lowercase hex). Computed wide
+    * (one shuffle) and unpivoted map-side.
     */
-  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    shingles
-      .select(
-        col(idCol), col("shingle"),
-        explode(sequence(lit(0L), lit(numHashes - 1L))).as("seed"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(
-        min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))))
-          .as("minhash"))
+  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val stackArgs = (0 until numHashes)
+      .map(i => s"${i}L, mh$i").mkString(", ")
+    minhashWide(shingles, idCol, numHashes)
+      .select(col(idCol),
+        expr(s"stack($numHashes, $stackArgs)").as(Seq("seed", "minhash")))
+  }
 
   /** Collapse signatures into per-band bucket keys: band = seed / rows,
     * band_key = ordered concat of the band's minhashes.
@@ -94,14 +106,41 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
-  /** End-to-end MinHash-LSH candidate pairs. */
+  /** Per-band bucket keys straight from the wide signature row — pure
+    * map-side (no second aggregation): band b's key is the seed-ordered
+    * concat of its minhashes.
+    */
+  def bandKeysFromWide(wide: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+          .as("band_key"))
+    }
+    wide
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_key"))
+  }
+
+  /** End-to-end MinHash-LSH candidate pairs: three shuffles total
+    * (doc spread, wide signatures, bucket grouping) regardless of
+    * `numHashes`.
+    */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame =
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    // no distinct: min() is duplicate-insensitive, so the dedup shuffle
+    // of shingleSet is pure overhead here
+    val shingles = docs
+      .repartition(col(idCol))
+      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
     candidatePairs(
-      bandKeys(
-        minhashSignatures(shingleSet(docs, idCol, textCol, shingleN), idCol, numHashes),
-        idCol, rowsPerBand),
+      bandKeysFromWide(
+        minhashWide(shingles, idCol, numHashes), idCol, numHashes, rowsPerBand),
       idCol)
+  }
 
   /** Exact Jaccard similarity for given (doc_a, doc_b) pairs — the
     * verification stage after LSH candidate generation.
