@@ -74,4 +74,16 @@ object TextAnalysis {
 
   /** Deterministic document fingerprint: md5 of the leading 64 chars. */
   def fingerprint(c: Column): Column = md5(substring(c, 1, 64))
+
+  /** Rolling-hash fingerprint (winnowing-style): the minimum hash over
+    * every `window`-char substring — stable under edits outside the
+    * minimizing window, unlike a whole-document hash. One pass of
+    * length-n per document, pure Catalyst (`transform` over a position
+    * sequence), no UDF.
+    */
+  def rollingFingerprint(c: Column, window: Int = 8): Column =
+    array_min(
+      transform(
+        sequence(lit(1), greatest(length(c) - (window - 1), lit(1))),
+        i => md5(substr(c, i, lit(window)))))
 }

@@ -170,6 +170,20 @@ object LlmText {
       .agg(lcount().as("n"))
   }
 
+  /** Winnowing-style rolling-hash fingerprint: min md5 over every 8-char
+    * window — robust to edits away from the minimizing region.
+    */
+  private val rollingFp = Q(
+    "text_rolling_fp",
+    """SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS roll_fp
+      |FROM documents CROSS JOIN range(1, 4096) t(i)
+      |WHERE i <= greatest(len(text) - 7, 1)
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.rollingFingerprint(col("text"), 8).as("roll_fp"))
+  }
+
   /** Deterministic document fingerprint (leading-64-char md5). */
   private val fp = Q(
     "text_fingerprint",
@@ -230,5 +244,5 @@ object LlmText {
 
   val queries: Seq[Q] =
     Seq(exact, sigs, pairs, simhash, jaccard, bpe, stats, quality, langId, fp,
-      bytes, decode, frames)
+      rollingFp, bytes, decode, frames)
 }

@@ -649,6 +649,33 @@ object Relational {
       sum(col("t")).over(w).cast("double").as("running_total"))
   }
 
+  /** Best sales month per customer segment (Business_Template.docx
+    * business question; SURVEY.md §2.8 note).
+    */
+  private val w3 = Q(
+    "w3_best_month_per_segment",
+    s"""WITH m AS (SELECT c_mktsegment AS seg,
+       |                  CAST(month(o_orderdate) AS BIGINT) AS mo,
+       |                  ${DS("o_totalprice")} AS total
+       |           FROM orders JOIN customer ON o_custkey = c_custkey
+       |           GROUP BY 1, 2)
+       |SELECT seg, mo, total
+       |FROM (SELECT seg, mo, total,
+       |             row_number() OVER (PARTITION BY seg ORDER BY total DESC, mo) AS rn
+       |      FROM m)
+       |WHERE rn = 1""".stripMargin) { (s, d) =>
+    val m = oF(s, d)
+      .join(broadcast(cF(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("c_mktsegment").as("seg"),
+        month(col("o_orderdate")).cast(LongType).as("mo"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("total").desc, col("mo"))
+    m.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("seg"), col("mo"), col("total"))
+  }
+
   /** Gap-based sessionization (batch plan of graft.streaming.Sessionize;
     * the flatMapGroupsWithState variant is equivalence-tested in
     * SessionizeSpec). 30-minute gap.
@@ -676,5 +703,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
-    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, ev, sess)
+    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, w3, ev, sess)
 }

@@ -38,6 +38,25 @@ object Staging {
         s"load_id $loadId already present in $table: this data was already loaded")
     }
 
+  /** Strict load typing with quarantine (SURVEY.md §7.6.5): each cast is
+    * (outputCol, rawCol, typedExpr). Where PostgreSQL would abort the load
+    * on a bad value, Spark's tolerant casts null it — so any row whose raw
+    * value is non-null but whose typed value comes back null is diverted
+    * to the quarantine side instead of silently polluting the warehouse.
+    * Returns (typed, quarantined).
+    */
+  def typedWithQuarantine(staged: DataFrame,
+      casts: Seq[(String, String, org.apache.spark.sql.Column)]): (DataFrame, DataFrame) = {
+    val failed = casts
+      .map { case (_, raw, typed) => col(raw).isNotNull && typed.isNull }
+      .reduce(_ || _)
+    val typedDf = staged
+      .select(staged.columns.map(col) ++
+        casts.map { case (out, _, t) => t.as(out) }: _*)
+      .filter(!failed)
+    (typedDf, staged.filter(failed))
+  }
+
   /** S2 — append the batch with lineage columns `Insert_Date` (formatted
     * timestamp string, F9) and `Load_id` (stringified batch id, F11).
     */

@@ -41,4 +41,29 @@ class CsvStagingSpec extends SparkSpec {
       graft.functions.Cleaning.parseSourceDate(col("order_date")).as("d"))
     assert(typed.filter(col("d").isNotNull).count() == 1)
   }
+
+  test("strict typing quarantines rows whose casts fail instead of nulling them in") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_csv2")
+    val csv = dir.resolve("feed.csv")
+    Files.writeString(csv,
+      """id,amount,order_date
+        |1,12.50,31-12-2023
+        |2,not-a-number,30-11-2023
+        |3,7.25,13-13-2023
+        |4,,01-01-2024
+        |""".stripMargin)
+    val staged = Staging.readCsvAllString(
+      spark, csv.toString, Seq("id", "amount", "order_date"))
+    val (typed, quarantined) = Staging.typedWithQuarantine(staged, Seq(
+      ("amount_d", "amount", expr("try_cast(amount AS DOUBLE)")),
+      ("order_d", "order_date",
+        graft.functions.Cleaning.parseSourceDate(col("order_date")))))
+    // rows 2 and 3 fail a cast; row 4's null amount is legitimately null
+    assert(quarantined.select("id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("2", "3"))
+    assert(typed.select("id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("1", "4"))
+    assert(typed.filter(col("id") === "1").head().getAs[Double]("amount_d") == 12.5)
+  }
 }
