@@ -676,6 +676,29 @@ object Relational {
       .select(col("seg"), col("mo"), col("total"))
   }
 
+  /** Semi-structured payloads: schema'd `from_json` extraction of the
+    * events `props` column (the engine's JSON-column path), aggregated
+    * per event type against an ANSI json_extract oracle.
+    */
+  private val js = Q(
+    "events_json_props",
+    s"""SELECT event_type,
+       |       $C AS n,
+       |       CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       |       CAST(MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_max
+       |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+    Tables.events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        lcount().as("n"),
+        sum(col("k")).cast(LongType).as("k_sum"),
+        max(col("k")).cast(LongType).as("k_max"))
+  }
+
   /** Gap-based sessionization (batch plan of graft.streaming.Sessionize;
     * the flatMapGroupsWithState variant is equivalence-tested in
     * SessionizeSpec). 30-minute gap.
@@ -703,5 +726,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
-    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, w3, ev, sess)
+    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, w3, ev, js, sess)
 }
