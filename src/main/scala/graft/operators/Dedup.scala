@@ -205,6 +205,35 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** Portable 32-bit SimHash: same sign-sum construction as [[simhash]],
+    * but the per-token hash family is md5 hex — computable bit-for-bit by
+    * any engine with md5 (bit p of a token = whether hex char p of its
+    * md5 has its high bit set), so the whole hash is verifiable by an
+    * external SQL oracle, not just by recall. Same single-shuffle shape:
+    * 32 sum aggregates on the doc id, no row explosion per bit.
+    */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = docs
+      .repartition(col(idCol))
+      .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("m", md5(col("tok")))
+    val bitSums = (0 until 32).map { p =>
+      sum(
+        when(substring(col("m"), p + 1, 1).isin(highHex: _*), 1).otherwise(-1))
+        .as(s"b$p")
+    }
+    toks
+      .groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(idCol),
+        (0 until 32)
+          .map(p => when(col(s"b$p") > 0, lit(1L << p)).otherwise(0L))
+          .reduce(_ + _)
+          .as("simhash32"))
+  }
+
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
     * chunks; docs sharing any chunk are candidates (finds all pairs within
     * Hamming distance 3 by pigeonhole). Same single-pass bucket-grouped

@@ -68,6 +68,28 @@ object LlmText {
     Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Portable 32-bit SimHash — md5-derived bits, so the full hash value is
+    * oracle-checked end to end (token split, per-bit sign sums, assembly).
+    */
+  private val simhashPortable = Q(
+    "dedup_simhash_portable", {
+      val sums = (0 until 32).map(p =>
+        s"SUM(CASE WHEN strpos('89abcdef', substr(m, ${p + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS b$p")
+        .mkString(",\n       ")
+      val terms = (0 until 32).map(p =>
+        s"(CASE WHEN b$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" +\n       ")
+      s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |t AS (SELECT DISTINCT doc_id, tok FROM raw),
+         |h AS (SELECT doc_id, md5(tok) AS m FROM t),
+         |s AS (SELECT doc_id,
+         |       $sums
+         |       FROM h GROUP BY 1)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS simhash32 FROM s""".stripMargin
+    }) { (s, d) =>
+    Dedup.simhashPortable(Tables.documents(s, d), "doc_id", "text")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs over a bounded doc sample — the
     * LSH verification stage, oracle-checked end to end (shingle sets,
     * intersection counts, similarity arithmetic). The id bound keeps the
@@ -243,6 +265,6 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, sigs, pairs, simhash, jaccard, bpe, stats, quality, langId, fp,
-      rollingFp, bytes, decode, frames)
+    Seq(exact, sigs, pairs, simhash, simhashPortable, jaccard, bpe, stats,
+      quality, langId, fp, rollingFp, bytes, decode, frames)
 }

@@ -74,4 +74,15 @@ class DedupSpec extends SparkSpec {
     val nearDupHits = (0 until 8).count(c => cand.contains((c * 10L, c * 10L + 1)))
     assert(nearDupHits >= 4, s"only $nearDupHits/8 near-dup pairs bucketed")
   }
+
+  test("portable simhash: near-dups are close in Hamming distance, strangers far") {
+    val h = Dedup.simhashPortable(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(dist(0L, 200L) == 0, "identical texts must hash identically")
+    val near = (0 until 8).map(c => dist(c * 10L, c * 10L + 1))
+    val far = dist(0L, 100L)
+    assert(near.forall(_ <= 12), s"near-dup distances $near exceed 12/32 bits")
+    assert(far >= 8, s"unrelated docs only $far bits apart")
+  }
 }
