@@ -53,6 +53,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"no WholeStageCodegen stage:\n$p")
   }
 
+  test("no registered query plans an unbounded cartesian or nested-loop join") {
+    // Joins with no equi-condition are the one plan shape that cannot
+    // survive a 100 TB scale-up. Whitelisted: plans where one side is a
+    // constant-size literal frame, so the product is bounded by design.
+    val bounded = Set(
+      "j5_const_cross", // 3-row literal spec frame × aggregate (reference J5 theta join)
+      "scd2_two_source", // 1-row broadcast segment lookup (J5 constant-assign pattern)
+      "embed_ann_ivf" // corpus × limit(nCentroids) broadcast centroid set (IVF assignment)
+    )
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(bounded)
+      .flatMap { n =>
+        val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.sparkPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(p.contains)
+        if (bad.isEmpty) None else Some(s"$n: ${bad.mkString(",")}")
+      }
+    assert(offenders.isEmpty, s"unscalable join shapes:\n${offenders.mkString("\n")}")
+  }
+
   test("salted join equals the plain join on skewed data") {
     val probe = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
       .toDF("k", "v") // key 1 is hot
