@@ -2,8 +2,12 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
 import graft.sources.Tables
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StreamDedup}
 
 /** Structured Streaming over the events shape: the streaming hourly rollup
   * must agree with the batch rollup on the same data (shared transform,
@@ -25,6 +29,35 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("hourly_test")
     val want = EventStream.hourlyRollup(events)
     assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming dedup keeps one row per fingerprint across micro-batches") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    // two files => two micro-batches: duplicates split across batches must
+    // still collapse (dedup state survives between triggers)
+    docs.repartition(2).write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamDedup.dedupStream(stream, "ts", "text", "1 hour")
+      .select("fp")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("dedup_test").select("fp")
+    val want = docs.select(md5(col("text")).as("fp")).distinct()
+    assert(got.count() == want.count(), "one surviving row per distinct text")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 }
