@@ -116,6 +116,103 @@ object LlmEmbed {
       k = 3, nPlanes = 6, dim = 64)
   }
 
+  /** Approximate top-3 via DETERMINISTIC-plane LSH, oracle-checked end to
+    * end: plane p's sign for dimension i is the high bit of
+    * md5("p|i")'s first hex char — reproducible by any engine with md5 —
+    * and the per-plane projections accumulate in DECIMAL(38,18), so the
+    * bucket keys (and therefore the candidate set and the ranked cosines)
+    * are bit-identical across engines. Same scale shape as the engine-
+    * native LSH: one bucket equi-join, no all-pairs.
+    */
+  private val annLshPortable = Q(
+    "embed_ann_lsh_portable", {
+      val nPlanes = 6
+      val sums = (0 until nPlanes).map(p =>
+        s"""SUM(CASE WHEN strpos('89abcdef', substr(md5('$p|' || CAST(i AS VARCHAR)), 1, 1)) > 0
+           |              THEN CAST(x AS DECIMAL(38,18)) ELSE CAST(-x AS DECIMAL(38,18)) END) AS s$p"""
+          .stripMargin.replaceAll("\n\\s*", " "))
+        .mkString(",\n       ")
+      val bucket = (0 until nPlanes).map(p =>
+        s"(CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH $elCte,
+         |bkt AS (SELECT vec_id,
+         |       $sums
+         |       FROM el GROUP BY 1),
+         |bk AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM bkt),
+         |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+         |        FROM el GROUP BY 1),
+         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid
+         |         FROM bk q JOIN bk c ON q.bucket = c.bucket
+         |         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |dots AS (SELECT cand.qid, cand.nid,
+         |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |         FROM cand
+         |         JOIN el a ON a.vec_id = cand.qid
+         |         JOIN el b ON b.vec_id = cand.nid AND b.i = a.i
+         |         GROUP BY 1, 2),
+         |cosd AS (SELECT qid, nid,
+         |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+         |         FROM dots
+         |         JOIN nrm na ON na.vec_id = dots.qid
+         |         JOIN nrm nb ON nb.vec_id = dots.nid)
+         |SELECT qid, nid, cosine, rnk
+         |FROM (SELECT qid, nid, cosine,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+         |      FROM cosd)
+         |WHERE rnk <= 3""".stripMargin
+    }) { (s, d) =>
+    val nPlanes = 6
+    // the same md5-derived ±1 planes, computed driver-side once (64-dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Int = {
+      val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+      if ("89abcdef".contains(hex.charAt(0))) 1 else -1
+    }
+    val el = elements(s, d)
+    // bucket bits: one agg pass, nPlanes decimal sums keyed on the
+    // md5-plane signs at each element's (1-based) index
+    val planeSums = (0 until nPlanes).map { p =>
+      val signs = typedLit((1 to 64).map(i => sign(p, i)))
+      sum(
+        when(element_at(signs, col("i") + 1) === 1, col("x").cast(dec))
+          .otherwise((-col("x")).cast(dec))).as(s"s$p")
+    }
+    val bk = el.groupBy(col("vec_id"))
+      .agg(planeSums.head, planeSums.tail: _*)
+      .select(
+        col("vec_id"),
+        (0 until nPlanes)
+          .map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
+          .reduce(_ + _).cast(LongType).as("bucket"))
+    val nrm = el.groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    val cand = bk.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("bucket"))
+      .join(bk.select(col("vec_id").as("nid"), col("bucket")), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"))
+    val a = el.select(col("vec_id").as("qid"), col("i"), col("x").as("xa"))
+    val b = el.select(col("vec_id").as("nid"), col("i"), col("x").as("xb"))
+    val dots = cand
+      .join(a, Seq("qid"))
+      .join(b, Seq("nid", "i"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
+    val cosd = dots
+      .join(nrm.select(col("vec_id").as("qid"), col("n2").as("na")), Seq("qid"))
+      .join(nrm.select(col("vec_id").as("nid"), col("n2").as("nb")), Seq("nid"))
+      .select(
+        col("qid"), col("nid"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    cosd
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+  }
+
   /** IVF-bucketed approximate top-3 — coarse quantizer + probed inverted
     * lists (recall asserted in SimilaritySpec; quantizer is engine-side).
     */
@@ -189,5 +286,6 @@ object LlmEmbed {
   }
 
   val queries: Seq[Q] =
-    Seq(normStats, bruteTopK, annLsh, annIvf, cosineDups, dotNativeQ)
+    Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, cosineDups,
+      dotNativeQ)
 }
