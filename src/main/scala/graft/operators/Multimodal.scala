@@ -53,10 +53,12 @@ object Multimodal {
           val mt = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
           // STUB: a real implementation parses the container header here.
-          val h = java.util.Arrays.hashCode(bytes)
-          Row(id, mt, bytes.length.toLong,
-            256 + math.abs(h % 512), 256 + math.abs((h / 512) % 512),
-            if (mt == "video/mp4") 1 + math.abs(h % 240) else 1)
+          // The fake dimensions are arithmetic in the byte count, so the
+          // decode output stays predictable by an external oracle.
+          val n = bytes.length.toLong
+          Row(id, mt, n,
+            (256 + n % 512).toInt, (256 + (n / 512) % 512).toInt,
+            if (mt == "video/mp4") (1 + n % 240).toInt else 1)
         }
       }(enc)
   }

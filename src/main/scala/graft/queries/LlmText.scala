@@ -236,12 +236,32 @@ object LlmText {
         max(length(blob)).cast(LongType).as("max_bytes"))
   }
 
+  /** Oracle CTE mirroring Multimodal.attachPayload + decodeStub: media
+    * type round-robins on doc_id, byte count is the UTF-8 payload length,
+    * the stub's fake frame count is arithmetic in the byte count.
+    */
+  private val mediaCte =
+    """m AS (SELECT doc_id,
+      |       CASE CAST(doc_id % 3 AS INTEGER)
+      |         WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS media_type,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |       FROM documents)""".stripMargin
+
   /** Multimodal decode stage over binary payloads (stub codec — the Spark
     * plumbing is real: binary columns, mapPartitions decode, typed output
-    * schema). Deterministic but not SQL-expressible → rows-only check;
-    * semantics asserted in MultimodalSpec.
+    * schema). The stub's outputs are arithmetic in the byte count, so the
+    * whole decode stage is oracle-checked; per-row semantics are also
+    * asserted in MultimodalSpec.
     */
-  private val decode = Q.noOracle("multimodal_decode") { (s, d) =>
+  private val decode = Q(
+    "multimodal_decode",
+    s"""WITH $mediaCte
+       |SELECT media_type, $C AS n,
+       |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |       CAST(SUM(CASE WHEN media_type = 'video/mp4'
+       |                     THEN 1 + n_bytes % 240 ELSE 1 END) AS BIGINT) AS total_frames
+       |FROM m GROUP BY 1""".stripMargin) { (s, d) =>
     import graft.operators.Multimodal
     Multimodal
       .decodeStub(Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"))
@@ -253,14 +273,21 @@ object LlmText {
   }
 
   /** Frame sampling over decoded video payloads (every 30th frame). */
-  private val frames = Q.noOracle("multimodal_frames") { (s, d) =>
+  private val frames = Q(
+    "multimodal_frames",
+    s"""WITH $mediaCte,
+       |v AS (SELECT doc_id, 1 + n_bytes % 240 AS n_frames
+       |      FROM m WHERE media_type = 'video/mp4')
+       |SELECT CAST(SUM((n_frames - 1) // 30 + 1) AS BIGINT) AS n_sampled_frames,
+       |       CAST(COUNT(*) AS BIGINT) AS n_videos FROM v""".stripMargin) { (s, d) =>
     import graft.operators.Multimodal
     Multimodal
       .sampleFrames(
         Multimodal.decodeStub(
           Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")),
         stride = 30)
-      .agg(lcount().as("n_sampled_frames"),
+      .agg(
+        lcount().as("n_sampled_frames"),
         countDistinct(col("doc_id")).cast(LongType).as("n_videos"))
   }
 
