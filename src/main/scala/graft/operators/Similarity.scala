@@ -92,11 +92,18 @@ object Similarity {
       vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
     // deterministic strided sample: one centroid every n/nCentroids ids,
-    // spread across the id range (a k-means pass would refine these)
+    // spread across the id range ([[ivfTopKKmeans]] refines these)
     val stride = math.max(1L, c.count() / nCentroids)
     val centroids = c.filter(pmod(col("nid"), lit(stride)) === 0)
       .orderBy(col("nid")).limit(nCentroids)
       .select(col("nid").as("cid"), col("cvec").as("centvec"))
+    ivfTopKWith(corpus, queries, idCol, vecCol, k, nProbe, centroids)
+  }
+
+  /** The IVF probe stage against a given (cid, centvec) quantizer. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
 
     def nearestCentroids(df: DataFrame, vec: String, id: String, top: Int) = {
       val w = Window.partitionBy(col(id))
@@ -120,6 +127,61 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
+
+  /** Lloyd's k-means over the embedding column, for IVF centroid
+    * refinement. Scale shape per iteration: assignment is map-side
+    * (k cosines against literal centroid arrays — the centroid set is
+    * tiny and ships with the plan), and the mean recompute is one
+    * element-level aggregation; only k×dim averaged values ever reach the
+    * driver (the corpus never does).
+    *
+    * Returns (cid, centvec) with `k` rows, cids 0..k-1.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
+    // deterministic strided seed spread across the id range (same sample
+    // the plain IVF quantizer uses)
+    val stride = math.max(1L, c.count() / k)
+    var cents: Seq[(Long, Array[Double])] = c
+      .filter(pmod(col("nid"), lit(stride)) === 0)
+      .orderBy(col("nid")).limit(k)
+      .select(col("nid"), col("cvec")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }.toSeq
+    for (_ <- 0 until iters) {
+      val cosines = array(cents.map { case (_, v) => cosine(col("cvec"), lit(v)) }: _*)
+      val assigned = c
+        .withColumn("cid", (array_position(cosines, array_max(cosines)) - 1).cast(LongType))
+      val means = assigned
+        .select(col("cid"), posexplode(col("cvec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("centvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      // empty clusters keep their previous centroid
+      val byId = means.map(m => m._1 -> m._2).toMap
+      cents = cents.map { case (cid, v) => (cid, byId.getOrElse(cid, v)) }
+    }
+    cents
+  }
+
+  /** IVF top-k with a k-means-refined coarse quantizer — [[ivfTopK]]'s
+    * scale shape (broadcast centroid assignment, probed inverted lists)
+    * with proper Lloyd centroids instead of the strided id sample.
+    */
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+      iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    val centroids = cents.toDF("cid", "centvec")
+    ivfTopKWith(corpus, queries, idCol, vecCol, k, nProbe, centroids)
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket; ranking

@@ -223,6 +223,17 @@ object LlmEmbed {
       k = 3, nCentroids = 16, nProbe = 4)
   }
 
+  /** IVF with a k-means-refined quantizer (Lloyd iterations, broadcast
+    * assignment) — quantizer is iterative/engine-side, so rows-only;
+    * convergence and recall asserted in SimilaritySpec.
+    */
+  private val annIvfKmeans = Q.noOracle("embed_ann_ivf_kmeans") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopKKmeans(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nCentroids = 16, nProbe = 4, iters = 2)
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded sample —
     * exact-decimal dots so the pair set and scores hash-match the oracle.
     * (The embeddings table has no true duplicates; 0.35 captures its
@@ -286,6 +297,6 @@ object LlmEmbed {
   }
 
   val queries: Seq[Q] =
-    Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, cosineDups,
-      dotNativeQ)
+    Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
+      cosineDups, dotNativeQ)
 }

@@ -58,6 +58,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall (truth=${truth.size})")
   }
 
+  test("k-means centroids converge to the cluster structure; IVF recall holds") {
+    val cents = Similarity.kmeansCentroids(vectors, "vec_id", "embedding",
+      k = 4, iters = 3)
+    assert(cents.size == 4)
+    // after Lloyd iterations each centroid should live in exactly one
+    // one-hot block: its max block mass dominates
+    val blockPurity = cents.map { case (_, v) =>
+      val blocks = v.grouped(5).map(_.sum).toSeq
+      blocks.max / blocks.sum
+    }
+    assert(blockPurity.forall(_ > 0.8), s"centroids not block-pure: $blockPurity")
+
+    val queries = vectors.filter(col("vec_id") % 10 === 0)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(vectors, queries, "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopKKmeans(vectors, queries, "vec_id", "embedding", k,
+      nCentroids = 4, nProbe = 1, iters = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"k-means IVF recall $recall with a single probe")
+  }
+
   test("lshTopK recall >= 0.8 vs brute force on clustered vectors") {
     val queries = vectors.filter(col("vec_id") % 10 === 0)
     val k = 3
