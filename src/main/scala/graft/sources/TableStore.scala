@@ -43,6 +43,32 @@ final class TableStore(spark: SparkSession, root: String) {
     deleteRecursively(old)
   }
 
+  /** Compact a table's small files. Micro-batch appends (per-Load_id
+    * staging, the streaming warehouse sink) leave one file set per batch;
+    * at warehouse scale the accumulated small files throttle scan
+    * parallelism and metadata handling. Rewrites the table into
+    * ceil(rows / targetRowsPerFile) files — partition-local when the
+    * table is partitioned — through the same atomic swap as [[overwrite]],
+    * so readers never observe a half-compacted table.
+    */
+  def compact(table: String, targetRowsPerFile: Long,
+      partitionBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = read(table)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val repacked =
+      if (partitionBy.nonEmpty) df.repartition(nFiles, partitionBy.map(col): _*)
+      else df.repartition(nFiles)
+    overwrite(table, repacked, partitionBy)
+  }
+
+  /** Number of parquet data files currently backing a table. */
+  def dataFileCount(table: String): Long =
+    Files.walk(Paths.get(path(table)))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .count()
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

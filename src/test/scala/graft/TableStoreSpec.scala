@@ -34,5 +34,18 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("p").filter(col("yr") === 2021).count() == 2)
   }
 
+  test("compact collapses many small append files without changing content") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    (0 until 6).foreach(b =>
+      store.append("c", Seq(b * 2, b * 2 + 1).toDF("v").repartition(2)))
+    assert(store.dataFileCount("c") >= 6, "fixture must start fragmented")
+    val before = store.read("c").as[Int].collect().sorted.toSeq
+
+    store.compact("c", targetRowsPerFile = 100)
+    assert(store.dataFileCount("c") == 1, "12 rows fit one 100-row file")
+    assert(store.read("c").as[Int].collect().sorted.toSeq == before)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
