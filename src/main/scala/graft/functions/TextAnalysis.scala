@@ -72,6 +72,28 @@ object TextAnalysis {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast(LongType)
 
+  /** Portable PII patterns: no \b or lookarounds, so Java regex (Spark)
+    * and RE2 (common in other engines) agree on every match.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails and phone numbers — the standard pre-training scrub
+    * step. Pure regexp_replace: codegen'd, map-side, no UDF.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
+  /** Fraction of repeated word-bigrams within a document (1 − distinct /
+    * total) — the repetition quality signal; highly repetitive docs are
+    * low-value training data.
+    */
+  def repetitionRatio(c: Column): Column = {
+    val grams = shingles(c, 2)
+    lit(1.0) - size(array_distinct(grams)).cast("double") /
+      size(grams).cast("double")
+  }
+
   /** Deterministic document fingerprint: md5 of the leading 64 chars. */
   def fingerprint(c: Column): Column = md5(substring(c, 1, 64))
 

@@ -236,6 +236,49 @@ object LlmText {
         max(length(blob)).cast(LongType).as("max_bytes"))
   }
 
+  /** PII scrub — emails and phone numbers redacted by portable regexes.
+    * Deterministic PII is planted per doc so every row exercises both
+    * patterns; the oracle replays the same regexes ('g' = replace all,
+    * Spark's default) and the cleaned strings must match byte-for-byte.
+    */
+  private val piiScrub = Q(
+    "text_pii_scrub",
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |              || '@example.com or 555-867-5309',
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      |FROM documents WHERE doc_id < 50""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-867-5309"))).as("clean"))
+  }
+
+  /** Intra-document repetition ratio (repeated word-bigram fraction) —
+    * array-native per row (no shuffle at all); the oracle recomputes it
+    * from exploded bigrams. Identical integer divisions → identical
+    * doubles, no rounding needed.
+    */
+  private val repetition = Q(
+    "text_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+      |       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE i <= len(l) - 1)
+      |SELECT doc_id,
+      |       CAST(1 AS DOUBLE)
+      |         - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_ratio
+      |FROM bg GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+  }
+
   /** Oracle CTE mirroring Multimodal.attachPayload + decodeStub: media
     * type round-robins on doc_id, byte count is the UTF-8 payload length,
     * the stub's fake frame count is arithmetic in the byte count.
@@ -293,5 +336,6 @@ object LlmText {
 
   val queries: Seq[Q] =
     Seq(exact, sigs, pairs, simhash, simhashPortable, jaccard, bpe, stats,
-      quality, langId, fp, rollingFp, bytes, decode, frames)
+      quality, langId, fp, rollingFp, piiScrub, repetition, bytes, decode,
+      frames)
 }

@@ -49,4 +49,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(eval1(TextAnalysis.fingerprint(lit(a))) ==
       eval1(TextAnalysis.fingerprint(lit(a + "tail"))))
   }
+
+  test("scrubPii redacts every email and phone occurrence") {
+    assert(
+      eval1(TextAnalysis.scrubPii(
+        lit("mail a.b+c@x-y.org or b@c.io, call 555-867-5309 x555-12"))) ==
+        "mail <EMAIL> or <EMAIL>, call <PHONE> x555-12")
+  }
+
+  test("repetitionRatio is the repeated-bigram fraction") {
+    // bigrams of "a b a b a b": [a b, b a, a b, b a, a b] -> 2 distinct / 5
+    assert(math.abs(
+      eval1(TextAnalysis.repetitionRatio(lit("a b a b a b")))
+        .asInstanceOf[Double] - 0.6) < 1e-15)
+    assert(eval1(TextAnalysis.repetitionRatio(lit("all unique words")))
+      .asInstanceOf[Double] == 0.0)
+  }
 }
