@@ -63,6 +63,22 @@ final class TableStore(spark: SparkSession, root: String) {
     overwrite(table, repacked, partitionBy)
   }
 
+  /** Overwrite with a range-clustered layout: rows are range-partitioned
+    * and sorted by `clusterBy`, so each parquet file covers a narrow,
+    * disjoint key range and row-group min/max stats let a selective scan
+    * decode only the files that can match (see TableStoreSpec for the
+    * measured skip). The single-key analog of z-ordering; at warehouse
+    * scale this is what turns a point/range query on a non-partition
+    * column from a full scan into a handful of row groups.
+    */
+  def overwriteClustered(table: String, df: DataFrame, clusterBy: Seq[String],
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = clusterBy.map(col)
+    overwrite(table,
+      df.repartitionByRange(nFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
   /** Number of parquet data files currently backing a table. */
   def dataFileCount(table: String): Long =
     Files.walk(Paths.get(path(table)))

@@ -47,5 +47,35 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("c").as[Int].collect().sorted.toSeq == before)
   }
 
+  test("clustered layout lets row-group stats skip most of a selective scan") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    // shuffled key order: every file covers the full key range
+    val rows = spark.range(200000).toDF("i")
+      .select((col("i") * 48271 % 200000).as("k"), col("i").as("v"))
+    store.overwrite("plain", rows.repartition(8))
+    store.overwriteClustered("clustered", rows, Seq("k"), nFiles = 8)
+
+    def scannedRows(table: String): Long = {
+      val q = store.read(table).filter(col("k") === 123L)
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = plan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      scan.metrics("numOutputRows").value
+    }
+
+    val plain = scannedRows("plain")
+    val clustered = scannedRows("clustered")
+    assert(plain == 200000, s"unclustered scan must decode everything ($plain)")
+    assert(clustered * 4 <= plain,
+      s"row-group skip ineffective: clustered=$clustered plain=$plain")
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
