@@ -43,6 +43,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dotNative(a, a))
 
+  /** Rank scored (qid, nid, cosine) candidates to top-k per query via the
+    * bounded-heap `topk_pairs` aggregate ([[graft.plans.TopKPairs]]):
+    * map-side partial top-k means only k rows per key per partition reach
+    * the shuffle, where a window `row_number` formulation shuffles and
+    * fully sorts every scored row. Ties break on lower nid, matching the
+    * window ordering (cosine desc, nid asc).
+    */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(call_function("topk_pairs", col("cosine"), col("nid"), lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), col("col.id").as("nid"), col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+
   def cosine(a: Column, b: Column): Column =
     dotNative(a, b) / (norm(a) * norm(b))
 
@@ -58,11 +74,7 @@ object Similarity {
     val scored = c
       .join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+    heapTopK(scored, k)
   }
 
   /** Deterministic ±1 random hyperplanes (seeded), as literal arrays. */
@@ -122,11 +134,7 @@ object Similarity {
       .join(probes, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+    heapTopK(scored, k)
   }
 
   /** Lloyd's k-means over the embedding column, for IVF centroid
@@ -198,10 +206,6 @@ object Similarity {
       .join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+    heapTopK(scored, k)
   }
 }

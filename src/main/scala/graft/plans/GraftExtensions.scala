@@ -18,5 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "dot_productf(a, b) takes two arrays")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "topk_pairs(score, id, k) takes three arguments")
+        TopKPairs(children(0), children(1), children(2)).toAggregateExpression()
+      }))
   }
 }
