@@ -236,6 +236,26 @@ object LlmText {
         max(length(blob)).cast(LongType).as("max_bytes"))
   }
 
+  /** Per-language length quantiles — exact interpolated percentiles
+    * (Spark `percentile` and ANSI quantile_cont share the (n−1)·p linear
+    * interpolation on sorted values, so the doubles match bit-for-bit).
+    * The corpus-stats cut a curation pipeline runs before filtering.
+    */
+  private val lengthQuantiles = Q(
+    "text_length_quantiles",
+    """SELECT lang,
+      |       quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+      |       quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+      |       quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").as("p50"),
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.9)").as("p90"),
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.99)").as("p99"))
+  }
+
   /** PII scrub — emails and phone numbers redacted by portable regexes.
     * Deterministic PII is planted per doc so every row exercises both
     * patterns; the oracle replays the same regexes ('g' = replace all,
@@ -336,6 +356,6 @@ object LlmText {
 
   val queries: Seq[Q] =
     Seq(exact, sigs, pairs, simhash, simhashPortable, jaccard, bpe, stats,
-      quality, langId, fp, rollingFp, piiScrub, repetition, bytes, decode,
-      frames)
+      quality, langId, fp, rollingFp, piiScrub, repetition, lengthQuantiles,
+      bytes, decode, frames)
 }
