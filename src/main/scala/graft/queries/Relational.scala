@@ -526,6 +526,35 @@ object Relational {
       .agg(lcount().as("n"), dsum(col("value")).as("total_value"))
   }
 
+  /** Stream-stream join shape in batch form: clicks correlated to the
+    * same user's purchases within the next hour (equi-key + two-sided
+    * event-time bound — what lets Structured Streaming expire join
+    * state; graft.streaming.EventStream.clickToPurchase shares this
+    * logic, StreamingSpec pins stream == batch).
+    */
+  private val evCorr = Q(
+    "events_correlate",
+    s"""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+       |           FROM events WHERE event_type = 'click'),
+       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+       |      FROM events WHERE event_type = 'purchase'),
+       |j AS (SELECT c.user_id, epoch_us(pts) - epoch_us(cts) AS lag_us
+       |      FROM c JOIN p ON c.user_id = p.user_id
+       |       AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR)
+       |SELECT user_id, $C AS n_pairs,
+       |       CAST(min(lag_us) AS BIGINT) AS min_lag_us
+       |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    graft.streaming.EventStream.clickToPurchase(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        lcount().as("n_pairs"),
+        min(unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+          .as("min_lag_us"))
+  }
+
   /** A3 — plain COUNT(*) (bl_cl.sql:1196-1197). */
   private val a3 = Q(
     "a3_plain_count",
@@ -726,5 +755,6 @@ object Relational {
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
-    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, w3, ev, js, sess)
+    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, w3, ev, evCorr,
+    js, sess)
 }

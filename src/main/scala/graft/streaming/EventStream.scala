@@ -45,6 +45,22 @@ object EventStream {
   def streamingHourly(events: DataFrame): DataFrame =
     hourlyRollup(events.withWatermark("ts", "2 hours"))
 
+  /** Shared batch/stream transform: correlate each click with the
+    * purchases the same user makes within the next hour. The join has an
+    * equi-key (user) plus a TWO-SIDED event-time bound — exactly the
+    * condition a stream-stream join needs so Structured Streaming can
+    * expire buffered state on both sides once the watermarks pass.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("p_ts"))
+  }
+
   /** Drive a streaming rollup into an in-memory sink (used by tests and
     * local smoke runs; swap format for a real sink in production).
     */

@@ -32,6 +32,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream click->purchase join == batch join") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    events.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = EventStream.readEventStream(spark, dir)
+    val joined = EventStream.clickToPurchase(
+      stream.filter(col("event_type") === "click").withWatermark("ts", "2 hours"),
+      stream.filter(col("event_type") === "purchase").withWatermark("ts", "2 hours"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ss_join_test")
+    val want = EventStream.clickToPurchase(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup keeps one row per fingerprint across micro-batches") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"),
