@@ -575,6 +575,63 @@ object Relational {
       .agg(dsumRound2(col("o_totalprice")).as("total"), lcount().as("n"))
   }
 
+  /** ROLLUP subtotals — the mart-report shape above A5: per (priority,
+    * status), per priority, and grand total in one aggregation pass
+    * (Spark expands grouping sets in a single Expand+Aggregate, no
+    * repeated scans). NULL group keys mark subtotal rows identically in
+    * both engines.
+    */
+  private val a9 = Q(
+    "a9_rollup_subtotals",
+    s"""SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       |       ${DS2("o_totalprice")} AS total, $C AS n
+       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin) {
+    (s, d) =>
+      oF(s, d)
+        .rollup(
+          col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"))
+        .agg(dsumRound2(col("o_totalprice")).as("total"), lcount().as("n"))
+  }
+
+  /** Pivot — status columns per priority row. The oracle expresses the
+    * same thing as conditional aggregation, which is exactly what Spark's
+    * pivot plans (one pass, no join).
+    */
+  private val a10 = Q(
+    "a10_pivot_status",
+    s"""SELECT o_orderpriority AS priority,
+       |       ${DS2("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+       |       ${DS2("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
+       |       ${DS2("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
+       |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    oF(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsumRound2(col("o_totalprice")))
+      .select(
+        col("priority"), col("F").as("f_total"), col("O").as("o_total"),
+        col("P").as("p_total"))
+  }
+
+  /** Sketch-based distinct counting — the COUNT(DISTINCT) scale path
+    * (A2's exact shuffle-the-keys plan is the bottleneck at 100 TB; an
+    * HLL++ sketch is one pass, mergeable, constant memory). The sketch
+    * value is engine-specific, so the query certifies its own accuracy
+    * bound against the exact count and the oracle pins that contract.
+    */
+  private val a2approx = Q(
+    "a2_distinct_approx",
+    "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact, true AS within_5pct FROM lineitem") {
+    (s, d) =>
+      lF(s, d).agg(
+        countDistinct(col("l_partkey")).cast(LongType).as("n_exact"),
+        (abs(
+          approx_count_distinct(col("l_partkey"), 0.02).cast("double") -
+            countDistinct(col("l_partkey")).cast("double")) <=
+          countDistinct(col("l_partkey")).cast("double") * 0.05).as("within_5pct"))
+  }
+
   /** D1 — SELECT DISTINCT dedup (bl_cl.sql:100 et al.). */
   private val d1 = Q(
     "d1_distinct",
@@ -755,6 +812,6 @@ object Relational {
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
-    d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1, w2, w3, ev, evCorr,
-    js, sess)
+    a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
+    w2, w3, ev, evCorr, js, sess)
 }
