@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZOrder
+import graft.sources.TableStore
+
+/** Z-order clustering: the Morton key interleaves two columns' bits so a
+  * clustered layout prunes selective scans on either column — unlike a
+  * single-key sort, which only helps its own key.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  test("zkey interleaves bits (known Morton values)") {
+    val df = spark.range(1).select(
+      ZOrder.zkey(lit(0), lit(0)).as("z00"),
+      ZOrder.zkey(lit(1), lit(0)).as("z10"),
+      ZOrder.zkey(lit(0), lit(1)).as("z01"),
+      ZOrder.zkey(lit(3), lit(5)).as("z35"))
+    val r = df.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 39L) // x=011, y=101 -> y2x2 y1x1 y0x0 = 100111
+  }
+
+  test("z-ordered layout prunes scans on BOTH dimensions; x-sort only on x") {
+    val root = Files.createTempDirectory("graft_z").toString
+    val store = new TableStore(spark, root)
+    // 262k points on a 512x512 grid, visited in shuffled order (an odd
+    // multiplier mod 2^18 is a bijection); the power-of-two grid lets the
+    // 16 z-range files land on exact 4x4 tiles
+    val n = 512 * 512
+    val rows = spark.range(n).toDF("i")
+      .select(((col("i") * 48271) % n).as("j"))
+      .select((col("j") % 512).as("x"), (col("j") / 512).as("y"))
+    store.overwriteClustered("xsort", rows, Seq("x"), nFiles = 16)
+    store.overwriteClustered(
+      "zord", rows.withColumn("zk", ZOrder.zkey(col("x"), col("y"))),
+      Seq("zk"), nFiles = 16)
+
+    def scanned(table: String, cond: org.apache.spark.sql.Column): Long = {
+      val q = store.read(table).filter(cond)
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get.metrics("numOutputRows").value
+    }
+
+    val yCond = col("y").between(100, 110)
+    val xCond = col("x").between(100, 110)
+    val xsortOnY = scanned("xsort", yCond)
+    val zordOnY = scanned("zord", yCond)
+    val zordOnX = scanned("zord", xCond)
+
+    assert(xsortOnY == n.toLong, s"x-sorted files all span y ($xsortOnY)")
+    assert(zordOnY * 2 <= xsortOnY,
+      s"z-order must prune on y: zord=$zordOnY xsort=$xsortOnY")
+    assert(zordOnX * 2 <= n.toLong,
+      s"z-order must still prune on x: $zordOnX")
+  }
+}
