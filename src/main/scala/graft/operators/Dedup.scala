@@ -142,6 +142,48 @@ object Dedup {
       idCol)
   }
 
+  /** Duplicate clusters from candidate pairs: connected components by
+    * iterative min-label propagation (each round, every node adopts the
+    * smallest label among itself and its neighbors). Dup clusters have
+    * tiny diameter — the chain a-b-c-d from banded LSH is rare and
+    * shallow — so this converges in 2-3 rounds; `maxIter` bounds the
+    * pathological case. Each round is one join + one aggregate; the
+    * convergence check is a bounded `limit(1)` probe, not a full count.
+    * (At extreme graph scale the same loop carries the large-star/
+    * small-star optimization; the per-round plan shape is identical.)
+    *
+    * Output: (doc_id, cluster) where cluster = min doc id of the
+    * component; only docs that appear in some pair are labeled.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .cache()
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
   /** Exact Jaccard similarity for given (doc_a, doc_b) pairs — the
     * verification stage after LSH candidate generation.
     */

@@ -61,6 +61,32 @@ object LlmText {
         numHashes = 16, rowsPerBand = 4)
   }
 
+  /** Duplicate clusters — connected components over the banded-LSH
+    * candidate pairs (cluster id = min doc id of the component). The
+    * oracle rebuilds the identical pair set, then takes the transitive
+    * closure with a recursive CTE; since `dedup_minhash_pairs` already
+    * hash-matches, a match here certifies the clustering itself.
+    */
+  private val clusters = Q(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $sigCte,
+       |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+       |                 string_agg(minhash, ',' ORDER BY seed) AS band_key
+       |          FROM sig GROUP BY 1, 2),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |          UNION SELECT doc_b, doc_a FROM pr),
+       |reach AS (SELECT src, dst FROM edges
+       |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+       |FROM reach GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.dupClusters(
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 16, rowsPerBand = 4))
+  }
+
   /** SimHash near-dup candidates — hash family is Spark-native xxhash64,
     * so no SQL oracle (recall is asserted in DedupSpec instead).
     */
@@ -355,7 +381,7 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, sigs, pairs, simhash, simhashPortable, jaccard, bpe, stats,
-      quality, langId, fp, rollingFp, piiScrub, repetition, lengthQuantiles,
-      bytes, decode, frames)
+    Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, jaccard, bpe,
+      stats, quality, langId, fp, rollingFp, piiScrub, repetition,
+      lengthQuantiles, bytes, decode, frames)
 }

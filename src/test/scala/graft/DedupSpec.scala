@@ -75,6 +75,13 @@ class DedupSpec extends SparkSpec {
     assert(nearDupHits >= 4, s"only $nearDupHits/8 near-dup pairs bucketed")
   }
 
+  test("dupClusters labels transitive chains with the component's min id") {
+    // 1-2, 2-3 chain plus an isolated pair 10-11: 3 hops must collapse
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("portable simhash: near-dups are close in Hamming distance, strangers far") {
     val h = Dedup.simhashPortable(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
