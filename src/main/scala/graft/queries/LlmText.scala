@@ -320,9 +320,15 @@ object LlmText {
       |         - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_ratio
       |FROM bg GROUP BY 1""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .filter(size(split(col("text"), " ")) >= 2)
+      // project the gram array ONCE: referencing a named column downstream
+      // evaluates the shingle transform a single time per row, where
+      // repeating the expression in filter + both sizes would build the
+      // array three times
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("g"))
+      .filter(size(col("g")) >= 1)
       .select(col("doc_id"),
-        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+        (lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+          size(col("g")).cast("double")).as("rep_ratio"))
   }
 
   /** Oracle CTE mirroring Multimodal.attachPayload + decodeStub: media
