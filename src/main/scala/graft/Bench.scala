@@ -23,7 +23,14 @@ import org.apache.spark.sql.SparkSession
   *   - a JVM shutdown hook prints the partial JSON line if the process is
   *     SIGTERM'd (timeout(1) rc=124) before the normal print;
   *   - warmup (untimed, pays per-query Janino+JIT codegen compilation) runs
-  *     4 queries in flight to overlap compilation.
+  *     8 queries in flight to overlap compilation, hard-capped at
+  *     SPARK_GRAFT_WARMUP_CAP_S (default min(budget/4, 120s)) with Spark-
+  *     side job-group cancellation, so a slow host can't spend the whole
+  *     budget before the first timed query;
+  *   - a pass-1 per-query timeout is retried in pass 2 (stalls are what
+  *     min-of-two-passes absorbs), with the worker executor rebuilt after
+  *     each timeout so an uninterruptible stalled query can't make the
+  *     next query time out while queued.
   */
 object Bench {
   private val jvmStart = System.nanoTime()
@@ -58,6 +65,7 @@ object Bench {
     val errors = scala.collection.concurrent.TrieMap[String, String]()
     @volatile var skipped: List[String] = Nil
     @volatile var passTotals: List[Double] = Nil
+    @volatile var warmupS: Double = 0.0
     val printed = new AtomicBoolean(false)
 
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
@@ -73,7 +81,7 @@ object Bench {
       val passes = passTotals.reverse.map(t => f"$t%.3f").mkString("[", ",", "]")
       val sk = skipped.sorted.map(jstr).mkString("[", ",", "]")
       println(
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"pass_totals":$passes,"n_ok":${timings.size},"n_err":${realErrors.size},"skipped":$sk,"wall_s":${f"$elapsedS%.1f"},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"pass_totals":$passes,"n_ok":${timings.size},"n_err":${realErrors.size},"skipped":$sk,"warmup_s":${f"$warmupS%.1f"},"wall_s":${f"$elapsedS%.1f"},"sf":"$sfDir"}""")
       Console.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
@@ -81,29 +89,48 @@ object Bench {
     // Untimed warmup at the smallest sf: first execution of each query's
     // generated code pays 10-120s of Janino+JIT compilation on this box
     // (measured: the same plan runs 83s cold, 7s warm) — benchmark the
-    // steady state, not the compiler. 4 in flight overlaps compilation;
-    // capped at half the budget so a slow host still gets timed numbers.
+    // steady state, not the compiler. 8 in flight overlaps compilation.
+    // The whole phase is hard-capped: each future checks the cap before
+    // starting, the Await itself times out, and the Spark side is torn
+    // down via job-group cancellation — an un-capped warmup once ate the
+    // entire wall budget and left 69/83 queries untimed.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    val pool = Executors.newFixedThreadPool(4)
+    val warmupCapS = sys.env.getOrElse("SPARK_GRAFT_WARMUP_CAP_S",
+      math.min(budgetS / 4, 120.0).toLong.toString).toLong
+    val warmupDeadline = elapsedS + warmupCapS
+    val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val warmups = queries.map { case (_, fn) =>
+    val warmups = queries.map { case (name, fn) =>
       Future {
-        if (elapsedS < budgetS / 2)
+        if (elapsedS < warmupDeadline) {
+          spark.sparkContext.setJobGroup("warmup", name, interruptOnCancel = true)
           try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
+          finally spark.sparkContext.clearJobGroup()
+        }
       }
     }
-    try Await.ready(Future.sequence(warmups), Duration.Inf)
-    finally pool.shutdown()
+    try Await.ready(Future.sequence(warmups),
+      Duration(math.max(1, (warmupDeadline - elapsedS).toLong + 5), TimeUnit.SECONDS))
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup("warmup")
+    }
+    finally pool.shutdownNow()
+    warmupS = elapsedS
 
     // Two timed passes, per-query minimum: a single pass benchmarks the
     // hypervisor (same query measured 1.4s and 141s back-to-back), so take
     // the min of two — but never start a new query past the wall budget,
     // and cancel any single query that runs past its per-query cap (job-
     // group cancellation) so one stall can't eat the harness's whole
-    // wall-clock allowance.
+    // wall-clock allowance. A pass-1 timeout IS retried in pass 2 — a
+    // hypervisor stall is exactly what min-of-two-passes exists to absorb.
+    // After a timeout, the single-thread executor is rebuilt: driver-side
+    // planning ignores interrupts, so the cancelled query could otherwise
+    // still occupy the worker while the next query's wait-timer runs.
     val queryCapS = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "150").toLong
-    val qpool = Executors.newSingleThreadExecutor()
+    var qpool = Executors.newSingleThreadExecutor()
     var remaining = List.empty[String]
     for (pass <- 1 to 2) {
       var passTotal = 0.0
@@ -111,9 +138,9 @@ object Bench {
         if (elapsedS > budgetS) {
           if (pass == 1 && !timings.contains(name) && !errors.contains(name))
             remaining ::= name
-        } else if (pass == 2 && errors.get(name).exists(_.startsWith("timeout"))) {
-          // don't re-run a query that already blew its per-query cap
         } else {
+          // never let one query run past the wall budget either
+          val capS = math.min(queryCapS, math.max(10L, (budgetS - elapsedS).toLong + 1))
           val fut = qpool.submit(new Callable[Double] {
             def call(): Double = {
               spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -124,7 +151,7 @@ object Bench {
             }
           })
           try {
-            val t = fut.get(queryCapS, TimeUnit.SECONDS)
+            val t = fut.get(capS, TimeUnit.SECONDS)
             passTotal += t
             timings(name) = math.min(timings.getOrElse(name, Double.MaxValue), t)
             errors.remove(name) // a later success supersedes a pass-1 error
@@ -132,7 +159,9 @@ object Bench {
             case _: TimeoutException =>
               spark.sparkContext.cancelJobGroup(name)
               fut.cancel(true)
-              errors(name) = s"timeout >${queryCapS}s"
+              if (!timings.contains(name)) errors(name) = s"timeout >${capS}s"
+              qpool.shutdownNow()
+              qpool = Executors.newSingleThreadExecutor()
             case e: Throwable =>
               val cause = Option(e.getCause).getOrElse(e)
               errors(name) = Option(cause.getMessage).getOrElse(cause.getClass.getName)

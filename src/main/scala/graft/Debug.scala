@@ -23,9 +23,12 @@ object Debug {
     val explain = args.contains("--explain")
     args.filterNot(_.startsWith("--")).foreach { name =>
       try {
+        // construction included in the timing — some queries (iterative
+        // clustering) do eager work before the final action, and Bench
+        // times them the same way
+        val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (explain) df.explain("formatted")
-        val t0 = System.nanoTime()
         if (show) df.show(20, false)
         else df.write.format("noop").mode("overwrite").save()
         println(f"[debug] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")

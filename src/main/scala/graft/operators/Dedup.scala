@@ -147,8 +147,19 @@ object Dedup {
     * smallest label among itself and its neighbors). Dup clusters have
     * tiny diameter — the chain a-b-c-d from banded LSH is rare and
     * shallow — so this converges in 2-3 rounds; `maxIter` bounds the
-    * pathological case. Each round is one join + one aggregate; the
-    * convergence check is a bounded `limit(1)` probe, not a full count.
+    * pathological case, and blowing it THROWS rather than silently
+    * returning non-minimal labels.
+    *
+    * Each round's inputs are `localCheckpoint`ed, not merely cached: a
+    * cache leaves the full logical plan in place, so round N re-plans
+    * (and Janino-recompiles) the whole upstream LSH pipeline N times
+    * over — measured as a >150s cold stall at sf0.1. Checkpointing
+    * truncates lineage, making per-round planning O(1). The previous
+    * round's label is carried through the aggregate (`max` ignores the
+    * neighbor branch's nulls), so convergence is a bounded `limit(1)`
+    * probe on the just-materialized round — no extra join, no extra job.
+    * Checkpoint blocks are released by Spark's ContextCleaner as the
+    * intermediate datasets go out of scope; callers own nothing.
     * (At extreme graph scale the same loop carries the large-star/
     * small-star optimization; the per-round plan shape is identical.)
     *
@@ -159,28 +170,31 @@ object Dedup {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .localCheckpoint()
+    val idType = edges.schema("src").dataType
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("cluster"))
-      val next = labels.union(neighborLabels)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .cache()
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).isEmpty
-      labels.unpersist()
-      labels = next
+        .select(col("src").as("id"), col("cluster"),
+          lit(null).cast(idType).as("prev"))
+      val own = labels.select(col("id"), col("cluster"),
+        col("cluster").as("prev"))
+      val next = own.union(neighborLabels)
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"), max(col("prev")).as("prev"))
+        .localCheckpoint()
+      converged = next.filter(col("cluster") =!= col("prev")).limit(1).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       i += 1
     }
-    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter rounds — a duplicate " +
+        "component has diameter > maxIter; raise maxIter")
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 

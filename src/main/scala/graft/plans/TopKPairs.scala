@@ -14,6 +14,13 @@ import org.apache.spark.sql.types._
 /** Bounded-heap top-k aggregate: `topk_pairs(score, id, k)` returns the k
   * highest-scoring (score, id) pairs, best first, ties broken by lower id.
   *
+  * Null contract: rows whose score OR id is null are EXCLUDED, the same
+  * way `max`/`min`/`sum` skip null inputs. This differs from a
+  * `row_number()` window ranking, which would order null scores last and
+  * still emit them when a key has fewer than k non-null candidates;
+  * callers that must surface null-scored rows should coalesce the score
+  * to -Infinity before aggregating.
+  *
   * This is the aggregation shape ranked similarity search needs at scale:
   * the window `row_number() <= k` formulation shuffles EVERY scored row
   * and fully sorts each key's partition, while this aggregate keeps a

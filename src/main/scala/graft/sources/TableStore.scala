@@ -80,10 +80,11 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Number of parquet data files currently backing a table. */
-  def dataFileCount(table: String): Long =
-    Files.walk(Paths.get(path(table)))
-      .filter(p => p.toString.endsWith(".parquet"))
-      .count()
+  def dataFileCount(table: String): Long = {
+    val walk = Files.walk(Paths.get(path(table)))
+    try walk.filter(p => p.toString.endsWith(".parquet")).count()
+    finally walk.close()
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
