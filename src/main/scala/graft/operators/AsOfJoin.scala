@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: attach to each left row the latest right row of
+  * the same key with `right.ts <= left.ts` — the point-in-time lookup
+  * behind attribution ("which click preceded this purchase"), feature
+  * snapshotting, and slowly-sampled sensor alignment.
+  *
+  * Spark has no ASOF JOIN operator, and the naive formulations both fail
+  * at scale: a range-join (`l.k = r.k AND r.ts <= l.ts` + aggregate) is
+  * O(matches) — quadratic for long histories — and a per-row correlated
+  * lookup isn't distributed at all. This is instead the single-shuffle
+  * union formulation: tag both sides, union them, and run one
+  * `last(payload, ignoreNulls)` running window per key ordered by
+  * (ts, side, payload) — right rows sort before left rows at equal
+  * timestamps, so the match bound is inclusive, and the trailing payload
+  * tiebreak makes the pick deterministic when one timestamp carries
+  * several right rows. Cost is one hash shuffle of |L|+|R| rows plus a
+  * per-key sort — the same plan shape Catalyst produces for any window
+  * aggregate, AQE-splittable on skewed keys.
+  *
+  * Output: every left column, plus a nullable `asof` struct holding the
+  * matched right row's non-key columns (null when no right row precedes).
+  */
+object AsOfJoin {
+
+  def asOfBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String): DataFrame = {
+    val lPay = left.columns.filter(c => c != key && c != leftTs)
+    val rPay = right.columns.filterNot(_ == key)
+
+    val rStruct = struct(rPay.map(col): _*)
+    val lStruct = if (lPay.isEmpty) struct(lit(0).as("__empty")) else struct(lPay.map(col): _*)
+    val rType = right.select(rStruct.as("r")).schema("r").dataType
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+
+    val lu = left.select(
+      col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__is_l"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val ru = right.select(
+      col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__is_l"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_l"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = lu.unionByName(ru)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+
+    val payloadCols = lPay.map(c => col(s"__l.$c").as(c))
+    matched.select(
+      (col("__k").as(key) +: col("__t").as(leftTs) +: payloadCols) :+
+        col("__m").as("asof"): _*)
+  }
+}

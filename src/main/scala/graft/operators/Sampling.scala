@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data
+  * curation: hash-based train/val/test splits (stable under re-runs,
+  * re-partitioning, and incremental appends — the split of a document
+  * depends only on its id) and per-group quota caps (e.g. "at most N
+  * documents per source/domain").
+  */
+object Sampling {
+
+  /** First md5 byte of the id as an int in [0, 256) — a portable,
+    * engine-independent bucket (any SQL engine with md5() reproduces it),
+    * unlike Spark-private hash families. One byte is plenty for split
+    * assignment; use more hex chars for finer-grained fractions.
+    */
+  def md5Byte(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Assign 'train' / 'val' / 'test' by md5 bucket: [0, trainUpTo) →
+    * train, [trainUpTo, valUpTo) → val, rest → test. Defaults ≈ 80/10/10.
+    * Purely columnar — no shuffle, no state, no RNG; a document's split
+    * never changes as the corpus grows.
+    */
+  def hashSplit(id: Column, trainUpTo: Int = 205, valUpTo: Int = 230): Column = {
+    val b = md5Byte(id)
+    when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test")
+  }
+
+  /** Keep at most `n` rows per group, chosen deterministically by
+    * `orderCols`. One shuffle on the group key; the per-group sort is
+    * window-local. (When n ≪ group size at extreme scale, the bounded-
+    * heap `topk_pairs` aggregate computes the same kept-set with only
+    * n rows per group reaching the shuffle — this window form is the
+    * readable default.)
+    */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column], n: Int): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Cleaning.lcount
+import graft.operators.{AsOfJoin, Sampling}
+import graft.sources.Tables
+import graft.queries.Q.C
+
+/** Corpus-curation and temporal-alignment queries: as-of attribution,
+  * deterministic train/val/test splits, per-source quota caps, and
+  * global vocabulary ranking.
+  */
+object Curation {
+
+  /** Backward as-of join: every purchase attributed to the same user's
+    * latest click at-or-before it (graft.operators.AsOfJoin — single-
+    * shuffle union+window formulation). The oracle computes the match
+    * per purchase with a correlated max, so the aggregate certifies the
+    * operator's match choice and its gap arithmetic.
+    */
+  private val asof = Q(
+    "asof_attribution",
+    s"""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+       |           FROM events WHERE event_type = 'click'),
+       |p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts
+       |      FROM events WHERE event_type = 'purchase'),
+       |a AS (SELECT p.user_id, p.pts,
+       |             (SELECT max(cts) FROM c
+       |              WHERE c.user_id = p.user_id AND c.cts <= p.pts) AS last_click
+       |      FROM p)
+       |SELECT user_id, $C AS n_purchases,
+       |       CAST(SUM(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_attributed,
+       |       CAST(SUM(CASE WHEN last_click IS NOT NULL
+       |                     THEN epoch_us(pts) - epoch_us(last_click)
+       |                     ELSE 0 END) AS BIGINT) AS total_gap_us
+       |FROM a GROUP BY 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOfJoin.asOfBackward(purchases, clicks, "user_id", "ts", "ts")
+      .groupBy(col("user_id"))
+      .agg(
+        lcount().as("n_purchases"),
+        sum(when(col("asof").isNotNull, 1).otherwise(0)).cast(LongType)
+          .as("n_attributed"),
+        sum(when(col("asof").isNotNull,
+          unix_micros(col("ts")) - unix_micros(col("asof.ts")))
+          .otherwise(0L)).cast(LongType).as("total_gap_us"))
+  }
+
+  /** Deterministic hash-based train/val/test split (~80/10/10 by md5
+    * byte of doc_id — graft.operators.Sampling.hashSplit): stable under
+    * re-runs and corpus growth, no RNG, no shuffle for the assignment
+    * itself. The oracle rebuilds the byte from md5 hex chars.
+    */
+  private val splitAssign = Q(
+    "split_assign", {
+      val hex = "0123456789abcdef"
+      val byte = s"(strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+        s" + (strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      s"""WITH a AS (SELECT lang, n_chars,
+         |  CASE WHEN $byte < 205 THEN 'train'
+         |       WHEN $byte < 230 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, $C AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM a GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d)
+      .select(Sampling.hashSplit(col("doc_id")).as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(lcount().as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+  }
+
+  /** Per-source quota cap (at most 12 docs per source, by doc_id) —
+    * the domain-balancing step of corpus curation
+    * (graft.operators.Sampling.quotaPerGroup).
+    */
+  private val quota = Q(
+    "quota_per_source",
+    s"""WITH r AS (SELECT source, n_chars,
+       |                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |           FROM documents)
+       |SELECT source, $C AS n_kept,
+       |       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+       |FROM r WHERE rn <= 12 GROUP BY 1""".stripMargin) { (s, d) =>
+    Sampling.quotaPerGroup(Tables.documents(s, d),
+        Seq(col("source")), Seq(col("doc_id")), 12)
+      .groupBy(col("source"))
+      .agg(lcount().as("n_kept"),
+        sum(col("n_chars")).cast(LongType).as("kept_chars"))
+  }
+
+  /** Global top-20 vocabulary by token frequency — Spark plans the
+    * orderBy+limit as TakeOrdered (per-partition top-k then a k-row
+    * merge on the driver), never a full global sort. Ties at the cut
+    * are broken by token, so the result set is a deterministic total
+    * order in both engines.
+    */
+  private val vocab = Q(
+    "vocab_topk",
+    s"""SELECT tok, $C AS n
+       |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+       |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(lcount().as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(20)
+  }
+
+  val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Sampling}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfBackward picks the latest right row at-or-before each left row") {
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c1"),
+      (1L, ts("2024-01-01 11:00:00"), "c2"),
+      (2L, ts("2024-01-01 12:00:00"), "c3"))
+      .toDF("user_id", "ts", "tag")
+    val left = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 100L), // between c1 and c2 -> c1
+      (1L, ts("2024-01-01 11:00:00"), 101L), // exactly at c2 -> inclusive
+      (1L, ts("2024-01-01 09:00:00"), 102L), // before any click -> null
+      (2L, ts("2024-01-01 13:00:00"), 103L), // after c3 -> c3
+      (3L, ts("2024-01-01 13:00:00"), 104L)) // key with no right rows
+      .toDF("user_id", "ts", "event_id")
+
+    val got = AsOfJoin.asOfBackward(left, right, "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof.tag"))
+      .as[(Long, Option[String])].collect().toMap
+
+    assert(got == Map(
+      100L -> Some("c1"), 101L -> Some("c2"), 102L -> None,
+      103L -> Some("c3"), 104L -> None))
+  }
+
+  test("asOfBackward breaks equal-timestamp right-row ties deterministically") {
+    val t = ts("2024-01-01 10:00:00")
+    val right = Seq((1L, t, "a"), (1L, t, "b")).toDF("user_id", "ts", "tag")
+    val left = Seq((1L, ts("2024-01-01 10:30:00"), 7L))
+      .toDF("user_id", "ts", "event_id")
+    // same ts: the struct-ordered last one wins -> "b"
+    val picked = AsOfJoin.asOfBackward(left, right, "user_id", "ts", "ts")
+      .select(col("asof.tag")).as[String].head()
+    assert(picked == "b")
+  }
+
+  test("hashSplit is deterministic and roughly 80/10/10") {
+    val n = 2000
+    val df = spark.range(n).select(Sampling.hashSplit(col("id")).as("split"))
+    val counts = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == n)
+    assert(counts("train") > n * 7 / 10 && counts("train") < n * 9 / 10)
+    assert(counts("val") > 0 && counts("test") > 0)
+    // stable across evaluations
+    val again = spark.range(n).select(Sampling.hashSplit(col("id")).as("split"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("quotaPerGroup keeps the first n rows per group by the given order") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 5), ("b", 4))
+      .toDF("g", "v")
+    val kept = Sampling.quotaPerGroup(df, Seq(col("g")), Seq(col("v")), 2)
+      .as[(String, Int)].collect().toSet
+    assert(kept == Set(("a", 1), ("a", 2), ("b", 4), ("b", 5)))
+  }
+}
