@@ -28,10 +28,17 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
   private def log(stage: String, rows: Long, loadId: Int): Unit =
     Logging.append(store, stage, rows, loadId)
 
-  /** Stage 1 — raw staging with lineage + duplicate-load guard. */
-  def stage(loadId: Int): Unit = {
+  /** Stage 1 — raw staging with lineage + duplicate-load guard. An
+    * incremental batch passes per-table predicates selecting its slice of
+    * the source feed (the reference's loads are batch-id driven the same
+    * way: every load stages only its own rows, bl_cl.sql:43-68).
+    */
+  def stage(loadId: Int,
+      batchFilters: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
     Seq("orders", "lineitem", "customer").foreach { t =>
-      val src = Tables(spark, sfDir, t)
+      val src = batchFilters.get(t)
+        .map(Tables(spark, sfDir, t).filter(_))
+        .getOrElse(Tables(spark, sfDir, t))
       require(!src.isEmpty, s"There is no data in the source: $t") // C1
       Staging.stageAppend(store, s"scr_$t", src, loadId)
       log(s"stage_$t", src.count(), loadId)
@@ -178,6 +185,25 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
     stage(loadId)
     loadDims(loadId, runDate)
     loadFact(loadId)
+    refreshViews()
+    qaReport()
+  }
+
+  /** C5/S3/M14 — incremental orchestration: each batch stages its own
+    * slice, runs the dim loads (SCD1 insert-if-absent no-ops on repeats,
+    * SCD2 closes/inserts only on change), and appends its fact rows; the
+    * views are refreshed once at the end. The defining invariant —
+    * asserted by the `c6_incremental_view` oracle — is that N incremental
+    * loads produce byte-identical analytics to one full load.
+    */
+  def runIncremental(
+      batches: Seq[(Int, Map[String, org.apache.spark.sql.Column])],
+      runDate: Date): DataFrame = {
+    batches.foreach { case (loadId, filters) =>
+      stage(loadId, filters)
+      loadDims(loadId, runDate)
+      loadFact(loadId)
+    }
     refreshViews()
     qaReport()
   }

@@ -31,6 +31,27 @@ object PipelineQueries {
       r
     })
 
+  /** A second warehouse built INCREMENTALLY: the same source data split
+    * into two batches by order-key parity, loaded as load 1 then load 2
+    * (SCD1 dims no-op on the repeat, SCD2 customer sees no changes, each
+    * fact slice appends under its own load_id). Its views must equal the
+    * one-shot build's — the invariant that makes incremental loading
+    * trustworthy at all.
+    */
+  private val incRunners = new ConcurrentHashMap[String, Runner]()
+  private def incWarehouse(s: SparkSession, d: String): Runner =
+    incRunners.computeIfAbsent(d, _ => {
+      val r = new Runner(s, d, Files.createTempDirectory("graft_wh_inc").toString)
+      r.runIncremental(
+        Seq(
+          1 -> Map("orders" -> (col("o_orderkey") % 2 === 0),
+            "lineitem" -> (col("l_orderkey") % 2 === 0)),
+          2 -> Map("orders" -> (col("o_orderkey") % 2 === 1),
+            "lineitem" -> (col("l_orderkey") % 2 === 1))),
+        runDate)
+      r
+    })
+
   private val facts = new ConcurrentHashMap[String, String]()
   private def partitionedFact(s: SparkSession, d: String): String =
     facts.computeIfAbsent(d, _ => {
@@ -137,5 +158,31 @@ object PipelineQueries {
       .agg(lcount().as("n"), dsum(col("l_quantity")).as("qty"))
   }
 
-  val queries: Seq[Q] = Seq(pipelineView, qaReport, stageGuard, partitionPrune)
+  /** C5/S3/M14/M15 — TWO-BATCH incremental build equals the one-shot
+    * build: the oracle is the same closed-form recomputation from the raw
+    * tables that certifies `s5_pipeline_view`, but the Spark side answers
+    * from a warehouse loaded in two parity-split batches. A hash match
+    * certifies batch staging isolation (P2), SCD1 repeat no-ops, SCD2
+    * stability under unchanged sources, and per-load fact appends jointly.
+    */
+  private val incrementalView = Q(
+    "c6_incremental_view",
+    s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       |       r_name AS region,
+       |       ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |       ${DS2("l_extendedprice * l_discount")} AS discount_amt,
+       |       $C AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    incWarehouse(s, d).table("yearly_sales_profit")
+      .select(col("yr"), col("region"), col("revenue"), col("discount_amt"),
+        col("n_items"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView)
 }

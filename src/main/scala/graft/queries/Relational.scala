@@ -785,6 +785,26 @@ object Relational {
         max(col("k")).cast(LongType).as("k_max"))
   }
 
+  /** Skew-mitigated equi-join (graft.operators.Skew.saltedJoin): the
+    * build side is replicated once per salt and the join key widens to
+    * (key, salt), so a pathologically hot orderkey spreads over 8 tasks
+    * instead of one. The oracle is the PLAIN join — salting must be
+    * invisible in the result.
+    */
+  private val j11 = Q(
+    "j11_salted_join",
+    s"""SELECT o_orderstatus AS status, $C AS n,
+       |       ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.Skew.saltedJoin(
+        lF(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        oF(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        Seq("l_orderkey"), saltFactor = 8)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(lcount().as("n"), dsumRound2(revenueExpr).as("revenue"))
+  }
+
   /** Gap-based sessionization (batch plan of graft.streaming.Sessionize;
     * the flatMapGroupsWithState variant is equivalence-tested in
     * SessionizeSpec). 30-minute gap.
@@ -813,5 +833,5 @@ object Relational {
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
-    w2, w3, ev, evCorr, js, sess)
+    w2, w3, ev, evCorr, js, sess, j11)
 }

@@ -38,6 +38,32 @@ class RunnerSpec extends SparkSpec {
     report.unpersist()
   }
 
+  test("two-batch incremental build equals the one-shot build") {
+    val oneShot = newRunner()
+    oneShot.runAll(1, Date.valueOf("2024-01-01"))
+    val inc = newRunner()
+    inc.runIncremental(
+      Seq(
+        1 -> Map("orders" -> (col("o_orderkey") % 2 === 0),
+          "lineitem" -> (col("l_orderkey") % 2 === 0)),
+        2 -> Map("orders" -> (col("o_orderkey") % 2 === 1),
+          "lineitem" -> (col("l_orderkey") % 2 === 1))),
+      Date.valueOf("2024-01-01"))
+
+    val a = oneShot.table("yearly_sales_profit")
+    val b = inc.table("yearly_sales_profit")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "incremental view must match one-shot view exactly")
+    // SCD2 customer saw the same (unchanged) source twice: no new versions
+    assert(inc.table("dim_customer").count() ==
+      oneShot.table("dim_customer").count())
+    // each load's fact slice is lineage-tagged
+    val byLoad = inc.table("fct_orders").groupBy("load_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLoad.keySet == Set("1", "2") && byLoad.values.sum ==
+      Tables.lineitem(spark, sfDir).count())
+  }
+
   test("duplicate load id is rejected (idempotence guard S3)") {
     val runner = newRunner()
     runner.stage(1)
