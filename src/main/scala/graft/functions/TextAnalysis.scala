@@ -34,6 +34,31 @@ object TextAnalysis {
       tokenCount(c) >= minTokens && tokenCount(c) <= maxTokens &&
         distinctRatio(c) > minDistinctRatio, 1L).otherwise(0L)
 
+  /** English stopwords for ratio scoring (kept tiny on purpose — the
+    * ratio is a quality SIGNAL, not an NLP feature).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+
+  /** Number of whitespace tokens that are stopwords. */
+  def stopwordCount(c: Column, stops: Seq[String] = Stopwords): Column =
+    size(filter(tokens(c), t => t.isInCollection(stops))).cast(LongType)
+
+  /** Stopword fraction of the token stream — low values flag keyword spam
+    * and non-prose; identical integer division on both engines.
+    */
+  def stopwordRatio(c: Column, stops: Seq[String] = Stopwords): Column =
+    stopwordCount(c, stops).cast(DoubleType) / tokenCount(c).cast(DoubleType)
+
+  /** Number of sentence-punctuation characters. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[.,!?;:]")).cast(LongType)
+
+  /** Punctuation characters per character — near zero flags unpunctuated
+    * machine text, high values flag markup/tables.
+    */
+  def punctRatio(c: Column): Column =
+    punctCount(c).cast(DoubleType) / length(c).cast(DoubleType)
+
   /** True iff `word` occurs as a whitespace-delimited token. */
   def hasMarkerWord(c: Column, word: String): Column =
     concat(lit(" "), c, lit(" ")).like(s"% $word %")

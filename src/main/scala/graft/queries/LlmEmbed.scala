@@ -234,6 +234,45 @@ object LlmEmbed {
       k = 3, nCentroids = 16, nProbe = 4, iters = 2)
   }
 
+  /** Shared oracle CTEs: exact-decimal cosine near-dup pairs (vec_id < 100,
+    * cosine >= 0.35). Prefix with `WITH $elCte,` in the consuming query.
+    */
+  private val cosinePairsCte =
+    """nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+      |        FROM el GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+      |         FROM el a JOIN el b
+      |           ON a.i = b.i AND a.vec_id < b.vec_id
+      |          AND a.vec_id < 100 AND b.vec_id < 100
+      |         GROUP BY 1, 2),
+      |pr AS (SELECT vec_a, vec_b,
+      |              round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+      |       FROM dots
+      |       JOIN nrm na ON na.vec_id = dots.vec_a
+      |       JOIN nrm nb ON nb.vec_id = dots.vec_b
+      |       WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) >= 0.35)""".stripMargin
+
+  /** Spark plan matching [[cosinePairsCte]]: (vec_a, vec_b, cosine). */
+  private def cosinePairsDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val el = elements(s, d).filter(col("vec_id") < 100)
+    val nrm = el.groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    val a = el.select(col("vec_id").as("vec_a"), col("i"), col("x").as("xa"))
+    val b = el.select(col("vec_id").as("vec_b"), col("i"), col("x").as("xb"))
+    val dots = a.join(b, Seq("i"))
+      .filter(col("vec_a") < col("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
+    dots
+      .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
+      .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded sample —
     * exact-decimal dots so the pair set and scores hash-match the oracle.
     * (The embeddings table has no true duplicates; 0.35 captures its
@@ -242,37 +281,31 @@ object LlmEmbed {
   private val cosineDups = Q(
     "embed_cosine_dups",
     s"""WITH $elCte,
-       |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
-       |        FROM el GROUP BY 1),
-       |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-       |         FROM el a JOIN el b
-       |           ON a.i = b.i AND a.vec_id < b.vec_id
-       |          AND a.vec_id < 100 AND b.vec_id < 100
-       |         GROUP BY 1, 2)
-       |SELECT vec_a, vec_b,
-       |       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
-       |FROM dots
-       |JOIN nrm na ON na.vec_id = dots.vec_a
-       |JOIN nrm nb ON nb.vec_id = dots.vec_b
-       |WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) >= 0.35""".stripMargin) {
-    (s, d) =>
-      val el = elements(s, d).filter(col("vec_id") < 100)
-      val nrm = el.groupBy(col("vec_id"))
-        .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
-      val a = el.select(col("vec_id").as("vec_a"), col("i"), col("x").as("xa"))
-      val b = el.select(col("vec_id").as("vec_b"), col("i"), col("x").as("xb"))
-      val dots = a.join(b, Seq("i"))
-        .filter(col("vec_a") < col("vec_b"))
-        .groupBy(col("vec_a"), col("vec_b"))
-        .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
-      dots
-        .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
-        .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
-        .select(
-          col("vec_a"), col("vec_b"),
-          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
-        .filter(col("cosine") >= 0.35)
+       |$cosinePairsCte
+       |SELECT vec_a, vec_b, cosine FROM pr""".stripMargin) { (s, d) =>
+    cosinePairsDf(s, d)
+  }
+
+  /** Embedding-cosine duplicate CLUSTERS: connected components over the
+    * cosine near-dup pairs (graft.operators.Dedup.dupClusters — the same
+    * label-propagation loop the MinHash clusters use), so a cluster of
+    * mutually-similar embeddings collapses to its min vec_id. The oracle
+    * takes the transitive closure with a recursive CTE.
+    */
+  private val cosineClusters = Q(
+    "embed_dedup_clusters",
+    s"""WITH RECURSIVE $elCte,
+       |$cosinePairsCte,
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+       |          UNION SELECT vec_b, vec_a FROM pr),
+       |reach AS (SELECT src, dst FROM edges
+       |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS vec_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+       |FROM reach GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.dupClusters(
+        cosinePairsDf(s, d)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
   }
 
   /** The native fused DotProduct expression (graft.plans.DotProduct,
@@ -298,5 +331,5 @@ object LlmEmbed {
 
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
-      cosineDups, dotNativeQ)
+      cosineDups, cosineClusters, dotNativeQ)
 }

@@ -203,6 +203,34 @@ object LlmText {
       TextAnalysis.qualityFlag(col("text")).as("quality"))
   }
 
+  /** Stopword + punctuation ratio scoring — the remaining reference-free
+    * quality signals a curation pipeline gates on (keyword spam reads low
+    * on stopwords; markup/tables read high on punctuation). Integer
+    * counts and identical int/int divisions, so the doubles hash-match.
+    */
+  private val stopPunct = Q(
+    "text_stopword_punct", {
+      val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |       x -> x IN ($stops))) AS BIGINT) AS n_stop,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         |  CAST(length(text) AS BIGINT) AS n_len
+         |  FROM documents)
+         |SELECT doc_id, n_stop, n_punct,
+         |       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |       CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE) AS punct_ratio
+         |FROM t""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+      TextAnalysis.punctCount(col("text")).as("n_punct"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+  }
+
   /** Marker-word language-ID heuristic vs the labeled lang column. */
   private val langId = Q(
     "text_lang_id",
@@ -389,5 +417,5 @@ object LlmText {
   val queries: Seq[Q] =
     Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, jaccard, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
-      lengthQuantiles, bytes, decode, frames)
+      lengthQuantiles, stopPunct, bytes, decode, frames)
 }
