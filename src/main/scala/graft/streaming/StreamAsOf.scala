@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming backward as-of attribution — the unbounded-stream twin of
+  * [[graft.operators.AsOfJoin.asOfBackward]]: each purchase is attributed
+  * to the same user's latest click at-or-before it.
+  *
+  * Correctness under out-of-order arrival comes from the watermark: a
+  * purchase is held in state until the watermark passes its event time —
+  * at that point every click at-or-before it has arrived (or been
+  * declared late), so the emitted attribution is final and equals the
+  * batch answer. State stays bounded: purchases live only inside the
+  * watermark window, and clicks at-or-below the watermark collapse to
+  * the single dominant one (an older click can never beat a newer one
+  * for any future purchase).
+  */
+object StreamAsOf {
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_id: Long, is_click: Boolean)
+  /** click event-times (µs) + pending (purchase id, event-time µs). */
+  final case class Buf(clicks: Seq[Long], purchases: Seq[(Long, Long)])
+  final case class Attribution(
+      user_id: Long, event_id: Long, ts_us: Long, click_us: Option[Long])
+
+  private def usOf(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+
+  /** `events` needs (user_id, ts, event_id, event_type); rows of any
+    * other event type are dropped before the stateful stage.
+    */
+  def attribute(events: DataFrame, watermark: String = "2 hours",
+      clickType: String = "click", purchaseType: String = "purchase"): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin(clickType, purchaseType))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === clickType).as("is_click"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  private def fn(userId: Long, it: Iterator[Ev],
+      state: GroupState[Buf]): Iterator[Attribution] = {
+    val prev = state.getOption.getOrElse(Buf(Nil, Nil))
+    val evs = it.toSeq
+    val clicks = prev.clicks ++ evs.filter(_.is_click).map(e => usOf(e.ts))
+    val purchases = prev.purchases ++
+      evs.filterNot(_.is_click).map(e => (e.event_id, usOf(e.ts)))
+
+    // a purchase is final once the watermark passes it: no click at-or-
+    // before it can still arrive
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+    val (ready, pending) = purchases.partition(_._2 <= wmUs)
+    val out = ready.sortBy(identity).map { case (id, pus) =>
+      val eligible = clicks.filter(_ <= pus)
+      Attribution(userId, id, pus,
+        if (eligible.isEmpty) None else Some(eligible.max))
+    }
+
+    // clicks above the watermark must be kept individually; those at-or-
+    // below collapse to the dominant (latest) one
+    val (recent, old) = clicks.partition(_ > wmUs)
+    val kept = (if (old.nonEmpty) recent :+ old.max else recent).distinct
+    if (pending.isEmpty && kept.isEmpty) state.remove()
+    else {
+      state.update(Buf(kept, pending))
+      // wake when the watermark reaches the earliest pending purchase
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(pending.map(_._2).min / 1000 + 1)
+    }
+    out.iterator
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+import graft.streaming.{EventStream, StreamAsOf}
+
+/** Streaming as-of attribution vs the batch asOfBackward plan: every
+  * attribution the stream emits must equal the batch answer for that
+  * purchase (the stream may still hold purchases the watermark hasn't
+  * passed — those are exactly the batch rows it hasn't emitted).
+  */
+class StreamAsOfSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  test("streaming attribution == batch as-of on every emitted purchase") {
+    val events = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_asof").toString
+    // two time-ordered files => two micro-batches: state (dominant click,
+    // pending purchases) must carry across the trigger boundary
+    val mid = events.agg(expr("percentile(CAST(ts AS DOUBLE), 0.5)"))
+      .head().getDouble(0)
+    events.filter(col("ts").cast("double") <= mid)
+      .coalesce(1).write.mode("append").parquet(dir)
+    events.filter(col("ts").cast("double") > mid)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val q = StreamAsOf.attribute(EventStream.readEventStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("asof_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("asof_test")
+      .select("event_id", "ts_us", "click_us")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val batch = AsOfJoin.asOfBackward(purchases, clicks, "user_id", "ts", "ts")
+      .select(col("event_id"), unix_micros(col("ts")),
+        unix_micros(col("asof.ts")))
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(streamed.nonEmpty, "watermark advance must finalize some purchases")
+    val wrong = streamed.filter { case (id, got) => batch.get(id) != Some(got) }
+    assert(wrong.isEmpty, s"stream disagrees with batch: ${wrong.take(3)}")
+    // unemitted purchases are exactly the ones the watermark hasn't passed
+    assert((batch.keySet -- streamed.keySet).size < batch.size,
+      "most purchases should have been finalized")
+  }
+}
