@@ -198,6 +198,70 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the companion to [[dupClusters]] for graphs whose diameter is NOT
+    * tiny: label propagation needs diameter rounds, this needs
+    * O(log diameter) (a million-node chain converges in ~20 rounds
+    * instead of a million). Same contract and output as [[dupClusters]].
+    *
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller neighbors and itself
+    *    to that minimum.
+    *
+    * Each round is two grouped aggregates + a distinct; inputs are
+    * localCheckpointed so round N never re-plans round N-1's lineage.
+    * At the fixed point the edges form stars (node → component min).
+    */
+  def dupClustersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over bidirectional neighborhoods
+      val bidir = edges.select(col("u").as("n"), col("v").as("nb"))
+        .union(edges.select(col("v").as("n"), col("u").as("nb")))
+      val mins = bidir.groupBy(col("n"))
+        .agg(min(col("nb")).as("mn"))
+        .select(col("n"), least(col("mn"), col("n")).as("m"))
+      val afterLarge = bidir.join(mins, Seq("n"))
+        .filter(col("nb") > col("n"))
+        .select(col("nb").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(edges) // keep current links so no node detaches mid-round
+        .distinct()
+      // small-star over smaller-neighbor lists (all edges point small)
+      val smins = afterLarge.groupBy(col("u"))
+        .agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(smins, Seq("u"))
+        .select(col("v").as("a"), col("m"))
+        .union(afterLarge.join(smins, Seq("u")).select(col("u").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+        .select(col("a").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = afterSmall.exceptAll(edges).limit(1).isEmpty &&
+        edges.exceptAll(afterSmall).limit(1).isEmpty
+      edges = afterSmall
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dupClustersStar did not converge in $maxIter rounds")
+    // at the fixed point every node's smallest neighbor is its root
+    edges.select(col("u").as("n"), col("v").as("nb"))
+      .union(edges.select(col("v").as("n"), col("u").as("nb")))
+      .groupBy(col("n"))
+      .agg(min(col("nb")).as("mn"))
+      .select(col("n").as("doc_id"), least(col("mn"), col("n")).as("cluster"))
+  }
+
   /** Exact Jaccard similarity for given (doc_a, doc_b) pairs — the
     * verification stage after LSH candidate generation.
     */

@@ -45,6 +45,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(picked == "b")
   }
 
+  test("asOfBackward matches a brute-force reference on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(0L, 50L))
+    def sample(n: Int, seed: Long): Seq[(Long, Long)] =
+      (1 to n).map(i => rowGen.pureApply(Gen.Parameters.default, Seed(seed * 1000 + i)))
+
+    (1L to 5L).foreach { seed =>
+      val ls = sample(40, seed).zipWithIndex
+        .map { case ((k, t), i) => (k, ts(f"2024-01-01 00:00:$t%02d.0"), i.toLong) }
+      val rs = sample(30, seed + 100)
+        .map { case (k, t) => (k, ts(f"2024-01-01 00:00:$t%02d.0"), s"r$k-$t") }
+      val left = ls.toDF("k", "ts", "lid")
+      val right = rs.toDF("k", "ts", "tag")
+
+      val got = AsOfJoin.asOfBackward(left, right, "k", "ts", "ts")
+        .select(col("lid"), col("asof.ts"))
+        .as[(Long, Option[Timestamp])].collect().toMap
+
+      ls.foreach { case (k, t, lid) =>
+        val want = rs.filter(r => r._1 == k && !r._2.after(t)).map(_._2)
+          .sortBy(_.getTime).lastOption
+        assert(got(lid) == want, s"seed=$seed lid=$lid key=$k ts=$t")
+      }
+    }
+  }
+
   test("hashSplit is deterministic and roughly 80/10/10") {
     val n = 2000
     val df = spark.range(n).select(Sampling.hashSplit(col("id")).as("split"))

@@ -82,6 +82,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClustersStar collapses a long chain in O(log diameter) rounds") {
+    // diameter 40: label propagation would need 40 rounds; the star
+    // algorithm's default 25 is plenty (log-diameter convergence)
+    val chain = (1L until 41L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClustersStar(chain).as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 41L).toSet)
+    assert(got.values.forall(_ == 1L), "whole chain is one component rooted at 1")
+  }
+
+  test("dupClustersStar == dupClusters on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(1L, 25L))
+    (1L to 3L).foreach { seed =>
+      val es = (1 to 30)
+        .map(i => edgeGen.pureApply(Gen.Parameters.default, Seed(seed * 100 + i)))
+        .filter { case (a, b) => a != b }
+      val pairs = es.toDF("doc_a", "doc_b")
+      val star = Dedup.dupClustersStar(pairs).as[(Long, Long)].collect().toMap
+      val prop = Dedup.dupClusters(pairs, maxIter = 30).as[(Long, Long)].collect().toMap
+      assert(star == prop, s"seed=$seed")
+    }
+  }
+
   test("portable simhash: near-dups are close in Hamming distance, strangers far") {
     val h = Dedup.simhashPortable(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
