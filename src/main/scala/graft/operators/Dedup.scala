@@ -30,34 +30,43 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).cast(LongType).as("n_dups"))
 
-  /** Distinct (id, shingle) pairs — the MinHash input set. The repartition
-    * spreads docs across the cluster so the explode + hash work downstream
-    * parallelizes even when the source is a handful of large files.
+  /** Distinct (id, shingle) pairs — the MinHash input set. The explode
+    * runs inside the scan stage (parquet splits big files at
+    * maxPartitionBytes, so no pre-shuffle is needed for parallelism);
+    * the dedup shuffle moves exploded shingles, never raw document text.
     */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs
-      .repartition(col(idCol))
       .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
   /** All `numHashes` minhashes as ONE aggregation on the doc id: each
-    * seed's `min(md5(seed || '|' || shingle))` is its own agg column, so
+    * seed's `min(hash(seed || '|' || shingle))` is its own agg column, so
     * the shingle rows are never replicated `numHashes`× and the whole
     * signature computation costs a single shuffle. Shingle duplicates
     * don't need pre-deduping — min over a multiset equals min over its
     * set. Output: (id, mh0 … mh{n-1}).
+    *
+    * The hash VALUE is the high 60 bits of the md5 as a BIGINT (still
+    * portable: `CAST('0x' || substr(md5(..),1,15) AS BIGINT)` in ANSI
+    * engines). Numeric minhashes matter for the plan: `min` over a
+    * fixed-width long plans as a partial-aggregating HashAggregate, where
+    * `min` over a variable-length string forces a SortAggregate that
+    * SORTS every exploded shingle row before aggregating — at corpus
+    * scale that sort dwarfs the hashing itself.
     */
   def minhashWide(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")
+      min(conv(substring(md5(concat(lit(s"$i|"), col("shingle"))), 1, 15), 16, 10)
+        .cast(LongType)).as(s"mh$i")
     }
     shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash signatures in long format: (id, seed, minhash). The hash
-    * family is md5(seed || '|' || shingle) — deterministic, portable, and
-    * string-min-comparable (fixed-width lowercase hex). Computed wide
-    * (one shuffle) and unpivoted map-side.
+    * family is the high 60 bits of md5(seed || '|' || shingle) as a
+    * BIGINT — deterministic and portable (see [[minhashWide]]). Computed
+    * wide (one shuffle) and unpivoted map-side.
     */
   def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val stackArgs = (0 until numHashes)
@@ -125,16 +134,16 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.band_key"))
   }
 
-  /** End-to-end MinHash-LSH candidate pairs: three shuffles total
-    * (doc spread, wide signatures, bucket grouping) regardless of
-    * `numHashes`.
+  /** End-to-end MinHash-LSH candidate pairs: TWO shuffles total (wide
+    * signatures, bucket grouping) regardless of `numHashes` — and the
+    * signature shuffle is tiny, because the 16 min-aggregates combine
+    * map-side to one row per (doc, partition) before moving anything.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
     // no distinct: min() is duplicate-insensitive, so the dedup shuffle
     // of shingleSet is pure overhead here
     val shingles = docs
-      .repartition(col(idCol))
       .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
     candidatePairs(
       bandKeysFromWide(
@@ -306,7 +315,6 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
-      .repartition(col(idCol))
       .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { p =>
@@ -335,7 +343,6 @@ object Dedup {
   def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val toks = docs
-      .repartition(col(idCol))
       .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("m", md5(col("tok")))
     val bitSums = (0 until 32).map { p =>

@@ -24,7 +24,7 @@ object LlmText {
   private val sigCte =
     s"""$shingleCte,
        |sig AS (SELECT doc_id, CAST(seed AS BIGINT) AS seed,
-       |               min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+       |               min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
        |        FROM sh CROSS JOIN generate_series(0, 15) s(seed) GROUP BY 1, 2)""".stripMargin
 
   /** Exact dedup: hash-groupBy on content (one aggregate, fully scalable). */
@@ -51,7 +51,7 @@ object LlmText {
     "dedup_minhash_pairs",
     s"""WITH $sigCte,
        |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
-       |                 string_agg(minhash, ',' ORDER BY seed) AS band_key
+       |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
        |          FROM sig GROUP BY 1, 2)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
@@ -71,7 +71,7 @@ object LlmText {
     "dedup_clusters",
     s"""WITH RECURSIVE $sigCte,
        |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
-       |                 string_agg(minhash, ',' ORDER BY seed) AS band_key
+       |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
        |          FROM sig GROUP BY 1, 2),
        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |       FROM bands a JOIN bands b
