@@ -359,6 +359,48 @@ object LlmText {
           size(col("g")).cast("double")).as("rep_ratio"))
   }
 
+  /** TF-IDF term ranking: per-doc term frequency × corpus rarity, top 3
+    * terms per document over a bounded doc sample. The rarity factor is
+    * the LINEAR inverse document frequency N/df — same ranking order as
+    * log idf for fixed N, but an exact integer-ratio double, so scores
+    * hash-match across engines (ln() is not bit-specified). df comes from
+    * the FULL corpus and broadcasts into the per-doc scoring join; the
+    * per-doc top-3 is a window over the sampled docs only.
+    */
+  private val tfidf = Q(
+    "text_tfidf_topk",
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |n AS (SELECT $C AS n_docs FROM documents),
+       |tf AS (SELECT doc_id, tok, $C AS tf FROM tok WHERE doc_id < 50 GROUP BY 1, 2),
+       |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+       |scored AS (SELECT doc_id, tok, tf,
+       |                  CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf_lin,
+       |                  row_number() OVER (PARTITION BY doc_id
+       |                    ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+       |                             tok) AS rn
+       |           FROM tf CROSS JOIN n JOIN df USING (tok))
+       |SELECT doc_id, tok, tf, tfidf_lin FROM scored WHERE rn <= 3""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val nDocs = Tables.documents(s, d).select(lcount().as("n_docs"))
+      val tf = tok.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("tok")).agg(lcount().as("tf"))
+      val df = tok.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).cast(LongType).as("df"))
+      val score = col("tf").cast("double") * col("n_docs").cast("double") /
+        col("df").cast("double")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(score.desc, col("tok").asc)
+      tf.crossJoin(broadcast(nDocs))
+        .join(broadcast(df), Seq("tok"))
+        .withColumn("tfidf_lin", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("tfidf_lin"))
+  }
+
   /** Oracle CTE mirroring Multimodal.attachPayload + decodeStub: media
     * type round-robins on doc_id, byte count is the UTF-8 payload length,
     * the stub's fake frame count is arithmetic in the byte count.
@@ -417,5 +459,5 @@ object LlmText {
   val queries: Seq[Q] =
     Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, jaccard, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
-      lengthQuantiles, stopPunct, bytes, decode, frames)
+      lengthQuantiles, stopPunct, tfidf, bytes, decode, frames)
 }

@@ -785,6 +785,41 @@ object Relational {
         max(col("k")).cast(LongType).as("k_max"))
   }
 
+  /** Ordered funnel analysis (signup → first click → first purchase per
+    * user): one grouped aggregate computes each user's stage timestamps
+    * via conditional mins, one single-row aggregate counts stage
+    * survivors — no joins, no windows, one shuffle. NULL stage
+    * comparisons fall to the ELSE branch identically in both engines.
+    */
+  private val funnel = Q(
+    "events_funnel",
+    s"""WITH m AS (SELECT user_id,
+       |  min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+       |  min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+       |  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+       |  FROM events GROUP BY 1)
+       |SELECT $C AS n_users,
+       |  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       |  CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+       |  CAST(SUM(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+       |FROM m""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .agg(
+        lcount().as("n_users"),
+        sum(when(col("t_signup").isNotNull, 1).otherwise(0)).cast(LongType)
+          .as("n_signup"),
+        sum(when(col("t_click") > col("t_signup"), 1).otherwise(0)).cast(LongType)
+          .as("n_click_after"),
+        sum(when(col("t_click") > col("t_signup") &&
+          col("t_purchase") > col("t_click"), 1).otherwise(0)).cast(LongType)
+          .as("n_full_funnel"))
+  }
+
   /** Skew-mitigated equi-join (graft.operators.Skew.saltedJoin): the
     * build side is replicated once per salt and the join key widens to
     * (key, salt), so a pathologically hot orderkey spreads over 8 tasks
@@ -833,5 +868,5 @@ object Relational {
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
-    w2, w3, ev, evCorr, js, sess, j11)
+    w2, w3, ev, evCorr, js, sess, j11, funnel)
 }
