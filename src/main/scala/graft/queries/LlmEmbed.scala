@@ -329,7 +329,35 @@ object LlmEmbed {
           col("embedding"), reverse(col("embedding"))), 6).as("rev_dot"))
   }
 
+  /** Cross-modal join — embeddings to their source documents (vec_id ==
+    * doc_id in the harness corpus), aggregating exact-decimal L2 norms
+    * per language: the language-conditioned embedding health check a
+    * curation pipeline runs before training. Both sides are corpus-sized,
+    * so this is a plain shuffled equi-join on the id — neither side is
+    * broadcastable at 100 TB, and none is needed.
+    */
+  private val langNorms = Q(
+    "embed_lang_norms",
+    s"""WITH $elCte,
+       |norms AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |          FROM el GROUP BY 1)
+       |SELECT lang, $C AS n,
+       |       CAST(SUM(CAST(sqrt(n2) AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm
+       |FROM norms JOIN documents ON doc_id = vec_id
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    elements(s, d)
+      .groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("lang"))
+      .agg(
+        lcount().as("n"),
+        sum(sqrt(col("n2")).cast(DecimalType(28, 12))).cast(DoubleType)
+          .as("sum_norm"))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
-      cosineDups, cosineClusters, dotNativeQ)
+      cosineDups, cosineClusters, dotNativeQ, langNorms)
 }
