@@ -76,6 +76,21 @@ object Multimodal {
       array(feats: _*).as("features"))
   }
 
+  /** Resize stage: target dimensions fitting `maxEdge` with the aspect
+    * ratio preserved (integer floor arithmetic, portable to any ANSI
+    * engine). This is the metadata half of an image resize — the pixel
+    * resample itself belongs in the decode kernel ([[decodeStub]]) where
+    * the codec lives; every downstream consumer only sees the typed
+    * (out_w, out_h) the way it would from a real resizer.
+    */
+  def resizeStub(decoded: DataFrame, maxEdge: Int): DataFrame = {
+    decoded.withColumns(Map(
+      "out_w" -> expr(s"(width * $maxEdge) div greatest(width, height)")
+        .cast(IntegerType),
+      "out_h" -> expr(s"(height * $maxEdge) div greatest(width, height)")
+        .cast(IntegerType)))
+  }
+
   /** Frame sampling for video payloads: every `stride`-th frame index up
     * to the decoded frame count — the (doc_id, frame_no) explosion a
     * frame-level pipeline consumes.

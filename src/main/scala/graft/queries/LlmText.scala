@@ -437,6 +437,40 @@ object LlmText {
         sum(col("n_frames")).cast(LongType).as("total_frames"))
   }
 
+  /** Aspect-preserving resize over the decoded media (fit 224 on the
+    * long edge): the oracle replays the stub decode dimensions and the
+    * integer floor arithmetic, certifying the whole metadata transform.
+    */
+  private val resize = Q(
+    "multimodal_resize",
+    s"""WITH $mediaCte,
+       |d AS (SELECT media_type,
+       |             CAST(256 + n_bytes % 512 AS BIGINT) AS w,
+       |             CAST(256 + (n_bytes // 512) % 512 AS BIGINT) AS h
+       |      FROM m),
+       |r AS (SELECT media_type,
+       |             (w * 224) // greatest(w, h) AS ow,
+       |             (h * 224) // greatest(w, h) AS oh
+       |      FROM d)
+       |SELECT media_type, $C AS n,
+       |       CAST(SUM(ow) AS BIGINT) AS sum_w,
+       |       CAST(SUM(oh) AS BIGINT) AS sum_h,
+       |       CAST(MAX(greatest(ow, oh)) AS BIGINT) AS max_edge
+       |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal
+      .resizeStub(
+        Multimodal.decodeStub(
+          Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")),
+        maxEdge = 224)
+      .groupBy(col("media_type"))
+      .agg(
+        lcount().as("n"),
+        sum(col("out_w")).cast(LongType).as("sum_w"),
+        sum(col("out_h")).cast(LongType).as("sum_h"),
+        max(greatest(col("out_w"), col("out_h"))).cast(LongType).as("max_edge"))
+  }
+
   /** Frame sampling over decoded video payloads (every 30th frame). */
   private val frames = Q(
     "multimodal_frames",
@@ -459,5 +493,5 @@ object LlmText {
   val queries: Seq[Q] =
     Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, jaccard, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
-      lengthQuantiles, stopPunct, tfidf, bytes, decode, frames)
+      lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames)
 }

@@ -39,6 +39,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f.select(size(col("features"))).distinct().head().getInt(0) == 8)
   }
 
+  test("resizeStub fits the long edge and preserves aspect ordering") {
+    val resized = Multimodal.resizeStub(Multimodal.decodeStub(media), maxEdge = 224)
+      .select("width", "height", "out_w", "out_h").collect()
+    resized.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(math.max(ow, oh) == 224, s"long edge must hit maxEdge: $r")
+      assert((w >= h) == (ow >= oh), s"orientation preserved: $r")
+      assert(ow <= 224 && oh <= 224)
+    }
+  }
+
   test("sampleFrames strides over decoded video frames only") {
     val decoded = Multimodal.decodeStub(media)
     val frames = Multimodal.sampleFrames(decoded, stride = 10).cache()
