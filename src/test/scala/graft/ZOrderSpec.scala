@@ -47,9 +47,21 @@ class ZOrderSpec extends SparkSpec {
           a.executedPlan
         case p => p
       }
-      plan.collectLeaves().collectFirst {
+      val metric = plan.collectLeaves().collectFirst {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.get.metrics("numOutputRows").value
+      }.get.metrics("numOutputRows")
+      // SQL metrics arrive asynchronously on the listener bus after the
+      // action returns — poll until the value stops changing so a busy
+      // test JVM can't observe a partial count
+      val deadline = System.currentTimeMillis + 15000
+      var prev = -1L
+      var cur = metric.value
+      while (cur != prev && System.currentTimeMillis < deadline) {
+        prev = cur
+        Thread.sleep(300)
+        cur = metric.value
+      }
+      cur
     }
 
     val yCond = col("y").between(100, 110)
