@@ -820,6 +820,69 @@ object Relational {
           .as("n_full_funnel"))
   }
 
+  /** Cohort retention: users grouped by first-active day, counted per
+    * week-offset of later activity — the third of the classic event
+    * analytics trio (funnel, sessions, retention). Two aggregates and
+    * one self-join on user_id; day arithmetic is integer division,
+    * identical in both engines.
+    */
+  private val retention = Q(
+    "events_retention",
+    s"""WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+       |           FROM events),
+       |c AS (SELECT user_id, min(d) AS c0 FROM a GROUP BY 1)
+       |SELECT c0 AS cohort_day,
+       |       CAST((d - c0) // 7 AS BIGINT) AS week_off,
+       |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active
+       |FROM a JOIN c ON a.user_id = c.user_id
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+    val c = a.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+    a.join(c, Seq("user_id"))
+      .groupBy(
+        col("c0").as("cohort_day"),
+        expr("CAST(datediff(d, c0) div 7 AS BIGINT)").as("week_off"))
+      .agg(countDistinct(col("user_id")).cast(LongType).as("active"))
+  }
+
+  /** RFM segmentation over orders: per-customer recency/frequency/
+    * monetary rollup, bucketed and re-aggregated — one shuffle per
+    * aggregate, monetary sums in exact decimal so bucket boundaries
+    * can't drift between engines.
+    */
+  private val rfm = Q(
+    "dm_rfm_segments",
+    s"""WITH per_cust AS (SELECT o_custkey,
+       |    max(CAST(o_orderdate AS DATE)) AS last_d,
+       |    $C AS freq,
+       |    ${DS("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY 1)
+       |SELECT CASE WHEN freq >= 12 THEN 'high' WHEN freq >= 6 THEN 'mid' ELSE 'low' END AS f_bucket,
+       |       CASE WHEN monetary >= 1500000 THEN 'high'
+       |            WHEN monetary >= 750000 THEN 'mid' ELSE 'low' END AS m_bucket,
+       |       $C AS n_customers,
+       |       CAST(max(last_d) AS DATE) AS latest_order,
+       |       CAST(round(SUM(CAST(monetary AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_monetary
+       |FROM per_cust GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val per = oF(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate").cast("date")).as("last_d"),
+        lcount().as("freq"),
+        dsum(col("o_totalprice")).as("monetary"))
+    per
+      .groupBy(
+        when(col("freq") >= 12, "high").when(col("freq") >= 6, "mid")
+          .otherwise("low").as("f_bucket"),
+        when(col("monetary") >= 1500000, "high")
+          .when(col("monetary") >= 750000, "mid").otherwise("low").as("m_bucket"))
+      .agg(
+        lcount().as("n_customers"),
+        max(col("last_d")).as("latest_order"),
+        dsumRound2(col("monetary")).as("total_monetary"))
+  }
+
   /** Skew-mitigated equi-join (graft.operators.Skew.saltedJoin): the
     * build side is replicated once per salt and the join key widens to
     * (key, salt), so a pathologically hot orderkey spreads over 8 tasks
@@ -868,5 +931,5 @@ object Relational {
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
-    w2, w3, ev, evCorr, js, sess, j11, funnel)
+    w2, w3, ev, evCorr, js, sess, j11, funnel, retention, rfm)
 }
