@@ -735,6 +735,62 @@ object Relational {
       sum(col("t")).over(w).cast("double").as("running_total"))
   }
 
+  /** RANGE-frame moving window: per-day revenue plus its trailing 7-day
+    * sum — the frame is bounded by VALUE distance on the day ordinal, not
+    * by row count, so gap days shorten the window exactly as a calendar
+    * would. The windowed sum stays in decimal until the final cast.
+    */
+  private val w4 = Q(
+    "w4_moving_range",
+    s"""WITH d AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day_no,
+       |                  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS t
+       |           FROM orders GROUP BY 1)
+       |SELECT day_no, CAST(t AS DOUBLE) AS day_total,
+       |       CAST(SUM(t) OVER (ORDER BY day_no
+       |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS d7_total
+       |FROM d""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val byDay = oF(s, d)
+      .groupBy(
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast(LongType).as("day_no"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("t"))
+    val w = Window.orderBy(col("day_no")).rangeBetween(-6, Window.currentRow)
+    byDay.select(
+      col("day_no"),
+      col("t").cast("double").as("day_total"),
+      sum(col("t")).over(w).cast("double").as("d7_total"))
+  }
+
+  /** GROUPING SETS with grouping-id disambiguation: per-status, per-
+    * priority, and grand-total aggregates in ONE pass over orders (the
+    * reference's A-series rollups generalized; Spark expands the sets
+    * with a single Expand node, not one scan per set).
+    */
+  private val a11 = Q(
+    "a11_grouping_sets",
+    s"""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       |       $C AS n, ${DS("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) {
+    (s, d) =>
+      oF(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
+          lcount().as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .select(
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"),
+          col("g_status"), col("g_priority"), col("n"), col("total"))
+  }
+
   /** Best sales month per customer segment (Business_Template.docx
     * business question; SURVEY.md §2.8 note).
     */
@@ -931,5 +987,5 @@ object Relational {
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
-    w2, w3, ev, evCorr, js, sess, j11, funnel, retention, rfm)
+    w2, w3, w4, a11, ev, evCorr, js, sess, j11, funnel, retention, rfm)
 }
