@@ -24,14 +24,25 @@ import org.apache.spark.sql.functions._
   *
   * Output: every left column, plus a nullable `asof` struct holding the
   * matched right row's non-key columns (null when no right row precedes).
+  *
+  * Equal-timestamp ties among right rows: pass `tiebreak` (a right-side
+  * column, ideally a unique id) and the greatest tiebreak value wins —
+  * deterministic and semantically chosen by the caller. Without it the
+  * window falls back to ordering by the whole right payload struct, which
+  * is deterministic but arbitrary ("max payload wins") and requires every
+  * right column to be orderable (no MapType) — prefer the explicit
+  * tiebreak whenever one timestamp can carry several right rows.
   */
 object AsOfJoin {
 
   def asOfBackward(
       left: DataFrame, right: DataFrame,
-      key: String, leftTs: String, rightTs: String): DataFrame = {
+      key: String, leftTs: String, rightTs: String,
+      tiebreak: Option[String] = None): DataFrame = {
     val lPay = left.columns.filter(c => c != key && c != leftTs)
     val rPay = right.columns.filterNot(_ == key)
+    require(tiebreak.forall(rPay.contains),
+      s"tiebreak must be a non-key right-side column; got $tiebreak")
 
     val rStruct = struct(rPay.map(col): _*)
     val lStruct = if (lPay.isEmpty) struct(lit(0).as("__empty")) else struct(lPay.map(col): _*)
@@ -45,8 +56,11 @@ object AsOfJoin {
       col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__is_l"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
 
+    // left rows carry a null tiebreak; they already sort after right rows
+    // at equal ts via __is_l, so the null never affects the match set
+    val tb = tiebreak.map(t => col(s"__r.$t")).getOrElse(col("__r"))
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__is_l"), col("__r"))
+      .orderBy(col("__t"), col("__is_l"), tb)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lu.unionByName(ru)

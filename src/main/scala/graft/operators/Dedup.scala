@@ -22,6 +22,19 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  /** Lineage truncation for the iterative clustering loops. Defaults to
+    * `localCheckpoint` (executor-local blocks — fast, no infrastructure),
+    * which trades fault tolerance for speed: blocks live only on
+    * executors, so losing one mid-loop fails the job instead of
+    * recomputing. For fault-tolerant production runs, opt in to reliable
+    * checkpointing by setting a checkpoint dir
+    * (`spark.sparkContext.setCheckpointDir(...)`) — when one is set,
+    * rounds checkpoint to that (replicated/DFS) location instead.
+    */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Exact duplicate groups: md5(text) → representative id + group size. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -94,8 +107,12 @@ object Dedup {
   /** All unordered (a < b) pairs drawn from an array column — nested
     * `transform` over the sorted member list, flattened. Pure Catalyst
     * expressions (codegen'd); output size is sum over buckets of C(n,2).
+    * Public because it's the generic per-group pair generator: any
+    * "co-occurrence within a group" computation (LSH buckets here, market
+    * baskets in dm_part_affinity) uses it after a `collect_set` — one
+    * shuffle on the group key, pairs generated map-side from each list.
     */
-  private def pairsFromSortedArray(ids: org.apache.spark.sql.Column) =
+  def pairsFromSortedArray(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     flatten(
       transform(ids, (a, i) =>
         transform(
@@ -176,14 +193,12 @@ object Dedup {
     * component; only docs that appear in some pair are labeled.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs
+    val edges = ckpt(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val idType = edges.schema("src").dataType
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -193,10 +208,9 @@ object Dedup {
           lit(null).cast(idType).as("prev"))
       val own = labels.select(col("id"), col("cluster"),
         col("cluster").as("prev"))
-      val next = own.union(neighborLabels)
+      val next = ckpt(own.union(neighborLabels)
         .groupBy(col("id"))
-        .agg(min(col("cluster")).as("cluster"), max(col("prev")).as("prev"))
-        .localCheckpoint()
+        .agg(min(col("cluster")).as("cluster"), max(col("prev")).as("prev")))
       converged = next.filter(col("cluster") =!= col("prev")).limit(1).isEmpty
       labels = next.select(col("id"), col("cluster"))
       i += 1
@@ -224,13 +238,12 @@ object Dedup {
     * At the fixed point the edges form stars (node → component min).
     */
   def dupClustersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    var edges = pairs
+    var edges = ckpt(pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -249,13 +262,12 @@ object Dedup {
       // small-star over smaller-neighbor lists (all edges point small)
       val smins = afterLarge.groupBy(col("u"))
         .agg(min(col("v")).as("m"))
-      val afterSmall = afterLarge.join(smins, Seq("u"))
+      val afterSmall = ckpt(afterLarge.join(smins, Seq("u"))
         .select(col("v").as("a"), col("m"))
         .union(afterLarge.join(smins, Seq("u")).select(col("u").as("a"), col("m")))
         .filter(col("a") =!= col("m"))
         .select(col("a").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       converged = afterSmall.exceptAll(edges).limit(1).isEmpty &&
         edges.exceptAll(afterSmall).limit(1).isEmpty
       edges = afterSmall
@@ -359,6 +371,38 @@ object Dedup {
           .map(p => when(col(s"b$p") > 0, lit(1L << p)).otherwise(0L))
           .reduce(_ + _)
           .as("simhash32"))
+  }
+
+  /** EXACT Hamming-≤3 near-dup pairs over the portable 32-bit SimHash,
+    * with the LSH plan shape: split each hash into 4 byte chunks — by
+    * pigeonhole, any pair within Hamming distance 3 agrees on at least one
+    * chunk — bucket-join on (chunk index, chunk value), then keep only
+    * pairs whose full Hamming distance (bit_count of xor, codegen'd) is
+    * within the bound. Unlike [[simhashCandidates]] this is not a
+    * candidate set: the pigeonhole guarantee + residual filter make the
+    * result exactly the brute-force all-pairs answer, at bucket-join cost
+    * (sum over buckets of C(n,2) comparisons instead of C(N,2)).
+    *
+    * Output: (doc_a, doc_b, hamming), a < b.
+    */
+  def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"4 byte-chunks guarantee exactness only to distance 3, got $maxDist")
+    simhashPortable(docs, idCol, textCol)
+      .select(
+        struct(col(idCol).as("id"), col("simhash32").as("h")).as("m"),
+        posexplode(
+          array((0 until 4).map(c =>
+            shiftright(col("simhash32"), c * 8).bitwiseAND(0xFFL)): _*)))
+      .groupBy(col("pos").as("chunk"), col("col").as("chunk_val"))
+      .agg(sort_array(collect_set(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairsFromSortedArray(col("ms"))).as("p"))
+      .select(
+        col("p.doc_a.id").as("doc_a"), col("p.doc_b.id").as("doc_b"),
+        bit_count(col("p.doc_a.h").bitwiseXOR(col("p.doc_b.h"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join — an operator Spark's built-in join
+  * strategies handle badly: the natural formulation
+  * `pt >= start AND pt < end` has no equi-conjunct, so Catalyst plans a
+  * BroadcastNestedLoopJoin (fine only while the interval side is tiny) or,
+  * with two large sides, a cartesian product — both scale-killers.
+  *
+  * This is the standard bucketed rewrite: each interval is exploded into
+  * the fixed-width time buckets it overlaps, each point is mapped to the
+  * single bucket containing it, and the join becomes a plain hash
+  * equi-join on the bucket key, re-filtered by the exact range predicate.
+  * Cost: one shuffle of |points| + |intervals| × avg-buckets-per-interval
+  * rows; pick `bucketUnit` close to the typical interval length so the
+  * expansion factor stays small. The rewrite is exact: a point matches an
+  * interval iff its bucket is one of the interval's covered buckets, so
+  * the equi-join loses no candidates and the residual predicate removes
+  * false positives within the boundary buckets.
+  *
+  * Intervals are closed-open `[start, end)`, the natural shape for
+  * campaign/validity windows (end = next window's start, no double count).
+  */
+object RangeJoin {
+
+  private def step(bucketUnit: String): Column = bucketUnit.toLowerCase match {
+    case "month" => expr("INTERVAL 1 MONTH")
+    case "week"  => expr("INTERVAL 7 DAYS")
+    case "day"   => expr("INTERVAL 1 DAY")
+    case u => throw new IllegalArgumentException(s"unsupported bucket unit: $u")
+  }
+
+  private def bucketOf(bucketUnit: String, c: Column): Column =
+    date_trunc(bucketUnit.toUpperCase, c).cast("date")
+
+  /** Join each point row to every interval row whose `[start, end)` range
+    * contains its `ptCol` date. Output: point columns ++ interval columns
+    * (names must not collide). Points matching no interval are dropped
+    * (inner-join semantics).
+    */
+  def pointInInterval(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketUnit: String = "month"): DataFrame = {
+    // the last covered bucket is the one containing end-1day (end exclusive)
+    val expanded = intervals.withColumn(
+      "__bucket",
+      explode(sequence(
+        bucketOf(bucketUnit, col(startCol)),
+        bucketOf(bucketUnit, date_sub(col(endCol), 1)),
+        step(bucketUnit))))
+    points
+      .withColumn("__bucket", bucketOf(bucketUnit, col(ptCol)))
+      .join(expanded, Seq("__bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -30,6 +30,20 @@ object Sampling {
     when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test")
   }
 
+  /** Deterministic Bernoulli sample at rate ≈ `keepNum`/`keepDen`: keep a
+    * row iff the first 8 md5 hex chars of `salt|id` fall under the rate
+    * threshold in [0, 2^32). Purely columnar (no shuffle, no RNG, no
+    * driver round-trip), stable under re-partitioning and appends, and
+    * portable — any engine with md5 reproduces the exact kept-set, so a
+    * stratified sample (apply per stratum, or just sample the whole table
+    * and group by the stratum column) is oracle-checkable row for row.
+    * The salt decorrelates independent samples of the same table.
+    */
+  def bernoulliKeep(id: Column, keepNum: Long, keepDen: Long,
+      salt: String = "s"): Column =
+    conv(substring(md5(concat_ws("|", lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") * keepDen < (1L << 32) * keepNum
+
   /** Keep at most `n` rows per group, chosen deterministically by
     * `orderCols`. One shuffle on the group key; the per-group sort is
     * window-local. (When n ≪ group size at extreme scale, the bounded-

@@ -39,7 +39,12 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
       val src = batchFilters.get(t)
         .map(Tables(spark, sfDir, t).filter(_))
         .getOrElse(Tables(spark, sfDir, t))
-      require(!src.isEmpty, s"There is no data in the source: $t") // C1
+      // C1 guards FULL loads — an empty source there means a broken feed.
+      // An incremental slice matching zero rows (no new orders for one
+      // table this batch) is a legitimate no-op, so the guard is skipped
+      // when a batch filter selected the slice.
+      if (!batchFilters.contains(t))
+        require(!src.isEmpty, s"There is no data in the source: $t")
       Staging.stageAppend(store, s"scr_$t", src, loadId)
       log(s"stage_$t", src.count(), loadId)
     }

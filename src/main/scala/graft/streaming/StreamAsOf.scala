@@ -32,11 +32,21 @@ object StreamAsOf {
 
   /** `events` needs (user_id, ts, event_id, event_type); rows of any
     * other event type are dropped before the stateful stage.
+    *
+    * Without `maxClickAge`, per-key state is bounded but AGGREGATE state is
+    * not: a user with any click keeps their dominant click forever, so
+    * total state grows with distinct-user cardinality. Pass `maxClickAge`
+    * (the maximum attribution window) to evict the dominant click once
+    * `watermark - click_ts` exceeds it — purchases more than `maxClickAge`
+    * after the last click then attribute to nothing, and inactive users'
+    * state is removed entirely on an event-time timeout.
     */
   def attribute(events: DataFrame, watermark: String = "2 hours",
-      clickType: String = "click", purchaseType: String = "purchase"): Dataset[Attribution] = {
+      clickType: String = "click", purchaseType: String = "purchase",
+      maxClickAge: Option[java.time.Duration] = None): Dataset[Attribution] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val ttlUs = maxClickAge.map(d => d.toMillis * 1000).getOrElse(Long.MaxValue)
     events
       .filter(col("event_type").isin(clickType, purchaseType))
       .withWatermark("ts", watermark)
@@ -45,10 +55,10 @@ object StreamAsOf {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn(ttlUs))
   }
 
-  private def fn(userId: Long, it: Iterator[Ev],
+  private def fn(ttlUs: Long)(userId: Long, it: Iterator[Ev],
       state: GroupState[Buf]): Iterator[Attribution] = {
     val prev = state.getOption.getOrElse(Buf(Nil, Nil))
     val evs = it.toSeq
@@ -67,15 +77,21 @@ object StreamAsOf {
     }
 
     // clicks above the watermark must be kept individually; those at-or-
-    // below collapse to the dominant (latest) one
+    // below collapse to the dominant (latest) one — which is itself
+    // evicted once it ages past the attribution TTL
     val (recent, old) = clicks.partition(_ > wmUs)
-    val kept = (if (old.nonEmpty) recent :+ old.max else recent).distinct
+    val dominant = old.maxOption.filter(c => wmUs - c <= ttlUs)
+    val kept = (recent ++ dominant).distinct
     if (pending.isEmpty && kept.isEmpty) state.remove()
     else {
       state.update(Buf(kept, pending))
-      // wake when the watermark reaches the earliest pending purchase
-      if (pending.nonEmpty)
-        state.setTimeoutTimestamp(pending.map(_._2).min / 1000 + 1)
+      // wake when the watermark reaches the earliest pending purchase,
+      // or (with a TTL) when the oldest kept click expires, so idle
+      // users' state is evicted without waiting for their next event
+      val wakes = pending.map(_._2 / 1000 + 1) ++
+        (if (ttlUs != Long.MaxValue) kept.map(c => (c + ttlUs) / 1000 + 1) else Nil)
+      wakes.minOption.foreach(wake =>
+        state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1)))
     }
     out.iterator
   }
