@@ -373,27 +373,32 @@ object Dedup {
           .as("simhash32"))
   }
 
-  /** EXACT Hamming-≤3 near-dup pairs over the portable 32-bit SimHash,
-    * with the LSH plan shape: split each hash into 4 byte chunks — by
-    * pigeonhole, any pair within Hamming distance 3 agrees on at least one
-    * chunk — bucket-join on (chunk index, chunk value), then keep only
-    * pairs whose full Hamming distance (bit_count of xor, codegen'd) is
-    * within the bound. Unlike [[simhashCandidates]] this is not a
-    * candidate set: the pigeonhole guarantee + residual filter make the
-    * result exactly the brute-force all-pairs answer, at bucket-join cost
-    * (sum over buckets of C(n,2) comparisons instead of C(N,2)).
+  /** EXACT Hamming-≤d near-dup pairs over the portable 32-bit SimHash,
+    * with the LSH plan shape: split each hash into d+1 equal-width chunks
+    * — by pigeonhole, any pair within Hamming distance d agrees on at
+    * least one chunk — bucket-join on (chunk index, chunk value), then
+    * keep only pairs whose full Hamming distance (bit_count of xor,
+    * codegen'd) is within the bound. Unlike [[simhashCandidates]] this is
+    * not a candidate set: the pigeonhole guarantee + residual filter make
+    * the result exactly the brute-force all-pairs answer, at bucket-join
+    * cost (sum over buckets of C(n,2) comparisons instead of C(N,2)).
+    * Wider chunks (smaller d) mean fewer, more selective buckets.
     *
     * Output: (doc_a, doc_b, hamming), a < b.
     */
   def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, s"4 byte-chunks guarantee exactness only to distance 3, got $maxDist")
+      maxDist: Int = 1): DataFrame = {
+    require(Set(1, 3, 7).contains(maxDist),
+      s"maxDist must be 1, 3, or 7 so 32 bits split into maxDist+1 equal chunks, got $maxDist")
+    val nChunks = maxDist + 1
+    val chunkBits = 32 / nChunks
+    val mask = (1L << chunkBits) - 1
     simhashPortable(docs, idCol, textCol)
       .select(
         struct(col(idCol).as("id"), col("simhash32").as("h")).as("m"),
         posexplode(
-          array((0 until 4).map(c =>
-            shiftright(col("simhash32"), c * 8).bitwiseAND(0xFFL)): _*)))
+          array((0 until nChunks).map(c =>
+            shiftright(col("simhash32"), c * chunkBits).bitwiseAND(mask)): _*)))
       .groupBy(col("pos").as("chunk"), col("col").as("chunk_val"))
       .agg(sort_array(collect_set(col("m"))).as("ms"))
       .filter(size(col("ms")) > 1)

@@ -118,5 +118,21 @@ object Curation {
       .limit(20)
   }
 
-  val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab)
+  /** Deterministic ~20% Bernoulli sample of the corpus (md5-threshold,
+    * portable): the kept-set is identical in any engine with md5, so the
+    * oracle checks membership row for row — grouping the output by `lang`
+    * is the stratified-sampling readout (each stratum is sampled at the
+    * same deterministic rate with no per-stratum pass).
+    */
+  private val stratSample = Q(
+    "sample_stratified",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 5
+      |      < 4294967296 * 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(Sampling.bernoulliKeep(col("doc_id"), 1, 5, "strat"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, stratSample)
 }

@@ -94,26 +94,50 @@ object LlmText {
     Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Shared oracle CTE body: portable 32-bit SimHash per doc — md5-derived
+    * bits (bit p of a token = high bit of hex char p of its md5), summed
+    * sign-wise and reassembled. Yields relation s32(doc_id, simhash32).
+    */
+  private val s32Cte: String = {
+    val sums = (0 until 32).map(p =>
+      s"SUM(CASE WHEN strpos('89abcdef', substr(m, ${p + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS b$p")
+      .mkString(",\n       ")
+    val terms = (0 until 32).map(p =>
+      s"(CASE WHEN b$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" +\n       ")
+    s"""raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |t AS (SELECT DISTINCT doc_id, tok FROM raw),
+       |h AS (SELECT doc_id, md5(tok) AS m FROM t),
+       |sb AS (SELECT doc_id,
+       |       $sums
+       |       FROM h GROUP BY 1),
+       |s32 AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash32 FROM sb)""".stripMargin
+  }
+
   /** Portable 32-bit SimHash — md5-derived bits, so the full hash value is
     * oracle-checked end to end (token split, per-bit sign sums, assembly).
     */
   private val simhashPortable = Q(
-    "dedup_simhash_portable", {
-      val sums = (0 until 32).map(p =>
-        s"SUM(CASE WHEN strpos('89abcdef', substr(m, ${p + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS b$p")
-        .mkString(",\n       ")
-      val terms = (0 until 32).map(p =>
-        s"(CASE WHEN b$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-        .mkString(" +\n       ")
-      s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |t AS (SELECT DISTINCT doc_id, tok FROM raw),
-         |h AS (SELECT doc_id, md5(tok) AS m FROM t),
-         |s AS (SELECT doc_id,
-         |       $sums
-         |       FROM h GROUP BY 1)
-         |SELECT doc_id, CAST($terms AS BIGINT) AS simhash32 FROM s""".stripMargin
-    }) { (s, d) =>
+    "dedup_simhash_portable",
+    s"""WITH $s32Cte
+       |SELECT doc_id, simhash32 FROM s32""".stripMargin) { (s, d) =>
     Dedup.simhashPortable(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** Exact Hamming-≤1 SimHash near-dup pairs: the Spark side buckets by
+    * 16-bit half-hash (pigeonhole: distance ≤1 ⇒ one half identical) and
+    * residual-filters by bit_count(xor); the oracle brute-forces all
+    * pairs — the pigeonhole guarantee makes the two answers identical,
+    * so the hash-match certifies the LSH shortcut end to end.
+    */
+  private val hammingPairs = Q(
+    "dedup_hamming_pairs",
+    s"""WITH $s32Cte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INT) AS hamming
+       |FROM s32 a JOIN s32 b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 1""".stripMargin) { (s, d) =>
+    Dedup.simhashHammingPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 1)
   }
 
   /** Exact n-gram Jaccard near-dup pairs over a bounded doc sample — the
@@ -491,7 +515,8 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, jaccard, bpe,
-      stats, quality, langId, fp, rollingFp, piiScrub, repetition,
-      lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames)
+    Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, hammingPairs,
+      jaccard, bpe, stats, quality, langId, fp, rollingFp, piiScrub,
+      repetition, lengthQuantiles, stopPunct, tfidf, bytes, decode, resize,
+      frames)
 }
