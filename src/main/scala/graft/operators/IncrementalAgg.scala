@@ -12,24 +12,30 @@ import org.apache.spark.sql.types.DecimalType
   * `fromBatch` and `merge` are single hash aggregates over their (small)
   * input, and the merge output replaces the state atomically.
   *
-  * Sums accumulate in DECIMAL(18,4), not double — merge must be exact and
+  * Sums accumulate in DECIMAL(38,4), not double — merge must be exact and
   * order-independent, or N incremental refreshes drift from the one-shot
-  * answer (see the c7_delta_agg oracle, which asserts bit-equality).
-  * `present` renders the state for consumers (BIGINT count, DOUBLE sums).
+  * answer (see the c7_delta_agg oracle, which asserts bit-equality). State
+  * stays at the full 38-digit width across merges (a running sum over a
+  * 100 TB fact easily exceeds DECIMAL(18,4)'s 14 integer digits, and under
+  * ANSI mode a narrowing cast on merge would throw mid-refresh); only
+  * `present` narrows, rendering the state for consumers (BIGINT count,
+  * DOUBLE sums).
   */
 object IncrementalAgg {
 
-  private val Dec = DecimalType(18, 4)
+  private val State = DecimalType(38, 4)
 
   /** Aggregate one batch into state rows: (keys*, n, sum_<c>*). */
   def fromBatch(batch: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
     batch.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sumCols.map(c => sum(col(c).cast(Dec)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(c).cast(State)).cast(State).as(s"sum_$c")): _*)
 
   /** Fold a batch's state into the existing state: same schema in and out,
-    * one hash aggregate over state ∪ delta.
+    * one hash aggregate over state ∪ delta. The cast back to DECIMAL(38,4)
+    * is width-preserving (Spark caps sum-over-decimal at 38 digits), so it
+    * never narrows — it only pins the state schema.
     */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String],
       sumCols: Seq[String]): DataFrame =
@@ -37,7 +43,7 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col("n")).cast("long").as("n"),
-        sumCols.map(c => sum(col(s"sum_$c")).cast(Dec).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(s"sum_$c")).cast(State).as(s"sum_$c")): _*)
 
   /** Consumer view of the state: counts as BIGINT, sums as DOUBLE. */
   def present(state: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =

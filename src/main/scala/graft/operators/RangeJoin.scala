@@ -44,8 +44,13 @@ object RangeJoin {
       points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketUnit: String = "month"): DataFrame = {
+    // a degenerate interval (end <= start, e.g. a zero-length validity
+    // window) matches no point under [start, end) — and would feed
+    // sequence() a stop below its start, which throws. Filter them out
+    // rather than fail the job on one bad row.
+    val nonEmpty = intervals.filter(col(endCol) > col(startCol))
     // the last covered bucket is the one containing end-1day (end exclusive)
-    val expanded = intervals.withColumn(
+    val expanded = nonEmpty.withColumn(
       "__bucket",
       explode(sequence(
         bucketOf(bucketUnit, col(startCol)),

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.Cleaning.{dsum, lcount}
+import graft.operators.IncrementalAgg
 import graft.pipeline.Runner
 import graft.sources.{Staging, TableStore, Tables}
 import graft.queries.Q.{C, DS, DS2}
@@ -183,6 +184,32 @@ object PipelineQueries {
         col("n_items"))
   }
 
+  /** C6-family incremental VIEW MAINTENANCE at the aggregate level
+    * ([[graft.operators.IncrementalAgg]]): fold three parity-split batches
+    * of lineitem into a running (count, decimal-sum) state, then present
+    * it. The oracle re-aggregates the whole table one-shot — bit-equality
+    * certifies the merge is exact and order-independent (DECIMAL(38,4)
+    * state, no doubles), i.e. a refresh that shuffles only the delta gives
+    * the same answer as one that re-shuffles 100 TB of history.
+    */
+  private val deltaAgg = Q(
+    "c7_delta_agg",
+    s"""SELECT l_returnflag, l_linestatus, $C AS n,
+       |       ${DS("l_quantity")} AS sum_l_quantity,
+       |       ${DS("l_extendedprice")} AS sum_l_extendedprice
+       |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val sums = Seq("l_quantity", "l_extendedprice")
+    def batch(i: Int) =
+      IncrementalAgg.fromBatch(li.filter(col("l_orderkey") % 3 === i), keys, sums)
+    val merged = (1 to 2).foldLeft(batch(0)) { (st, i) =>
+      IncrementalAgg.merge(st, batch(i), keys, sums)
+    }
+    IncrementalAgg.present(merged, keys, sums)
+  }
+
   val queries: Seq[Q] =
-    Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView)
+    Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
+      deltaAgg)
 }

@@ -983,9 +983,43 @@ object Relational {
     graft.streaming.Sessionize.batchSessions(Tables.events(s, d), 1800L)
   }
 
+  /** J2-family range (point-in-interval) join via the bucketed rewrite
+    * ([[graft.operators.RangeJoin]]): orders against derived campaign
+    * windows. The naive non-equi formulation (the oracle's literal shape)
+    * plans a nested-loop join; the rewrite runs it as a hash equi-join on
+    * a month bucket + residual filter — the shape that survives two large
+    * sides. Campaign 2's window is deliberately degenerate (end = start):
+    * it must match nothing, not throw.
+    */
+  private val j12 = Q(
+    "j12_range_campaign",
+    s"""WITH iv AS (
+       |  SELECT r_regionkey AS campaign_id,
+       |         CAST(DATE '1995-01-01' + INTERVAL (r_regionkey * 6) MONTH AS DATE) AS start_dt,
+       |         CAST(DATE '1995-01-01' + INTERVAL (r_regionkey * 6 +
+       |              CASE WHEN r_regionkey = 2 THEN 0 ELSE 4 END) MONTH AS DATE) AS end_dt
+       |  FROM region)
+       |SELECT campaign_id, $C AS n_orders, ${DS("o_totalprice")} AS revenue
+       |FROM orders JOIN iv
+       |  ON CAST(o_orderdate AS DATE) >= start_dt AND CAST(o_orderdate AS DATE) < end_dt
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val base = lit("1995-01-01").cast("date")
+    val iv = rF(s, d).select(
+      col("r_regionkey").as("campaign_id"),
+      add_months(base, col("r_regionkey") * 6).as("start_dt"),
+      add_months(base,
+        col("r_regionkey") * 6 +
+          when(col("r_regionkey") === 2, 0).otherwise(4)).as("end_dt"))
+    val pts = oF(s, d)
+      .select(col("o_orderdate").cast("date").as("order_dt"), col("o_totalprice"))
+    graft.operators.RangeJoin.pointInInterval(pts, "order_dt", iv, "start_dt", "end_dt", "month")
+      .groupBy(col("campaign_id"))
+      .agg(lcount().as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
-    w2, w3, w4, a11, ev, evCorr, js, sess, j11, funnel, retention, rfm)
+    w2, w3, w4, a11, ev, evCorr, js, sess, j11, funnel, retention, rfm, j12)
 }

@@ -70,8 +70,13 @@ object StreamAsOf {
     // before it can still arrive
     val wmUs = state.getCurrentWatermarkMs() * 1000
     val (ready, pending) = purchases.partition(_._2 <= wmUs)
+    // the TTL applies at emit too, not only via state eviction: otherwise
+    // a watermark jump that passes both a click's expiry and a pending
+    // purchase in ONE batch would still attribute the purchase to the
+    // expired click, making output depend on batch boundaries. With the
+    // filter, attribution is a pure event-time function.
     val out = ready.sortBy(identity).map { case (id, pus) =>
-      val eligible = clicks.filter(_ <= pus)
+      val eligible = clicks.filter(c => c <= pus && pus - c <= ttlUs)
       Attribution(userId, id, pus,
         if (eligible.isEmpty) None else Some(eligible.max))
     }

@@ -61,4 +61,43 @@ class StreamAsOfSpec extends SparkSpec {
     assert((batch.keySet -- streamed.keySet).size < batch.size,
       "most purchases should have been finalized")
   }
+
+  test("maxClickAge binds at emit even when the watermark jumps past expiry and purchase together") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_asof_ttl").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // one file = one micro-batch: the first batch runs at watermark 0 and
+    // holds everything in state; the trailing no-data batch then sees the
+    // watermark jump straight to 10:00 — past BOTH the click's 30-minute
+    // TTL and both purchases — so TTL-by-state-eviction alone never runs
+    // before emission, and only an emit-time TTL can null the late one.
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:10:00"), 10L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 01:00:00"), 10L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 99L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val q = StreamAsOf.attribute(
+      EventStream.readEventStream(spark, dir),
+      watermark = "0 seconds",
+      maxClickAge = Some(java.time.Duration.ofMinutes(30)))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("asof_ttl_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("asof_ttl_test")
+      .select("event_id", "click_us")
+      .as[(Long, Option[Long])].collect().toMap
+    val clickUs = ts("2024-01-01 00:00:00").getTime * 1000
+    assert(got.get(2L) == Some(Some(clickUs)),
+      s"purchase 10 min after the click is inside the TTL: $got")
+    assert(got.get(3L) == Some(None),
+      s"purchase 60 min after the click must attribute to nothing under a 30-min TTL: $got")
+  }
 }
