@@ -59,28 +59,65 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Pass-1 order: cheapest-first by the PREVIOUS run's per-query timings
-    // (BENCH_FULL.json survives between rounds). Round 6 ran pass 1
-    // alphabetically on a stalled host: four heavy queries hit their caps
-    // back to back and ate the whole wall budget before 80 sub-second
-    // queries ever ran. Cheap-first bounds that failure mode — budget
-    // exhaustion can only ever skip the few heavies at the tail. Queries
-    // with no prior timing (this round's new work) slot in at 0 so they are
-    // always timed; previously errored/timed-out ones go last.
-    val priorTimings: Map[String, Double] =
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
-        val qsBlock = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        val esBlock = """"errors":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        val timed = """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(qsBlock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val errored = """"([^"]+)":""".r.findAllMatchIn(esBlock)
-          .map(m => m.group(1) -> 9999.0).toMap
-        errored ++ timed
-      } catch { case _: Throwable => Map.empty }
+    // Pass-1 order: cheapest-first by CUMULATIVE per-query timing history.
+    // BENCH_HISTORY.json is a flat {"query":secs,...} map this program
+    // maintains across rounds (last known measurement wins; 9999 marks
+    // last-known-errored, so those run last). Seeding from only the
+    // previous round's output backfired in round 7: after a partial round-6
+    // run, 85 unmeasured queries defaulted to priority 0.0, sorted
+    // alphabetically FIRST, front-loaded the heavy dedup_*/embed_* block
+    // and burned the whole budget on 5 stall-prone queries. With cumulative
+    // history a query keeps its last real timing across partial rounds, and
+    // genuinely-new queries slot in AFTER the known-sub-second majority
+    // (priority 5.0) but before known-heavy and known-errored ones.
+    def readFile(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case _: Throwable => None }
+    // Brace-matching, string-aware block extractor: error-message values are
+    // escaped strings that can contain literal '}' (Spark exceptions quoting
+    // plans/JSON), which a naive [^}]* regex truncates at.
+    def extractObject(txt: String, key: String): String = {
+      val at = txt.indexOf("\"" + key + "\":{")
+      if (at < 0) "" else {
+        val start = txt.indexOf('{', at)
+        var i = start; var depth = 0; var inStr = false; var esc = false; var end = -1
+        while (i < txt.length && end < 0) {
+          val c = txt.charAt(i)
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' => inStr = true
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (end < 0) "" else txt.substring(start + 1, end)
+      }
+    }
+    val numPair = """"([^"\\]+)":([0-9.]+)""".r
+    val history: Map[String, Double] =
+      readFile("BENCH_HISTORY.json").map { txt =>
+        numPair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.orElse {
+        // Bootstrap from the previous round's complete output. Error keys
+        // are plain query names; an escaped quote inside a value can't
+        // false-match `"name":"` because the value's closing quote is
+        // preceded by a backslash.
+        readFile("BENCH_FULL.json").map { txt =>
+          val timed = numPair.findAllMatchIn(extractObject(txt, "queries"))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val errored = """"([A-Za-z0-9_]+)":"""".r.findAllMatchIn(extractObject(txt, "errors"))
+            .map(m => m.group(1) -> 9999.0).toMap
+          errored ++ timed
+        }
+      }.getOrElse(Map.empty)
+    val unknownPriority = 5.0
     val queries = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (priorTimings.getOrElse(name, 0.0), name)
+      (history.getOrElse(name, unknownPriority), name)
     }
 
     val timings = scala.collection.concurrent.TrieMap[String, Double]()
@@ -114,6 +151,18 @@ object Bench {
         val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
         try w.println(
           s"""{"metric":"total","value":${f3(total)},$common,"queries":$fullQs,"errors":$fullEs,"skipped":$fullSk}""")
+        finally w.close()
+      } catch { case _: Throwable => () }
+      // Cumulative cheap-first seed for the NEXT run: this run's
+      // measurements override history; an error with no timing this run
+      // marks the query 9999 (run last) until a later success re-times it.
+      // Skipped queries keep their old entry untouched.
+      try {
+        val merged = history ++
+          realErrors.map(e => e._1 -> 9999.0).toMap ++ timings.toMap
+        val w = new java.io.PrintWriter("BENCH_HISTORY.json", "UTF-8")
+        try w.println(merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}"))
         finally w.close()
       } catch { case _: Throwable => () }
       val sb = new StringBuilder

@@ -30,7 +30,9 @@ object IncrementalAgg {
     batch.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sumCols.map(c => sum(col(c).cast(State)).cast(State).as(s"sum_$c")): _*)
+        // merge's cast is the schema pin; sum over DECIMAL(38,4) already
+        // yields DECIMAL(38,4) here (p+10 caps at 38), so no outer cast
+        sumCols.map(c => sum(col(c).cast(State)).as(s"sum_$c")): _*)
 
   /** Fold a batch's state into the existing state: same schema in and out,
     * one hash aggregate over state ∪ delta. The cast back to DECIMAL(38,4)

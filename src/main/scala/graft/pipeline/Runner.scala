@@ -46,7 +46,11 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
       if (!batchFilters.contains(t))
         require(!src.isEmpty, s"There is no data in the source: $t")
       Staging.stageAppend(store, s"scr_$t", src, loadId)
-      log(s"stage_$t", src.count(), loadId)
+      // count the written batch, not the source plan — `src.count()` would
+      // re-scan the source a second time purely for the log row
+      log(s"stage_$t",
+        store.read(s"scr_$t").filter(col("Load_id") === loadId.toString).count(),
+        loadId)
     }
   }
 
@@ -116,7 +120,10 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
 
     val fact = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("customer_nk"), "left")
+      // customer is fact-sized at the 100 TB north star — no broadcast
+      // hint (AQE promotes when it measures small); nation is genuinely
+      // dimension-sized and keeps its hint
+      .join(cust, col("o_custkey") === col("customer_nk"), "left")
       .join(broadcast(nat), Seq("nation_nk"), "left")
       .select(
         col("l_orderkey").as("orderkey"),

@@ -35,20 +35,29 @@ object LlmEmbed {
       |       FROM embeddings CROSS JOIN range(1, 4097) t(i)
       |       WHERE i <= len(embedding))""".stripMargin
 
-  /** Per-label corpus stats with exact-arithmetic average L2 norm. */
+  /** Per-label corpus stats over L2 norms. n² comes from the fused native
+    * DotProduct(v,v) expression — a single per-row double fold with no
+    * dim× row inflation (the earlier posexplode version multiplied the
+    * rowcount by the embedding dimension before its partial aggregate).
+    * DuckDB's `list_dot_product` is the same sequential double fold, so
+    * the per-row values are bit-identical (proven by `embed_dot_native`);
+    * the per-group sum then goes through DECIMAL(28,12) so accumulation
+    * order can't diverge.
+    */
   private val normStats = Q(
     "embed_norm_stats",
-    s"""WITH $elCte,
-       |norms AS (SELECT vec_id, label,
-       |                 CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
-       |          FROM el GROUP BY 1, 2)
+    s"""WITH norms AS (SELECT vec_id, label,
+       |                 CAST(list_dot_product(
+       |                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |                   list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS n2
+       |               FROM embeddings)
        |SELECT CAST(label AS BIGINT) AS label, $C AS n,
        |       CAST(SUM(CAST(sqrt(n2) AS DECIMAL(28,12))) AS DOUBLE)
        |         / CAST(count(*) AS DOUBLE) AS avg_norm
        |FROM norms GROUP BY 1""".stripMargin) { (s, d) =>
-    elements(s, d)
-      .groupBy(col("vec_id"), col("label"))
-      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        Similarity.dotNative(col("embedding"), col("embedding")).as("n2"))
       .groupBy(col("label").cast(LongType).as("label"))
       .agg(
         lcount().as("n"),
@@ -308,6 +317,28 @@ object LlmEmbed {
       .select(col("doc_id").as("vec_id"), col("cluster"))
   }
 
+  /** Same clusters via the O(log diameter) large-star/small-star CC
+    * (graft.operators.Dedup.dupClustersStar — the scale path for deep
+    * components, where label propagation would need diameter rounds).
+    * Identical contract, identical recursive-CTE oracle — so the star
+    * variant carries its own CORRECTNESS row rather than only a spec.
+    */
+  private val cosineClustersStar = Q(
+    "dedup_clusters_star",
+    s"""WITH RECURSIVE $elCte,
+       |$cosinePairsCte,
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+       |          UNION SELECT vec_b, vec_a FROM pr),
+       |reach AS (SELECT src, dst FROM edges
+       |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS vec_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+       |FROM reach GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.dupClustersStar(
+        cosinePairsDf(s, d)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+  }
+
   /** The native fused DotProduct expression (graft.plans.DotProduct,
     * registered via GraftExtensions) against an ANSI list_dot_product
     * oracle: same sequential fold, same doubles — checked per row.
@@ -338,16 +369,18 @@ object LlmEmbed {
     */
   private val langNorms = Q(
     "embed_lang_norms",
-    s"""WITH $elCte,
-       |norms AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
-       |          FROM el GROUP BY 1)
+    s"""WITH norms AS (SELECT vec_id,
+       |                 CAST(list_dot_product(
+       |                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |                   list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS n2
+       |               FROM embeddings)
        |SELECT lang, $C AS n,
        |       CAST(SUM(CAST(sqrt(n2) AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm
        |FROM norms JOIN documents ON doc_id = vec_id
        |GROUP BY 1""".stripMargin) { (s, d) =>
-    elements(s, d)
-      .groupBy(col("vec_id"))
-      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Similarity.dotNative(col("embedding"), col("embedding")).as("n2"))
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("doc_id") === col("vec_id"))
       .groupBy(col("lang"))
@@ -359,5 +392,5 @@ object LlmEmbed {
 
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
-      cosineDups, cosineClusters, dotNativeQ, langNorms)
+      cosineDups, cosineClusters, cosineClustersStar, dotNativeQ, langNorms)
 }

@@ -202,7 +202,11 @@ object Relational {
        |GROUP BY 1, 2 ORDER BY yr, region""".stripMargin) { (s, d) =>
     lF(s, d)
       .join(oF(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cF(s, d)), col("o_custkey") === col("c_custkey"))
+      // customer carries NO broadcast hint: it is dim-sized at test sf but
+      // fact-sized at the 100 TB north star (~1.5B rows at TPC-H sf10k) —
+      // a forced hint would override AQE and OOM the driver. AQE still
+      // promotes it to BHJ at runtime when it measures small.
+      .join(cF(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nF(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(rF(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(
@@ -806,8 +810,9 @@ object Relational {
        |             row_number() OVER (PARTITION BY seg ORDER BY total DESC, mo) AS rn
        |      FROM m)
        |WHERE rn = 1""".stripMargin) { (s, d) =>
+    // no broadcast hint on customer (fact-sized at scale; AQE promotes)
     val m = oF(s, d)
-      .join(broadcast(cF(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(cF(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(
         col("c_mktsegment").as("seg"),
         month(col("o_orderdate")).cast(LongType).as("mo"))

@@ -71,6 +71,24 @@ object WarehouseQueries {
       naRow.unionByName(keyed)
   }
 
+  /** G1 scale path — [[Surrogates.assignScalable]] over a FACT-sized
+    * input (every `orders` row), where the single-task `row_number()`
+    * window of [[Surrogates.assign]] would bottleneck: the distributed
+    * range-partitioned sort + per-partition zipWithIndex assigns the same
+    * dense global ranks with no one-task stage. The oracle is the
+    * equivalent global window.
+    */
+  private val g4 = Q(
+    "g4_scalable_surrogates",
+    """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS sk,
+      |       o_orderkey
+      |FROM orders""".stripMargin) { (s, d) =>
+    Surrogates.assignScalable(
+        Tables.orders(s, d).select(col("o_orderkey")),
+        "sk", Seq(col("o_orderkey")))
+      .select(col("sk"), col("o_orderkey"))
+  }
+
   /** G2/F12/F16 — the generated 1,096-row date dimension
     * (bl_cl.sql:1487-1507).
     */
@@ -135,5 +153,5 @@ object WarehouseQueries {
       java.sql.Date.valueOf("2024-06-01"))
   }
 
-  val queries: Seq[Q] = Seq(scd2, scd2TwoSource, g1, g2)
+  val queries: Seq[Q] = Seq(scd2, scd2TwoSource, g1, g2, g4)
 }
