@@ -16,7 +16,14 @@ object TextAnalysis {
   /** Whitespace tokenization of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+  /** Token count WITHOUT materializing the token array: one token more
+    * than the number of whitespace runs in the trimmed text. Identical to
+    * `size(tokens(c))` on every input — split("") is [""] (size 1) and
+    * regexp_count("") is 0+1 — but allocation-free, which dominates when
+    * only the count is aggregated over a corpus.
+    */
+  def tokenCount(c: Column): Column =
+    (regexp_count(trim(c), lit("\\s+")) + 1).cast(LongType)
 
   def distinctTokenCount(c: Column): Column =
     size(array_distinct(tokens(c))).cast(LongType)

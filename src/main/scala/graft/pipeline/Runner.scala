@@ -35,7 +35,7 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
     */
   def stage(loadId: Int,
       batchFilters: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
-    Seq("orders", "lineitem", "customer").foreach { t =>
+    Seq("orders", "lineitem", "customer", "supplier", "part").foreach { t =>
       val src = batchFilters.get(t)
         .map(Tables(spark, sfDir, t).filter(_))
         .getOrElse(Tables(spark, sfDir, t))
@@ -100,11 +100,73 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
           Seq("customer_name", "segment", "nation_nk"), runDate)
     store.overwrite("dim_customer", dimCustomer)
 
+    // SCD1 supplier dim (M9/M14 recipe at warehouse breadth): NA member +
+    // insert-if-absent with sequence-continuing surrogates; a repeated
+    // batch no-ops, so incremental loads leave the dim byte-identical.
+    val supSrc = store.read("scr_supplier")
+      .filter(col("Load_id") === loadId.toString)
+      .select(
+        col("s_suppkey").as("supplier_nk"),
+        col("s_name").as("supplier_name"),
+        col("s_nationkey").as("nation_nk"))
+    store.overwrite("dim_supplier", scd1Dim("dim_supplier", supSrc,
+      "supplier_sk", "supplier_nk",
+      naRow = spark.range(1).select(
+        lit(Constants.NaKey).as("supplier_sk"), lit(-1L).as("supplier_nk"),
+        lit(Constants.NA).as("supplier_name"), lit(-1).as("nation_nk"))))
+
+    // SCD1 brand dim: a derived-attribute chain off the part feed.
+    val brandSrc = store.read("scr_part")
+      .filter(col("Load_id") === loadId.toString)
+      .select(col("p_brand").as("brand_nk")).distinct()
+    store.overwrite("dim_brand", scd1Dim("dim_brand", brandSrc,
+      "brand_sk", "brand_nk",
+      naRow = spark.range(1).select(
+        lit(Constants.NaKey).as("brand_sk"), lit(Constants.NA).as("brand_nk"))))
+
+    // Second SCD2 dim — products from the part feed, tracking name/brand/
+    // price history exactly like the customer dim tracks segment moves.
+    val prodSrc = store.read("scr_part")
+      .filter(col("Load_id") === loadId.toString)
+      .select(
+        col("p_partkey").as("product_nk"),
+        col("p_name").as("product_name"),
+        col("p_brand").as("brand_nk"),
+        col("p_retailprice").as("retail_price"))
+    val dimProduct =
+      if (!store.exists("dim_product"))
+        Scd2.initial(prodSrc, Seq("product_nk"), Constants.LowDt)
+      else
+        Scd2.scd2Apply(
+          store.read("dim_product"), prodSrc, Seq("product_nk"),
+          Seq("product_name", "brand_nk", "retail_price"), runDate)
+    store.overwrite("dim_product", dimProduct)
+
     store.overwrite("dim_date",
       DateDim.build(spark, Date.valueOf("1995-01-01"), Date.valueOf("2002-12-31")))
 
     log("load_dims", store.read("dim_customer").count(), loadId)
   }
+
+  /** The SCD1 dim recipe shared by every non-versioned dimension: first
+    * batch bootstraps NA member + dense surrogates; later batches append
+    * only absent natural keys, with surrogates continuing after the
+    * current max (reference sequences never reuse ids).
+    */
+  private def scd1Dim(name: String, src: DataFrame, skCol: String,
+      nkCol: String, naRow: DataFrame): DataFrame =
+    if (!store.exists(name))
+      naRow.unionByName(
+        Surrogates.assign(src, skCol, Seq(col(nkCol)))
+          .select(naRow.columns.map(col).toIndexedSeq: _*))
+    else {
+      val existing = store.read(name)
+      existing.unionByName(
+        Surrogates.assignAfter(
+            existing, Scd1.newRows(existing, src, Seq(nkCol)),
+            skCol, Seq(col(nkCol)))
+          .select(existing.columns.map(col).toIndexedSeq: _*))
+    }
 
   /** Stage 3 — fact load (reference f_orders, bl_cl.sql:1190-1347):
     * staged batch filter (P2) → broadcast dim lookups (J1) → typed
@@ -117,18 +179,22 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
       .filter(col(Scd2.IsActive) && col(Scd2.EndDt) === lit(Constants.HighDt)) // P4
       .select(col("customer_nk"), col("nation_nk"))
     val nat = store.read("dim_nation").select(col("nation_nk"), col("nation_sk"))
+    val sup = store.read("dim_supplier")
+      .select(col("supplier_nk"), col("supplier_sk"))
 
     val fact = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      // customer is fact-sized at the 100 TB north star — no broadcast
-      // hint (AQE promotes when it measures small); nation is genuinely
-      // dimension-sized and keeps its hint
+      // customer and supplier are fact-sized at the 100 TB north star — no
+      // broadcast hints (AQE promotes when they measure small); nation is
+      // genuinely dimension-sized and keeps its hint
       .join(cust, col("o_custkey") === col("customer_nk"), "left")
+      .join(sup, col("l_suppkey") === col("supplier_nk"), "left")
       .join(broadcast(nat), Seq("nation_nk"), "left")
       .select(
         col("l_orderkey").as("orderkey"),
         col("o_custkey").as("customer_nk"),
         coalesce(col("nation_sk"), lit(Constants.NaKey)).as("nation_sk"),
+        coalesce(col("supplier_sk"), lit(Constants.NaKey)).as("supplier_sk"),
         col("o_orderdate").cast("date").as("order_date"),
         col("l_quantity").cast("double").as("quantity"),
         col("l_extendedprice").cast("double").as("extendedprice"),
@@ -182,14 +248,19 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
 
   /** Stage 5 — QA report (A7/A8/C3 + SCD2 invariant). */
   def qaReport(): DataFrame = {
-    val tables = Seq("dim_region", "dim_nation", "dim_customer", "fct_orders",
+    val tables = Seq("dim_region", "dim_nation", "dim_customer",
+      "dim_supplier", "dim_brand", "dim_product", "fct_orders",
       "yearly_sales_profit").map(t => t -> store.read(t)).toMap
     val sweep = QualityChecks.countSweep(tables)
     val dupViolations = QualityChecks
       .scd2ActiveViolations(store.read("dim_customer"), Seq("customer_nk"))
       .agg(count(lit(1)).cast(LongType).as("n"))
       .select(lit("scd2_active_violations").as("tbl"), col("n"))
-    sweep.unionByName(dupViolations)
+    val prodViolations = QualityChecks
+      .scd2ActiveViolations(store.read("dim_product"), Seq("product_nk"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .select(lit("scd2_product_violations").as("tbl"), col("n"))
+    sweep.unionByName(dupViolations).unionByName(prodViolations)
   }
 
   /** C5 — full orchestration in dependency order. */

@@ -406,19 +406,28 @@ object LlmText {
        |SELECT doc_id, tok, tf, tfidf_lin FROM scored WHERE rn <= 3""".stripMargin) {
     (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val nDocs = Tables.documents(s, d).select(lcount().as("n_docs"))
-      val tf = tok.filter(col("doc_id") < 50)
+      val tf = Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(lcount().as("tf"))
-      val df = tok.groupBy(col("tok"))
-        .agg(countDistinct(col("doc_id")).cast(LongType).as("df"))
+      // df = docs containing each token: dedup per document MAP-SIDE with
+      // array_distinct before the explode, so each doc ships each token
+      // once into the shuffle and the aggregate is a plain count — a
+      // count(DISTINCT doc_id) over the raw exploded corpus would expand
+      // every occurrence into the distinct-aggregate instead.
+      val df = Tables.documents(s, d)
+        .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(lcount().as("df"))
       val score = col("tf").cast("double") * col("n_docs").cast("double") /
         col("df").cast("double")
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(score.desc, col("tok").asc)
-      tf.crossJoin(broadcast(nDocs))
-        .join(broadcast(df), Seq("tok"))
+      // broadcast the SAMPLED side: tf is bounded by the 50-doc sample,
+      // while df is vocabulary-sized — corpus-scale at the 100 TB north
+      // star, where broadcasting it would OOM the driver
+      df.join(broadcast(tf.crossJoin(nDocs)), Seq("tok"))
         .withColumn("tfidf_lin", score)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

@@ -99,6 +99,10 @@ object PipelineQueries {
     s"""SELECT 'dim_customer' AS tbl, $C AS n FROM customer
        |UNION ALL SELECT 'dim_nation', CAST((SELECT count(*) + 1 FROM nation) AS BIGINT)
        |UNION ALL SELECT 'dim_region', CAST((SELECT count(*) + 1 FROM region) AS BIGINT)
+       |UNION ALL SELECT 'dim_supplier', CAST((SELECT count(*) + 1 FROM supplier) AS BIGINT)
+       |UNION ALL SELECT 'dim_brand', CAST((SELECT count(DISTINCT p_brand) + 1 FROM part) AS BIGINT)
+       |UNION ALL SELECT 'dim_product', (SELECT $C FROM part)
+       |UNION ALL SELECT 'scd2_product_violations', CAST(0 AS BIGINT)
        |UNION ALL SELECT 'fct_orders', (SELECT $C FROM lineitem)
        |UNION ALL SELECT 'yearly_sales_profit',
        |  CAST((SELECT count(*) FROM (

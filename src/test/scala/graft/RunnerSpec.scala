@@ -24,8 +24,19 @@ class RunnerSpec extends SparkSpec {
 
     val counts = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("scd2_active_violations") == 0L)
+    assert(counts("scd2_product_violations") == 0L)
     assert(counts("fct_orders") == Tables.lineitem(spark, sfDir).count(),
       "every lineitem lands in the fact exactly once")
+    // full warehouse breadth: 2 SCD2 dims + 4 SCD1 dims (+date), all built
+    assert(counts("dim_supplier") ==
+      Tables(spark, sfDir, "supplier").count() + 1, "supplier dim + NA member")
+    assert(counts("dim_product") == Tables(spark, sfDir, "part").count(),
+      "every part bootstraps one active product version")
+    assert(counts("dim_brand") ==
+      Tables(spark, sfDir, "part").select("p_brand").distinct().count() + 1)
+    // every fact row resolves its supplier surrogate (lookup is total)
+    assert(runner.table("fct_orders")
+      .filter(col("supplier_sk") === -1L).isEmpty)
 
     val view = runner.table("yearly_sales_profit").cache()
     assert(view.count() > 0)
@@ -57,6 +68,14 @@ class RunnerSpec extends SparkSpec {
     // SCD2 customer saw the same (unchanged) source twice: no new versions
     assert(inc.table("dim_customer").count() ==
       oneShot.table("dim_customer").count())
+    // same for the SCD2 product dim and the SCD1 supplier/brand chains —
+    // the full-feed restage under load 2 must no-op every one of them
+    assert(inc.table("dim_product").count() ==
+      oneShot.table("dim_product").count())
+    assert(inc.table("dim_supplier").count() ==
+      oneShot.table("dim_supplier").count())
+    assert(inc.table("dim_brand").count() ==
+      oneShot.table("dim_brand").count())
     // each load's fact slice is lineage-tagged
     val byLoad = inc.table("fct_orders").groupBy("load_id").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
