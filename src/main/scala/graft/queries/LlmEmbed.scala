@@ -243,6 +243,109 @@ object LlmEmbed {
       k = 3, nCentroids = 16, nProbe = 4, iters = 2)
   }
 
+  /** IVF approximate top-3, oracle-checked end to end: the coarse
+    * quantizer is the deterministic strided-id sample [[Similarity.ivfTopK]]
+    * uses (vec_id % max(1, n/16) = 0, lowest 16 ids) — reproducible in
+    * ANSI SQL — and every cosine (assignment AND final ranking)
+    * accumulates its dot in DECIMAL(38,18) and rounds to 12 decimals, so
+    * centroid assignment, the probed candidate set, and the ranked output
+    * are bit-identical across engines. Same scale shape as the native
+    * path: assignment touches corpus × 16 centroid pairs (the centroid
+    * element set is dimension-bounded and broadcastable), lists join
+    * probes on the centroid id, and only probed lists are ranked.
+    */
+  private val annIvfPortable = Q(
+    "embed_ann_ivf_portable",
+    s"""WITH $elCte,
+       |str AS (SELECT greatest(1, CAST(floor(count(*) / 16.0) AS BIGINT)) AS s
+       |        FROM embeddings),
+       |cents AS (SELECT vec_id AS cid FROM embeddings, str
+       |          WHERE vec_id % s = 0 ORDER BY vec_id LIMIT 16),
+       |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |        FROM el GROUP BY 1),
+       |ce AS (SELECT cid, i, x AS cx FROM el JOIN cents ON el.vec_id = cents.cid),
+       |cdots AS (SELECT a.vec_id, ce.cid,
+       |                 CAST(SUM(CAST(a.x * ce.cx AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |          FROM el a JOIN ce ON ce.i = a.i GROUP BY 1, 2),
+       |csim AS (SELECT cdots.vec_id, cid,
+       |                round(dot / (sqrt(nv.n2) * sqrt(nc.n2)), 12) AS cs
+       |         FROM cdots
+       |         JOIN nrm nv ON nv.vec_id = cdots.vec_id
+       |         JOIN nrm nc ON nc.vec_id = cdots.cid),
+       |ranked AS (SELECT vec_id, cid,
+       |                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS cr
+       |           FROM csim),
+       |lists AS (SELECT vec_id AS nid, cid FROM ranked WHERE cr = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE cr <= 4 AND vec_id < 5),
+       |cand AS (SELECT DISTINCT qid, nid
+       |         FROM probes JOIN lists ON probes.cid = lists.cid
+       |         WHERE nid <> qid),
+       |dots AS (SELECT cand.qid, cand.nid,
+       |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |         FROM cand
+       |         JOIN el a ON a.vec_id = cand.qid
+       |         JOIN el b ON b.vec_id = cand.nid AND b.i = a.i
+       |         GROUP BY 1, 2),
+       |cosd AS (SELECT qid, nid,
+       |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+       |         FROM dots
+       |         JOIN nrm na ON na.vec_id = dots.qid
+       |         JOIN nrm nb ON nb.vec_id = dots.nid)
+       |SELECT qid, nid, cosine, rnk
+       |FROM (SELECT qid, nid, cosine,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+       |      FROM cosd)
+       |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val el = elements(s, d)
+    // scalar guard read: the vector count sets the centroid stride (the
+    // same driver-side count Similarity.ivfTopK performs)
+    val stride = math.max(1L, emb.count() / 16)
+    val cents = emb.select(col("vec_id").as("cid"))
+      .filter(pmod(col("cid"), lit(stride)) === 0)
+      .orderBy(col("cid")).limit(16)
+    val nrm = el.groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    val ce = el.join(cents, col("vec_id") === col("cid"))
+      .select(col("cid"), col("i"), col("x").as("cx"))
+    val cdots = el.join(ce, Seq("i"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("x") * col("cx")).cast(dec)).cast(DoubleType).as("dot"))
+    val csim = cdots
+      .join(nrm.select(col("vec_id"), col("n2").as("nv")), Seq("vec_id"))
+      .join(nrm.select(col("vec_id").as("cid"), col("n2").as("nc")), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 12).as("cs"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid"))
+    val ranked = csim.withColumn("cr", row_number().over(wAssign))
+    val lists = ranked.filter(col("cr") === 1)
+      .select(col("vec_id").as("nid"), col("cid"))
+    val probes = ranked.filter(col("cr") <= 4 && col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(lists, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid")).distinct()
+    val a = el.select(col("vec_id").as("qid"), col("i"), col("x").as("xa"))
+    val b = el.select(col("vec_id").as("nid"), col("i"), col("x").as("xb"))
+    val dots = cand
+      .join(a, Seq("qid"))
+      .join(b, Seq("nid", "i"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
+    val cosd = dots
+      .join(nrm.select(col("vec_id").as("qid"), col("n2").as("na")), Seq("qid"))
+      .join(nrm.select(col("vec_id").as("nid"), col("n2").as("nb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    cosd
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+  }
+
   /** Shared oracle CTEs: exact-decimal cosine near-dup pairs (vec_id < 100,
     * cosine >= 0.35). Prefix with `WITH $elCte,` in the consuming query.
     */
@@ -392,5 +495,6 @@ object LlmEmbed {
 
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
-      cosineDups, cosineClusters, cosineClustersStar, dotNativeQ, langNorms)
+      annIvfPortable, cosineDups, cosineClusters, cosineClustersStar,
+      dotNativeQ, langNorms)
 }
