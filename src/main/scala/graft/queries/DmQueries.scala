@@ -151,5 +151,39 @@ object DmQueries {
     untouched.unionByName(closed).unionByName(inserts)
   }
 
-  val queries: Seq[Q] = Seq(m9, m10, m13)
+  /** Part-affinity (market-basket) pairs: the top co-ordered part pairs
+    * across all orders. Plan shape is the generic co-occurrence miner —
+    * ONE shuffle on the basket key, then every basket emits its unordered
+    * member pairs map-side from the sorted member list
+    * ([[graft.operators.Dedup.pairsFromSortedArray]]), then a hash
+    * aggregate on the pair. A self-join formulation would scan and
+    * shuffle the fact twice; this touches it once. Per-basket work is
+    * C(n,2) in the basket size — bounded by order width, not corpus
+    * size (a pathological mega-basket is a data bug, same contract as
+    * the LSH buckets). Top-20 is a TakeOrdered with a total tie-break,
+    * so the selected set is deterministic.
+    */
+  private val affinity = Q(
+    "dm_part_affinity",
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |             CAST(count(*) AS BIGINT) AS support
+      |      FROM b x JOIN b y
+      |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |      GROUP BY 1, 2)
+      |SELECT part_a, part_b, support
+      |FROM p ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(graft.operators.Dedup.pairsFromSortedArray(col("parts"))).as("p"))
+      .groupBy(col("p.doc_a").as("part_a"), col("p.doc_b").as("part_b"))
+      .agg(lcount().as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val queries: Seq[Q] = Seq(m9, m10, m13, affinity)
 }
