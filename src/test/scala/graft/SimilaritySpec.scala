@@ -81,6 +81,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"k-means IVF recall $recall with a single probe")
   }
 
+  test("portable IVF query returns the engine-native ivfTopK neighbor sets") {
+    // Same strided quantizer, same nProbe/k — the oracle-checked portable
+    // twin and the engine-native path must surface the same neighbors
+    // (scores differ only in last-ULP noise below the round-12 cutoff).
+    val native = SparkEntry.queries("embed_ann_ivf")(spark, sfDir)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val portable = SparkEntry.queries("embed_ann_ivf_portable")(spark, sfDir)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(portable == native,
+      s"portable-only: ${portable -- native}; native-only: ${native -- portable}")
+  }
+
   test("lshTopK recall >= 0.8 vs brute force on clustered vectors") {
     val queries = vectors.filter(col("vec_id") % 10 === 0)
     val k = 3
