@@ -244,6 +244,21 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
         .groupBy(col("customer_nk"),
           coalesce(col("nation_name"), lit(Constants.NA)).as("nation"))
         .agg(dsumRound2(col("revenue")).as("revenue")))
+    // SURVEY §8 Q1 bug-compat twin: the reference's sales_employees_regions
+    // resolves the region by joining the child dim's PK to the region PK
+    // (dc.pk_country_id = dr.pk_region_id, bl_dm.sql:299) instead of the
+    // child's region FK. Reproduced verbatim in our key space — the fact's
+    // NATION surrogate joined to the REGION surrogate — so only the first
+    // |region| nation surrogates resolve (wrongly) and everything else
+    // lands on the NA member, exactly the reference's failure mode. The
+    // intended-join view above stays the default surface.
+    store.overwrite("sales_region_bugcompat",
+      fact
+        .join(broadcast(reg.select(col("region_sk"), col("region_name"))),
+          col("nation_sk") === col("region_sk"), "left")
+        .groupBy(col("customer_nk").cast(LongType).as("customer_nk"),
+          coalesce(col("region_name"), lit(Constants.NA)).as("region"))
+        .agg(dsumRound2(col("revenue")).as("revenue")))
   }
 
   /** Stage 5 — QA report (A7/A8/C3 + SCD2 invariant). */

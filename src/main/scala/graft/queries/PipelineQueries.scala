@@ -163,6 +163,39 @@ object PipelineQueries {
       .agg(lcount().as("n"), dsum(col("l_quantity")).as("qty"))
   }
 
+  /** SURVEY §8 Q1 — the bug-compat view: region resolved by joining the
+    * nation SURROGATE to the region SURROGATE (the reference's
+    * country-PK = region-PK quirk, bl_dm.sql:299). The oracle rebuilds
+    * both surrogate sequences (dense row_numbers over the natural keys —
+    * exactly what Surrogates.assign produces) and repeats the wrong-key
+    * join, so the hash match certifies we reproduce the quirk, not an
+    * accidental different bug. The intended-join view is certified by
+    * `s5_pipeline_view`.
+    */
+  private val bugCompatView = Q(
+    "v1_region_bugcompat",
+    s"""WITH natsk AS (SELECT n_nationkey,
+       |                      CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS nation_sk
+       |               FROM nation),
+       |regsk AS (SELECT r_name,
+       |                 CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS region_sk
+       |          FROM region),
+       |f AS (SELECT CAST(o_custkey AS BIGINT) AS customer_nk,
+       |             l_extendedprice * (1 - l_discount) AS rev,
+       |             n.nation_sk
+       |      FROM lineitem
+       |      JOIN orders   ON l_orderkey = o_orderkey
+       |      JOIN customer ON o_custkey = c_custkey
+       |      JOIN natsk n  ON c_nationkey = n.n_nationkey)
+       |SELECT customer_nk,
+       |       coalesce(r.r_name, 'NA') AS region,
+       |       ${DS2("rev")} AS revenue
+       |FROM f LEFT JOIN regsk r ON f.nation_sk = r.region_sk
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    warehouse(s, d).table("sales_region_bugcompat")
+      .select(col("customer_nk"), col("region"), col("revenue"))
+  }
+
   /** C5/S3/M14/M15 — TWO-BATCH incremental build equals the one-shot
     * build: the oracle is the same closed-form recomputation from the raw
     * tables that certifies `s5_pipeline_view`, but the Spark side answers
@@ -215,5 +248,5 @@ object PipelineQueries {
 
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
-      deltaAgg)
+      deltaAgg, bugCompatView)
 }
