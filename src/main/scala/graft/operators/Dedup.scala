@@ -283,6 +283,41 @@ object Dedup {
       .select(col("n").as("doc_id"), least(col("mn"), col("n")).as("cluster"))
   }
 
+  /** Train→eval n-gram contamination report — the decontamination step a
+    * training pipeline runs before accepting a train/test split: for each
+    * doc in `evalSplit`, how many of its word n-grams also occur anywhere
+    * in the train split (and the worst-case train document frequency).
+    *
+    * Scale shape: the train side collapses to ONE row per distinct
+    * shingle (a partial-aggregated count of train docs), and the eval
+    * side joins that 1:1 on the shingle key — so the join output is
+    * bounded by the eval shingle count, never a doc × doc blowup when a
+    * stop-phrase occurs in millions of train documents. Two shuffles
+    * total (train-df aggregate, eval join+report aggregate).
+    *
+    * Output: (id, n_shingles, n_contaminated, max_train_df) — one row per
+    * eval doc with ≥ 1 shingle; n_contaminated > 0 flags a leak.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+      splitCol: String, n: Int = 5, trainSplit: String = "train",
+      evalSplit: String = "test"): DataFrame = {
+    val sh = docs
+      .select(col(idCol), col(splitCol),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val trainDf = sh.filter(col(splitCol) === trainSplit)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).cast(LongType).as("train_df"))
+    sh.filter(col(splitCol) === evalSplit)
+      .select(col(idCol), col("shingle"))
+      .join(trainDf, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_shingles"),
+        count(col("train_df")).cast(LongType).as("n_contaminated"),
+        max(coalesce(col("train_df"), lit(0L))).as("max_train_df"))
+  }
+
   /** Exact Jaccard similarity for given (doc_a, doc_b) pairs — the
     * verification stage after LSH candidate generation.
     */

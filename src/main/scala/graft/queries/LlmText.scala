@@ -167,6 +167,43 @@ object LlmText {
         Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text", 0.2)
   }
 
+  /** Train→test 5-gram decontamination report over the deterministic
+    * md5-byte split ([[graft.operators.Sampling.hashSplit]]): per test
+    * doc, how many of its 5-grams leak from the train split. The oracle
+    * rebuilds the split byte, the shingle sets, and the train-df
+    * aggregate — a hash match certifies the whole decontamination path
+    * (split assignment, shingling, the bounded train-df join shape).
+    */
+  private val contamination = Q(
+    "dedup_contamination", {
+      val hex = "0123456789abcdef"
+      val byte = s"(strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+        s" + (strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sp AS (SELECT doc_id,
+         |              CASE WHEN $byte < 205 THEN 'train'
+         |                   WHEN $byte < 230 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |              l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS shingle
+         |       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE i <= len(l) - 4),
+         |tr AS (SELECT shingle, $C AS train_df
+         |       FROM sh JOIN sp USING (doc_id) WHERE split = 'train' GROUP BY 1),
+         |te AS (SELECT sh.doc_id, sh.shingle
+         |       FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE sp.split = 'test')
+         |SELECT doc_id, $C AS n_shingles,
+         |       CAST(count(train_df) AS BIGINT) AS n_contaminated,
+         |       CAST(max(coalesce(train_df, 0)) AS BIGINT) AS max_train_df
+         |FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+         |GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+    Dedup.contaminationReport(
+      Tables.documents(s, d)
+        .withColumn("split", graft.operators.Sampling.hashSplit(col("doc_id"))),
+      "doc_id", "text", "split", n = 5)
+  }
+
   /** Token counting + per-language corpus stats. */
   private val stats = Q(
     "text_token_stats",
@@ -525,7 +562,7 @@ object LlmText {
 
   val queries: Seq[Q] =
     Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, hammingPairs,
-      jaccard, bpe, stats, quality, langId, fp, rollingFp, piiScrub,
-      repetition, lengthQuantiles, stopPunct, tfidf, bytes, decode, resize,
-      frames)
+      jaccard, contamination, bpe, stats, quality, langId, fp, rollingFp,
+      piiScrub, repetition, lengthQuantiles, stopPunct, tfidf, bytes, decode,
+      resize, frames)
 }

@@ -106,6 +106,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contamination report flags leaked docs and clears clean ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "train"),
+      (2L, "an entirely different training document about spark", "train"),
+      // full leak: an exact copy of doc 1 landed in test
+      (3L, "the quick brown fox jumps over the lazy dog", "test"),
+      // partial leak: shares exactly one 5-gram window with doc 1
+      (4L, "here the quick brown fox jumps again and again today", "test"),
+      // clean: no 5-gram in common with any train doc
+      (5L, "completely novel evaluation text with no overlap at all", "test"))
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.contaminationReport(docs, "doc_id", "text", "split", n = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (n3, c3, _) = got(3L)
+    assert(n3 == 5 && c3 == 5, s"exact copy must be fully contaminated: ${got(3L)}")
+    val (_, c4, d4) = got(4L)
+    assert(c4 == 1 && d4 == 1, s"one shared 5-gram window expected: ${got(4L)}")
+    assert(got(5L)._2 == 0, s"clean doc flagged: ${got(5L)}")
+  }
+
   test("portable simhash: near-dups are close in Hamming distance, strangers far") {
     val h = Dedup.simhashPortable(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
