@@ -11,9 +11,10 @@ import graft.functions.TextAnalysis
   * generation after a single shuffle on the bucket key — never an all-pairs
   * cross join, and never a second pass over the corpus.
   *
-  * Scale notes (100 TB): the shingle explode is map-side and runs at input
-  * parallelism (the scan is re-spread by doc id first, so a few big input
-  * files can't serialize the pipeline); signatures take one shuffle on
+  * Scale notes (100 TB): the shingle explode is map-side and runs at full
+  * parallelism — big inputs arrive pre-split by parquet, and a small or
+  * unsplittable input (one row group) is conditionally re-spread first
+  * (Tables.spread, identity on big scans); signatures take one shuffle on
   * (doc, seed); banding one shuffle on (doc, band); pair generation one
   * shuffle on (band, band_key). Bucket membership lists are bounded by the
   * duplicate-cluster size — a pathological mega-bucket means the banding
@@ -44,12 +45,14 @@ object Dedup {
         count(lit(1)).cast(LongType).as("n_dups"))
 
   /** Distinct (id, shingle) pairs — the MinHash input set. The explode
-    * runs inside the scan stage (parquet splits big files at
-    * maxPartitionBytes, so no pre-shuffle is needed for parallelism);
-    * the dedup shuffle moves exploded shingles, never raw document text.
+    * runs at full parallelism: big inputs arrive pre-split by parquet
+    * (maxPartitionBytes), and a small-file input is conditionally
+    * re-spread first ([[graft.sources.Tables.spread]] — identity on big
+    * scans), so one unsplittable row group can't serialize the shingling.
+    * The dedup shuffle moves exploded shingles, never raw document text.
     */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs
+    graft.sources.Tables.spread(docs)
       .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
@@ -160,7 +163,7 @@ object Dedup {
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
     // no distinct: min() is duplicate-insensitive, so the dedup shuffle
     // of shingleSet is pure overhead here
-    val shingles = docs
+    val shingles = graft.sources.Tables.spread(docs)
       .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), shingleN)).as("shingle"))
     candidatePairs(
       bandKeysFromWide(
@@ -301,7 +304,7 @@ object Dedup {
   def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
       splitCol: String, n: Int = 5, trainSplit: String = "train",
       evalSplit: String = "test"): DataFrame = {
-    val sh = docs
+    val sh = graft.sources.Tables.spread(docs)
       .select(col(idCol), col(splitCol),
         explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .distinct()
@@ -361,7 +364,7 @@ object Dedup {
     * row explosion.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
+    val toks = graft.sources.Tables.spread(docs)
       .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { p =>
@@ -389,7 +392,7 @@ object Dedup {
     */
   def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val toks = docs
+    val toks = graft.sources.Tables.spread(docs)
       .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("m", md5(col("tok")))
     val bitSums = (0 until 32).map { p =>

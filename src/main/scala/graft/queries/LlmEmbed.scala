@@ -22,9 +22,12 @@ object LlmEmbed {
 
   private val dec = DecimalType(38, 18)
 
-  /** Element stream: (vec_id, i, x) with x widened to double. */
+  /** Element stream: (vec_id, i, x) with x widened to double. The scan is
+    * conditionally re-spread (Tables.spread — identity on big inputs) so a
+    * single-row-group embeddings file can't serialize the dim× explode.
+    */
   private def elements(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.embeddings(s, d)
+    Tables.spread(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .select(
         col("vec_id"), col("label"), col("pos").as("i"),

@@ -316,7 +316,9 @@ object LlmText {
       |FROM documents CROSS JOIN range(1, 4096) t(i)
       |WHERE i <= greatest(len(text) - 7, 1)
       |GROUP BY 1""".stripMargin) { (s, d) =>
-    Tables.documents(s, d).select(
+    // per-character md5 windows are the heaviest per-row compute in the
+    // text suite — re-spread a single-split scan so it parallelizes
+    Tables.spread(Tables.documents(s, d)).select(
       col("doc_id"),
       TextAnalysis.rollingFingerprint(col("text"), 8).as("roll_fp"))
   }
@@ -408,7 +410,7 @@ object LlmText {
       |       CAST(1 AS DOUBLE)
       |         - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_ratio
       |FROM bg GROUP BY 1""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       // project the gram array ONCE: referencing a named column downstream
       // evaluates the shingle transform a single time per row, where
       // repeating the expression in filter + both sizes would build the

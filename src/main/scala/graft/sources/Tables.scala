@@ -40,4 +40,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Re-spread a plan whose partition count is below the session's default
+    * parallelism, for use directly under compute-heavy per-row work
+    * (shingling, per-position hashing, vector explodes).
+    *
+    * Why conditional: parquet can't split inside a row group, so a corpus
+    * that arrives as a handful of small files runs ALL downstream per-row
+    * compute in a handful of tasks — measured on this harness as the whole
+    * dedup block serializing into one task of a 32-thread session (the
+    * 594 KB documents file is one row group). Few splits also means few
+    * bytes, so the corrective shuffle is cheap by construction. At
+    * production scale the scan has orders of magnitude more splits than
+    * cores and this is the identity — no shuffle is ever added to a big
+    * input. Apply it AFTER source filters so pushdown still reaches the
+    * scan.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }
