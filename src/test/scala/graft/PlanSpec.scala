@@ -74,6 +74,19 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unscalable join shapes:\n${offenders.mkString("\n")}")
   }
 
+  test("spread parallelizes a single-split scan and is identity on wide plans") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(docs.rdd.getNumPartitions == 1, "harness file should be one row group")
+    val respread = graft.sources.Tables.spread(docs)
+    assert(respread.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // already at/above parallelism -> no exchange is added
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism + 2)
+    assert(graft.sources.Tables.spread(wide) eq wide)
+    // same rows either way
+    assert(respread.count() == docs.count())
+  }
+
   test("salted join equals the plain join on skewed data") {
     val probe = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
       .toDF("k", "v") // key 1 is hot
