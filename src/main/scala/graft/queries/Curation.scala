@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.Cleaning.lcount
-import graft.operators.{AsOfJoin, Sampling}
+import graft.functions.TextAnalysis
+import graft.operators.{AsOfJoin, Dedup, Sampling}
 import graft.sources.Tables
 import graft.queries.Q.C
 
@@ -134,5 +135,54 @@ object Curation {
       .select(col("doc_id"), col("lang"))
   }
 
-  val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, stratSample)
+  /** The end-to-end curation readout a training pipeline ships: exact-dup
+    * keep-list (group representative per content hash) → quality gate
+    * (length + lexical-diversity heuristics) → deterministic split
+    * assignment → per-(split, lang) document/token/char accounting.
+    * Three shuffles at any scale: the content-hash aggregate, the keep-
+    * list semi-join on the id, and the final report aggregate — each
+    * stage is the certified operator it composes (`dedup_exact`,
+    * `text_quality`, `split_assign`), so a hash match here certifies the
+    * COMPOSITION: filters feed each other in the right order with no
+    * row loss or double-count.
+    */
+  private val pipeline = Q(
+    "curation_pipeline", {
+      val hex = "0123456789abcdef"
+      val byte = s"(strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+        s" + (strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |q AS (SELECT d.doc_id, lang, n_chars,
+         |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS dt
+         |      FROM documents d JOIN k USING (doc_id)),
+         |f AS (SELECT doc_id, lang, n_chars, n_toks FROM q
+         |      WHERE n_toks >= 20 AND n_toks <= 2000
+         |        AND CAST(dt AS DOUBLE) / CAST(n_toks AS DOUBLE) > 0.15)
+         |SELECT CASE WHEN $byte < 205 THEN 'train'
+         |            WHEN $byte < 230 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       lang, $C AS n_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM f GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val keep = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    docs
+      .join(keep, Seq("doc_id"), "left_semi")
+      .filter(TextAnalysis.qualityFlag(col("text")) === 1)
+      .select(
+        Sampling.hashSplit(col("doc_id")).as("split"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        lcount().as("n_docs"),
+        sum(col("n_toks")).cast(LongType).as("total_tokens"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+  }
+
+  val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, stratSample,
+    pipeline)
 }
