@@ -291,12 +291,15 @@ object Dedup {
     * doc in `evalSplit`, how many of its word n-grams also occur anywhere
     * in the train split (and the worst-case train document frequency).
     *
-    * Scale shape: the train side collapses to ONE row per distinct
-    * shingle (a partial-aggregated count of train docs), and the eval
-    * side joins that 1:1 on the shingle key — so the join output is
-    * bounded by the eval shingle count, never a doc × doc blowup when a
-    * stop-phrase occurs in millions of train documents. Two shuffles
-    * total (train-df aggregate, eval join+report aggregate).
+    * Scale shape: the split predicate pushes down into both branch scans
+    * (each branch explodes only its own split's documents — disjoint
+    * subsets, no duplicated shingling), the train side collapses to ONE
+    * row per distinct shingle (a partial-aggregated count of train docs),
+    * and the eval side joins that 1:1 on the shingle key — so the join
+    * output is bounded by the eval shingle count, never a doc × doc
+    * blowup when a stop-phrase occurs in millions of train documents.
+    * Shuffles: one shingle-dedup per branch, the train-df aggregate, the
+    * shingle-keyed join, and the per-doc report aggregate.
     *
     * Output: (id, n_shingles, n_contaminated, max_train_df) — one row per
     * eval doc with ≥ 1 shingle; n_contaminated > 0 flags a leak.
