@@ -15,8 +15,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized base plans per (session, dir, table) — the harness tables
+    * are immutable, but `spark.read.parquet` re-lists the directory and
+    * re-reads footers for schema on EVERY call, and the catalog's queries
+    * each read several tables: across a 110-query run that is hundreds of
+    * redundant metadata reads. A real catalog caches table metadata;
+    * this map is that cache. (Mutable layer tables — TableStore — are
+    * deliberately NOT cached: they change between writes.)
+    */
+  private val plans =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    plans.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
