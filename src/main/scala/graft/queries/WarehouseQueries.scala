@@ -153,5 +153,61 @@ object WarehouseQueries {
       java.sql.Date.valueOf("2024-06-01"))
   }
 
-  val queries: Seq[Q] = Seq(scd2, scd2TwoSource, g1, g2, g4)
+  /** SCD2 POINT-IN-TIME fact resolution — the temporal join the
+    * reference's active-version filter (P4) only approximates: each order
+    * resolves the customer version valid AT ITS ORDER DATE
+    * (`start_dt <= od < end_dt`), so facts that straddle a version change
+    * split between the old and new attribute values. The version history
+    * is built deterministically (custkey % 3 == 0 changes segment at
+    * 1995-06-01, mid-way through the order date range).
+    *
+    * Scale shape: a plain hash equi-join on the customer key with the
+    * interval as a residual filter — versions per key are few by
+    * construction (SCD2 history depth), so the join output is bounded by
+    * the fact size, never an interval blowup; no range-join machinery is
+    * needed when a key column exists. One shuffle pair for the join, one
+    * for the final aggregate.
+    */
+  private val pit = Q(
+    "scd2_point_in_time",
+    s"""WITH v AS (
+       |  SELECT c_custkey AS k, c_mktsegment AS seg,
+       |         DATE '1900-01-01' AS start_dt,
+       |         CASE WHEN c_custkey % 3 = 0 THEN DATE '1995-06-01'
+       |              ELSE DATE '9999-12-31' END AS end_dt
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, lower(c_mktsegment), DATE '1995-06-01',
+       |         DATE '9999-12-31'
+       |  FROM customer WHERE c_custkey % 3 = 0),
+       |j AS (SELECT v.seg, o_totalprice
+       |      FROM orders JOIN v ON o_custkey = v.k
+       |       AND CAST(o_orderdate AS DATE) >= v.start_dt
+       |       AND CAST(o_orderdate AS DATE) < v.end_dt)
+       |SELECT seg AS segment, ${Q.C} AS n_orders,
+       |       ${Q.DS2("o_totalprice")} AS total_price
+       |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.Cleaning.{dsumRound2, lcount}
+    val cust = Tables.customer(s, d)
+    val flip = Date.valueOf("1995-06-01")
+    val v1 = cust.select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      lit(Date.valueOf("1900-01-01")).as("start_dt"),
+      when(col("c_custkey") % 3 === 0, lit(flip))
+        .otherwise(lit(Constants.HighDt)).as("end_dt"))
+    val v2 = cust.filter(col("c_custkey") % 3 === 0).select(
+      col("c_custkey").as("k"), lower(col("c_mktsegment")).as("seg"),
+      lit(flip).as("start_dt"), lit(Constants.HighDt).as("end_dt"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+        col("o_totalprice"))
+      .join(v1.unionByName(v2),
+        col("o_custkey") === col("k")
+          && col("od") >= col("start_dt") && col("od") < col("end_dt"))
+      .groupBy(col("seg").as("segment"))
+      .agg(lcount().as("n_orders"),
+        dsumRound2(col("o_totalprice")).as("total_price"))
+  }
+
+  val queries: Seq[Q] = Seq(scd2, scd2TwoSource, g1, g2, g4, pit)
 }
