@@ -59,4 +59,46 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(dim.filter(!col(Scd2.IsActive)).isEmpty, "no spurious closes")
     assert(QualityChecks.scd2ActiveViolations(dim, Seq("customer_nk")).isEmpty)
   }
+
+  test("streaming incremental aggregate maintenance equals the one-shot batch aggregate") {
+    import graft.operators.IncrementalAgg
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val sums = Seq("l_quantity", "l_extendedprice")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+
+    // three parquet files => three micro-batches
+    val srcDir = Files.createTempDirectory("graft_inc_src").toString
+    (0 to 2).foreach { i =>
+      li.filter(col("l_orderkey") % 3 === i).coalesce(1).write
+        .mode("append").parquet(srcDir)
+    }
+    val store = new TableStore(spark, Files.createTempDirectory("graft_inc_wh").toString)
+    val stream = spark.readStream
+      .schema(li.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    // the production state-table pattern: each micro-batch folds its delta
+    // into the persisted state (TableStore's temp-then-swap makes the
+    // read-modify-overwrite safe); only the delta is ever re-aggregated
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = IncrementalAgg.fromBatch(batch.toDF(), keys, sums)
+        val next =
+          if (!store.exists("agg_state")) delta
+          else IncrementalAgg.merge(store.read("agg_state"), delta, keys, sums)
+        store.overwrite("agg_state", next)
+      }.start()
+    q.awaitTermination()
+
+    val streamed = IncrementalAgg.present(store.read("agg_state"), keys, sums)
+      .collect().map(_.toSeq).toSet
+    val oneShot = IncrementalAgg.present(
+        IncrementalAgg.fromBatch(li, keys, sums), keys, sums)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot,
+      s"streamed-only: ${streamed -- oneShot}; oneshot-only: ${oneShot -- streamed}")
+  }
 }
