@@ -907,6 +907,36 @@ object Relational {
       .agg(countDistinct(col("user_id")).cast(LongType).as("active"))
   }
 
+  /** Top-3 users per event type via the NATIVE bounded-heap `topk_pairs`
+    * aggregate ([[graft.plans.TopKPairs]]) against a `row_number` window
+    * oracle — the direct CORRECTNESS row for the TypedImperativeAggregate
+    * itself (elsewhere it runs inside the similarity rankers). The heap
+    * partial-aggregates map-side, so only k rows per event type per
+    * partition reach the shuffle, where the window form shuffles and
+    * sorts every (type, user) count. Ties break on lower user_id in both
+    * formulations.
+    */
+  private val topUsers = Q(
+    "events_top_users",
+    s"""WITH c AS (SELECT event_type, user_id, $C AS n FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, user_id, n,
+       |             CAST(row_number() OVER (PARTITION BY event_type
+       |                    ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+       |      FROM c)
+       |SELECT event_type, user_id, n, rnk FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(lcount().as("n"))
+      .groupBy(col("event_type"))
+      .agg(call_function("topk_pairs",
+        col("n").cast("double"), col("user_id"), lit(3)).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(
+        col("event_type"), col("col.id").as("user_id"),
+        col("col.score").cast(LongType).as("n"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
+  }
+
   /** RFM segmentation over orders: per-customer recency/frequency/
     * monetary rollup, bucketed and re-aggregated — one shuffle per
     * aggregate, monetary sums in exact decimal so bucket boundaries
@@ -1026,5 +1056,6 @@ object Relational {
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
-    w2, w3, w4, a11, ev, evCorr, js, sess, j11, funnel, retention, rfm, j12)
+    w2, w3, w4, a11, ev, evCorr, js, sess, j11, funnel, retention, topUsers,
+    rfm, j12)
 }
