@@ -84,4 +84,29 @@ object Scd2 {
       .withColumn(StartDt, lit(startDate))
       .withColumn(EndDt, lit(Constants.HighDt))
       .withColumn(IsActive, lit(true))
+
+  /** POINT-IN-TIME resolution: join each fact row to the dimension
+    * version valid at the fact's own date (`start_dt <= d < end_dt`) —
+    * the temporal generalization of the active-version lookup (P4), so
+    * facts straddling a version change resolve to the attributes that
+    * were true WHEN THEY HAPPENED, not the attributes of today.
+    *
+    * Plan shape: a plain hash equi-join on the natural key with the
+    * interval as a residual predicate — per key the dimension holds one
+    * row per version, so the join output is bounded by |fact| × history
+    * depth and no range-join machinery is needed. `how = "left"` keeps
+    * facts with no valid version (they resolve to nulls, the NA-member
+    * regime); inner drops them.
+    */
+  def pointInTime(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      factDateCol: String, how: String = "inner"): DataFrame =
+    fact.join(
+      dim,
+      keys.map(k => fact(k) === dim(k)).reduce(_ && _) &&
+        fact(factDateCol) >= dim(StartDt) && fact(factDateCol) < dim(EndDt),
+      how)
+      .drop(dim(StartDt)).drop(dim(EndDt))
+      .select(fact.columns.map(fact(_)) ++
+        dim.columns.filterNot((keys ++ Seq(StartDt, EndDt)).contains)
+          .map(dim(_)): _*)
 }

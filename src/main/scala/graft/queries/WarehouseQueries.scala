@@ -192,18 +192,16 @@ object WarehouseQueries {
     val flip = Date.valueOf("1995-06-01")
     val v1 = cust.select(
       col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
-      lit(Date.valueOf("1900-01-01")).as("start_dt"),
+      lit(Date.valueOf("1900-01-01")).as(Scd2.StartDt),
       when(col("c_custkey") % 3 === 0, lit(flip))
-        .otherwise(lit(Constants.HighDt)).as("end_dt"))
+        .otherwise(lit(Constants.HighDt)).as(Scd2.EndDt))
     val v2 = cust.filter(col("c_custkey") % 3 === 0).select(
       col("c_custkey").as("k"), lower(col("c_mktsegment")).as("seg"),
-      lit(flip).as("start_dt"), lit(Constants.HighDt).as("end_dt"))
-    Tables.orders(s, d)
-      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
-        col("o_totalprice"))
-      .join(v1.unionByName(v2),
-        col("o_custkey") === col("k")
-          && col("od") >= col("start_dt") && col("od") < col("end_dt"))
+      lit(flip).as(Scd2.StartDt), lit(Constants.HighDt).as(Scd2.EndDt))
+    val fact = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+    Scd2.pointInTime(fact, v1.unionByName(v2), Seq("k"), "od")
       .groupBy(col("seg").as("segment"))
       .agg(lcount().as("n_orders"),
         dsumRound2(col("o_totalprice")).as("total_price"))

@@ -69,6 +69,28 @@ class ScdSpec extends SparkSpec {
     assert(QualityChecks.scd2ActiveViolations(afterReload, Seq("k")).isEmpty)
   }
 
+  test("pointInTime resolves each fact to the version valid at its date") {
+    def d(s: String): Date = Date.valueOf(s)
+    val dim = Seq(
+      (1L, "old", d("1900-01-01"), d("2000-01-01")),
+      (1L, "new", d("2000-01-01"), d("9999-12-31")),
+      (2L, "only", d("1900-01-01"), d("9999-12-31")))
+      .toDF("k", "attr", Scd2.StartDt, Scd2.EndDt)
+    val fact = Seq(
+      (1L, d("1999-12-31"), 10.0), // last day of the old version
+      (1L, d("2000-01-01"), 20.0), // first day of the new (start inclusive)
+      (2L, d("1995-06-15"), 30.0),
+      (3L, d("1995-06-15"), 40.0)) // no version at all
+      .toDF("k", "od", "m")
+    val inner = Scd2.pointInTime(fact, dim, Seq("k"), "od")
+      .select("k", "m", "attr").as[(Long, Double, String)].collect().toSet
+    assert(inner == Set((1L, 10.0, "old"), (1L, 20.0, "new"), (2L, 30.0, "only")))
+    val left = Scd2.pointInTime(fact, dim, Seq("k"), "od", how = "left")
+    assert(left.count() == 4)
+    assert(left.filter(col("k") === 3).head().getAs[String]("attr") == null,
+      "unmatched fact keeps null attributes under left")
+  }
+
   test("scd1 insertIfAbsent: dedups incoming and never duplicates existing keys") {
     val target = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     val incoming = Seq((2L, "y2"), (3L, "z"), (3L, "z-dup")).toDF("k", "v")
