@@ -183,6 +183,50 @@ object Curation {
         sum(col("n_chars")).cast(LongType).as("total_chars"))
   }
 
+  /** Temperature-style source rebalancing — the data-MIXING stage: each
+    * source is down-sampled at rate min(1, K/√|source|), so dominant
+    * sources shrink toward the inverse-sqrt mixture and small sources
+    * survive whole. The rate turns into an integer md5-hash threshold
+    * (floor(rate·2³²)) computed once per source — every arithmetic step
+    * (sqrt, divide, floor) is IEEE-exact and engine-identical, so the
+    * kept-set is deterministic and the oracle checks it row for row.
+    * Scale shape: one count aggregate, a broadcast of the tiny per-source
+    * threshold dim, a map-side hash filter, one report aggregate.
+    */
+  private val tempSample = Q(
+    "sample_temperature",
+    s"""WITH c AS (SELECT source, $C AS n_total FROM documents GROUP BY 1),
+       |r AS (SELECT source, n_total,
+       |             CAST(floor(least(1.0, 4.0 / sqrt(CAST(n_total AS DOUBLE)))
+       |                        * 4294967296.0) AS BIGINT) AS thr
+       |      FROM c),
+       |k AS (SELECT d.source, d.n_chars
+       |      FROM documents d JOIN r ON d.source = r.source
+       |      WHERE CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |            < r.thr)
+       |SELECT r.source, r.n_total,
+       |       CAST((SELECT count(*) FROM k WHERE k.source = r.source) AS BIGINT) AS n_kept,
+       |       CAST((SELECT coalesce(sum(n_chars), 0) FROM k WHERE k.source = r.source) AS BIGINT) AS kept_chars
+       |FROM r""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val rates = docs.groupBy(col("source"))
+      .agg(lcount().as("n_total"))
+      .withColumn("thr",
+        floor(least(lit(1.0), lit(4.0) / sqrt(col("n_total").cast("double")))
+          * lit(4294967296.0)).cast(LongType))
+    val h = conv(substring(md5(concat_ws("|", lit("mix"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast(LongType)
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("kept", h < col("thr"))
+      .groupBy(col("source"), col("n_total"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).cast(LongType)
+          .as("kept_chars"))
+      .select(col("source"), col("n_total"), col("n_kept"), col("kept_chars"))
+  }
+
   val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, stratSample,
-    pipeline)
+    pipeline, tempSample)
 }
