@@ -22,14 +22,23 @@ object Tables {
     * redundant metadata reads. A real catalog caches table metadata;
     * this map is that cache. (Mutable layer tables — TableStore — are
     * deliberately NOT cached: they change between writes.)
+    *
+    * Keyed on the SparkSession REFERENCE (sessions use identity equality),
+    * not its identityHashCode — hash codes can collide across session
+    * churn, which would hand one session a DataFrame bound to another,
+    * possibly stopped, session. Entries bound to a stopped session are
+    * evicted lazily on the next lookup, so the cache never pins dead
+    * sessions (and their plans) in a long-lived multi-session process.
     */
   private val plans =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    plans.keySet.removeIf(_._1.sparkContext.isStopped)
     plans.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir, name),
-      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+      (spark, sfDir, name),
+      k => k._1.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -54,6 +63,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Memoized row count per (dir, table) — harness tables are immutable,
+    * so a scalar that parameterizes a plan (the IVF centroid stride) is
+    * computed once per process, not via a fresh COUNT scan of the corpus
+    * on every query invocation. Session-independent by construction (a
+    * count has no session-bound state).
+    */
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    counts.computeIfAbsent((sfDir, name), _ => apply(spark, sfDir, name).count())
+
   /** Re-spread a plan whose partition count is below the session's default
     * parallelism, for use directly under compute-heavy per-row work
     * (shingling, per-position hashing, vector explodes).
@@ -71,6 +92,44 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (estimatedPartitions(df) < p) df.repartition(p) else df
+  }
+
+  /** Estimate `df`'s execution partition count from the optimized LOGICAL
+    * plan only — `df.rdd.getNumPartitions` would eagerly build the full
+    * non-AQE physical RDD (a real per-call planning cost on arbitrary
+    * caller plans, and a count AQE may not even honor). Two signals:
+    *
+    *  - scan width: logical `stats.sizeInBytes / maxPartitionBytes` — the
+    *    order-of-magnitude split count of the file scan (a small input is
+    *    a handful of splits, a 100 TB one is tens of thousands; the
+    *    binary "below defaultParallelism?" decision only needs the
+    *    magnitude, not Spark's exact open-cost packing);
+    *  - shuffle width: any explicit Repartition keeps its target count,
+    *    and any shuffle-introducing operator (aggregate/join/sort/window/
+    *    distinct) already runs at `spark.sql.shuffle.partitions`.
+    *
+    * The max of all signals decides; ties err toward re-spreading, which
+    * only ever adds a shuffle of an already-small input.
+    */
+  private[graft] def estimatedPartitions(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val spark = df.sparkSession
+    val shufflePartitions = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val maxSplit = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
+    val plan = df.queryExecution.optimizedPlan
+    val scanEstimate =
+      (plan.stats.sizeInBytes / maxSplit).min(BigInt(Long.MaxValue) - 1).toLong + 1L
+    val shuffleEstimates = plan.collect {
+      case r: Repartition => r.numPartitions.toLong
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.map(_.toLong).getOrElse(shufflePartitions)
+      case p @ (_: Aggregate | _: Join | _: Sort | _: Window | _: Deduplicate) =>
+        val _ = p; shufflePartitions
+    }
+    (scanEstimate +: shuffleEstimates).max
   }
 }
