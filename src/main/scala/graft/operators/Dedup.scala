@@ -415,31 +415,37 @@ object Dedup {
   }
 
   /** EXACT Hamming-≤d near-dup pairs over the portable 32-bit SimHash,
-    * with the LSH plan shape: split each hash into d+1 equal-width chunks
-    * — by pigeonhole, any pair within Hamming distance d agrees on at
-    * least one chunk — bucket-join on (chunk index, chunk value), then
-    * keep only pairs whose full Hamming distance (bit_count of xor,
-    * codegen'd) is within the bound. Unlike [[simhashCandidates]] this is
-    * not a candidate set: the pigeonhole guarantee + residual filter make
-    * the result exactly the brute-force all-pairs answer, at bucket-join
-    * cost (sum over buckets of C(n,2) comparisons instead of C(N,2)).
-    * Wider chunks (smaller d) mean fewer, more selective buckets.
+    * with the LSH plan shape: split each hash into d+1 chunks of
+    * near-equal width (chunk c covers bits ⌊32c/(d+1)⌋ … ⌊32(c+1)/(d+1)⌋,
+    * so every chunk holds ≥ 1 real bit for any d < 32) — by pigeonhole,
+    * any pair within Hamming distance d agrees on at least one chunk —
+    * bucket-join on (chunk index, chunk value), then keep only pairs
+    * whose full Hamming distance (bit_count of xor, codegen'd) is within
+    * the bound. Unlike [[simhashCandidates]] this is not a candidate set:
+    * the pigeonhole guarantee + residual filter make the result exactly
+    * the brute-force all-pairs answer, at bucket-join cost (sum over
+    * buckets of C(n,2) comparisons instead of C(N,2)). Wider chunks
+    * (smaller d) mean fewer, more selective buckets.
     *
     * Output: (doc_a, doc_b, hamming), a < b.
     */
   def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 1): DataFrame = {
-    require(Set(1, 3, 7).contains(maxDist),
-      s"maxDist must be 1, 3, or 7 so 32 bits split into maxDist+1 equal chunks, got $maxDist")
+    require(maxDist >= 1 && maxDist < 32,
+      s"maxDist must be in [1, 31] so every one of the maxDist+1 chunks holds a bit, got $maxDist")
     val nChunks = maxDist + 1
-    val chunkBits = 32 / nChunks
-    val mask = (1L << chunkBits) - 1
+    // balanced boundaries: chunk c = bits [32c/n, 32(c+1)/n) — widths
+    // differ by at most one bit, and none is ever empty (an empty chunk
+    // would be one degenerate all-docs bucket)
+    val bounds = (0 to nChunks).map(c => 32 * c / nChunks)
+    val chunks = (0 until nChunks).map { c =>
+      val width = bounds(c + 1) - bounds(c)
+      shiftright(col("simhash32"), bounds(c)).bitwiseAND((1L << width) - 1)
+    }
     simhashPortable(docs, idCol, textCol)
       .select(
         struct(col(idCol).as("id"), col("simhash32").as("h")).as("m"),
-        posexplode(
-          array((0 until nChunks).map(c =>
-            shiftright(col("simhash32"), c * chunkBits).bitwiseAND(mask)): _*)))
+        posexplode(array(chunks: _*)))
       .groupBy(col("pos").as("chunk"), col("col").as("chunk_val"))
       .agg(sort_array(collect_set(col("m"))).as("ms"))
       .filter(size(col("ms")) > 1)

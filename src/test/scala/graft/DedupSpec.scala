@@ -127,6 +127,26 @@ class DedupSpec extends SparkSpec {
     assert(got(5L)._2 == 0, s"clean doc flagged: ${got(5L)}")
   }
 
+  test("simhashHammingPairs is exact vs brute force at arbitrary maxDist") {
+    val h = Dedup.simhashPortable(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def brute(d: Int) = (for {
+      a <- h.keys; b <- h.keys if a < b
+      dist = java.lang.Long.bitCount(h(a) ^ h(b)) if dist <= d
+    } yield (a, b, dist.toLong)).toSet
+    // 2, 4: chunk widths of 32/(d+1) are NOT integral — the balanced
+    // boundaries must still give the exact all-pairs answer by pigeonhole
+    Seq(2, 4, 6).foreach { d =>
+      val got = Dedup.simhashHammingPairs(corpus, "doc_id", "text", maxDist = d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == brute(d),
+        s"d=$d: missing=${brute(d) -- got}, extra=${got -- brute(d)}")
+    }
+    // out-of-range distances are rejected, not silently mis-chunked
+    intercept[IllegalArgumentException](
+      Dedup.simhashHammingPairs(corpus, "doc_id", "text", maxDist = 32))
+  }
+
   test("portable simhash: near-dups are close in Hamming distance, strangers far") {
     val h = Dedup.simhashPortable(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
