@@ -29,4 +29,22 @@ object QualityChecks {
     */
   def scd2ActiveViolations(dim: DataFrame, keyCols: Seq[String]): DataFrame =
     duplicates(dim.filter(col(Scd2.IsActive)), keyCols)
+
+  /** SCD2 invariant: version intervals per natural key must not overlap
+    * ([[Scd2.pointInTime]]'s precondition — overlapping versions silently
+    * duplicate fact rows there). Returns one row per violating version
+    * pair: the key columns plus the offending (start_dt, prev_end_dt)
+    * where a version starts before its predecessor ends. One window over
+    * the key — no self-join.
+    */
+  def scd2OverlapViolations(dim: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(Scd2.StartDt), col(Scd2.EndDt))
+    dim
+      .select(keyCols.map(col) ++ Seq(col(Scd2.StartDt), col(Scd2.EndDt)): _*)
+      .withColumn("prev_end_dt", lag(col(Scd2.EndDt), 1).over(w))
+      .filter(col("prev_end_dt").isNotNull && col(Scd2.StartDt) < col("prev_end_dt"))
+      .select(keyCols.map(col) ++ Seq(col(Scd2.StartDt), col("prev_end_dt")): _*)
+  }
 }

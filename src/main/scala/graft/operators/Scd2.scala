@@ -91,6 +91,17 @@ object Scd2 {
     * facts straddling a version change resolve to the attributes that
     * were true WHEN THEY HAPPENED, not the attributes of today.
     *
+    * PRECONDITION: version intervals must not overlap per natural key —
+    * an overlap makes two versions "valid" at one date and silently
+    * DUPLICATES every straddling fact row. Dimensions built by
+    * [[scd2Apply]]/[[initial]] satisfy this by construction; for foreign
+    * history, assert emptiness of
+    * [[QualityChecks.scd2OverlapViolations]] first.
+    *
+    * Non-key dim attribute names must not collide with fact columns
+    * (enforced — a silent duplicate output column would fail far from
+    * the cause); rename or prefix dim attributes before resolving.
+    *
     * Plan shape: a plain hash equi-join on the natural key with the
     * interval as a residual predicate — per key the dimension holds one
     * row per version, so the join output is bounded by |fact| × history
@@ -99,14 +110,18 @@ object Scd2 {
     * regime); inner drops them.
     */
   def pointInTime(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-      factDateCol: String, how: String = "inner"): DataFrame =
+      factDateCol: String, how: String = "inner"): DataFrame = {
+    val dimAttrs = dim.columns.filterNot((keys ++ Seq(StartDt, EndDt)).contains)
+    val collisions = dimAttrs.toSet.intersect(fact.columns.toSet)
+    require(collisions.isEmpty,
+      s"pointInTime would emit duplicate column name(s) ${collisions.mkString(", ")} — " +
+        "rename these dim attributes (or drop the fact columns) before resolving")
     fact.join(
       dim,
       keys.map(k => fact(k) === dim(k)).reduce(_ && _) &&
         fact(factDateCol) >= dim(StartDt) && fact(factDateCol) < dim(EndDt),
       how)
       .drop(dim(StartDt)).drop(dim(EndDt))
-      .select(fact.columns.map(fact(_)) ++
-        dim.columns.filterNot((keys ++ Seq(StartDt, EndDt)).contains)
-          .map(dim(_)): _*)
+      .select(fact.columns.map(fact(_)) ++ dimAttrs.map(dim(_)): _*)
+  }
 }

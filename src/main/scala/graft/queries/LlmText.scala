@@ -15,11 +15,16 @@ import graft.queries.Q.C
   */
 object LlmText {
 
-  /** Shared oracle CTE: distinct word-3-shingles per document. */
+  /** Shared oracle CTE: distinct word-3-shingles per document. Window
+    * positions come from a LATERAL `unnest(range(...))` bounded by each
+    * doc's own token count — a fixed-cap `range(1, 4096)` would silently
+    * truncate any document past ~4K tokens while the Spark side shingles
+    * it in full.
+    */
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
-      |       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE i <= len(l) - 2)""".stripMargin
+      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t)""".stripMargin
 
   private val sigCte =
     s"""$shingleCte,
@@ -150,7 +155,7 @@ object LlmText {
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
        |              WHERE doc_id < 200),
        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
-       |       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE i <= len(l) - 2),
+       |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
        |sz AS (SELECT doc_id, $C AS n_sh FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $C AS n_inter
        |          FROM sh a JOIN sh b
@@ -187,7 +192,7 @@ object LlmText {
          |       FROM documents),
          |sh AS (SELECT DISTINCT doc_id,
          |              l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS shingle
-         |       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE i <= len(l) - 4),
+         |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 3)) AS i) t),
          |tr AS (SELECT shingle, $C AS train_df
          |       FROM sh JOIN sp USING (doc_id) WHERE split = 'train' GROUP BY 1),
          |te AS (SELECT sh.doc_id, sh.shingle
@@ -313,8 +318,8 @@ object LlmText {
   private val rollingFp = Q(
     "text_rolling_fp",
     """SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS roll_fp
-      |FROM documents CROSS JOIN range(1, 4096) t(i)
-      |WHERE i <= greatest(len(text) - 7, 1)
+      |FROM documents CROSS JOIN LATERAL
+      |  (SELECT unnest(range(1, greatest(len(text) - 6, 2))) AS i) t
       |GROUP BY 1""".stripMargin) { (s, d) =>
     // per-character md5 windows are the heaviest per-row compute in the
     // text suite — re-spread a single-split scan so it parallelizes
@@ -405,7 +410,7 @@ object LlmText {
     "text_repetition",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
-      |       FROM toks CROSS JOIN range(1, 4096) t(i) WHERE i <= len(l) - 1)
+      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS i) t)
       |SELECT doc_id,
       |       CAST(1 AS DOUBLE)
       |         - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_ratio

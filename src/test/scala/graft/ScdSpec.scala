@@ -91,6 +91,27 @@ class ScdSpec extends SparkSpec {
       "unmatched fact keeps null attributes under left")
   }
 
+  test("pointInTime rejects colliding dim attribute names; overlap check flags bad history") {
+    def d(s: String): Date = Date.valueOf(s)
+    val dim = Seq((1L, "v1", d("1900-01-01"), d("9999-12-31")))
+      .toDF("k", "m", Scd2.StartDt, Scd2.EndDt) // "m" collides with the fact measure
+    val fact = Seq((1L, d("1995-06-15"), 10.0)).toDF("k", "od", "m")
+    val e = intercept[IllegalArgumentException](
+      Scd2.pointInTime(fact, dim, Seq("k"), "od"))
+    assert(e.getMessage.contains("duplicate column name"), e.getMessage)
+
+    // the precondition checker: overlapping versions surface, clean don't
+    val overlapping = Seq(
+      (1L, "a", d("1900-01-01"), d("2001-01-01")),
+      (1L, "b", d("2000-01-01"), d("9999-12-31")), // starts before a ends
+      (2L, "c", d("1900-01-01"), d("2000-01-01")),
+      (2L, "d", d("2000-01-01"), d("9999-12-31"))) // adjacent is fine
+      .toDF("k", "attr", Scd2.StartDt, Scd2.EndDt)
+    val bad = QualityChecks.scd2OverlapViolations(overlapping, Seq("k"))
+      .select("k").as[Long].collect().toSeq
+    assert(bad == Seq(1L), s"expected only key 1 flagged, got $bad")
+  }
+
   test("scd1 insertIfAbsent: dedups incoming and never duplicates existing keys") {
     val target = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     val incoming = Seq((2L, "y2"), (3L, "z"), (3L, "z-dup")).toDF("k", "v")
