@@ -62,11 +62,34 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotNative(a, b) / (norm(a) * norm(b))
 
+  /** Hard cap on the broadcast query side. Every ANN entry point here
+    * ships the query set to every executor; past ~this many rows the
+    * broadcast is a driver/executor OOM waiting to happen, so the
+    * contract is ENFORCED (fail fast with the fix) instead of advisory.
+    */
+  val MaxBroadcastQueryRows: Long = 1000000L
+
+  /** Fail fast when the to-be-broadcast query side exceeds `cap` rows.
+    * The probe is a `limit(cap + 1).count()` — bounded work (the scan
+    * stops once cap + 1 rows surface), never a full count of a big input.
+    */
+  private[graft] def requireBroadcastable(queries: DataFrame, cap: Long,
+      caller: String): Unit = {
+    val probed = queries.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    require(probed <= cap,
+      s"$caller broadcasts the query set to every executor, but it has " +
+        s"more than $cap rows — flip the sides (query with the smaller " +
+        "set) or batch the queries")
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
-    * (it is broadcast against the corpus scan).
+    * (it is broadcast against the corpus scan — enforced, see
+    * [[requireBroadcastable]]).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int,
+      maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame = {
+    requireBroadcastable(queries, maxQueryRows, "bruteForceTopK")
     val c = corpus.select(
       col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
     val q = queries.select(
@@ -101,11 +124,15 @@ object Similarity {
     * A k-means-refined centroid set plugs in by swapping `centroids`.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+      vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+      corpusSize: Option[Long] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
     // deterministic strided sample: one centroid every n/nCentroids ids,
-    // spread across the id range ([[ivfTopKKmeans]] refines these)
-    val stride = math.max(1L, c.count() / nCentroids)
+    // spread across the id range ([[ivfTopKKmeans]] refines these).
+    // Callers that know the corpus size pass it — otherwise deriving the
+    // stride costs one COUNT scan of the corpus per invocation, a full
+    // extra pass at 100 TB (cache the count, don't re-derive it).
+    val stride = math.max(1L, corpusSize.getOrElse(c.count()) / nCentroids)
     val centroids = c.filter(pmod(col("nid"), lit(stride)) === 0)
       .orderBy(col("nid")).limit(nCentroids)
       .select(col("nid").as("cid"), col("cvec").as("centvec"))
@@ -144,14 +171,21 @@ object Similarity {
     * element-level aggregation; only k×dim averaged values ever reach the
     * driver (the corpus never does).
     *
+    * The mean accumulates element sums in DECIMAL(38,18) and divides
+    * once (the `embed_norm_stats` trick): decimal addition is exact and
+    * order-independent, so the centroid evolution is deterministic under
+    * Spark's partial aggregation AND replayable by an external decimal
+    * engine — a double `avg` would drift with shuffle order.
+    *
     * Returns (cid, centvec) with `k` rows, cids 0..k-1.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+      k: Int, iters: Int, corpusSize: Option[Long] = None): Seq[(Long, Array[Double])] = {
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
     // deterministic strided seed spread across the id range (same sample
-    // the plain IVF quantizer uses)
-    val stride = math.max(1L, c.count() / k)
+    // the plain IVF quantizer uses); a known corpusSize skips the COUNT
+    // scan — see ivfTopK
+    val stride = math.max(1L, corpusSize.getOrElse(c.count()) / k)
     var cents: Seq[(Long, Array[Double])] = c
       .filter(pmod(col("nid"), lit(stride)) === 0)
       .orderBy(col("nid")).limit(k)
@@ -165,7 +199,8 @@ object Similarity {
       val means = assigned
         .select(col("cid"), posexplode(col("cvec")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col").cast(DecimalType(38, 18))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("centvec"))
@@ -184,10 +219,10 @@ object Similarity {
     */
   def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, corpusSize: Option[Long] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids, iters, corpusSize)
     val centroids = cents.toDF("cid", "centvec")
     ivfTopKWith(corpus, queries, idCol, vecCol, k, nProbe, centroids)
   }
@@ -195,9 +230,12 @@ object Similarity {
   /** Approximate top-k: candidates share the query's LSH bucket; ranking
     * within the bucket is exact cosine. Recall is tuned by `nPlanes`
     * (fewer planes → bigger buckets → higher recall, more compute).
+    * The query side is broadcast — enforced by [[requireBroadcastable]].
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
+      vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Long = 42L,
+      maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame = {
+    requireBroadcastable(queries, maxQueryRows, "lshTopK")
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
       .withColumn("bucket", lshBucket(col("cvec"), nPlanes, dim, seed))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))

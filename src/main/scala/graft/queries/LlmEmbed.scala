@@ -33,10 +33,40 @@ object LlmEmbed {
         col("vec_id"), col("label"), col("pos").as("i"),
         col("col").cast(DoubleType).as("x"))
 
+  // the 4096 position cap is a physical constant of the embedding column
+  // (model dimension), unlike text lengths, which are unbounded — the
+  // text oracles use LATERAL ranges instead
   private val elCte =
     """el AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       |       FROM embeddings CROSS JOIN range(1, 4097) t(i)
       |       WHERE i <= len(embedding))""".stripMargin
+
+  /** Shared tail of the portable ANN queries: rank bounded (qid, nid)
+    * candidate pairs by exact-decimal cosine and keep each query's top 3.
+    * `el` is the element stream, `nrm` its per-vector squared norms.
+    */
+  private def rankTop3(el: org.apache.spark.sql.DataFrame,
+      nrm: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = el.select(col("vec_id").as("qid"), col("i"), col("x").as("xa"))
+    val b = el.select(col("vec_id").as("nid"), col("i"), col("x").as("xb"))
+    val dots = cand
+      .join(a, Seq("qid"))
+      .join(b, Seq("nid", "i"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
+    val cosd = dots
+      .join(nrm.select(col("vec_id").as("qid"), col("n2").as("na")), Seq("qid"))
+      .join(nrm.select(col("vec_id").as("nid"), col("n2").as("nb")), Seq("nid"))
+      .select(
+        col("qid"), col("nid"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    cosd
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+  }
 
   /** Per-label corpus stats over L2 norms. n² comes from the fused native
     * DotProduct(v,v) expression — a single per-row double fold with no
@@ -205,24 +235,7 @@ object LlmEmbed {
       .join(bk.select(col("vec_id").as("nid"), col("bucket")), Seq("bucket"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"))
-    val a = el.select(col("vec_id").as("qid"), col("i"), col("x").as("xa"))
-    val b = el.select(col("vec_id").as("nid"), col("i"), col("x").as("xb"))
-    val dots = cand
-      .join(a, Seq("qid"))
-      .join(b, Seq("nid", "i"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
-    val cosd = dots
-      .join(nrm.select(col("vec_id").as("qid"), col("n2").as("na")), Seq("qid"))
-      .join(nrm.select(col("vec_id").as("nid"), col("n2").as("nb")), Seq("nid"))
-      .select(
-        col("qid"), col("nid"),
-        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    cosd
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+    rankTop3(el, nrm, cand)
   }
 
   /** IVF-bucketed approximate top-3 — coarse quantizer + probed inverted
@@ -232,7 +245,8 @@ object LlmEmbed {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 3, nCentroids = 16, nProbe = 4)
+      k = 3, nCentroids = 16, nProbe = 4,
+      corpusSize = Some(Tables.rowCount(s, d, "embeddings")))
   }
 
   /** IVF with a k-means-refined quantizer (Lloyd iterations, broadcast
@@ -243,7 +257,8 @@ object LlmEmbed {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopKKmeans(
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 3, nCentroids = 16, nProbe = 4, iters = 2)
+      k = 3, nCentroids = 16, nProbe = 4, iters = 2,
+      corpusSize = Some(Tables.rowCount(s, d, "embeddings")))
   }
 
   /** IVF approximate top-3, oracle-checked end to end: the coarse
@@ -301,9 +316,9 @@ object LlmEmbed {
        |WHERE rnk <= 3""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val el = elements(s, d)
-    // scalar guard read: the vector count sets the centroid stride (the
-    // same driver-side count Similarity.ivfTopK performs)
-    val stride = math.max(1L, emb.count() / 16)
+    // the vector count sets the centroid stride — memoized per dir, so
+    // re-invocations don't re-scan the corpus for one scalar
+    val stride = math.max(1L, Tables.rowCount(s, d, "embeddings") / 16)
     val cents = emb.select(col("vec_id").as("cid"))
       .filter(pmod(col("cid"), lit(stride)) === 0)
       .orderBy(col("cid")).limit(16)
@@ -329,24 +344,146 @@ object LlmEmbed {
     val cand = probes.join(lists, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
-    val a = el.select(col("vec_id").as("qid"), col("i"), col("x").as("xa"))
-    val b = el.select(col("vec_id").as("nid"), col("i"), col("x").as("xb"))
-    val dots = cand
-      .join(a, Seq("qid"))
-      .join(b, Seq("nid", "i"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
-    val cosd = dots
-      .join(nrm.select(col("vec_id").as("qid"), col("n2").as("na")), Seq("qid"))
-      .join(nrm.select(col("vec_id").as("nid"), col("n2").as("nb")), Seq("nid"))
-      .select(col("qid"), col("nid"),
-        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
-    val wRank = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nid"))
-    cosd
-      .withColumn("rnk", row_number().over(wRank).cast(LongType))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+    rankTop3(el, nrm, cand)
+  }
+
+  /** K-MEANS IVF, oracle-checked end to end: the full centroid EVOLUTION
+    * is replayed by the oracle — strided seeds (the same deterministic
+    * sample the plain IVF quantizer uses), then two Lloyd iterations
+    * where every assignment cosine accumulates its dot in DECIMAL(38,18)
+    * and rounds to 12 decimals, and every mean accumulates element sums
+    * in DECIMAL(38,18) and divides once (exact, order-independent — the
+    * `embed_norm_stats` trick), so seeds, per-round assignments, refined
+    * centroids, probed candidate sets, and the ranked output are all
+    * bit-identical across engines. Ties in the argmax break on lower cid
+    * in both (row_number ORDER BY cs DESC, cid). Empty clusters keep
+    * their previous centroid (LEFT JOIN + coalesce), matching
+    * [[Similarity.kmeansCentroids]].
+    *
+    * Scale shape matches the native path: each round is one bounded
+    * join against the k×dim centroid relation plus one element-level
+    * aggregate, and only k×dim averaged values ever reach the driver
+    * (the per-round `lift` below), never the corpus.
+    */
+  private val annIvfKmeansPortable = Q(
+    "embed_ann_ivf_kmeans_portable", {
+      // one Lloyd iteration as a CTE block: c{i} -> n/d/s/a/m{i} -> c{i+1}
+      def iter(i: Int): String =
+        s"""n$i AS (SELECT cid, CAST(SUM(CAST(cx * cx AS DECIMAL(38,18))) AS DOUBLE) AS nc
+           |        FROM c$i GROUP BY 1),
+           |d$i AS (SELECT el.vec_id, c$i.cid,
+           |               CAST(SUM(CAST(el.x * c$i.cx AS DECIMAL(38,18))) AS DOUBLE) AS dot
+           |        FROM el JOIN c$i ON c$i.i = el.i GROUP BY 1, 2),
+           |s$i AS (SELECT d$i.vec_id, d$i.cid,
+           |               round(dot / (sqrt(nrm.n2) * sqrt(n$i.nc)), 12) AS cs
+           |        FROM d$i JOIN nrm ON nrm.vec_id = d$i.vec_id
+           |        JOIN n$i ON n$i.cid = d$i.cid),
+           |a$i AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+           |          FROM s$i) WHERE r = 1),
+           |m$i AS (SELECT a$i.cid, el.i,
+           |               CAST(SUM(CAST(el.x AS DECIMAL(38,18))) AS DOUBLE)
+           |                 / CAST(count(*) AS DOUBLE) AS mx
+           |        FROM el JOIN a$i ON a$i.vec_id = el.vec_id GROUP BY 1, 2),
+           |c${i + 1} AS (SELECT c$i.cid, c$i.i, coalesce(m$i.mx, c$i.cx) AS cx
+           |       FROM c$i LEFT JOIN m$i ON m$i.cid = c$i.cid AND m$i.i = c$i.i)""".stripMargin
+      s"""WITH $elCte,
+         |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+         |        FROM el GROUP BY 1),
+         |str AS (SELECT greatest(1, CAST(floor(count(*) / 16.0) AS BIGINT)) AS s
+         |        FROM embeddings),
+         |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+         |          FROM (SELECT vec_id FROM embeddings, str WHERE vec_id % s = 0
+         |                ORDER BY vec_id LIMIT 16)),
+         |c0 AS (SELECT cid, i, x AS cx FROM el JOIN seeds USING (vec_id)),
+         |${iter(0)},
+         |${iter(1)},
+         |ncf AS (SELECT cid, CAST(SUM(CAST(cx * cx AS DECIMAL(38,18))) AS DOUBLE) AS nc
+         |        FROM c2 GROUP BY 1),
+         |dcf AS (SELECT el.vec_id, c2.cid,
+         |               CAST(SUM(CAST(el.x * c2.cx AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |        FROM el JOIN c2 ON c2.i = el.i GROUP BY 1, 2),
+         |scf AS (SELECT dcf.vec_id, dcf.cid,
+         |               round(dot / (sqrt(nrm.n2) * sqrt(ncf.nc)), 12) AS cs
+         |        FROM dcf JOIN nrm ON nrm.vec_id = dcf.vec_id
+         |        JOIN ncf ON ncf.cid = dcf.cid),
+         |ranked AS (SELECT vec_id, cid,
+         |                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS cr
+         |           FROM scf),
+         |lists AS (SELECT vec_id AS nid, cid FROM ranked WHERE cr = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE cr <= 4 AND vec_id < 5),
+         |cand AS (SELECT DISTINCT qid, nid
+         |         FROM probes JOIN lists ON probes.cid = lists.cid
+         |         WHERE nid <> qid),
+         |dots AS (SELECT cand.qid, cand.nid,
+         |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |         FROM cand
+         |         JOIN el a ON a.vec_id = cand.qid
+         |         JOIN el b ON b.vec_id = cand.nid AND b.i = a.i
+         |         GROUP BY 1, 2),
+         |cosd AS (SELECT qid, nid,
+         |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+         |         FROM dots
+         |         JOIN nrm na ON na.vec_id = dots.qid
+         |         JOIN nrm nb ON nb.vec_id = dots.nid)
+         |SELECT qid, nid, cosine, rnk
+         |FROM (SELECT qid, nid, cosine,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+         |      FROM cosd)
+         |WHERE rnk <= 3""".stripMargin
+    }) { (s, d) =>
+    val el = elements(s, d).select(col("vec_id"), col("i"), col("x"))
+    val nrm = el.groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    val stride = math.max(1L, Tables.rowCount(s, d, "embeddings") / 16)
+    // seed centroid ids with dense cids in vec_id order (k rows driver-side)
+    val seeds = Tables.embeddings(s, d)
+      .select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(16)
+      .collect().map(_.getLong(0)).sorted.zipWithIndex
+      .map { case (v, c) => (v, c.toLong) }.toSeq
+    import s.implicits._
+    var cent = el.join(broadcast(seeds.toDF("vec_id", "cid")), Seq("vec_id"))
+      .select(col("cid"), col("i"), col("x").as("cx"))
+    // k×dim rows to the driver per round (the same bounded materialization
+    // the native kmeans performs) so round N never re-plans round N-1
+    def lift(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .toSeq.toDF("cid", "i", "cx")
+    def assignCs(c: org.apache.spark.sql.DataFrame) = {
+      val nc = c.groupBy(col("cid"))
+        .agg(sum((col("cx") * col("cx")).cast(dec)).cast(DoubleType).as("nc"))
+      el.join(broadcast(c), Seq("i"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("x") * col("cx")).cast(dec)).cast(DoubleType).as("dot"))
+        .join(nrm, Seq("vec_id"))
+        .join(broadcast(nc), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          round(col("dot") / (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
+    }
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+    for (_ <- 0 until 2) {
+      val assign = assignCs(cent)
+        .withColumn("r", row_number().over(wA))
+        .filter(col("r") === 1).select(col("vec_id"), col("cid"))
+      val means = el.join(assign, Seq("vec_id"))
+        .groupBy(col("cid"), col("i"))
+        .agg((sum(col("x").cast(dec)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mx"))
+      cent = lift(cent.join(means, Seq("cid", "i"), "left")
+        .select(col("cid"), col("i"), coalesce(col("mx"), col("cx")).as("cx")))
+    }
+    val ranked = assignCs(cent).withColumn("cr", row_number().over(wA))
+    val lists = ranked.filter(col("cr") === 1)
+      .select(col("vec_id").as("nid"), col("cid"))
+    val probes = ranked.filter(col("cr") <= 4 && col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(lists, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid")).distinct()
+    rankTop3(el, nrm, cand)
   }
 
   /** Shared oracle CTEs: exact-decimal cosine near-dup pairs (vec_id < 100,
@@ -498,6 +635,6 @@ object LlmEmbed {
 
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
-      annIvfPortable, cosineDups, cosineClusters, cosineClustersStar,
-      dotNativeQ, langNorms)
+      annIvfPortable, annIvfKmeansPortable, cosineDups, cosineClusters,
+      cosineClustersStar, dotNativeQ, langNorms)
 }

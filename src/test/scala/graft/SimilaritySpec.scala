@@ -93,6 +93,32 @@ class SimilaritySpec extends SparkSpec {
       s"portable-only: ${portable -- native}; native-only: ${native -- portable}")
   }
 
+  test("portable k-means IVF query returns the engine-native ivfTopKKmeans neighbor sets") {
+    // Same seeds, same decimal-exact Lloyd means, same nProbe/k — the
+    // oracle-checked portable twin and the engine-native path must
+    // surface the same neighbors (assignment arithmetic differs only in
+    // last-ULP noise far below the round-12 cutoff and the cluster
+    // separation of the corpus).
+    val native = SparkEntry.queries("embed_ann_ivf_kmeans")(spark, sfDir)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val portable = SparkEntry.queries("embed_ann_ivf_kmeans_portable")(spark, sfDir)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(portable == native,
+      s"portable-only: ${portable -- native}; native-only: ${native -- portable}")
+  }
+
+  test("lshTopK fails fast when the broadcast query side exceeds the row cap") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(vectors, vectors, "vec_id", "embedding",
+        k = 3, nPlanes = 4, dim = dim, maxQueryRows = 5L)
+    }
+    assert(e.getMessage.contains("broadcasts the query set"),
+      s"guard message should name the contract, got: ${e.getMessage}")
+    // and a query set at the cap passes the guard
+    assert(Similarity.lshTopK(vectors, vectors.limit(5), "vec_id", "embedding",
+      k = 3, nPlanes = 4, dim = dim, maxQueryRows = 5L).count() > 0)
+  }
+
   test("lshTopK recall >= 0.8 vs brute force on clustered vectors") {
     val queries = vectors.filter(col("vec_id") % 10 === 0)
     val k = 3
