@@ -124,6 +124,31 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
       naRow = spark.range(1).select(
         lit(Constants.NaKey).as("brand_sk"), lit(Constants.NA).as("brand_nk"))))
 
+    // SCD2 employee dim (reference Dim_Employees_SCD2, bl_3nf.sql:188-199):
+    // the supplier feed is this harness's employee entity — its name is
+    // SPLIT_PART into first/last exactly like the reference's employee
+    // names (bl_cl.sql:1069-1070; the feed's delimiter is '#'), and the
+    // dim carries a SURROGATE nation FK so it anchors a 3-level
+    // employee→nation→region snowflake chain, the analog of the
+    // reference's address→country→region (bl_3nf.sql:101-136).
+    val empSrc = store.read("scr_supplier")
+      .filter(col("Load_id") === loadId.toString)
+      .join(broadcast(dimNation.select(col("nation_nk"), col("nation_sk"))),
+        col("s_nationkey") === col("nation_nk"), "left")
+      .select(
+        col("s_suppkey").as("employee_nk"),
+        split_part(col("s_name"), lit("#"), lit(1)).as("first_name"),
+        split_part(col("s_name"), lit("#"), lit(2)).as("last_name"),
+        coalesce(col("nation_sk"), lit(Constants.NaKey)).as("nation_sk"))
+    val dimEmployee =
+      if (!store.exists("dim_employee"))
+        Scd2.initial(empSrc, Seq("employee_nk"), Constants.LowDt)
+      else
+        Scd2.scd2Apply(
+          store.read("dim_employee"), empSrc, Seq("employee_nk"),
+          Seq("first_name", "last_name", "nation_sk"), runDate)
+    store.overwrite("dim_employee", dimEmployee)
+
     // Second SCD2 dim — products from the part feed, tracking name/brand/
     // price history exactly like the customer dim tracks segment moves.
     val prodSrc = store.read("scr_part")
@@ -181,6 +206,11 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
     val nat = store.read("dim_nation").select(col("nation_nk"), col("nation_sk"))
     val sup = store.read("dim_supplier")
       .select(col("supplier_nk"), col("supplier_sk"))
+    // date surrogate re-key (reference DM fact FK_Date_ID, bl_dm.sql:211-224;
+    // re-key recipe bl_cl.sql:2082-2142): the generated date dim is a few
+    // thousand rows at any scale — genuinely broadcastable
+    val dd = store.read("dim_date")
+      .select(col("full_date"), col("date_id").as("date_sk"))
 
     val fact = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
@@ -190,11 +220,14 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
       .join(cust, col("o_custkey") === col("customer_nk"), "left")
       .join(sup, col("l_suppkey") === col("supplier_nk"), "left")
       .join(broadcast(nat), Seq("nation_nk"), "left")
+      .join(broadcast(dd), col("o_orderdate").cast("date") === col("full_date"), "left")
       .select(
         col("l_orderkey").as("orderkey"),
         col("o_custkey").as("customer_nk"),
         coalesce(col("nation_sk"), lit(Constants.NaKey)).as("nation_sk"),
         coalesce(col("supplier_sk"), lit(Constants.NaKey)).as("supplier_sk"),
+        col("l_suppkey").as("employee_nk"),
+        coalesce(col("date_sk"), lit(Constants.NaKey)).as("date_sk"),
         col("o_orderdate").cast("date").as("order_date"),
         col("l_quantity").cast("double").as("quantity"),
         col("l_extendedprice").cast("double").as("extendedprice"),
@@ -244,6 +277,29 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
         .groupBy(col("customer_nk"),
           coalesce(col("nation_name"), lit(Constants.NA)).as("nation"))
         .agg(dsumRound2(col("revenue")).as("revenue")))
+    // sales_employees_regions analog (reference bl_dm.sql:288-300, with the
+    // INTENDED region join — the wrong-key quirk lives in the bugcompat
+    // twin below): fact → active employee version → the 3-level surrogate
+    // snowflake chain employee.nation_sk → nation.region_sk → region (J8
+    // over warehouse tables), grouped by the SPLIT_PART-rebuilt full name
+    // (F14 concat of the F3 split). Employee dim is entity-count-sized —
+    // fact-scaled at the north star, so no broadcast hint (AQE promotes
+    // when it measures small); nation/region keep theirs.
+    val emp = store.read("dim_employee")
+      .filter(col(Scd2.IsActive) && col(Scd2.EndDt) === lit(Constants.HighDt))
+      .select(col("employee_nk"),
+        concat_ws(" ", col("first_name"), col("last_name")).as("employee_name"),
+        col("nation_sk").as("emp_nation_sk"))
+    store.overwrite("sales_employee_region",
+      fact
+        .join(emp, Seq("employee_nk"), "left")
+        .join(broadcast(nat.select(col("nation_sk").as("emp_nation_sk"),
+          col("region_sk").as("emp_region_sk"))), Seq("emp_nation_sk"), "left")
+        .join(broadcast(reg.select(col("region_sk").as("emp_region_sk"),
+          col("region_name"))), Seq("emp_region_sk"), "left")
+        .groupBy(col("employee_name"),
+          coalesce(col("region_name"), lit(Constants.NA)).as("region"))
+        .agg(dsumRound2(col("revenue")).as("revenue")))
     // SURVEY §8 Q1 bug-compat twin: the reference's sales_employees_regions
     // resolves the region by joining the child dim's PK to the region PK
     // (dc.pk_country_id = dr.pk_region_id, bl_dm.sql:299) instead of the
@@ -261,21 +317,28 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
         .agg(dsumRound2(col("revenue")).as("revenue")))
   }
 
-  /** Stage 5 — QA report (A7/A8/C3 + SCD2 invariant). */
+  /** Stage 5 — QA report (A7/A8/C3 + SCD2 invariants + FK totality). */
   def qaReport(): DataFrame = {
     val tables = Seq("dim_region", "dim_nation", "dim_customer",
-      "dim_supplier", "dim_brand", "dim_product", "fct_orders",
-      "yearly_sales_profit").map(t => t -> store.read(t)).toMap
+      "dim_supplier", "dim_brand", "dim_product", "dim_employee",
+      "dim_date", "fct_orders", "yearly_sales_profit",
+      "sales_employee_region").map(t => t -> store.read(t)).toMap
     val sweep = QualityChecks.countSweep(tables)
-    val dupViolations = QualityChecks
-      .scd2ActiveViolations(store.read("dim_customer"), Seq("customer_nk"))
+    def scd2Check(name: String, table: String, key: String) = QualityChecks
+      .scd2ActiveViolations(store.read(table), Seq(key))
       .agg(count(lit(1)).cast(LongType).as("n"))
-      .select(lit("scd2_active_violations").as("tbl"), col("n"))
-    val prodViolations = QualityChecks
-      .scd2ActiveViolations(store.read("dim_product"), Seq("product_nk"))
+      .select(lit(name).as("tbl"), col("n"))
+    // the date re-key must be total: every fact order_date falls inside
+    // the generated dim range, so a -1 here means a broken re-key
+    val naDate = store.read("fct_orders")
+      .filter(col("date_sk") === Constants.NaKey)
       .agg(count(lit(1)).cast(LongType).as("n"))
-      .select(lit("scd2_product_violations").as("tbl"), col("n"))
-    sweep.unionByName(dupViolations).unionByName(prodViolations)
+      .select(lit("fct_na_date_sk").as("tbl"), col("n"))
+    sweep
+      .unionByName(scd2Check("scd2_active_violations", "dim_customer", "customer_nk"))
+      .unionByName(scd2Check("scd2_product_violations", "dim_product", "product_nk"))
+      .unionByName(scd2Check("scd2_employee_violations", "dim_employee", "employee_nk"))
+      .unionByName(naDate)
   }
 
   /** C5 — full orchestration in dependency order. */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.Cleaning.{dsum, lcount}
+import graft.functions.Cleaning.{dsum, dsumRound2, lcount}
 import graft.operators.IncrementalAgg
 import graft.pipeline.Runner
 import graft.sources.{Staging, TableStore, Tables}
@@ -102,8 +102,15 @@ object PipelineQueries {
        |UNION ALL SELECT 'dim_supplier', CAST((SELECT count(*) + 1 FROM supplier) AS BIGINT)
        |UNION ALL SELECT 'dim_brand', CAST((SELECT count(DISTINCT p_brand) + 1 FROM part) AS BIGINT)
        |UNION ALL SELECT 'dim_product', (SELECT $C FROM part)
+       |UNION ALL SELECT 'dim_employee', (SELECT $C FROM supplier)
+       |UNION ALL SELECT 'dim_date',
+       |  CAST(date_diff('day', DATE '1995-01-01', DATE '2002-12-31') + 1 AS BIGINT)
        |UNION ALL SELECT 'scd2_product_violations', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'scd2_employee_violations', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'fct_na_date_sk', CAST(0 AS BIGINT)
        |UNION ALL SELECT 'fct_orders', (SELECT $C FROM lineitem)
+       |UNION ALL SELECT 'sales_employee_region',
+       |  CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem) AS BIGINT)
        |UNION ALL SELECT 'yearly_sales_profit',
        |  CAST((SELECT count(*) FROM (
        |     SELECT DISTINCT year(CAST(o_orderdate AS DATE)), r_name
@@ -114,8 +121,11 @@ object PipelineQueries {
        |     JOIN region   ON n_regionkey = r_regionkey)) AS BIGINT)
        |UNION ALL SELECT 'scd2_active_violations', CAST(0 AS BIGINT)""".stripMargin) {
     (s, d) =>
-      // dim_customer holds every distinct customer (all active after one
-      // batch); dims carry the extra NA member; the fact is lineitem-grain.
+      // dim_customer/dim_employee hold every distinct entity (all active
+      // after one batch); SCD1 dims carry the extra NA member; the fact is
+      // lineitem-grain; the view has one row per (employee, region) seen
+      // in the fact = one per distinct supplying entity (names are unique
+      // and each has one region).
       warehouse(s, d).qaReport()
   }
 
@@ -161,6 +171,104 @@ object PipelineQueries {
       .filter(col("order_year") === 1998)
       .groupBy(col("order_year").cast(LongType).as("yr"))
       .agg(lcount().as("n"), dsum(col("l_quantity")).as("qty"))
+  }
+
+  /** S6/F3/F14/J8 — the `sales_employees_regions` analog (reference
+    * bl_dm.sql:288-300, intended-join variant): the Runner-built view
+    * groups fact revenue by the SPLIT_PART-rebuilt employee full name ×
+    * the region reached through the 3-level surrogate snowflake chain
+    * (employee.nation_sk → nation.region_sk → region). The oracle
+    * recomputes the same answer straight from the raw feeds, so a hash
+    * match certifies the SCD2 employee dim, the name wiring, and the
+    * whole FK chain jointly. (The reference's wrong-key quirk is
+    * certified separately by `v1_region_bugcompat`.)
+    */
+  private val employeeRegionView = Q(
+    "s6_employee_region_view",
+    s"""SELECT split_part(s_name, '#', 1) || ' ' || split_part(s_name, '#', 2) AS employee_name,
+       |       coalesce(r_name, 'NA') AS region,
+       |       ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN supplier    ON l_suppkey = s_suppkey
+       |LEFT JOIN nation ON s_nationkey = n_nationkey
+       |LEFT JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    warehouse(s, d).table("sales_employee_region")
+      .select(col("employee_name"), col("region"), col("revenue"))
+  }
+
+  /** M13/G2 over the ORCHESTRATED fact — the date surrogate FK is checked
+    * by CONTENT, not just totality: revenue grouped by the year read from
+    * `dim_date` THROUGH `date_sk` must equal revenue grouped by the raw
+    * order date's year. A wrong re-key (off-by-one date, swapped key)
+    * shifts rows across years and breaks the hash.
+    */
+  private val factDateFk = Q(
+    "s9_fact_date_fk",
+    s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       |       $C AS n,
+       |       ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val wh = warehouse(s, d)
+    wh.table("fct_orders")
+      .join(broadcast(wh.table("dim_date")
+        .select(col("date_id").as("date_sk"), col("year"))), Seq("date_sk"))
+      .groupBy(col("year").as("yr"))
+      .agg(lcount().as("n"), dsumRound2(col("revenue")).as("revenue"))
+  }
+
+  /** S7 — strict-parse quarantine (Staging.typedWithQuarantine) under an
+    * oracle: deterministic corruption is planted in a stringly staged
+    * slice of `orders` (every 7th total gets a trailing 'x', every 11th
+    * date becomes garbage), then the typed/quarantined split is reported
+    * per failure reason. The oracle replays the corruption and counts
+    * TRY_CAST failures — counts certify the split predicate exactly
+    * (a row with BOTH bad fields appears under each reason but is
+    * quarantined once).
+    */
+  private val quarantine = Q(
+    "s7_quarantine",
+    s"""WITH raw AS (SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice AS VARCHAR) || 'x'
+       |         ELSE CAST(o_totalprice AS VARCHAR) END AS price_raw,
+       |    CASE WHEN o_orderkey % 11 = 0 THEN 'not-a-date'
+       |         ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS date_raw
+       |  FROM orders)
+       |SELECT 'parsed' AS reason, $C AS n FROM raw
+       |  WHERE TRY_CAST(price_raw AS DOUBLE) IS NOT NULL
+       |    AND TRY_CAST(date_raw AS DATE) IS NOT NULL
+       |UNION ALL SELECT 'quarantined', $C FROM raw
+       |  WHERE TRY_CAST(price_raw AS DOUBLE) IS NULL
+       |     OR TRY_CAST(date_raw AS DATE) IS NULL
+       |UNION ALL SELECT 'bad_price', $C FROM raw
+       |  WHERE TRY_CAST(price_raw AS DOUBLE) IS NULL
+       |UNION ALL SELECT 'bad_date', $C FROM raw
+       |  WHERE TRY_CAST(date_raw AS DATE) IS NULL""".stripMargin) { (s, d) =>
+    val raw = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0,
+        concat(col("o_totalprice").cast("string"), lit("x")))
+        .otherwise(col("o_totalprice").cast("string")).as("price_raw"),
+      when(col("o_orderkey") % 11 === 0, lit("not-a-date"))
+        .otherwise(col("o_orderdate").cast("date").cast("string")).as("date_raw"))
+    // try_cast, not cast: the tolerant cast is the OPERATOR here (the
+    // quarantine predicate needs the null), and it matches the oracle's
+    // TRY_CAST under any ANSI setting
+    val (typed, quarantined) = Staging.typedWithQuarantine(raw, Seq(
+      ("price", "price_raw", expr("try_cast(price_raw AS DOUBLE)")),
+      ("odate", "date_raw", expr("try_cast(date_raw AS DATE)"))))
+    typed.agg(lcount().as("n")).select(lit("parsed").as("reason"), col("n"))
+      .unionByName(quarantined.agg(lcount().as("n"))
+        .select(lit("quarantined").as("reason"), col("n")))
+      .unionByName(quarantined
+        .filter(col("price_raw").isNotNull &&
+          expr("try_cast(price_raw AS DOUBLE)").isNull)
+        .agg(lcount().as("n")).select(lit("bad_price").as("reason"), col("n")))
+      .unionByName(quarantined
+        .filter(col("date_raw").isNotNull &&
+          expr("try_cast(date_raw AS DATE)").isNull)
+        .agg(lcount().as("n")).select(lit("bad_date").as("reason"), col("n")))
   }
 
   /** SURVEY §8 Q1 — the bug-compat view: region resolved by joining the
@@ -248,5 +356,5 @@ object PipelineQueries {
 
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
-      deltaAgg, bugCompatView)
+      deltaAgg, bugCompatView, employeeRegionView, factDateFk, quarantine)
 }

@@ -38,6 +38,34 @@ class RunnerSpec extends SparkSpec {
     assert(runner.table("fct_orders")
       .filter(col("supplier_sk") === -1L).isEmpty)
 
+    // 3-level surrogate snowflake chain (employee→nation→region, the
+    // reference's address→country→region analog): FK integrity is total
+    // at every hop, including the NA members
+    val emp = runner.table("dim_employee").cache()
+    assert(counts("dim_employee") == Tables(spark, sfDir, "supplier").count(),
+      "every supplier bootstraps one active employee version")
+    val nationSks = runner.table("dim_nation")
+      .select("nation_sk").collect().map(_.getLong(0)).toSet
+    assert(nationSks.contains(-1L), "nation dim must carry the NA member")
+    assert(emp.select("nation_sk").collect().map(_.getLong(0)).forall(nationSks),
+      "every employee nation_sk must resolve in dim_nation")
+    val regionSks = runner.table("dim_region")
+      .select("region_sk").collect().map(_.getLong(0)).toSet
+    assert(regionSks.contains(-1L), "region dim must carry the NA member")
+    assert(runner.table("dim_nation")
+      .select("region_sk").collect().map(_.getLong(0)).forall(regionSks),
+      "every nation region_sk must resolve in dim_region")
+    // the name wiring: split + concat round-trips the feed name
+    assert(emp.filter(col("first_name") =!= "Supplier").isEmpty)
+    emp.unpersist()
+    // the date surrogate FK is total and resolves in the generated dim
+    assert(counts("fct_na_date_sk") == 0L)
+    val dateSks = runner.table("dim_date")
+      .select("date_id").collect().map(_.getLong(0)).toSet
+    assert(runner.table("fct_orders")
+      .select("date_sk").distinct().collect().map(_.getLong(0)).forall(dateSks),
+      "every fact date_sk must resolve in dim_date")
+
     val view = runner.table("yearly_sales_profit").cache()
     assert(view.count() > 0)
     // every fact row carries a resolved region (customer->nation->region
@@ -76,6 +104,9 @@ class RunnerSpec extends SparkSpec {
       oneShot.table("dim_supplier").count())
     assert(inc.table("dim_brand").count() ==
       oneShot.table("dim_brand").count())
+    assert(inc.table("dim_employee").count() ==
+      oneShot.table("dim_employee").count(),
+      "unchanged employee feed must not create new SCD2 versions")
     // each load's fact slice is lineage-tagged
     val byLoad = inc.table("fct_orders").groupBy("load_id").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
