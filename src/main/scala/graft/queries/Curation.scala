@@ -227,6 +227,63 @@ object Curation {
       .select(col("source"), col("n_total"), col("n_kept"), col("kept_chars"))
   }
 
+  /** Token-budget sequence packing ([[graft.operators.SequencePack]]):
+    * documents concatenate in doc_id order and cut into 512-token packs.
+    * The Spark side computes the global offsets with the DISTRIBUTED
+    * prefix sum (range shuffle + per-partition subtotals + parallel
+    * per-partition windows — no single-task global window); the oracle is
+    * the textbook single-threaded cumulative sum, so a hash match proves
+    * the distributed reassembly is exactly the sequential semantics.
+    */
+  private val packSeq = Q(
+    "pack_sequences",
+    """WITH t AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |             CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |                  AS BIGINT) AS "offset"
+      |      FROM t)
+      |SELECT doc_id, n_tokens, "offset",
+      |       CAST("offset" // 512 AS BIGINT) AS start_pack,
+      |       CAST(("offset" + n_tokens - 1) // 512 AS BIGINT) AS end_pack
+      |FROM c""".stripMargin) { (s, d) =>
+    graft.operators.SequencePack.pack(
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+      "doc_id", "n_tokens", packSize = 512)
+  }
+
+  /** The per-pack manifest over the same packing: every pack but the last
+    * is exactly full (512 tokens), and the oracle rebuilds each pack's
+    * document count and fill from the sequential offsets.
+    */
+  private val packManifest = Q(
+    "pack_manifest",
+    """WITH t AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |             CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |                  AS BIGINT) AS "offset"
+      |      FROM t WHERE n_tokens > 0),
+      |sp AS (SELECT "offset", n_tokens, unnest(range("offset" // 512,
+      |              ("offset" + n_tokens - 1) // 512 + 1)) AS pack
+      |       FROM c)
+      |SELECT pack, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(least("offset" + n_tokens, (pack + 1) * 512)
+      |                - greatest("offset", pack * 512)) AS BIGINT) AS n_tokens
+      |FROM sp GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.SequencePack.manifest(
+      graft.operators.SequencePack.pack(
+        Tables.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+        "doc_id", "n_tokens", packSize = 512),
+      packSize = 512)
+  }
+
   val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, stratSample,
-    pipeline, tempSample)
+    pipeline, tempSample, packSeq, packManifest)
 }
