@@ -74,6 +74,23 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unscalable join shapes:\n${offenders.mkString("\n")}")
   }
 
+  test("sequence packing plans no single-task global window") {
+    val df = SparkEntry.queries("pack_sequences")(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "packing should use per-partition windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window would funnel the whole corpus through one task:\n" +
+        df.queryExecution.sparkPlan)
+  }
+
+  test("orchestrated fact re-keys dates through a broadcast of the date dim") {
+    val p = plan("s9_fact_date_fk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"date dim must broadcast against the fact:\n$p")
+  }
+
   test("spread parallelizes a single-split scan and is identity on wide plans") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     assert(docs.rdd.getNumPartitions == 1, "harness file should be one row group")
