@@ -53,9 +53,19 @@ object Surrogates {
     * (reference sequences never reuse ids).
     */
   def assignAfter(existing: DataFrame, incoming: DataFrame, keyCol: String,
-      orderBy: Seq[Column]): DataFrame = {
+      orderBy: Seq[Column]): DataFrame =
+    assign(incoming, keyCol, orderBy, maxKey(existing, keyCol))
+
+  /** As [[assignAfter]] but via the cluster-scalable [[assignScalable]] —
+    * for incremental loads of a dimension that might be fact-sized (the
+    * reference's degenerate order dim).
+    */
+  def assignScalableAfter(existing: DataFrame, incoming: DataFrame,
+      keyCol: String, orderBy: Seq[Column]): DataFrame =
+    assignScalable(incoming, keyCol, orderBy, maxKey(existing, keyCol))
+
+  private def maxKey(existing: DataFrame, keyCol: String): Long = {
     val maxRow = existing.agg(max(col(keyCol)).cast(LongType)).head()
-    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    assign(incoming, keyCol, orderBy, maxId)
+    if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
   }
 }

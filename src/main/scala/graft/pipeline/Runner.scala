@@ -167,6 +167,34 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
           Seq("product_name", "brand_nk", "retail_price"), runDate)
     store.overwrite("dim_product", dimProduct)
 
+    // SCD1 segment dim (reference Dim_Segments, bl_3nf.sql:67-75): the
+    // customer feed's market segment as its own keyed lookup.
+    val segSrc = store.read("scr_customer")
+      .filter(col("Load_id") === loadId.toString)
+      .select(col("c_mktsegment").as("segment_nk")).distinct()
+    store.overwrite("dim_segment", scd1Dim("dim_segment", segSrc,
+      "segment_sk", "segment_nk",
+      naRow = spark.range(1).select(
+        lit(Constants.NaKey).as("segment_sk"), lit(Constants.NA).as("segment_nk"))))
+
+    // SCD1 degenerate ORDER dim (reference Dim_Orders, bl_3nf.sql:113-122):
+    // order-grain, so it is FACT-SIZED at the 100 TB north star — the
+    // scalable surrogate path (distributed sort + zipWithIndex) replaces
+    // the single-task window ranking, and the fact re-keys through it
+    // with a plain shuffled join (M13 at fact scale).
+    val ordSrc = store.read("scr_orders")
+      .filter(col("Load_id") === loadId.toString)
+      .select(
+        col("o_orderkey").as("order_nk"),
+        col("o_orderstatus").as("order_status"),
+        col("o_orderpriority").as("order_priority"))
+    store.overwrite("dim_orders", scd1Dim("dim_orders", ordSrc,
+      "order_sk", "order_nk",
+      naRow = spark.range(1).select(
+        lit(Constants.NaKey).as("order_sk"), lit(-1L).as("order_nk"),
+        lit(Constants.NA).as("order_status"), lit(Constants.NA).as("order_priority")),
+      scalable = true))
+
     store.overwrite("dim_date",
       DateDim.build(spark, Date.valueOf("1995-01-01"), Date.valueOf("2002-12-31")))
 
@@ -176,21 +204,27 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
   /** The SCD1 dim recipe shared by every non-versioned dimension: first
     * batch bootstraps NA member + dense surrogates; later batches append
     * only absent natural keys, with surrogates continuing after the
-    * current max (reference sequences never reuse ids).
+    * current max (reference sequences never reuse ids). `scalable = true`
+    * swaps the window-ranked key assignment for the distributed
+    * sort+zipWithIndex — required for dims that might be fact-sized (the
+    * degenerate order dim), where a single-task window would not survive
+    * a 100 TB load.
     */
   private def scd1Dim(name: String, src: DataFrame, skCol: String,
-      nkCol: String, naRow: DataFrame): DataFrame =
-    if (!store.exists(name))
-      naRow.unionByName(
-        Surrogates.assign(src, skCol, Seq(col(nkCol)))
-          .select(naRow.columns.map(col).toIndexedSeq: _*))
-    else {
+      nkCol: String, naRow: DataFrame, scalable: Boolean = false): DataFrame =
+    if (!store.exists(name)) {
+      val keyed =
+        if (scalable) Surrogates.assignScalable(src, skCol, Seq(col(nkCol)))
+        else Surrogates.assign(src, skCol, Seq(col(nkCol)))
+      naRow.unionByName(keyed.select(naRow.columns.map(col).toIndexedSeq: _*))
+    } else {
       val existing = store.read(name)
-      existing.unionByName(
-        Surrogates.assignAfter(
-            existing, Scd1.newRows(existing, src, Seq(nkCol)),
-            skCol, Seq(col(nkCol)))
-          .select(existing.columns.map(col).toIndexedSeq: _*))
+      val fresh = Scd1.newRows(existing, src, Seq(nkCol))
+      val keyed =
+        if (scalable)
+          Surrogates.assignScalableAfter(existing, fresh, skCol, Seq(col(nkCol)))
+        else Surrogates.assignAfter(existing, fresh, skCol, Seq(col(nkCol)))
+      existing.unionByName(keyed.select(existing.columns.map(col).toIndexedSeq: _*))
     }
 
   /** Stage 3 — fact load (reference f_orders, bl_cl.sql:1190-1347):
@@ -211,6 +245,10 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
     // thousand rows at any scale — genuinely broadcastable
     val dd = store.read("dim_date")
       .select(col("full_date"), col("date_id").as("date_sk"))
+    // order dim is order-grain (fact-sized): plain shuffled equi-join on
+    // the order key — the same key the li⋈o join already shuffled on, so
+    // the fact side reuses its partitioning and only the dim side moves
+    val ord = store.read("dim_orders").select(col("order_nk"), col("order_sk"))
 
     val fact = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
@@ -219,6 +257,7 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
       // genuinely dimension-sized and keeps its hint
       .join(cust, col("o_custkey") === col("customer_nk"), "left")
       .join(sup, col("l_suppkey") === col("supplier_nk"), "left")
+      .join(ord, col("l_orderkey") === col("order_nk"), "left")
       .join(broadcast(nat), Seq("nation_nk"), "left")
       .join(broadcast(dd), col("o_orderdate").cast("date") === col("full_date"), "left")
       .select(
@@ -226,6 +265,7 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
         col("o_custkey").as("customer_nk"),
         coalesce(col("nation_sk"), lit(Constants.NaKey)).as("nation_sk"),
         coalesce(col("supplier_sk"), lit(Constants.NaKey)).as("supplier_sk"),
+        coalesce(col("order_sk"), lit(Constants.NaKey)).as("order_sk"),
         col("l_suppkey").as("employee_nk"),
         coalesce(col("date_sk"), lit(Constants.NaKey)).as("date_sk"),
         col("o_orderdate").cast("date").as("order_date"),
@@ -321,8 +361,9 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
   def qaReport(): DataFrame = {
     val tables = Seq("dim_region", "dim_nation", "dim_customer",
       "dim_supplier", "dim_brand", "dim_product", "dim_employee",
-      "dim_date", "fct_orders", "yearly_sales_profit",
-      "sales_employee_region").map(t => t -> store.read(t)).toMap
+      "dim_segment", "dim_orders", "dim_date", "fct_orders",
+      "yearly_sales_profit", "sales_employee_region")
+      .map(t => t -> store.read(t)).toMap
     val sweep = QualityChecks.countSweep(tables)
     def scd2Check(name: String, table: String, key: String) = QualityChecks
       .scd2ActiveViolations(store.read(table), Seq(key))

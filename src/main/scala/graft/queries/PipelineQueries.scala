@@ -103,6 +103,8 @@ object PipelineQueries {
        |UNION ALL SELECT 'dim_brand', CAST((SELECT count(DISTINCT p_brand) + 1 FROM part) AS BIGINT)
        |UNION ALL SELECT 'dim_product', (SELECT $C FROM part)
        |UNION ALL SELECT 'dim_employee', (SELECT $C FROM supplier)
+       |UNION ALL SELECT 'dim_segment', CAST((SELECT count(DISTINCT c_mktsegment) + 1 FROM customer) AS BIGINT)
+       |UNION ALL SELECT 'dim_orders', CAST((SELECT count(*) + 1 FROM orders) AS BIGINT)
        |UNION ALL SELECT 'dim_date',
        |  CAST(date_diff('day', DATE '1995-01-01', DATE '2002-12-31') + 1 AS BIGINT)
        |UNION ALL SELECT 'scd2_product_violations', CAST(0 AS BIGINT)
@@ -215,6 +217,27 @@ object PipelineQueries {
       .join(broadcast(wh.table("dim_date")
         .select(col("date_id").as("date_sk"), col("year"))), Seq("date_sk"))
       .groupBy(col("year").as("yr"))
+      .agg(lcount().as("n"), dsumRound2(col("revenue")).as("revenue"))
+  }
+
+  /** M13 at FACT scale, inside the orchestrated run: the degenerate order
+    * dim is order-grain (fact-sized at the north star — scalable
+    * zipWithIndex surrogates, shuffled re-key join), and the fact's
+    * order_sk is checked by CONTENT: revenue grouped by the order
+    * priority read from `dim_orders` THROUGH order_sk must equal revenue
+    * grouped by the raw feed's priority.
+    */
+  private val factOrderDim = Q(
+    "s10_fact_order_dim",
+    s"""SELECT o_orderpriority AS priority, $C AS n,
+       |       ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val wh = warehouse(s, d)
+    wh.table("fct_orders")
+      .join(wh.table("dim_orders").select(col("order_sk"), col("order_priority")),
+        Seq("order_sk"))
+      .groupBy(col("order_priority").as("priority"))
       .agg(lcount().as("n"), dsumRound2(col("revenue")).as("revenue"))
   }
 
@@ -356,5 +379,6 @@ object PipelineQueries {
 
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
-      deltaAgg, bugCompatView, employeeRegionView, factDateFk, quarantine)
+      deltaAgg, bugCompatView, employeeRegionView, factDateFk, factOrderDim,
+      quarantine)
 }

@@ -58,6 +58,17 @@ class RunnerSpec extends SparkSpec {
     // the name wiring: split + concat round-trips the feed name
     assert(emp.filter(col("first_name") =!= "Supplier").isEmpty)
     emp.unpersist()
+    // reference 12-dim breadth: segment lookup + fact-sized order dim
+    assert(counts("dim_segment") == Tables.customer(spark, sfDir)
+      .select("c_mktsegment").distinct().count() + 1)
+    assert(counts("dim_orders") ==
+      Tables.orders(spark, sfDir).count() + 1, "order dim + NA member")
+    // the scalable surrogate path assigned dense collision-free keys
+    val ordDim = runner.table("dim_orders")
+    assert(ordDim.select("order_sk").distinct().count() == ordDim.count(),
+      "order surrogates must be collision-free")
+    // every fact row resolves its order surrogate (lookup is total)
+    assert(runner.table("fct_orders").filter(col("order_sk") === -1L).isEmpty)
     // the date surrogate FK is total and resolves in the generated dim
     assert(counts("fct_na_date_sk") == 0L)
     val dateSks = runner.table("dim_date")
@@ -107,6 +118,15 @@ class RunnerSpec extends SparkSpec {
     assert(inc.table("dim_employee").count() ==
       oneShot.table("dim_employee").count(),
       "unchanged employee feed must not create new SCD2 versions")
+    assert(inc.table("dim_segment").count() ==
+      oneShot.table("dim_segment").count())
+    // order dim grows per batch (each batch brings its own orders) and
+    // the two arrival orders assign different surrogate VALUES — like
+    // reference sequences — but the same total and the same natural keys
+    assert(inc.table("dim_orders").count() ==
+      oneShot.table("dim_orders").count())
+    assert(inc.table("dim_orders").select("order_nk").exceptAll(
+      oneShot.table("dim_orders").select("order_nk")).isEmpty)
     // each load's fact slice is lineage-tagged
     val byLoad = inc.table("fct_orders").groupBy("load_id").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
