@@ -25,5 +25,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3, "topk_pairs(score, id, k) takes three arguments")
         TopKPairs(children(0), children(1), children(2)).toAggregateExpression()
       }))
+    // Spark's own runtime-filter expressions (what InjectRuntimeFilters
+    // plans internally), surfaced by name so the semi-join reduction
+    // operator (graft.operators.BloomPrune) can build/probe them
+    // explicitly where the optimizer's automatic injection doesn't reach.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "bloom_agg(xxhash64(key), estimatedItems, numBits) takes three arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "bloom_might_contain(bloom, xxhash64(key)) takes two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }

@@ -1052,10 +1052,31 @@ object Relational {
       .agg(lcount().as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** Bloom-filter semi-join reduction ([[graft.operators.BloomPrune]]):
+    * lineitems of high-balance suppliers. The probe side is pre-filtered
+    * map-side against a broadcast bloom of the (selective) build keys, so
+    * only candidate rows reach the join shuffle; the exact semi-join that
+    * follows removes bloom false positives, making the answer identical
+    * to the plain semi-join — which is exactly what the oracle computes.
+    */
+  private val j13 = Q(
+    "j13_bloom_prune",
+    s"""SELECT l_returnflag AS flag, $C AS n, ${DS("l_quantity")} AS qty
+       |FROM lineitem
+       |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 6000)
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.BloomPrune.semiJoin(
+        lF(s, d).select(col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        Tables.supplier(s, d).filter(col("s_acctbal") > 6000),
+        "l_suppkey", "s_suppkey")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(lcount().as("n"), dsum(col("l_quantity")).as("qty"))
+  }
+
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
     w2, w3, w4, a11, ev, evCorr, js, sess, j11, funnel, retention, topUsers,
-    rfm, j12)
+    rfm, j12, j13)
 }
