@@ -91,6 +91,25 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** Fixed-size overlapping token chunks — context-window splitting for
+    * training: chunk i covers tokens [i·stride+1, i·stride+chunkSize]
+    * (1-based, clipped at the end), indices run while i·stride < n so
+    * every token lands in at least one chunk; trailing chunks shorten.
+    * Pure per-row array expressions (map-side, codegen'd, no shuffle).
+    * Returns array<struct<chunk_idx:bigint, toks:array<string>>>.
+    */
+  def tokenChunks(c: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize >= stride && stride > 0,
+      s"need chunkSize >= stride > 0 for full coverage, got ($chunkSize, $stride)")
+    val toks = split(c, " ")
+    transform(
+      sequence(lit(0L),
+        floor((size(toks) - 1).cast(DoubleType) / stride).cast(LongType)),
+      i => struct(
+        i.as("chunk_idx"),
+        slice(toks, (i * stride + 1).cast("int"), lit(chunkSize)).as("toks")))
+  }
+
   /** GPT-2-style pre-tokenizer regex (simplified, ASCII, engine-portable):
     * contraction suffixes, letter runs, digit runs, punctuation runs.
     */

@@ -209,6 +209,34 @@ object LlmText {
       "doc_id", "text", "split", n = 5)
   }
 
+  /** Context-window chunking ([[TextAnalysis.tokenChunks]]): every doc
+    * split into 40-token chunks at stride 32 (8-token overlap) — the
+    * window splitting a training pipeline applies to long documents.
+    * Pure map-side array expressions; the oracle replays the same index
+    * arithmetic with LATERAL ranges and 1-based inclusive list slices
+    * (identical clipping semantics), fingerprinting each chunk's text so
+    * content — not just counts — is certified.
+    */
+  private val chunks = Q(
+    "text_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |ix AS (SELECT doc_id, l,
+      |              unnest(range(0, (len(l) - 1) // 32 + 1)) AS idx
+      |       FROM toks)
+      |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+      |       CAST(len(l[idx * 32 + 1 : idx * 32 + 40]) AS BIGINT) AS n_tokens,
+      |       md5(array_to_string(l[idx * 32 + 1 : idx * 32 + 40], ' ')) AS chunk_fp
+      |FROM ix""".stripMargin) { (s, d) =>
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokenChunks(col("text"), chunkSize = 40, stride = 32)).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.toks")).cast(LongType).as("n_tokens"),
+        md5(array_join(col("c.toks"), " ")).as("chunk_fp"))
+  }
+
   /** Token counting + per-language corpus stats. */
   private val stats = Q(
     "text_token_stats",
@@ -569,7 +597,7 @@ object LlmText {
 
   val queries: Seq[Q] =
     Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, hammingPairs,
-      jaccard, contamination, bpe, stats, quality, langId, fp, rollingFp,
-      piiScrub, repetition, lengthQuantiles, stopPunct, tfidf, bytes, decode,
-      resize, frames)
+      jaccard, contamination, chunks, bpe, stats, quality, langId, fp,
+      rollingFp, piiScrub, repetition, lengthQuantiles, stopPunct, tfidf,
+      bytes, decode, resize, frames)
 }

@@ -65,4 +65,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(eval1(TextAnalysis.repetitionRatio(lit("all unique words")))
       .asInstanceOf[Double] == 0.0)
   }
+
+  test("tokenChunks covers every token with the declared overlap") {
+    // 10 tokens, size 4, stride 3 -> starts 0,3,6,9; last chunk is 1 token
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val rows = eval1(TextAnalysis.tokenChunks(lit(text), chunkSize = 4, stride = 3))
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+    assert(rows == List(
+      0L -> List("t1", "t2", "t3", "t4"),
+      1L -> List("t4", "t5", "t6", "t7"),
+      2L -> List("t7", "t8", "t9", "t10"),
+      3L -> List("t10")))
+    // a short doc still yields one chunk
+    val one = eval1(TextAnalysis.tokenChunks(lit("a b"), 40, 32))
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(one.length == 1 && one.head.getSeq[String](1) == Seq("a", "b"))
+    intercept[IllegalArgumentException](TextAnalysis.tokenChunks(lit("x"), 8, 9))
+  }
 }
