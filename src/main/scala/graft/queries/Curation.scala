@@ -119,6 +119,42 @@ object Curation {
       .limit(20)
   }
 
+  /** Count–min sketch frequency estimates ([[graft.operators.Sketches]]):
+    * a 4×1024 sketch of the token stream, probed with the exact top-20
+    * vocabulary so every output row carries (exact_n, cms_n) — cms_n ≥
+    * exact_n by construction, equal when the key's lightest bucket is
+    * collision-free. The md5 hash family makes sketch contents and
+    * estimates bit-replayable by the oracle; the sketch build moves at
+    * most depth×width rows per partition regardless of corpus size.
+    */
+  private val vocabCms = Q(
+    "vocab_cms", {
+      val bucket = (r: String) =>
+        s"CAST(('0x' || substr(md5('$r|' || tok), 1, 15)) AS BIGINT) % 1024"
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |keyed AS (SELECT tok, r,
+         |                 CASE r WHEN 0 THEN ${bucket("0")} WHEN 1 THEN ${bucket("1")}
+         |                        WHEN 2 THEN ${bucket("2")} ELSE ${bucket("3")} END AS bucket
+         |          FROM toks CROSS JOIN range(0, 4) t(r)),
+         |sketch AS (SELECT r, bucket, $C AS n FROM keyed GROUP BY 1, 2),
+         |top AS (SELECT tok, $C AS exact_n FROM toks
+         |        GROUP BY 1 ORDER BY exact_n DESC, tok LIMIT 20),
+         |probe AS (SELECT top.tok, top.exact_n, k.r, k.bucket
+         |          FROM top JOIN (SELECT DISTINCT tok, r, bucket FROM keyed) k
+         |            ON top.tok = k.tok)
+         |SELECT probe.tok, probe.exact_n, CAST(min(sketch.n) AS BIGINT) AS cms_n
+         |FROM probe JOIN sketch ON sketch.r = probe.r AND sketch.bucket = probe.bucket
+         |GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    import graft.operators.Sketches
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = Sketches.countMin(toks, "tok", depth = 4, width = 1024)
+    val top = toks.groupBy(col("tok")).agg(lcount().as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(20)
+    Sketches.cmsEstimate(sketch, top, "tok", depth = 4, width = 1024)
+  }
+
   /** Deterministic ~20% Bernoulli sample of the corpus (md5-threshold,
     * portable): the kept-set is identical in any engine with md5, so the
     * oracle checks membership row for row — grouping the output by `lang`
@@ -284,6 +320,6 @@ object Curation {
       packSize = 512)
   }
 
-  val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, stratSample,
-    pipeline, tempSample, packSeq, packManifest)
+  val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, vocabCms,
+    stratSample, pipeline, tempSample, packSeq, packManifest)
 }
