@@ -58,6 +58,30 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
 
+  /** Priority sampling (Duffield–Lund–Thorup): a weight-proportional
+    * sample of k rows without replacement — each row gets priority
+    * q = w / u with u uniform in (0, 1], and the k highest priorities
+    * win, so heavy rows are (near-)certainly kept and light rows keep a
+    * w-proportional chance. The data-mixing primitive for
+    * quality-weighted corpus selection.
+    *
+    * u derives from md5 (high 60 bits + 1, scaled by 2⁻⁶⁰): no RNG, so
+    * the sample is stable under re-runs, re-partitioning, and appends of
+    * OTHER rows — and every step (long→double cast, one division) is
+    * IEEE-exact-rounded, so the priorities (and the kept set) are
+    * bit-reproducible by any engine with md5. Returns the input columns
+    * plus `priority`; ranking is a global top-k (TakeOrdered — per-
+    * partition heaps then a k-row driver merge, never a full sort).
+    */
+  def prioritySample(df: DataFrame, weight: Column, k: Int,
+      id: Column, salt: String = "p"): DataFrame = {
+    val u = (conv(substring(md5(concat_ws("|", lit(salt), id.cast("string"))), 1, 15),
+      16, 10).cast("long") + 1L).cast("double") / math.pow(2, 60)
+    df.withColumn("priority", weight.cast("double") / u)
+      .orderBy(col("priority").desc, id.asc)
+      .limit(k)
+  }
+
   /** [[quotaPerGroup]] for the regime where n ≪ group size: the window
     * form shuffles and sorts EVERY group row, while the bounded-heap
     * `topk_pairs` aggregate (graft.plans.TopKPairs) partial-aggregates,

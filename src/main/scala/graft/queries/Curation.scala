@@ -119,6 +119,28 @@ object Curation {
       .limit(20)
   }
 
+  /** Priority sampling ([[Sampling.prioritySample]], Duffield–Lund–
+    * Thorup): the 25 documents winning the weight-proportional draw with
+    * n_chars as the quality weight — heavy docs (near-)certain, light
+    * docs kept with w-proportional probability, no RNG. Every arithmetic
+    * step is IEEE-exact-rounded over md5-derived integers, so the kept
+    * set AND the raw double priorities hash-match the oracle.
+    */
+  private val prioritySamp = Q(
+    "sample_priority",
+    """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority FROM (
+      |  SELECT doc_id, n_chars,
+      |         CAST(n_chars AS DOUBLE) /
+      |           (CAST(CAST(('0x' || substr(md5('p|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+      |                 AS DOUBLE) / 1152921504606846976.0) AS priority
+      |  FROM documents)
+      |ORDER BY priority DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+    Sampling.prioritySample(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars")),
+      weight = col("n_chars"), k = 25, id = col("doc_id"))
+  }
+
   /** Count–min sketch frequency estimates ([[graft.operators.Sketches]]):
     * a 4×1024 sketch of the token stream, probed with the exact top-20
     * vocabulary so every output row carries (exact_n, cms_n) — cms_n ≥
@@ -321,5 +343,5 @@ object Curation {
   }
 
   val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, vocabCms,
-    stratSample, pipeline, tempSample, packSeq, packManifest)
+    stratSample, prioritySamp, pipeline, tempSample, packSeq, packManifest)
 }

@@ -56,6 +56,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("priority sampling favors heavy rows and ignores unrelated appends") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = spark
+    import s.implicits._
+    // one row of weight 10000 among 200 of weight 1: the heavy row's
+    // priority dominates any light row's with overwhelming margin
+    val rows = ((1L to 200L).map(i => (i, 1L)) :+ (999L, 10000L)).toDF("id", "w")
+    val kept = Sampling.prioritySample(rows, col("w"), 10, col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(999L), "the heavy row must win a k=10 draw")
+    assert(kept.size == 10)
+    // determinism + stability: re-running and appending unrelated ids
+    // never changes which of the ORIGINAL rows win among themselves
+    val again = Sampling.prioritySample(rows, col("w"), 10, col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(again == kept)
+    val grown = rows.unionByName(Seq((5000L, 0L)).toDF("id", "w"))
+    val keptGrown = Sampling.prioritySample(grown, col("w"), 10, col("id"))
+      .filter(col("id") =!= lit(5000L))
+      .select("id").as[Long].collect().toSet
+    assert(keptGrown == kept, "a zero-weight append must not perturb the sample")
+  }
+
   test("surrogate keys are dense 1..n for any distinct key set") {
     val setGen = Gen.listOfN(30, word).map(_.distinct)
     samples(setGen, 8).filter(_.nonEmpty).foreach { ks =>
