@@ -357,6 +357,43 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
         .agg(dsumRound2(col("revenue")).as("revenue")))
   }
 
+  /** Late-arriving dimension repair (the Kimball pattern the NA-member
+    * regime implies): a fact row that loaded BEFORE its dimension row
+    * resolved to the NA surrogate (-1); when a later batch delivers the
+    * dimension row, this pass re-resolves ONLY the broken FKs — healthy
+    * rows pass through byte-identical — and rewrites ONLY the year
+    * partitions that contain breakage ([[TableStore.replacePartitions]]),
+    * never the whole fact. Demonstrated on the supplier FK (the fact
+    * carries the natural key as employee_nk); the same recipe applies to
+    * any surrogate column with its lookup chain.
+    */
+  def repairLateFks(): Unit = {
+    val fact = store.read("fct_orders")
+    val brokenYears = fact
+      .filter(col("supplier_sk") === Constants.NaKey)
+      .select(col("order_year")).distinct()
+      .collect().map(_.get(0)) // bounded by the partition count
+    if (brokenYears.nonEmpty) {
+      val sup = store.read("dim_supplier")
+        .select(col("supplier_nk"), col("supplier_sk").as("late_supplier_sk"))
+      val affected = fact.filter(col("order_year").isin(brokenYears.toIndexedSeq: _*))
+      val repaired = affected
+        .join(sup, affected("employee_nk") === sup("supplier_nk"), "left")
+        .withColumn("supplier_sk",
+          when(col("supplier_sk") === Constants.NaKey,
+            coalesce(col("late_supplier_sk"), lit(Constants.NaKey)))
+            .otherwise(col("supplier_sk")))
+        .drop("supplier_nk", "late_supplier_sk")
+        // keep the repaired partitions' clustered layout (see loadFact)
+        .repartitionByRange(col("order_year"), col("customer_nk"))
+        .sortWithinPartitions(col("order_year"), col("customer_nk"))
+      store.replacePartitions("fct_orders", repaired, "order_year")
+      log("repair_late_fks",
+        store.read("fct_orders").filter(col("supplier_sk") === Constants.NaKey).count(),
+        loadId = -1)
+    }
+  }
+
   /** Stage 5 — QA report (A7/A8/C3 + SCD2 invariants + FK totality). */
   def qaReport(): DataFrame = {
     val tables = Seq("dim_region", "dim_nation", "dim_customer",

@@ -79,6 +79,35 @@ final class TableStore(spark: SparkSession, root: String) {
       df.repartitionByRange(nFiles, cols: _*).sortWithinPartitions(cols: _*))
   }
 
+  /** Replace ONLY the partitions present in `df`, each through the same
+    * temp-write + atomic directory swap as [[overwrite]] — the repair/
+    * backfill primitive: rewrite a handful of affected partitions of a
+    * 100 TB fact instead of the whole table. `df` must carry COMPLETE
+    * replacement data for every partition value it contains; untouched
+    * partitions are untouched bytes. Atomicity is per partition (a crash
+    * between swaps leaves each partition either old or new, never mixed).
+    */
+  def replacePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
+    val tmp = Paths.get(s"$root/.tmp_part_$table")
+    deleteRecursively(tmp)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
+    val walk = Files.list(tmp)
+    val parts =
+      try walk.filter(p => p.getFileName.toString.startsWith(s"$partitionCol="))
+        .toArray.map(_.asInstanceOf[Path]).toSeq
+      finally walk.close()
+    parts.foreach { part =>
+      val sub = part.getFileName.toString
+      val live = Paths.get(s"${path(table)}/$sub")
+      val old = Paths.get(s"$root/.old_part_${table}_$sub")
+      deleteRecursively(old)
+      if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(part, live, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+    }
+    deleteRecursively(tmp)
+  }
+
   /** Number of parquet data files currently backing a table. */
   def dataFileCount(table: String): Long = {
     val walk = Files.walk(Paths.get(path(table)))

@@ -134,6 +134,40 @@ class RunnerSpec extends SparkSpec {
       Tables.lineitem(spark, sfDir).count())
   }
 
+  test("late-arriving suppliers repair NA fact FKs in affected partitions only") {
+    val runner = newRunner()
+    val late = col("s_suppkey") % 4 === 0
+    // batch 1: everything except the late suppliers
+    runner.stage(1, Map("supplier" -> !late))
+    runner.loadDims(1, Date.valueOf("2024-01-01"))
+    runner.loadFact(1)
+    val beforeNa = runner.table("fct_orders")
+      .filter(col("supplier_sk") === -1L).count()
+    assert(beforeNa > 0, "fixture must produce NA-resolved fact rows")
+    val beforeRevenue = runner.table("fct_orders")
+      .agg(sum("revenue")).head().getDouble(0)
+
+    // batch 2 delivers ONLY the late suppliers; repair re-resolves
+    runner.stage(2, Map(
+      "supplier" -> late,
+      "orders" -> lit(false), "lineitem" -> lit(false),
+      "customer" -> lit(false), "part" -> lit(false)))
+    runner.loadDims(2, Date.valueOf("2024-02-01"))
+    runner.repairLateFks()
+
+    val fact = runner.table("fct_orders")
+    assert(fact.filter(col("supplier_sk") === -1L).isEmpty,
+      "every late FK must now resolve")
+    // repair touches FKs only: row count and measures are untouched
+    assert(fact.count() == Tables.lineitem(spark, sfDir).count())
+    assert(fact.agg(sum("revenue")).head().getDouble(0) == beforeRevenue)
+    // and the repaired keys resolve to the real dim rows
+    val supSks = runner.table("dim_supplier")
+      .select("supplier_sk").collect().map(_.getLong(0)).toSet
+    assert(fact.select("supplier_sk").distinct()
+      .collect().map(_.getLong(0)).forall(supSks))
+  }
+
   test("duplicate load id is rejected (idempotence guard S3)") {
     val runner = newRunner()
     runner.stage(1)
