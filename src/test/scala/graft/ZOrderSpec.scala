@@ -51,17 +51,19 @@ class ZOrderSpec extends SparkSpec {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.get.metrics("numOutputRows")
       // SQL metrics arrive asynchronously on the listener bus after the
-      // action returns — poll until the value stops changing so a busy
-      // test JVM can't observe a partial count
-      val deadline = System.currentTimeMillis + 15000
+      // action returns — require the value to be NONZERO and stable over
+      // three consecutive samples, so one quiet window on a busy test JVM
+      // (listener bus stalled mid-update) can't return a partial count
+      val deadline = System.currentTimeMillis + 30000
       var prev = -1L
-      var cur = metric.value
-      while (cur != prev && System.currentTimeMillis < deadline) {
+      var stable = 0
+      while (stable < 3 && System.currentTimeMillis < deadline) {
+        val cur = metric.value
+        if (cur == prev && cur > 0) stable += 1 else stable = 0
         prev = cur
         Thread.sleep(300)
-        cur = metric.value
       }
-      cur
+      prev
     }
 
     val yCond = col("y").between(100, 110)
