@@ -1052,6 +1052,66 @@ object Relational {
       .agg(lcount().as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** O2/W-family — "which employee generated the most sales each year?"
+    * (the reference's stated business question, Business_Template.docx;
+    * view surface bl_dm.sql:288-300): per-year revenue by the SPLIT_PART-
+    * rebuilt employee name, top earner per year via window rank — the
+    * employee-entity analog of [[w1]].
+    */
+  private val w5 = Q(
+    "w5_top_employee_per_year",
+    s"""WITH rev AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       |                    split_part(s_name, '#', 1) || ' ' || split_part(s_name, '#', 2) AS employee_name,
+       |                    ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue
+       |             FROM lineitem
+       |             JOIN orders   ON l_orderkey = o_orderkey
+       |             JOIN supplier ON l_suppkey = s_suppkey
+       |             GROUP BY 1, 2)
+       |SELECT yr, employee_name, revenue
+       |FROM (SELECT yr, employee_name, revenue,
+       |             row_number() OVER (PARTITION BY yr ORDER BY revenue DESC, employee_name) AS rn
+       |      FROM rev)
+       |WHERE rn = 1""".stripMargin) { (s, d) =>
+    val rev = lF(s, d)
+      .join(oF(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(
+        year(col("o_orderdate").cast("date")).cast(LongType).as("yr"),
+        concat_ws(" ",
+          split_part(col("s_name"), lit("#"), lit(1)),
+          split_part(col("s_name"), lit("#"), lit(2))).as("employee_name"))
+      .agg(dsumRound2(revenueExpr).as("revenue"))
+    val w = Window.partitionBy(col("yr"))
+      .orderBy(col("revenue").desc, col("employee_name"))
+    rev
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("yr"), col("employee_name"), col("revenue"))
+  }
+
+  /** A8/C3 at scale — key-skew report: the hottest probe-side keys with
+    * their share of the table, the diagnosis that decides between a plain
+    * join, AQE skew handling, and an explicit salt
+    * ([[graft.operators.Skew]]). Exact counts; share is one IEEE division
+    * of exact longs, so even the doubles hash-match.
+    */
+  private val qaSkew = Q(
+    "qa_key_skew",
+    s"""WITH t AS (SELECT o_custkey AS k, $C AS n FROM orders GROUP BY 1),
+       |tot AS (SELECT $C AS total FROM orders)
+       |SELECT k AS custkey, n,
+       |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       |FROM t CROSS JOIN tot
+       |ORDER BY n DESC, k LIMIT 10""".stripMargin) { (s, d) =>
+    val t = oF(s, d).groupBy(col("o_custkey").as("k")).agg(lcount().as("n"))
+    val tot = oF(s, d).agg(lcount().as("total"))
+    t.crossJoin(broadcast(tot))
+      .select(col("k").as("custkey"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("n").desc, col("custkey"))
+      .limit(10)
+  }
+
   /** Bloom-filter semi-join reduction ([[graft.operators.BloomPrune]]):
     * lineitems of high-balance suppliers. The probe side is pre-filtered
     * map-side against a broadcast bloom of the (selective) build keys, so
@@ -1077,6 +1137,6 @@ object Relational {
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
-    w2, w3, w4, a11, ev, evCorr, js, sess, j11, funnel, retention, topUsers,
-    rfm, j12, j13)
+    w2, w3, w4, w5, a11, ev, evCorr, js, sess, j11, funnel, retention,
+    topUsers, rfm, j12, j13, qaSkew)
 }

@@ -62,7 +62,8 @@ class PlanSpec extends SparkSpec {
       "scd2_two_source", // 1-row broadcast segment lookup (J5 constant-assign pattern)
       "embed_ann_ivf", // corpus × limit(nCentroids) broadcast centroid set (IVF assignment)
       "embed_ann_ivf_kmeans", // same probe stage over the k-means-refined centroid set
-      "text_tfidf_topk" // 1-row broadcast corpus-count frame (scalar N in the idf ratio)
+      "text_tfidf_topk", // 1-row broadcast corpus-count frame (scalar N in the idf ratio)
+      "qa_key_skew" // 1-row broadcast total-count frame (the share denominator)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)

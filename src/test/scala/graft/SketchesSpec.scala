@@ -34,6 +34,17 @@ class SketchesSpec extends SparkSpec {
       s"collision-free buckets must be exact: ${wide.toSeq}")
   }
 
+  test("sketches merge by bucket-wise sum (the streaming/partition-union property)") {
+    val a = keys.filter(col("tok").isin("key_1", "key_2", "key_3"))
+    val b = keys.filter(!col("tok").isin("key_1", "key_2", "key_3"))
+    val merged = Sketches.countMin(a, "tok", 4, 8)
+      .unionByName(Sketches.countMin(b, "tok", 4, 8))
+      .groupBy("r", "bucket").agg(sum("n").as("n"))
+    val whole = Sketches.countMin(keys, "tok", 4, 8)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "count-min must be linear: sketch(a ∪ b) = sketch(a) + sketch(b)")
+  }
+
   test("sketch size is bounded by depth x width regardless of input size") {
     val sketch = Sketches.countMin(keys, "tok", depth = 4, width = 4)
     assert(sketch.count() <= 4L * 4L)
