@@ -57,6 +57,25 @@ object Staging {
     (typedDf, staged.filter(failed))
   }
 
+  /** Schema-drift alignment: conform an incoming batch to the staging
+    * table's declared schema — missing columns null-fill at the declared
+    * type, extra columns drop, order normalizes, and every kept column
+    * casts to the declared type. A long-lived feed WILL drift (renamed
+    * exports, added vendor columns); without an explicit contract the
+    * drift either fails the append or silently forks the table schema.
+    * Returns (aligned, droppedColumnNames) so the caller can log the
+    * drift it swallowed.
+    */
+  def alignSchema(batch: DataFrame,
+      target: StructType): (DataFrame, Seq[String]) = {
+    val have = batch.columns.toSet
+    val aligned = batch.select(target.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    (aligned, batch.columns.filterNot(target.fieldNames.contains).toSeq)
+  }
+
   /** S2 — append the batch with lineage columns `Insert_Date` (formatted
     * timestamp string, F9) and `Load_id` (stringified batch id, F11).
     */

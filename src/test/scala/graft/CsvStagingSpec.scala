@@ -42,6 +42,29 @@ class CsvStagingSpec extends SparkSpec {
     assert(typed.filter(col("d").isNotNull).count() == 1)
   }
 
+  test("alignSchema conforms drifted batches to the declared staging schema") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("order_date", StringType)))
+    // drifted feed: missing order_date, extra vendor column, string id
+    val drifted = Seq(("7", 1.5, "x")).toDF("id", "amount", "vendor_flag")
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    val (aligned, dropped) = Staging.alignSchema(drifted, target)
+    assert(shape(aligned.schema) == shape(target))
+    assert(dropped == Seq("vendor_flag"))
+    val row = aligned.head()
+    assert(row.getLong(0) == 7L && row.getDouble(1) == 1.5 && row.isNullAt(2))
+    // a conforming batch passes through unchanged (and re-ordered)
+    val ok = Seq((1L, 2.0, "2024-01-01")).toDF("id", "amount", "order_date")
+      .select("order_date", "amount", "id")
+    val (aligned2, dropped2) = Staging.alignSchema(ok, target)
+    assert(shape(aligned2.schema) == shape(target) && dropped2.isEmpty)
+  }
+
   test("strict typing quarantines rows whose casts fail instead of nulling them in") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_csv2")

@@ -104,6 +104,10 @@ class RunnerSpec extends SparkSpec {
     val b = inc.table("yearly_sales_profit")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "incremental view must match one-shot view exactly")
+    val ea = oneShot.table("sales_employee_region")
+    val eb = inc.table("sales_employee_region")
+    assert(ea.exceptAll(eb).isEmpty && eb.exceptAll(ea).isEmpty,
+      "incremental employee view must match one-shot exactly")
     // SCD2 customer saw the same (unchanged) source twice: no new versions
     assert(inc.table("dim_customer").count() ==
       oneShot.table("dim_customer").count())
