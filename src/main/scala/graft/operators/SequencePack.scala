@@ -34,10 +34,16 @@ object SequencePack {
       packSize: Long): DataFrame = {
     require(packSize > 0, s"packSize must be positive, got $packSize")
     val spark = docs.sparkSession
+    // materialize the ranged layout ONCE: the subtotal pass and the final
+    // join must see the SAME pid <-> rows mapping, and two independent
+    // executions of a range shuffle are only as consistent as the range
+    // sampler — localCheckpoint removes the assumption entirely (the
+    // pinned data is just the two narrow columns, not the documents)
     val base = docs
       .select(col(idCol), col(nTokensCol).cast(LongType).as("n_tokens"))
       .repartitionByRange(col(idCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     // one row per partition: (pid, partition token subtotal)
     val subtotals = base.groupBy(col("pid"))
       .agg(sum(col("n_tokens")).as("t"))
