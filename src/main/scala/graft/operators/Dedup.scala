@@ -44,6 +44,27 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).cast(LongType).as("n_dups"))
 
+  /** Exact duplicate groups keeping the LONGEST member (lowest id on
+    * ties) — the keep-policy real pipelines use, where [[exactGroups]]'
+    * min-id is the neutral baseline: among byte-identical texts any
+    * member works, but the same policy applied to near-dup clusters
+    * keeps the most complete version. Two small aggregates + a group-key
+    * join (group sizes are duplicate counts — tiny); no window.
+    */
+  def exactGroupsKeepLongest(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val g = docs.select(
+      md5(col(textCol)).as("fp"), length(col(textCol)).as("len"), col(idCol))
+    val m = g.groupBy(col("fp").as("m_fp")).agg(
+      max(col("len")).as("keep_len"),
+      count(lit(1)).cast(LongType).as("n_dups"))
+    g.join(m, col("fp") === col("m_fp") && col("len") === col("keep_len"))
+      .groupBy(col("fp"), col("keep_len"), col("n_dups"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select(col("fp"), col("keep_id"), col("n_dups"),
+        col("keep_len").cast(LongType).as("keep_len"))
+  }
+
   /** Distinct (id, shingle) pairs — the MinHash input set. The explode
     * runs at full parallelism: big inputs arrive pre-split by parquet
     * (maxPartitionBytes), and a small-file input is conditionally

@@ -119,6 +119,36 @@ object Curation {
       .limit(20)
   }
 
+  /** Statistical threshold filtering — the curation step that cuts each
+    * language's bottom quartile by a corpus-derived statistic instead of
+    * a hand-picked constant: per-lang p25 of n_chars (exact interpolated
+    * percentile, bit-identical across engines — see
+    * `text_length_quantiles`), broadcast back as a threshold dim, then a
+    * map-side filter. One stats aggregate + one broadcast join at any
+    * scale; the fact side never reshuffles.
+    */
+  private val qualityCut = Q(
+    "curation_quality_cut",
+    s"""WITH thr AS (SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25
+       |             FROM documents GROUP BY 1)
+       |SELECT d.lang, $C AS n_kept,
+       |       CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars, min(thr.p25) AS p25
+       |FROM documents d JOIN thr ON d.lang = thr.lang
+       |WHERE CAST(d.n_chars AS DOUBLE) >= thr.p25
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val thr = docs.groupBy(col("lang"))
+      .agg(expr("percentile(CAST(n_chars AS DOUBLE), 0.25)").as("p25"))
+    docs
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("n_chars").cast("double") >= col("p25"))
+      .groupBy(col("lang"))
+      .agg(
+        lcount().as("n_kept"),
+        sum(col("n_chars")).cast(LongType).as("kept_chars"),
+        min(col("p25")).as("p25"))
+  }
+
   /** Priority sampling ([[Sampling.prioritySample]], Duffield–Lund–
     * Thorup): the 25 documents winning the weight-proportional draw with
     * n_chars as the quality weight — heavy docs (near-)certain, light
@@ -343,5 +373,6 @@ object Curation {
   }
 
   val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, vocabCms,
-    stratSample, prioritySamp, pipeline, tempSample, packSeq, packManifest)
+    stratSample, prioritySamp, qualityCut, pipeline, tempSample, packSeq,
+    packManifest)
 }

@@ -40,6 +40,21 @@ object LlmText {
     Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Exact dedup with the production keep-policy: keep the LONGEST
+    * duplicate (lowest id on ties) instead of the min id — the choice
+    * that preserves the most complete version of a scraped page.
+    */
+  private val exactLongest = Q(
+    "dedup_keep_longest",
+    s"""WITH g AS (SELECT md5(text) AS fp, len(text) AS l, doc_id FROM documents),
+       |m AS (SELECT fp, max(l) AS keep_len, $C AS n_dups FROM g GROUP BY 1)
+       |SELECT m.fp, min(doc_id) AS keep_id, m.n_dups,
+       |       CAST(m.keep_len AS BIGINT) AS keep_len
+       |FROM g JOIN m ON g.fp = m.fp AND g.l = m.keep_len
+       |GROUP BY 1, 3, 4""".stripMargin) { (s, d) =>
+    Dedup.exactGroupsKeepLongest(Tables.documents(s, d), "doc_id", "text")
+  }
+
   /** MinHash signatures (16 hashes, long format). */
   private val sigs = Q(
     "dedup_minhash_signatures",
@@ -596,8 +611,8 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, sigs, pairs, clusters, simhash, simhashPortable, hammingPairs,
-      jaccard, contamination, chunks, bpe, stats, quality, langId, fp,
-      rollingFp, piiScrub, repetition, lengthQuantiles, stopPunct, tfidf,
-      bytes, decode, resize, frames)
+    Seq(exact, exactLongest, sigs, pairs, clusters, simhash, simhashPortable,
+      hammingPairs, jaccard, contamination, chunks, bpe, stats, quality,
+      langId, fp, rollingFp, piiScrub, repetition, lengthQuantiles, stopPunct,
+      tfidf, bytes, decode, resize, frames)
 }

@@ -36,6 +36,24 @@ class DedupSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("exactGroupsKeepLongest keeps the longest member, lowest id on ties") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), // tie -> keep 1
+      (10L, "solo")).toDF("doc_id", "text")
+    val got = Dedup.exactGroupsKeepLongest(docs, "doc_id", "text")
+      .select("keep_id", "n_dups", "keep_len")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 9L), (10L, 1L, 4L)))
+    // different lengths hash differently (exact dedup groups identical
+    // text only) — the policy matters when applied to near-dup CLUSTERS:
+    // pick the longest member of a cluster id set
+    val cluster = Seq((1L, "short"), (2L, "a much longer version"), (3L, "short"))
+      .toDF("doc_id", "text")
+    val longest = Dedup.exactGroupsKeepLongest(cluster, "doc_id", "text")
+      .orderBy(col("keep_len").desc).head().getAs[Long]("keep_id")
+    assert(longest == 2L)
+  }
+
   test("minhash LSH recall >= 0.9 against brute-force Jaccard >= 0.8") {
     val truth = Dedup.bruteForceJaccardPairs(corpus, "doc_id", "text", 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
