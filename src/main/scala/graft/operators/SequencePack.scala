@@ -57,9 +57,18 @@ object SequencePack {
       .drop(1)
       .map { case (pid, _, prefix) => (pid, prefix) }
       .toSeq.toDF("pid", "pid_offset")
+    // duplicate order keys would give peer rows the SAME cumulative sum
+    // (and a range shuffle may split equal keys across partitions) —
+    // silently corrupting offsets; the check is one aggregate over the
+    // already-checkpointed two-column layout
+    require(base.select(col(idCol)).distinct().count() == base.count(),
+      s"pack() requires unique $idCol values — the token stream order is undefined under duplicates")
     // per-partition cumsum in parallel; global offset = partition prefix +
-    // local prefix − own tokens (offset points at the doc's first token)
+    // local prefix − own tokens (offset points at the doc's first token).
+    // ROWS frame (not the default RANGE): each row's prefix is strictly
+    // its predecessors', independent of peer grouping.
     val w = Window.partitionBy(col("pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .join(broadcast(offsetDf), Seq("pid"))
       .withColumn("offset",

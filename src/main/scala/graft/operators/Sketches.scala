@@ -38,18 +38,23 @@ object Sketches {
 
   /** Estimate each probe key's frequency: min over the sketch's rows of
     * its bucket counter. Probes keep their other columns; the sketch side
-    * is at most depth×width rows (broadcast).
+    * is at most depth×width rows (broadcast). PRECONDITION: probe rows
+    * must be distinct — the estimate re-groups by the probe columns, so
+    * duplicate rows collapse to one (probe a key once per distinct
+    * context, or carry a row key).
     */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
     val keyed = probes.select(
       col("*"),
-      posexplode(array((0 until depth).map(r => cmsBucket(col(keyCol), r, width)): _*)))
-      .withColumnRenamed("pos", "r")
-      .withColumnRenamed("col", "bucket")
+      posexplode(array((0 until depth).map(r => cmsBucket(col(keyCol), r, width)): _*))
+        .as(Seq("__cms_r", "__cms_bucket")))
     keyed
-      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .join(broadcast(
+        sketch.select(col("r").as("__cms_r"), col("bucket").as("__cms_bucket"),
+          col("n").as("__cms_n"))),
+        Seq("__cms_r", "__cms_bucket"), "left")
       .groupBy(probes.columns.map(col).toIndexedSeq: _*)
-      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
+      .agg(min(coalesce(col("__cms_n"), lit(0L))).as("cms_n"))
   }
 }

@@ -68,12 +68,21 @@ object Staging {
     */
   def alignSchema(batch: DataFrame,
       target: StructType): (DataFrame, Seq[String]) = {
-    val have = batch.columns.toSet
+    // name matching honors spark.sql.caseSensitive (default false) — a
+    // feed whose only drift is letter case must MATCH, not null-fill the
+    // declared column while dropping the real data as "extra"
+    val caseSensitive = batch.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def key(n: String) = if (caseSensitive) n else n.toLowerCase
+    val have = batch.columns.map(c => key(c) -> c).toMap
+    val targetKeys = target.fieldNames.map(key).toSet
     val aligned = batch.select(target.fields.toIndexedSeq.map { f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(key(f.name)) match {
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
-    (aligned, batch.columns.filterNot(target.fieldNames.contains).toSeq)
+    (aligned, batch.columns.filterNot(c => targetKeys(key(c))).toSeq)
   }
 
   /** S2 — append the batch with lineage columns `Insert_Date` (formatted

@@ -84,10 +84,28 @@ final class TableStore(spark: SparkSession, root: String) {
     * backfill primitive: rewrite a handful of affected partitions of a
     * 100 TB fact instead of the whole table. `df` must carry COMPLETE
     * replacement data for every partition value it contains; untouched
-    * partitions are untouched bytes. Atomicity is per partition (a crash
-    * between swaps leaves each partition either old or new, never mixed).
+    * partitions are untouched bytes. Atomicity is per partition: a crash
+    * between swaps leaves each partition old, new, or parked in its
+    * `.old_part_*` side-dir — the recovery sweep at the next call
+    * restores parked partitions before anything reads the table, so no
+    * state is ever lost (never mixed, never silently absent at repair
+    * time).
     */
   def replacePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
+    // recover from a crash inside a previous call: between its two moves
+    // a partition exists only as .old_part_* — restore it BEFORE planning
+    // this replacement, or the new df would be computed from (and then
+    // permanently bake in) the truncated table
+    val rootDir = Files.list(Paths.get(root))
+    try rootDir
+      .filter(p => p.getFileName.toString.startsWith(s".old_part_${table}_"))
+      .forEach { stale =>
+        val sub = stale.getFileName.toString.stripPrefix(s".old_part_${table}_")
+        val live = Paths.get(s"${path(table)}/$sub")
+        if (!Files.exists(live)) Files.move(stale, live, StandardCopyOption.ATOMIC_MOVE)
+        else deleteRecursively(stale)
+      }
+    finally rootDir.close()
     val tmp = Paths.get(s"$root/.tmp_part_$table")
     deleteRecursively(tmp)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)

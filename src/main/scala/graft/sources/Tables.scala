@@ -106,8 +106,12 @@ object Tables {
     *    binary "below defaultParallelism?" decision only needs the
     *    magnitude, not Spark's exact open-cost packing);
     *  - shuffle width: any explicit Repartition keeps its target count,
-    *    and any shuffle-introducing operator (aggregate/join/sort/window/
-    *    distinct) already runs at `spark.sql.shuffle.partitions`.
+    *    and operators that ALWAYS shuffle (aggregate/distinct/global
+    *    sort) already run at `spark.sql.shuffle.partitions`. Joins and
+    *    windows are deliberately NOT scored: a broadcast join or a
+    *    partition-local sort adds no exchange, and crediting them with
+    *    shuffle width would wrongly skip a needed re-spread — unscored,
+    *    they fall back to the scan estimate and err toward re-spreading.
     *
     * The max of all signals decides; ties err toward re-spreading, which
     * only ever adds a shuffle of an already-small input.
@@ -127,7 +131,8 @@ object Tables {
       case r: Repartition => r.numPartitions.toLong
       case r: RepartitionByExpression =>
         r.optNumPartitions.map(_.toLong).getOrElse(shufflePartitions)
-      case p @ (_: Aggregate | _: Join | _: Sort | _: Window | _: Deduplicate) =>
+      case s: Sort if s.global => shufflePartitions
+      case p @ (_: Aggregate | _: Deduplicate) =>
         val _ = p; shufflePartitions
     }
     (scanEstimate +: shuffleEstimates).max

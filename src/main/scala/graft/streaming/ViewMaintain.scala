@@ -24,17 +24,40 @@ object ViewMaintain {
 
   /** Maintain `table` as the running aggregate of `stream` grouped by
     * `keys` with decimal sums over `sumCols`.
+    *
+    * Replay-safe: `foreachBatch` is at-least-once, so the fold must be
+    * idempotent per batch id. The last applied id rides ON the state
+    * rows themselves (`__applied`), so state and watermark commit in ONE
+    * atomic overwrite — a replayed batch at or below it is a no-op
+    * instead of a double-fold (which would silently double counts and
+    * sums, breaking the stream==batch bit-identity this exists for).
     */
   def maintainer(stream: DataFrame, store: TableStore, table: String,
       keys: Seq[String], sumCols: Seq[String]): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val delta = IncrementalAgg.fromBatch(batch.toDF(), keys, sumCols)
-        val next =
-          if (store.exists(table))
-            IncrementalAgg.merge(store.read(table), delta, keys, sumCols)
-          else delta
-        store.overwrite(table, next)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(store, table, keys, sumCols)(batch.toDF(), batchId)
       }
+
+  /** The per-batch fold, exposed for direct testing of replay semantics. */
+  def applyBatch(store: TableStore, table: String, keys: Seq[String],
+      sumCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val lastApplied =
+      if (!store.exists(table)) -1L
+      else {
+        val r = store.read(table).agg(max(col("__applied"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    if (batchId > lastApplied) {
+      val delta = IncrementalAgg.fromBatch(batch, keys, sumCols)
+      val next =
+        if (store.exists(table))
+          IncrementalAgg.merge(store.read(table).drop("__applied"),
+            delta, keys, sumCols)
+        else delta
+      store.overwrite(table, next.withColumn("__applied", lit(batchId)))
+    }
+  }
 }

@@ -63,6 +63,14 @@ class CsvStagingSpec extends SparkSpec {
       .select("order_date", "amount", "id")
     val (aligned2, dropped2) = Staging.alignSchema(ok, target)
     assert(shape(aligned2.schema) == shape(target) && dropped2.isEmpty)
+    // case drift matches (spark.sql.caseSensitive=false default): data
+    // survives under the declared name instead of null-filling
+    val cased = Seq(("9", 3.5, "2024-02-02")).toDF("Id", "AMOUNT", "Order_Date")
+    val (aligned3, dropped3) = Staging.alignSchema(cased, target)
+    assert(dropped3.isEmpty)
+    val r3 = aligned3.head()
+    assert(r3.getLong(0) == 9L && r3.getDouble(1) == 3.5 &&
+      r3.getString(2) == "2024-02-02")
   }
 
   test("strict typing quarantines rows whose casts fail instead of nulling them in") {

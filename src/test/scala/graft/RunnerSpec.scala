@@ -148,8 +148,11 @@ class RunnerSpec extends SparkSpec {
     val beforeNa = runner.table("fct_orders")
       .filter(col("supplier_sk") === -1L).count()
     assert(beforeNa > 0, "fixture must produce NA-resolved fact rows")
-    val beforeRevenue = runner.table("fct_orders")
-      .agg(sum("revenue")).head().getDouble(0)
+    // decimal accumulation: the repair rewrites partitions into a fresh
+    // layout, so a double sum would differ in last-ULP addition order
+    def revenueSum(t: String) = runner.table(t)
+      .agg(sum(col("revenue").cast("decimal(38,6)"))).head().getDecimal(0)
+    val beforeRevenue = revenueSum("fct_orders")
 
     // batch 2 delivers ONLY the late suppliers; repair re-resolves
     runner.stage(2, Map(
@@ -164,7 +167,7 @@ class RunnerSpec extends SparkSpec {
       "every late FK must now resolve")
     // repair touches FKs only: row count and measures are untouched
     assert(fact.count() == Tables.lineitem(spark, sfDir).count())
-    assert(fact.agg(sum("revenue")).head().getDouble(0) == beforeRevenue)
+    assert(revenueSum("fct_orders") == beforeRevenue)
     // and the repaired keys resolve to the real dim rows
     val supSks = runner.table("dim_supplier")
       .select("supplier_sk").collect().map(_.getLong(0)).toSet

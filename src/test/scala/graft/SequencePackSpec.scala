@@ -47,6 +47,13 @@ class SequencePackSpec extends SparkSpec {
     assert(m.map(_._2).sum >= docs.count())
   }
 
+  test("duplicate order keys are rejected, not silently mis-packed") {
+    val dup = Seq((1L, 5L), (1L, 5L), (2L, 5L)).toDF("id", "n")
+    val e = intercept[IllegalArgumentException](
+      SequencePack.pack(dup, "id", "n", 4))
+    assert(e.getMessage.contains("unique"), e.getMessage)
+  }
+
   test("zero-token rows span no pack and keep offsets contiguous") {
     val withEmpty = Seq((1L, 5L), (2L, 0L), (3L, 5L)).toDF("id", "n")
     val got = SequencePack.pack(withEmpty, "id", "n", 4)

@@ -44,5 +44,17 @@ class ViewMaintainSpec extends SparkSpec {
     // and the state really was folded incrementally, not rebuilt: the
     // stored table exists and carries one row per group
     assert(store.read("agg_lineitem").count() == oneShot.count())
+
+    // replay safety: foreachBatch is at-least-once — re-applying an
+    // already-folded batch id must be a no-op, not a double-fold
+    val replayed = li.limit(50)
+    ViewMaintain.applyBatch(store, "agg_lineitem", keys, sums)(replayed, 0L)
+    val afterReplay = IncrementalAgg.present(store.read("agg_lineitem"), keys, sums)
+    assert(afterReplay.exceptAll(oneShot).isEmpty && oneShot.exceptAll(afterReplay).isEmpty,
+      "a replayed batch id must not change the state")
+    // a genuinely new batch id still folds
+    ViewMaintain.applyBatch(store, "agg_lineitem", keys, sums)(replayed, 99L)
+    assert(IncrementalAgg.present(store.read("agg_lineitem"), keys, sums)
+      .agg(sum("n")).head().getLong(0) == li.count() + 50)
   }
 }
