@@ -1089,6 +1089,54 @@ object Relational {
       .select(col("yr"), col("employee_name"), col("revenue"))
   }
 
+  /** Volume anomaly detection over the event stream: hours whose count
+    * exceeds mean + 3σ for their event type. Mean and variance derive
+    * from DECIMAL Σn and Σn² (exact, order-independent) with the final
+    * moments in IEEE doubles — so even the z-scores hash-match across
+    * engines, where a built-in stddev would drift with partial-agg
+    * order. One hourly aggregate + one tiny per-type stats frame
+    * broadcast back; the event scan never reshuffles twice.
+    */
+  private val anomalies = Q(
+    "events_anomalies",
+    s"""WITH hourly AS (SELECT event_type,
+       |                  CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
+       |                  $C AS n
+       |                FROM events GROUP BY 1, 2),
+       |st AS (SELECT event_type, $C AS n_hours,
+       |              CAST(SUM(CAST(n AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+       |              CAST(SUM(CAST(n AS DECIMAL(38,4)) * n) AS DOUBLE) AS sxx
+       |       FROM hourly GROUP BY 1),
+       |m AS (SELECT event_type, sx / n_hours AS mean,
+       |             sqrt(sxx / n_hours - (sx / n_hours) * (sx / n_hours)) AS sd
+       |      FROM st)
+       |SELECT hourly.event_type, hour_ts, n,
+       |       (CAST(n AS DOUBLE) - mean) / sd AS z
+       |FROM hourly JOIN m ON hourly.event_type = m.event_type
+       |WHERE CAST(n AS DOUBLE) > mean + 3 * sd""".stripMargin) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 4)
+    val hourly = Tables.events(s, d)
+      .groupBy(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(lcount().as("n"))
+    val st = hourly.groupBy(col("event_type"))
+      .agg(
+        lcount().as("n_hours"),
+        sum(col("n").cast(dec)).cast("double").as("sx"),
+        sum(col("n").cast(dec) * col("n")).cast("double").as("sxx"))
+    val m = st.select(
+      col("event_type"),
+      (col("sx") / col("n_hours")).as("mean"),
+      sqrt(col("sxx") / col("n_hours") -
+        (col("sx") / col("n_hours")) * (col("sx") / col("n_hours"))).as("sd"))
+    hourly
+      .join(broadcast(m), Seq("event_type"))
+      .filter(col("n").cast("double") > col("mean") + lit(3) * col("sd"))
+      .select(col("event_type"), col("hour_ts"), col("n"),
+        ((col("n").cast("double") - col("mean")) / col("sd")).as("z"))
+  }
+
   /** A8/C3 at scale — key-skew report: the hottest probe-side keys with
     * their share of the table, the diagnosis that decides between a plain
     * join, AQE skew handling, and an explicit salt
@@ -1138,5 +1186,5 @@ object Relational {
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
     w2, w3, w4, w5, a11, ev, evCorr, js, sess, j11, funnel, retention,
-    topUsers, rfm, j12, j13, qaSkew)
+    topUsers, rfm, j12, j13, qaSkew, anomalies)
 }
