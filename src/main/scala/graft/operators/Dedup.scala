@@ -156,6 +156,30 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
+  /** Candidate pairs for an INCREMENTAL batch against a growing corpus:
+    * pairs sharing a band bucket where at least one side is new. The
+    * historical side arrives as its (persisted) band keys — history is
+    * never re-shingled or re-hashed; only the new batch computes
+    * signatures, and the bucket equi-join touches exactly the buckets
+    * the new docs land in. `allBands` must already include `newBands`
+    * (append new to the store, then pass the whole store), so
+    * new-vs-new pairs surface too. One shuffle on the bucket key.
+    *
+    * Invariant (spec-asserted): one-shot pairs over the full corpus ==
+    * pairs(batch₁) ∪ incremental(batch₂ vs batch₁∪batch₂).
+    */
+  def incrementalCandidatePairs(allBands: DataFrame, newBands: DataFrame,
+      idCol: String): DataFrame =
+    newBands.select(col("band"), col("band_key"), col(idCol).as("new_id"))
+      .join(
+        allBands.select(col("band"), col("band_key"), col(idCol).as("other_id")),
+        Seq("band", "band_key"))
+      .filter(col("new_id") =!= col("other_id"))
+      .select(
+        least(col("new_id"), col("other_id")).as("doc_a"),
+        greatest(col("new_id"), col("other_id")).as("doc_b"))
+      .distinct()
+
   /** Per-band bucket keys straight from the wide signature row — pure
     * map-side (no second aggregation): band b's key is the seed-ordered
     * concat of its minhashes.

@@ -81,6 +81,39 @@ object LlmText {
         numHashes = 16, rowsPerBand = 4)
   }
 
+  /** Incremental dedup: candidate pairs for the NEW half of the corpus
+    * (doc_id >= 250) against the persisted band keys of the whole corpus
+    * — history is never re-shingled; only buckets the new docs land in
+    * are touched. The oracle rebuilds the same bucket join with the
+    * ≥-one-new-member condition, so the hash match certifies the
+    * incremental shape returns exactly the full rebuild's pairs that
+    * involve a new document.
+    */
+  private val incPairs = Q(
+    "dedup_incremental_pairs",
+    s"""WITH $sigCte,
+       |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+       |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+       |          FROM sig GROUP BY 1, 2)
+       |SELECT DISTINCT least(n.doc_id, o.doc_id) AS doc_a,
+       |                greatest(n.doc_id, o.doc_id) AS doc_b
+       |FROM bands n JOIN bands o
+       |  ON n.band = o.band AND n.band_key = o.band_key AND n.doc_id <> o.doc_id
+       |WHERE n.doc_id >= 250""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandKeysFromWide(
+        Dedup.minhashWide(
+          graft.sources.Tables.spread(df)
+            .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 3)).as("shingle")),
+          "doc_id", 16),
+        "doc_id", 16, 4)
+    // in production allBands is the persisted signature store + the new
+    // batch's appended keys; here both sides rebuild from the same table
+    Dedup.incrementalCandidatePairs(
+      bands(docs), bands(docs.filter(col("doc_id") >= 250)), "doc_id")
+  }
+
   /** Duplicate clusters — connected components over the banded-LSH
     * candidate pairs (cluster id = min doc id of the component). The
     * oracle rebuilds the identical pair set, then takes the transitive
@@ -611,8 +644,8 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, exactLongest, sigs, pairs, clusters, simhash, simhashPortable,
-      hammingPairs, jaccard, contamination, chunks, bpe, stats, quality,
-      langId, fp, rollingFp, piiScrub, repetition, lengthQuantiles, stopPunct,
-      tfidf, bytes, decode, resize, frames)
+    Seq(exact, exactLongest, sigs, pairs, incPairs, clusters, simhash,
+      simhashPortable, hammingPairs, jaccard, contamination, chunks, bpe,
+      stats, quality, langId, fp, rollingFp, piiScrub, repetition,
+      lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames)
 }

@@ -93,6 +93,28 @@ class DedupSpec extends SparkSpec {
     assert(nearDupHits >= 4, s"only $nearDupHits/8 near-dup pairs bucketed")
   }
 
+  test("incremental candidates == one-shot pairs: batch1-internal plus new-involving") {
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandKeysFromWide(
+        Dedup.minhashWide(Dedup.shingleSet(df, "doc_id", "text"), "doc_id", 16),
+        "doc_id", 16, 2)
+    val batch1 = corpus.filter(col("doc_id") < 100)
+    val all = bands(corpus)
+    val oneShot = Dedup.candidatePairs(all, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty)
+    val internal = Dedup.candidatePairs(bands(batch1), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val incremental = Dedup.incrementalCandidatePairs(
+        all, bands(corpus.filter(col("doc_id") >= 100)), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(internal.union(incremental) == oneShot,
+      s"missing=${oneShot -- internal -- incremental}, " +
+        s"extra=${internal.union(incremental) -- oneShot}")
+    // the incremental side contains every pair involving a new doc
+    assert(incremental.forall { case (a, b) => a >= 100 || b >= 100 })
+  }
+
   test("dupClusters labels transitive chains with the component's min id") {
     // 1-2, 2-3 chain plus an isolated pair 10-11: 3 hops must collapse
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
