@@ -77,6 +77,37 @@ object Dedup {
       .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
+  /** Boilerplate phrase density per group (the phrase-grained analog of
+    * CCNet-style line dedup): a distinct n-gram shingle whose document
+    * frequency reaches `minDf` is boilerplate (headers, footers, injected
+    * notices repeated across pages), and each `groupCol` value (source,
+    * domain, crawl) is scored by the fraction of its distinct shingles
+    * that are boilerplate. Output: (groupCol, n_shingles, n_boiler,
+    * boiler_ratio).
+    *
+    * Plan shape: the shingle document-frequency aggregate (one shuffle on
+    * the shingle), joined back to the shingle stream (second shuffle) and
+    * aggregated per group (third) — no per-phrase driver loop, no
+    * all-pairs work; the hot-phrase side collapses to one row per shingle
+    * before the join, so a phrase shared by millions of docs costs one
+    * aggregate row, not a blowup.
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 3, minDf: Int = 3): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n)
+    val boiler = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("shingle"), lit(1).as("hit"))
+    sh.join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .join(boiler, Seq("shingle"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_shingles"),
+        sum(col("hit")).cast(LongType).as("n_boiler"),
+        (sum(col("hit")).cast("double") /
+          count(lit(1)).cast("double")).as("boiler_ratio"))
+  }
+
   /** All `numHashes` minhashes as ONE aggregation on the doc id: each
     * seed's `min(hash(seed || '|' || shingle))` is its own agg column, so
     * the shingle rows are never replicated `numHashes`× and the whole

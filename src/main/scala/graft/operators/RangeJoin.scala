@@ -62,4 +62,46 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join: every (left, right) pair whose
+    * closed-open ranges intersect (`lStart < rEnd AND rStart < lEnd`).
+    * Column names must not collide across the two sides.
+    *
+    * Same bucketed rewrite as [[pointInInterval]], on BOTH sides: each
+    * interval explodes into its covered buckets and the join becomes a
+    * hash equi-join on the bucket key. Two intervals overlap iff they
+    * share at least one covered bucket, so no candidate is lost; the
+    * residual predicate removes boundary false positives. A pair can
+    * share MANY buckets — instead of a `distinct()` shuffle, each pair is
+    * emitted exactly once at the FIRST shared bucket (the later of the
+    * two start buckets), which is a plain filter on the joined row.
+    * Cost: one shuffle of both sides × their bucket expansion factors;
+    * pick `bucketUnit` near the typical interval length of the SHORTER
+    * side so expansion stays small.
+    *
+    * Empty intervals (`end <= start`) are empty SETS and overlap nothing —
+    * note this differs from the bare SQL predicate
+    * `lStart < rEnd AND rStart < lEnd`, which matches a degenerate `[s,s)`
+    * lying strictly inside the other interval.
+    */
+  def intervalOverlap(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketUnit: String = "month"): DataFrame = {
+    def expand(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s)).withColumn(
+        "__bucket",
+        explode(sequence(
+          bucketOf(bucketUnit, col(s)),
+          bucketOf(bucketUnit, date_sub(col(e), 1)),
+          step(bucketUnit))))
+    expand(left, lStart, lEnd)
+      .join(expand(right, rStart, rEnd), Seq("__bucket"))
+      .filter(
+        col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+          col("__bucket") === greatest(
+            bucketOf(bucketUnit, col(lStart)),
+            bucketOf(bucketUnit, col(rStart))))
+      .drop("__bucket")
+  }
 }

@@ -372,7 +372,51 @@ object Curation {
       packSize = 512)
   }
 
+  /** Leakage-safe train/val/test split: the split is decided by the md5
+    * byte of each document's DUP-CLUSTER representative (min doc id of
+    * its MinHash-LSH connected component; singletons represent
+    * themselves), so a near-duplicate can never land in train while its
+    * twin lands in test — the contamination mode a plain per-doc hash
+    * split ([[splitAssign]]) cannot prevent. Cost on top of the dedup
+    * clustering the pipeline already runs: one left join of the corpus
+    * against the (small) clustered-doc relation.
+    */
+  private val clusterSplit = Q(
+    "split_by_cluster", {
+      val hex = "0123456789abcdef"
+      val byte = s"(strpos('$hex', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 16" +
+        s" + (strpos('$hex', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1)"
+      s"""WITH RECURSIVE ${LlmText.sigCte},
+         |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+         |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+         |          FROM sig GROUP BY 1, 2),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+         |       FROM reach GROUP BY 1),
+         |a AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
+         |      FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, rep,
+         |       CASE WHEN $byte < 205 THEN 'train'
+         |            WHEN $byte < 230 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM a""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 16, rowsPerBand = 4))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep"))
+      .withColumn("split", Sampling.hashSplit(col("rep")))
+  }
+
   val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, vocabCms,
     stratSample, prioritySamp, qualityCut, pipeline, tempSample, packSeq,
-    packManifest)
+    packManifest, clusterSplit)
 }

@@ -433,9 +433,16 @@ object LlmEmbed {
          |      FROM cosd)
          |WHERE rnk <= 3""".stripMargin
     }) { (s, d) =>
+    // the element stream feeds every Lloyd round, the final assignment,
+    // and both sides of the candidate ranking (~8 consumers) — checkpoint
+    // it once so the parquet scan + explode doesn't re-execute per
+    // consumer. Rows = corpus × dim, the same working set any k-means
+    // materializes; norms are one row per vector.
     val el = elements(s, d).select(col("vec_id"), col("i"), col("x"))
+      .localCheckpoint()
     val nrm = el.groupBy(col("vec_id"))
       .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+      .localCheckpoint()
     val stride = math.max(1L, Tables.rowCount(s, d, "embeddings") / 16)
     // seed centroid ids with dense cids in vec_id order (k rows driver-side)
     val seeds = Tables.embeddings(s, d)

@@ -26,7 +26,8 @@ object LlmText {
       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
       |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t)""".stripMargin
 
-  private val sigCte =
+  // shared with Curation's cluster-aware split oracle
+  private[queries] val sigCte =
     s"""$shingleCte,
        |sig AS (SELECT doc_id, CAST(seed AS BIGINT) AS seed,
        |               min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
@@ -643,9 +644,36 @@ object LlmText {
         countDistinct(col("doc_id")).cast(LongType).as("n_videos"))
   }
 
+  /** Boilerplate phrase detection (the line-dedup step of CCNet-style
+    * curation, phrase-grained because the corpus is a token stream):
+    * a 3-gram occurring in >= 3 DISTINCT documents is boilerplate
+    * (headers, footers, injected notices), and each source is scored by
+    * the fraction of its distinct shingles that are boilerplate. Plan:
+    * the shingle→document-frequency aggregate the dedup pipeline already
+    * certifies, joined back to the shingle stream — never a per-phrase
+    * driver loop. The ratio is a single IEEE division of two exact
+    * counts (no rounding), so it hash-matches bit for bit.
+    */
+  private val boilerplate = Q(
+    "text_boilerplate",
+    s"""WITH $shingleCte,
+       |df AS (SELECT shingle, $C AS df FROM sh GROUP BY 1),
+       |b AS (SELECT shingle, 1 AS hit FROM df WHERE df >= 3),
+       |j AS (SELECT d.source, coalesce(b.hit, 0) AS hit
+       |      FROM sh JOIN documents d USING (doc_id)
+       |      LEFT JOIN b ON b.shingle = sh.shingle)
+       |SELECT source, $C AS n_shingles,
+       |       CAST(SUM(hit) AS BIGINT) AS n_boiler,
+       |       CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio
+       |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.boilerplateStats(
+      Tables.documents(s, d), "doc_id", "text", "source", n = 3, minDf = 3)
+  }
+
   val queries: Seq[Q] =
     Seq(exact, exactLongest, sigs, pairs, incPairs, clusters, simhash,
       simhashPortable, hammingPairs, jaccard, contamination, chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
-      lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames)
+      lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
+      boilerplate)
 }

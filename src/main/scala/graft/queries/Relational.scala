@@ -1181,10 +1181,50 @@ object Relational {
       .agg(lcount().as("n"), dsum(col("l_quantity")).as("qty"))
   }
 
+  /** Interval × interval OVERLAP join — campaigns (the [[j12]] region-
+    * derived windows) against per-order 45-day attribution windows. The
+    * natural predicate has no equi-conjunct, so Catalyst would plan a
+    * nested-loop/cartesian; [[graft.operators.RangeJoin.intervalOverlap]]
+    * rewrites it to a month-bucket hash equi-join with each pair emitted
+    * once at its first shared bucket (no distinct shuffle) and the exact
+    * overlap predicate as the residual.
+    */
+  private val j14 = Q(
+    "j14_interval_overlap",
+    s"""WITH iv AS (
+       |  SELECT r_regionkey AS campaign_id,
+       |         CAST(DATE '1995-01-01' + INTERVAL (r_regionkey * 6) MONTH AS DATE) AS start_dt,
+       |         CAST(DATE '1995-01-01' + INTERVAL (r_regionkey * 6 +
+       |              CASE WHEN r_regionkey = 2 THEN 0 ELSE 4 END) MONTH AS DATE) AS end_dt
+       |  FROM region),
+       |w AS (SELECT o_totalprice, CAST(o_orderdate AS DATE) AS w_start,
+       |             CAST(o_orderdate AS DATE) + 45 AS w_end
+       |      FROM orders)
+       |SELECT campaign_id, $C AS n_windows, ${DS("o_totalprice")} AS revenue
+       |FROM w JOIN iv ON w_start < end_dt AND start_dt < w_end
+       |              AND end_dt > start_dt
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val base = lit("1995-01-01").cast("date")
+    val iv = rF(s, d).select(
+      col("r_regionkey").as("campaign_id"),
+      add_months(base, col("r_regionkey") * 6).as("start_dt"),
+      add_months(base,
+        col("r_regionkey") * 6 +
+          when(col("r_regionkey") === 2, 0).otherwise(4)).as("end_dt"))
+    val w = oF(s, d).select(
+      col("o_totalprice"),
+      col("o_orderdate").cast("date").as("w_start"),
+      date_add(col("o_orderdate").cast("date"), 45).as("w_end"))
+    graft.operators.RangeJoin
+      .intervalOverlap(w, "w_start", "w_end", iv, "start_dt", "end_dt", "month")
+      .groupBy(col("campaign_id"))
+      .agg(lcount().as("n_windows"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
     w2, w3, w4, w5, a11, ev, evCorr, js, sess, j11, funnel, retention,
-    topUsers, rfm, j12, j13, qaSkew, anomalies)
+    topUsers, rfm, j12, j13, j14, qaSkew, anomalies)
 }

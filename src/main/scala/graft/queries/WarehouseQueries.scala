@@ -4,9 +4,11 @@ import java.sql.Date
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.Cleaning.{dsum, lcount}
 import graft.model.Constants
-import graft.operators.{DateDim, Scd2, Surrogates}
+import graft.operators.{DateDim, Purge, Scd2, Surrogates, TableDiff}
 import graft.sources.Tables
+import graft.queries.Q.{C, DS}
 
 /** Warehouse-machinery queries: SCD2 merge, surrogate keys, date dim —
   * exercising the graft.operators library against the harness tables with
@@ -207,5 +209,87 @@ object WarehouseQueries {
         dsumRound2(col("o_totalprice")).as("total_price"))
   }
 
-  val queries: Seq[Q] = Seq(scd2, scd2TwoSource, g1, g2, g4, pit)
+  /** Snapshot diff audit ([[graft.operators.TableDiff.snapshotDiff]]):
+    * two deterministic snapshots of `orders` — "old" drops every 16th
+    * key, "new" drops a different 16th and bumps the price of a third
+    * residue class — reconciled in ONE full-outer shuffle, classified
+    * row-wise, and certified by per-class counts plus the exact price
+    * delta (sign-sensitive: a swapped added/removed pair or a missed
+    * change moves the decimal sum).
+    */
+  private val diff = Q(
+    "s11_snapshot_diff",
+    s"""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+       |           FROM orders WHERE o_orderkey % 16 <> 0),
+       |n AS (SELECT o_orderkey, o_orderstatus,
+       |             CASE WHEN o_orderkey % 16 = 2 THEN o_totalprice + 1.0
+       |                  ELSE o_totalprice END AS o_totalprice
+       |      FROM orders WHERE o_orderkey % 16 <> 1),
+       |d AS (SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       |                  WHEN n.o_orderkey IS NULL THEN 'removed'
+       |                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       |                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       |                    THEN 'changed'
+       |                  ELSE 'unchanged' END AS diff_class,
+       |             coalesce(n.o_totalprice, 0) - coalesce(o.o_totalprice, 0) AS delta
+       |      FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+       |SELECT diff_class, $C AS n, ${DS("delta")} AS price_delta
+       |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val oldSnap = base.filter(pmod(col("o_orderkey"), lit(16)) =!= 0)
+    val newSnap = base.filter(pmod(col("o_orderkey"), lit(16)) =!= 1)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(16)) === 2, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    TableDiff.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .groupBy(col("diff_class"))
+      .agg(
+        lcount().as("n"),
+        dsum(coalesce(col("o_totalprice_new"), lit(0)) -
+          coalesce(col("o_totalprice_old"), lit(0))).as("price_delta"))
+  }
+
+  /** Right-to-erasure cascade audit ([[graft.operators.Purge]]): purge
+    * a deterministic customer batch (custkey % 97 == 3), cascade through
+    * orders (FK custkey) to lineitem (FK derived order keys — computed
+    * with a distributed semi-join, never collected), and report
+    * rows_before/rows_removed per table. The lineitem row certifies the
+    * two-level FK derivation end to end.
+    */
+  private val purgeAudit = Q(
+    "s12_purge_audit",
+    s"""WITH pk AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 3),
+       |ok AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM pk))
+       |SELECT 'customer' AS table_name,
+       |       (SELECT $C FROM customer) AS rows_before,
+       |       (SELECT $C FROM pk) AS rows_removed
+       |UNION ALL
+       |SELECT 'orders',
+       |       (SELECT $C FROM orders),
+       |       (SELECT $C FROM ok)
+       |UNION ALL
+       |SELECT 'lineitem',
+       |       (SELECT $C FROM lineitem),
+       |       (SELECT $C FROM lineitem
+       |        WHERE l_orderkey IN (SELECT o_orderkey FROM ok))""".stripMargin) {
+    (s, d) =>
+      val purgeKeys = Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(97)) === 3)
+        .select(col("c_custkey"))
+      val orders = Tables.orders(s, d)
+      val purgedOrderKeys = Purge.derivedKeys(
+        orders.select(col("o_custkey"), col("o_orderkey")),
+        "o_custkey", purgeKeys, "o_orderkey")
+      Purge.audit("customer", Tables.customer(s, d), "c_custkey", purgeKeys)
+        .union(Purge.audit("orders",
+          orders.select(col("o_custkey")), "o_custkey", purgeKeys))
+        .union(Purge.audit("lineitem",
+          Tables.lineitem(s, d).select(col("l_orderkey")),
+          "l_orderkey", purgedOrderKeys))
+  }
+
+  val queries: Seq[Q] =
+    Seq(scd2, scd2TwoSource, g1, g2, g4, pit, diff, purgeAudit)
 }

@@ -40,6 +40,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.exists(_._2 == 2L), "single-day interval must still match its day")
   }
 
+  test("intervalOverlap == brute-force overlap, each pair exactly once, empty intervals match nothing") {
+    val left = Seq(
+      (1L, "2024-01-10", "2024-04-20"), // spans several buckets
+      (2L, "2024-02-01", "2024-02-02"), // single day
+      (3L, "2024-03-15", "2024-03-15"), // empty: must match nothing
+      (4L, "2024-06-01", "2024-05-01")  // empty (end < start)
+    ).toDF("l_id", "ls", "le")
+      .select(col("l_id"), col("ls").cast("date").as("l_start"),
+        col("le").cast("date").as("l_end"))
+    // 80 staggered 10-day windows across the same half year
+    val right = (0 until 80)
+      .map { i =>
+        val s = java.time.LocalDate.of(2024, 1, 1).plusDays(i * 2)
+        (100L + i, Date.valueOf(s), Date.valueOf(s.plusDays(10)))
+      }.toDF("r_id", "r_start", "r_end")
+
+    val got = RangeJoin
+      .intervalOverlap(left, "l_start", "l_end", right, "r_start", "r_end")
+      .select("l_id", "r_id").as[(Long, Long)].collect()
+    val want = left.filter(col("l_end") > col("l_start"))
+      .join(right, col("l_start") < col("r_end") && col("r_start") < col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+    assert(got.toSet == want)
+    assert(got.length == got.toSet.size, "a pair sharing many buckets must be emitted exactly once")
+    assert(!got.exists(p => p._1 == 3L || p._1 == 4L), "empty intervals are empty sets")
+    // touching endpoints do not overlap under [start, end)
+    assert(!want.exists { case (l, r) => l == 1L && r == 100L + 55 })
+  }
+
   test("incremental merge folds are exact and order-independent") {
     val rows = (1 to 300).map(i => (i % 7, BigDecimal(i) * BigDecimal("0.1111")))
       .toDF("k", "v")
