@@ -349,65 +349,70 @@ object LlmEmbed {
 
   /** K-MEANS IVF, oracle-checked end to end: the full centroid EVOLUTION
     * is replayed by the oracle — strided seeds (the same deterministic
-    * sample the plain IVF quantizer uses), then two Lloyd iterations
-    * where every assignment cosine accumulates its dot in DECIMAL(38,18)
-    * and rounds to 12 decimals, and every mean accumulates element sums
-    * in DECIMAL(38,18) and divides once (exact, order-independent — the
-    * `embed_norm_stats` trick), so seeds, per-round assignments, refined
-    * centroids, probed candidate sets, and the ranked output are all
-    * bit-identical across engines. Ties in the argmax break on lower cid
-    * in both (row_number ORDER BY cs DESC, cid). Empty clusters keep
-    * their previous centroid (LEFT JOIN + coalesce), matching
-    * [[Similarity.kmeansCentroids]].
+    * sample the plain IVF quantizer uses), then two Lloyd iterations,
+    * then probed-list search. Cross-engine exactness is a hybrid of the
+    * two certified arithmetic modes:
     *
-    * Scale shape matches the native path: each round is one bounded
-    * join against the k×dim centroid relation plus one element-level
-    * aggregate, and only k×dim averaged values ever reach the driver
-    * (the per-round `lift` below), never the corpus.
+    *  - every DOT (assignment cosines AND final ranking) is the fused
+    *    native [[graft.plans.DotProduct]] double fold, which
+    *    `embed_dot_native` proves bit-identical to DuckDB's sequential
+    *    `list_dot_product`;
+    *  - every MEAN (the centroid update) accumulates element sums in
+    *    DECIMAL(38,18) and divides once (exact, order-independent — the
+    *    `embed_norm_stats` trick).
+    *
+    * So seeds, per-round assignments, refined centroids, probed
+    * candidate sets, and the ranked output are all bit-identical across
+    * engines; ties in the argmax break on lower cid in both
+    * (row_number ORDER BY cs DESC, cid). Empty clusters keep their
+    * previous centroid, matching [[Similarity.kmeansCentroids]].
+    *
+    * Scale shape: assignment is ONE codegen'd projection over the corpus
+    * crossed with the k-row broadcast centroid frame (bounded by design —
+    * whitelisted in PlanSpec), with NO dim× row explosion; only the
+    * centroid update touches elements (corpus × dim rows, one decimal
+    * aggregate per round), and only k×dim averaged values ever reach the
+    * driver, never the corpus.
     */
   private val annIvfKmeansPortable = Q(
     "embed_ann_ivf_kmeans_portable", {
-      // one Lloyd iteration as a CTE block: c{i} -> n/d/s/a/m{i} -> c{i+1}
+      val dim = "len(cv)"
+      // one Lloyd iteration as a CTE block: c{i} -> n/s/a/m/ce{i} -> c{i+1}
       def iter(i: Int): String =
-        s"""n$i AS (SELECT cid, CAST(SUM(CAST(cx * cx AS DECIMAL(38,18))) AS DOUBLE) AS nc
-           |        FROM c$i GROUP BY 1),
-           |d$i AS (SELECT el.vec_id, c$i.cid,
-           |               CAST(SUM(CAST(el.x * c$i.cx AS DECIMAL(38,18))) AS DOUBLE) AS dot
-           |        FROM el JOIN c$i ON c$i.i = el.i GROUP BY 1, 2),
-           |s$i AS (SELECT d$i.vec_id, d$i.cid,
-           |               round(dot / (sqrt(nrm.n2) * sqrt(n$i.nc)), 12) AS cs
-           |        FROM d$i JOIN nrm ON nrm.vec_id = d$i.vec_id
-           |        JOIN n$i ON n$i.cid = d$i.cid),
+        s"""n$i AS (SELECT cid, CAST(list_dot_product(cv, cv) AS DOUBLE) AS nc FROM c$i),
+           |s$i AS (SELECT emb.vec_id, c.cid,
+           |               round(CAST(list_dot_product(emb.v, c.cv) AS DOUBLE)
+           |                     / (sqrt(CAST(list_dot_product(emb.v, emb.v) AS DOUBLE)) * sqrt(n$i.nc)), 12) AS cs
+           |        FROM emb CROSS JOIN c$i c JOIN n$i ON n$i.cid = c.cid),
            |a$i AS (SELECT vec_id, cid FROM (
            |          SELECT vec_id, cid,
            |                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
            |          FROM s$i) WHERE r = 1),
-           |m$i AS (SELECT a$i.cid, el.i,
-           |               CAST(SUM(CAST(el.x AS DECIMAL(38,18))) AS DOUBLE)
+           |m$i AS (SELECT a$i.cid, t.i,
+           |               CAST(SUM(CAST(emb.v[i] AS DECIMAL(38,18))) AS DOUBLE)
            |                 / CAST(count(*) AS DOUBLE) AS mx
-           |        FROM el JOIN a$i ON a$i.vec_id = el.vec_id GROUP BY 1, 2),
-           |c${i + 1} AS (SELECT c$i.cid, c$i.i, coalesce(m$i.mx, c$i.cx) AS cx
-           |       FROM c$i LEFT JOIN m$i ON m$i.cid = c$i.cid AND m$i.i = c$i.i)""".stripMargin
-      s"""WITH $elCte,
-         |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
-         |        FROM el GROUP BY 1),
+           |        FROM emb JOIN a$i USING (vec_id)
+           |        CROSS JOIN LATERAL (SELECT unnest(range(1, len(emb.v) + 1)) AS i) t
+           |        GROUP BY 1, 2),
+           |ce$i AS (SELECT cid, t.i, cv[i] AS cx
+           |         FROM c$i CROSS JOIN LATERAL (SELECT unnest(range(1, $dim + 1)) AS i) t),
+           |c${i + 1} AS (SELECT cid, list(coalesce(m$i.mx, ce$i.cx) ORDER BY i) AS cv
+           |       FROM ce$i LEFT JOIN m$i USING (cid, i) GROUP BY 1)""".stripMargin
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |             FROM embeddings),
          |str AS (SELECT greatest(1, CAST(floor(count(*) / 16.0) AS BIGINT)) AS s
          |        FROM embeddings),
          |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
          |          FROM (SELECT vec_id FROM embeddings, str WHERE vec_id % s = 0
          |                ORDER BY vec_id LIMIT 16)),
-         |c0 AS (SELECT cid, i, x AS cx FROM el JOIN seeds USING (vec_id)),
+         |c0 AS (SELECT cid, v AS cv FROM emb JOIN seeds USING (vec_id)),
          |${iter(0)},
          |${iter(1)},
-         |ncf AS (SELECT cid, CAST(SUM(CAST(cx * cx AS DECIMAL(38,18))) AS DOUBLE) AS nc
-         |        FROM c2 GROUP BY 1),
-         |dcf AS (SELECT el.vec_id, c2.cid,
-         |               CAST(SUM(CAST(el.x * c2.cx AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |        FROM el JOIN c2 ON c2.i = el.i GROUP BY 1, 2),
-         |scf AS (SELECT dcf.vec_id, dcf.cid,
-         |               round(dot / (sqrt(nrm.n2) * sqrt(ncf.nc)), 12) AS cs
-         |        FROM dcf JOIN nrm ON nrm.vec_id = dcf.vec_id
-         |        JOIN ncf ON ncf.cid = dcf.cid),
+         |ncf AS (SELECT cid, CAST(list_dot_product(cv, cv) AS DOUBLE) AS nc FROM c2),
+         |scf AS (SELECT emb.vec_id, c.cid,
+         |               round(CAST(list_dot_product(emb.v, c.cv) AS DOUBLE)
+         |                     / (sqrt(CAST(list_dot_product(emb.v, emb.v) AS DOUBLE)) * sqrt(ncf.nc)), 12) AS cs
+         |        FROM emb CROSS JOIN c2 c JOIN ncf ON ncf.cid = c.cid),
          |ranked AS (SELECT vec_id, cid,
          |                  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS cr
          |           FROM scf),
@@ -415,74 +420,66 @@ object LlmEmbed {
          |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE cr <= 4 AND vec_id < 5),
          |cand AS (SELECT DISTINCT qid, nid
          |         FROM probes JOIN lists ON probes.cid = lists.cid
-         |         WHERE nid <> qid),
-         |dots AS (SELECT cand.qid, cand.nid,
-         |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |         FROM cand
-         |         JOIN el a ON a.vec_id = cand.qid
-         |         JOIN el b ON b.vec_id = cand.nid AND b.i = a.i
-         |         GROUP BY 1, 2),
-         |cosd AS (SELECT qid, nid,
-         |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
-         |         FROM dots
-         |         JOIN nrm na ON na.vec_id = dots.qid
-         |         JOIN nrm nb ON nb.vec_id = dots.nid)
+         |         WHERE nid <> qid)
          |SELECT qid, nid, cosine, rnk
          |FROM (SELECT qid, nid, cosine,
          |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
-         |      FROM cosd)
+         |      FROM (SELECT cand.qid, cand.nid,
+         |                   round(CAST(list_dot_product(a.v, b.v) AS DOUBLE)
+         |                         / (sqrt(CAST(list_dot_product(a.v, a.v) AS DOUBLE))
+         |                            * sqrt(CAST(list_dot_product(b.v, b.v) AS DOUBLE))), 12) AS cosine
+         |            FROM cand
+         |            JOIN emb a ON a.vec_id = cand.qid
+         |            JOIN emb b ON b.vec_id = cand.nid))
          |WHERE rnk <= 3""".stripMargin
     }) { (s, d) =>
-    // the element stream feeds every Lloyd round, the final assignment,
-    // and both sides of the candidate ranking (~8 consumers) — checkpoint
-    // it once so the parquet scan + explode doesn't re-execute per
-    // consumer. Rows = corpus × dim, the same working set any k-means
-    // materializes; norms are one row per vector.
-    val el = elements(s, d).select(col("vec_id"), col("i"), col("x"))
-      .localCheckpoint()
-    val nrm = el.groupBy(col("vec_id"))
-      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
-      .localCheckpoint()
+    import s.implicits._
+    val embD = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     val stride = math.max(1L, Tables.rowCount(s, d, "embeddings") / 16)
-    // seed centroid ids with dense cids in vec_id order (k rows driver-side)
-    val seeds = Tables.embeddings(s, d)
+    val seedIds = Tables.embeddings(s, d)
       .select(col("vec_id"))
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(16)
       .collect().map(_.getLong(0)).sorted.zipWithIndex
-      .map { case (v, c) => (v, c.toLong) }.toSeq
-    import s.implicits._
-    var cent = el.join(broadcast(seeds.toDF("vec_id", "cid")), Seq("vec_id"))
-      .select(col("cid"), col("i"), col("x").as("cx"))
-    // k×dim rows to the driver per round (the same bounded materialization
-    // the native kmeans performs) so round N never re-plans round N-1
-    def lift(c: org.apache.spark.sql.DataFrame) =
-      c.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-        .toSeq.toDF("cid", "i", "cx")
-    def assignCs(c: org.apache.spark.sql.DataFrame) = {
-      val nc = c.groupBy(col("cid"))
-        .agg(sum((col("cx") * col("cx")).cast(dec)).cast(DoubleType).as("nc"))
-      el.join(broadcast(c), Seq("i"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("x") * col("cx")).cast(dec)).cast(DoubleType).as("dot"))
-        .join(nrm, Seq("vec_id"))
-        .join(broadcast(nc), Seq("cid"))
-        .select(col("vec_id"), col("cid"),
-          round(col("dot") / (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
-    }
+      .map { case (v, c) => (v, c.toLong) }
+    // k×dim doubles live on the driver between rounds (the same bounded
+    // materialization any k-means performs); the corpus never does
+    var cents: Map[Long, IndexedSeq[Double]] = embD
+      .join(broadcast(seedIds.toSeq.toDF("vec_id", "cid")), Seq("vec_id"))
+      .select(col("cid"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    def centsDf = cents.toSeq.sortBy(_._1).map { case (c, v) => (c, v) }
+      .toDF("cid", "cv")
+      .withColumn("nc", Similarity.dotNative(col("cv"), col("cv")))
+    // ONE projection per corpus row × k broadcast centroids: native dot,
+    // inline norms, no element explode on the assignment path
+    def assignCs = embD
+      .withColumn("n2", Similarity.dotNative(col("v"), col("v")))
+      .crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("cid"), col("v"),
+        round(Similarity.dotNative(col("v"), col("cv")) /
+          (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
     for (_ <- 0 until 2) {
-      val assign = assignCs(cent)
+      val assigned = assignCs
         .withColumn("r", row_number().over(wA))
         .filter(col("r") === 1).select(col("vec_id"), col("cid"))
-      val means = el.join(assign, Seq("vec_id"))
-        .groupBy(col("cid"), col("i"))
-        .agg((sum(col("x").cast(dec)).cast(DoubleType) /
+      // decimal-exact element means; empty clusters keep the previous
+      // centroid (no row for that (cid, i) -> driver-side fallback)
+      val means = embD.join(assigned, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), (col("pos") + 1).cast(LongType).as("i"))
+        .agg((sum(col("col").cast(dec)).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("mx"))
-      cent = lift(cent.join(means, Seq("cid", "i"), "left")
-        .select(col("cid"), col("i"), coalesce(col("mx"), col("cx")).as("cx")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      cents = cents.map { case (cid, prev) =>
+        cid -> prev.indices.map(j => means.getOrElse((cid, j + 1L), prev(j)))
+      }
     }
-    val ranked = assignCs(cent).withColumn("cr", row_number().over(wA))
+    val ranked = assignCs.withColumn("cr", row_number().over(wA))
     val lists = ranked.filter(col("cr") === 1)
       .select(col("vec_id").as("nid"), col("cid"))
     val probes = ranked.filter(col("cr") <= 4 && col("vec_id") < 5)
@@ -490,7 +487,17 @@ object LlmEmbed {
     val cand = probes.join(lists, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
-    rankTop3(el, nrm, cand)
+    val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    cand
+      .join(embD.select(col("vec_id").as("qid"), col("v").as("va")), Seq("qid"))
+      .join(embD.select(col("vec_id").as("nid"), col("v").as("vb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(Similarity.dotNative(col("va"), col("vb")) /
+          (sqrt(Similarity.dotNative(col("va"), col("va"))) *
+            sqrt(Similarity.dotNative(col("vb"), col("vb")))), 12).as("cosine"))
+      .withColumn("rnk", row_number().over(wR).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
   }
 
   /** Shared oracle CTEs: exact-decimal cosine near-dup pairs (vec_id < 100,
