@@ -64,6 +64,30 @@ object Surrogates {
       keyCol: String, orderBy: Seq[Column]): DataFrame =
     assignScalable(incoming, keyCol, orderBy, maxKey(existing, keyCol))
 
+  /** SQL NTILE(buckets) without the single-task global window the naive
+    * `ntile().over(Window.orderBy(...))` plans: global rank via
+    * [[assignScalable]] (range shuffle + per-partition index), bucket via
+    * the exact NTILE size formula — the first `n % buckets` buckets get
+    * `n/buckets + 1` rows, the rest `n/buckets` — computed from the rank
+    * with integer arithmetic. One extra count job for the scalar `n`;
+    * output matches the window function row for row (ties must be broken
+    * by `orderBy`, so make it a total order).
+    */
+  def ntileScalable(df: DataFrame, buckets: Int, orderBy: Seq[Column],
+      out: String = "ntile"): DataFrame = {
+    val n = df.count()
+    val base = n / buckets
+    val rem = n % buckets
+    val cut = rem * (base + 1)
+    assignScalable(df, "__rank", orderBy)
+      .withColumn(out,
+        when(lit(base) === 0 || col("__rank") <= cut,
+          expr(s"(__rank + $base) DIV ${base + 1}"))
+          .otherwise(lit(rem) + expr(s"(__rank - $cut + $base - 1) DIV $base"))
+          .cast(LongType))
+      .drop("__rank")
+  }
+
   private def maxKey(existing: DataFrame, keyCol: String): Long = {
     val maxRow = existing.agg(max(col(keyCol)).cast(LongType)).head()
     if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)

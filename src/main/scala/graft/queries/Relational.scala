@@ -670,6 +670,116 @@ object Relational {
       .agg(lcount().as("n"))
   }
 
+  /** U3 — INTERSECT (set semantics, dedup both sides): nation keys that
+    * appear among BOTH suppliers and high-balance customers. Spark plans
+    * a left-semi over distinct inputs — one shuffle per side, no blowup.
+    */
+  private val u3 = Q(
+    "u3_intersect",
+    """SELECT CAST(k AS BIGINT) AS nationkey FROM
+      |  (SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 7000
+      |   INTERSECT SELECT c_nationkey FROM customer WHERE c_acctbal > 9900)""".stripMargin) {
+    (s, d) =>
+      Tables.supplier(s, d).filter(col("s_acctbal") > 7000)
+        .select(col("s_nationkey").as("k"))
+        .intersect(cF(s, d).filter(col("c_acctbal") > 9900)
+          .select(col("c_nationkey").as("k")))
+        .select(col("k").cast(LongType).as("nationkey"))
+  }
+
+  /** U4 — EXCEPT (set difference): high-balance customers who never
+    * placed a pending order. Plans as left-anti over distinct inputs.
+    */
+  private val u4 = Q(
+    "u4_except",
+    """SELECT custkey FROM
+      |  (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+      |   EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin) {
+    (s, d) =>
+      cF(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey"))
+        .except(oF(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("custkey")))
+  }
+
+  /** A12 — UNPIVOT (wide → long): the per-status aggregate row unpivoted
+    * into one (status, measure, value) row per measure via `stack` — the
+    * inverse of [[a10]]'s pivot. Oracle uses the portable UNION ALL
+    * formulation. Measures are exact decimal sums emitted as doubles.
+    */
+  private val a12 = Q(
+    "a12_unpivot",
+    s"""WITH a AS (SELECT o_orderstatus,
+       |                  CAST($C AS DOUBLE) AS n_orders,
+       |                  ${DS("o_totalprice")} AS total_price
+       |           FROM orders GROUP BY 1)
+       |SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM a
+       |UNION ALL
+       |SELECT o_orderstatus, 'total_price' AS measure, total_price AS value FROM a""".stripMargin) {
+    (s, d) =>
+      oF(s, d).groupBy(col("o_orderstatus"))
+        .agg(
+          lcount().cast("double").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(col("o_orderstatus"),
+          expr("stack(2, 'n_orders', n_orders, 'total_price', total_price)")
+            .as(Seq("measure", "value")))
+  }
+
+  /** W6 — NTILE quartiles over exact per-customer revenue: each customer
+    * lands in a revenue quartile (deterministic total order: revenue
+    * desc, custkey), then per-quartile membership and revenue mass. The
+    * engine uses [[graft.operators.Surrogates.ntileScalable]] — a range
+    * shuffle + rank formula, NOT the single-task global window the naive
+    * `ntile().over(orderBy)` would plan.
+    */
+  private val w6 = Q(
+    "w6_ntile_quartiles",
+    s"""WITH rev AS (SELECT o_custkey, ${DS("o_totalprice")} AS revenue
+       |             FROM orders GROUP BY 1),
+       |q AS (SELECT revenue,
+       |             CAST(ntile(4) OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS quartile
+       |      FROM rev)
+       |SELECT quartile, $C AS n_customers, ${DS("revenue")} AS revenue
+       |FROM q GROUP BY 1""".stripMargin) { (s, d) =>
+    val rev = oF(s, d).groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    graft.operators.Surrogates
+      .ntileScalable(rev, 4, Seq(col("revenue").desc, col("o_custkey")), "quartile")
+      .groupBy(col("quartile"))
+      .agg(lcount().as("n_customers"), dsum(col("revenue")).as("revenue"))
+  }
+
+  /** W7 — LAG-based gap analysis: per customer, the largest and the mean
+    * day-gap between consecutive orders (order sequence is deterministic:
+    * date then key). The mean is an IEEE division of two exact integers.
+    */
+  private val w7 = Q(
+    "w7_order_gaps",
+    s"""WITH seq AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+       |                    lag(CAST(o_orderdate AS DATE)) OVER
+       |                      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_dt
+       |             FROM orders),
+       |g AS (SELECT o_custkey, CAST(dt - prev_dt AS BIGINT) AS gap
+       |      FROM seq WHERE prev_dt IS NOT NULL)
+       |SELECT o_custkey, $C AS n_gaps,
+       |       CAST(max(gap) AS BIGINT) AS max_gap,
+       |       CAST(SUM(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap
+       |FROM g GROUP BY 1 HAVING count(*) >= 3""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    oF(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"),
+        lag(col("o_orderdate").cast("date"), 1).over(w).as("prev_dt"))
+      .filter(col("prev_dt").isNotNull)
+      .select(col("o_custkey"), datediff(col("dt"), col("prev_dt")).cast(LongType).as("gap"))
+      .groupBy(col("o_custkey"))
+      .agg(lcount().as("n_gaps"),
+        max(col("gap")).cast(LongType).as("max_gap"),
+        (sum(col("gap")).cast("double") / count(lit(1)).cast("double")).as("avg_gap"))
+      .filter(col("n_gaps") >= 3)
+  }
+
   /** F1 — `#`-suffix strip over constructed dirt (bl_cl.sql:101-105). */
   private val f1 = Q(
     "f1_hash_strip",
@@ -1224,7 +1334,7 @@ object Relational {
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
-    a9, a10, a2approx, d1, u1, u2, f1, f2, f3, f6, f9, f10, f12, f16, w1,
-    w2, w3, w4, w5, a11, ev, evCorr, js, sess, j11, funnel, retention,
-    topUsers, rfm, j12, j13, j14, qaSkew, anomalies)
+    a9, a10, a12, a2approx, d1, u1, u2, u3, u4, f1, f2, f3, f6, f9, f10,
+    f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
+    funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, anomalies)
 }

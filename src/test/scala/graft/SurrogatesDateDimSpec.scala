@@ -31,6 +31,27 @@ class SurrogatesDateDimSpec extends SparkSpec {
     assert(keyed.select("sk").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("ntileScalable matches the window NTILE row for row, uneven buckets included") {
+    // 23 rows into 4 buckets: sizes 6,6,6,5 — exercises the remainder path
+    for (n <- Seq(23, 24, 3)) { // 3 < buckets: every row its own bucket
+      val rows = (1 to n).map(i => ((i * 37) % n, i.toLong)).toDF("v", "id")
+      val want = rows.withColumn("ntile",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("v").desc, col("id"))).cast("long"))
+        .select("id", "ntile").as[(Long, Long)].collect().toMap
+      val got = Surrogates.ntileScalable(rows, 4, Seq(col("v").desc, col("id")))
+        .select("id", "ntile").as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n")
+      // and no single-task global window in the scalable plan
+      val p = Surrogates.ntileScalable(rows, 4, Seq(col("v").desc, col("id")))
+        .queryExecution.sparkPlan
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.isEmpty, "scalable ntile must not plan an unpartitioned window")
+    }
+  }
+
   test("date dim covers the reference range with dense ordinals and correct parts") {
     val dd = DateDim.referenceRange(spark).cache()
     assert(dd.count() == 1096)
