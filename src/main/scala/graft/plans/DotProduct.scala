@@ -58,14 +58,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (isFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val rGet = if (isFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // every local must be freshName'd: two DotProducts in one generated
+      // function (e.g. dot(a,b) and the two norms of a cosine in a single
+      // projection) would otherwise redefine the loop variable and kick
+      // the whole projection out of codegen
+      val i = ctx.freshName("i")
+      val lGet = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
-         |for (int i = 0; i < $n; i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  $sum += $lGet * $rGet;
          |}
          |${ev.value} = $sum;

@@ -500,6 +500,99 @@ object LlmEmbed {
       .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
   }
 
+  /** INCREMENTAL ANN maintenance: a new embedding batch (vec_id % 40 == 7
+    * — the arrivals) is searched against an index built from HISTORY only
+    * (strided centroids + inverted lists over vec_id % 40 != 7), without
+    * re-indexing: history is assigned once, the new batch probes its
+    * top-4 centroids and ranks only the probed lists — the ANN mirror of
+    * `dedup_incremental_pairs`. All dots are the native double fold
+    * (= DuckDB `list_dot_product`), so assignment, probes, candidates,
+    * and the ranked output hash-match end to end.
+    *
+    * Scale shape: two bounded corpus × k broadcast-centroid projections
+    * (history once — in production that assignment IS the persisted
+    * index — plus the small new batch), a bucket equi-join on the
+    * centroid id, and a per-query top-k window. Nothing rebuilds, and
+    * nothing ever compares new × all-history.
+    */
+  private val annIncremental = Q(
+    "embed_ann_incremental",
+    """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |             FROM embeddings),
+      |hist AS (SELECT * FROM emb WHERE vec_id % 40 <> 7),
+      |newb AS (SELECT * FROM emb WHERE vec_id % 40 = 7),
+      |str AS (SELECT greatest(1, CAST(floor(count(*) / 16.0) AS BIGINT)) AS s FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM
+      |            (SELECT vec_id, v FROM hist, str WHERE vec_id % s = 0
+      |             ORDER BY vec_id LIMIT 16)),
+      |nc AS (SELECT cid, CAST(list_dot_product(cv, cv) AS DOUBLE) AS n2 FROM cents),
+      |hsim AS (SELECT hist.vec_id, cents.cid,
+      |                round(CAST(list_dot_product(hist.v, cents.cv) AS DOUBLE)
+      |                      / (sqrt(CAST(list_dot_product(hist.v, hist.v) AS DOUBLE)) * sqrt(nc.n2)), 12) AS cs
+      |         FROM hist CROSS JOIN cents JOIN nc ON nc.cid = cents.cid),
+      |lists AS (SELECT vec_id AS nid, cid FROM
+      |            (SELECT vec_id, cid,
+      |                    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |             FROM hsim) WHERE r = 1),
+      |qsim AS (SELECT newb.vec_id, cents.cid,
+      |                round(CAST(list_dot_product(newb.v, cents.cv) AS DOUBLE)
+      |                      / (sqrt(CAST(list_dot_product(newb.v, newb.v) AS DOUBLE)) * sqrt(nc.n2)), 12) AS cs
+      |         FROM newb CROSS JOIN cents JOIN nc ON nc.cid = cents.cid),
+      |probes AS (SELECT vec_id AS qid, cid FROM
+      |             (SELECT vec_id, cid,
+      |                     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |              FROM qsim) WHERE r <= 4),
+      |cand AS (SELECT DISTINCT qid, nid FROM probes JOIN lists USING (cid))
+      |SELECT qid, nid, cosine, rnk
+      |FROM (SELECT qid, nid, cosine,
+      |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+      |      FROM (SELECT cand.qid, cand.nid,
+      |                   round(CAST(list_dot_product(a.v, b.v) AS DOUBLE)
+      |                         / (sqrt(CAST(list_dot_product(a.v, a.v) AS DOUBLE))
+      |                            * sqrt(CAST(list_dot_product(b.v, b.v) AS DOUBLE))), 12) AS cosine
+      |            FROM cand
+      |            JOIN emb a ON a.vec_id = cand.qid
+      |            JOIN emb b ON b.vec_id = cand.nid))
+      |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    val embD = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val hist = embD.filter(pmod(col("vec_id"), lit(40)) =!= 7)
+    val newb = embD.filter(pmod(col("vec_id"), lit(40)) === 7)
+    // stride from the memoized TOTAL corpus count (one cached scalar);
+    // the seed set itself is restricted to history below
+    val stride = math.max(1L, Tables.rowCount(s, d, "embeddings") / 16)
+    val cents = hist
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .withColumn("n2c", Similarity.dotNative(col("cv"), col("cv")))
+    def assign(side: org.apache.spark.sql.DataFrame) = side
+      .withColumn("n2", Similarity.dotNative(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(Similarity.dotNative(col("v"), col("cv")) /
+          (sqrt(col("n2")) * sqrt(col("n2c"))), 12).as("cs"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+    val lists = assign(hist).withColumn("r", row_number().over(w))
+      .filter(col("r") === 1).select(col("vec_id").as("nid"), col("cid"))
+    val probes = assign(newb).withColumn("r", row_number().over(w))
+      .filter(col("r") <= 4).select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(lists, Seq("cid"))
+      .select(col("qid"), col("nid")).distinct()
+    val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    cand
+      .join(embD.select(col("vec_id").as("qid"), col("v").as("va")), Seq("qid"))
+      .join(embD.select(col("vec_id").as("nid"), col("v").as("vb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(Similarity.dotNative(col("va"), col("vb")) /
+          (sqrt(Similarity.dotNative(col("va"), col("va"))) *
+            sqrt(Similarity.dotNative(col("vb"), col("vb")))), 12).as("cosine"))
+      .withColumn("rnk", row_number().over(wR).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+  }
+
   /** Shared oracle CTEs: exact-decimal cosine near-dup pairs (vec_id < 100,
     * cosine >= 0.35). Prefix with `WITH $elCte,` in the consuming query.
     */
@@ -649,6 +742,6 @@ object LlmEmbed {
 
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
-      annIvfPortable, annIvfKmeansPortable, cosineDups, cosineClusters,
-      cosineClustersStar, dotNativeQ, langNorms)
+      annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
+      cosineClusters, cosineClustersStar, dotNativeQ, langNorms)
 }

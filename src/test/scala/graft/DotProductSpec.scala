@@ -39,6 +39,31 @@ class DotProductSpec extends SparkSpec {
     assert(withNull.head().isNullAt(0))
   }
 
+  test("several DotProducts in ONE generated projection compile (no interpreter fallback)") {
+    // regression: the loop variable must be freshName'd — a cosine
+    // projection evaluates dot(a,b), dot(a,a), dot(b,b) in one codegen
+    // function, and a shared `int i` fails compilation, silently kicking
+    // the projection out of codegen. generate() (unlike create()) throws
+    // instead of falling back.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr = ArrayType(DoubleType)
+    val a = BoundReference(0, arr, nullable = false)
+    val b = BoundReference(1, arr, nullable = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.plans.DotProduct(a, b),
+      graft.plans.DotProduct(a, a),
+      graft.plans.DotProduct(b, b)))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1.0, 2.0)),
+      ArrayData.toArrayData(Array(3.0, 4.0)))
+    val out = proj(row)
+    assert(out.getDouble(0) == 11.0 && out.getDouble(1) == 5.0 && out.getDouble(2) == 25.0)
+  }
+
   test("resolves by name in SQL through GraftExtensions") {
     val v = spark.sql("SELECT dot_productf(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       .head().getDouble(0)

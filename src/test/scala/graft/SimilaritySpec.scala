@@ -119,6 +119,28 @@ class SimilaritySpec extends SparkSpec {
       k = 3, nPlanes = 4, dim = dim, maxQueryRows = 5L).count() > 0)
   }
 
+  test("incremental ANN searches only history, ranks every new vector, recall holds") {
+    val res = SparkEntry.queries("embed_ann_incremental")(spark, sfDir)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    val qids = res.map(_._1).toSet
+    // every query is from the new batch, every neighbor from history
+    assert(qids.nonEmpty && qids.forall(_ % 40 == 7))
+    assert(res.map(_._2).forall(_ % 40 != 7))
+    // every new vector got results (no query silently dropped)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val expectQids = emb.filter(pmod(col("vec_id"), lit(40)) === 7)
+      .select("vec_id").as[Long].collect().toSet
+    assert(qids == expectQids)
+    // recall vs brute force over history (strided 16-centroid quantizer,
+    // 4 probes — modest by design; the kmeans specs cover quantizer quality)
+    val hist = emb.filter(pmod(col("vec_id"), lit(40)) =!= 7)
+    val newb = emb.filter(pmod(col("vec_id"), lit(40)) === 7)
+    val truth = Similarity.bruteForceTopK(hist, newb, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.count(res.toSet.contains).toDouble / truth.size
+    assert(recall >= 0.4, s"incremental ANN recall $recall")
+  }
+
   test("lshTopK recall >= 0.8 vs brute force on clustered vectors") {
     val queries = vectors.filter(col("vec_id") % 10 === 0)
     val k = 3
