@@ -72,4 +72,52 @@ object AsOfJoin {
       (col("__k").as(key) +: col("__t").as(leftTs) +: payloadCols) :+
         col("__m").as("asof"): _*)
   }
+
+  /** Forward as-of join: attach to each left row the EARLIEST right row of
+    * the same key with `right.ts >= left.ts` — time-to-next-event lookups
+    * ("how long until this click converts", time-to-restock, next
+    * maintenance window). Same single-shuffle union formulation as
+    * [[asOfBackward]], mirrored: the running window looks forward
+    * (`first(payload, ignoreNulls)` over current→unboundedFollowing),
+    * left rows sort BEFORE right rows at equal timestamps so the bound
+    * stays inclusive, and the LOWEST tiebreak value wins (the first of
+    * several simultaneous right rows).
+    */
+  def asOfForward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      tiebreak: Option[String] = None): DataFrame = {
+    val lPay = left.columns.filter(c => c != key && c != leftTs)
+    val rPay = right.columns.filterNot(_ == key)
+    require(tiebreak.forall(rPay.contains),
+      s"tiebreak must be a non-key right-side column; got $tiebreak")
+
+    val rStruct = struct(rPay.map(col): _*)
+    val lStruct = if (lPay.isEmpty) struct(lit(0).as("__empty")) else struct(lPay.map(col): _*)
+    val rType = right.select(rStruct.as("r")).schema("r").dataType
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+
+    val lu = left.select(
+      col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__is_l"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val ru = right.select(
+      col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__is_l"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    // __is_l DESC puts left (1) before right (0) at equal ts, so the
+    // forward window of a left row still sees the simultaneous right row
+    val tb = tiebreak.map(t => col(s"__r.$t")).getOrElse(col("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_l").desc, tb)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matched = lu.unionByName(ru)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+
+    val payloadCols = lPay.map(c => col(s"__l.$c").as(c))
+    matched.select(
+      (col("__k").as(key) +: col("__t").as(leftTs) +: payloadCols) :+
+        col("__m").as("asof"): _*)
+  }
 }

@@ -300,6 +300,29 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** Incremental cluster maintenance: fold a NEW batch's candidate pairs
+    * into an already-computed labeling without re-clustering history.
+    * The old labeling is itself a star graph (member → component rep)
+    * that preserves exactly the old connectivity, so running CC over
+    * {old star edges} ∪ {new pairs} yields the same components — and the
+    * same min-id cluster ids — as one-shot clustering of the full pair
+    * set. Pair generation for the new batch comes from
+    * [[incrementalCandidatePairs]] (history is never re-shingled), so
+    * the whole incremental path touches old data only through its
+    * persisted labels and band keys.
+    *
+    * Scale: the star edges are one row per already-clustered doc (far
+    * smaller than the historical pair set), and the CC loop converges in
+    * O(new-component diameter) rounds because history is pre-collapsed.
+    */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 10): DataFrame =
+    dupClusters(
+      labels.filter(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id").as("doc_a"), col("cluster").as("doc_b"))
+        .union(newPairs.select(col("doc_a"), col("doc_b"))),
+      maxIter)
+
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the companion to [[dupClusters]] for graphs whose diameter is NOT

@@ -54,6 +54,47 @@ object Curation {
           .otherwise(0L)).cast(LongType).as("total_gap_us"))
   }
 
+  /** Forward as-of: every click attributed to the same user's EARLIEST
+    * purchase at-or-after it — the time-to-convert mirror of
+    * [[asof]] (graft.operators.AsOfJoin.asOfForward, same single-shuffle
+    * union+window shape, running window reversed). The oracle computes
+    * each match with a correlated min, certifying the match choice, the
+    * inclusive bound, and the gap arithmetic.
+    */
+  private val asofFwd = Q(
+    "asof_time_to_convert",
+    s"""WITH c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS cts
+       |           FROM events WHERE event_type = 'click'),
+       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+       |      FROM events WHERE event_type = 'purchase'),
+       |a AS (SELECT c.user_id, c.cts,
+       |             (SELECT min(pts) FROM p
+       |              WHERE p.user_id = c.user_id AND p.pts >= c.cts) AS next_purchase
+       |      FROM c)
+       |SELECT user_id, $C AS n_clicks,
+       |       CAST(SUM(CASE WHEN next_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_converted,
+       |       CAST(SUM(CASE WHEN next_purchase IS NOT NULL
+       |                     THEN epoch_us(next_purchase) - epoch_us(cts)
+       |                     ELSE 0 END) AS BIGINT) AS total_wait_us
+       |FROM a GROUP BY 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts", "ts",
+        tiebreak = Some("event_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        lcount().as("n_clicks"),
+        sum(when(col("asof").isNotNull, 1).otherwise(0)).cast(LongType)
+          .as("n_converted"),
+        sum(when(col("asof").isNotNull,
+          unix_micros(col("asof.ts")) - unix_micros(col("ts")))
+          .otherwise(0L)).cast(LongType).as("total_wait_us"))
+  }
+
   /** Deterministic hash-based train/val/test split (~80/10/10 by md5
     * byte of doc_id — graft.operators.Sampling.hashSplit): stable under
     * re-runs and corpus growth, no RNG, no shuffle for the assignment
@@ -416,7 +457,7 @@ object Curation {
       .withColumn("split", Sampling.hashSplit(col("rep")))
   }
 
-  val queries: Seq[Q] = Seq(asof, splitAssign, quota, vocab, vocabCms,
+  val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
     stratSample, prioritySamp, qualityCut, pipeline, tempSample, packSeq,
     packManifest, clusterSplit)
 }

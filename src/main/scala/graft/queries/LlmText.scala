@@ -121,8 +121,12 @@ object LlmText {
     * closure with a recursive CTE; since `dedup_minhash_pairs` already
     * hash-matches, a match here certifies the clustering itself.
     */
-  private val clusters = Q(
-    "dedup_clusters",
+  /** One-shot connected-components oracle over the full banded-LSH pair
+    * set — shared by [[clusters]], [[clustersStar]] (same fixed point by
+    * construction) and [[clustersIncremental]] (same fixed point by the
+    * star-edge merge argument on Dedup.mergeClusters).
+    */
+  private val ccOracle: String =
     s"""WITH RECURSIVE $sigCte,
        |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
        |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
@@ -135,10 +139,37 @@ object LlmText {
        |reach AS (SELECT src, dst FROM edges
        |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
        |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
-       |FROM reach GROUP BY 1""".stripMargin) { (s, d) =>
+       |FROM reach GROUP BY 1""".stripMargin
+
+  private val clusters = Q("dedup_clusters", ccOracle) { (s, d) =>
     Dedup.dupClusters(
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 16, rowsPerBand = 4))
+  }
+
+  /** Incremental cluster maintenance: history (doc_id < 250) is clustered
+    * once; the new batch folds in through its incremental candidate pairs
+    * and [[Dedup.mergeClusters]] (old connectivity enters as star edges,
+    * never as re-shingled documents). The oracle is the ONE-SHOT
+    * clustering of the full corpus — a hash match certifies the central
+    * incremental invariant: N-batch maintenance ≡ one-shot rebuild,
+    * including cross-batch merges of previously separate clusters.
+    */
+  private val clustersIncremental = Q(
+    "dedup_clusters_incremental", ccOracle) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandKeysFromWide(
+        Dedup.minhashWide(
+          graft.sources.Tables.spread(df)
+            .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 3)).as("shingle")),
+          "doc_id", 16),
+        "doc_id", 16, 4)
+    val oldLabels = Dedup.dupClusters(
+      Dedup.candidatePairs(bands(docs.filter(col("doc_id") < 250)), "doc_id"))
+    val newPairs = Dedup.incrementalCandidatePairs(
+      bands(docs), bands(docs.filter(col("doc_id") >= 250)), "doc_id")
+    Dedup.mergeClusters(oldLabels, newPairs)
   }
 
   /** SimHash near-dup candidates — hash family is Spark-native xxhash64,
@@ -671,7 +702,8 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, exactLongest, sigs, pairs, incPairs, clusters, simhash,
+    Seq(exact, exactLongest, sigs, pairs, incPairs, clusters,
+      clustersIncremental, simhash,
       simhashPortable, hammingPairs, jaccard, contamination, chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,

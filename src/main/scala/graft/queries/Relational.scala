@@ -598,6 +598,43 @@ object Relational {
         .agg(dsumRound2(col("o_totalprice")).as("total"), lcount().as("n"))
   }
 
+  /** CUBE — all four grouping combinations (both, each alone, grand
+    * total) in one pass; the companion to [[a9]]'s ROLLUP.
+    */
+  private val a13 = Q(
+    "a13_cube_totals",
+    s"""SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       |       ${DS2("o_totalprice")} AS total, $C AS n
+       |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin) {
+    (s, d) =>
+      oF(s, d)
+        .cube(
+          col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"))
+        .agg(dsumRound2(col("o_totalprice")).as("total"), lcount().as("n"))
+  }
+
+  /** Correlated-subquery pattern — customers above their own nation's
+    * average balance. The engine plans it the scalable way: ONE exact
+    * per-nation aggregate joined back (no per-row subquery execution);
+    * the oracle states it as the correlated AVG it replaces.
+    */
+  private val a14 = Q(
+    "a14_above_nation_avg",
+    s"""WITH na AS (SELECT c_nationkey, ${DS("c_acctbal")} / CAST(count(*) AS DOUBLE) AS avg_bal
+       |            FROM customer GROUP BY 1)
+       |SELECT c.c_nationkey AS nationkey, $C AS n_above
+       |FROM customer c JOIN na ON na.c_nationkey = c.c_nationkey
+       |WHERE c.c_acctbal > na.avg_bal
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val na = cF(s, d).groupBy(col("c_nationkey"))
+      .agg((dsum(col("c_acctbal")) / count(lit(1)).cast("double")).as("avg_bal"))
+    cF(s, d).join(na, Seq("c_nationkey"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(lcount().as("n_above"))
+  }
+
   /** Pivot — status columns per priority row. The oracle expresses the
     * same thing as conditional aggregation, which is exactly what Spark's
     * pivot plans (one pass, no join).
@@ -1334,7 +1371,7 @@ object Relational {
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
-    a9, a10, a12, a2approx, d1, u1, u2, u3, u4, f1, f2, f3, f6, f9, f10,
+    a9, a10, a12, a13, a14, a2approx, d1, u1, u2, u3, u4, f1, f2, f3, f6, f9, f10,
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, anomalies)
 }

@@ -122,6 +122,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("mergeClusters == one-shot, including a new doc bridging two old clusters") {
+    val oldPairs = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val oldLabels = Dedup.dupClusters(oldPairs)
+    // new doc 5 bridges clusters {1,2} and {3,4}; new doc 20 starts a
+    // fresh pair with old doc 11; old pair 10-11 is untouched
+    val newPairs = Seq((2L, 5L), (5L, 3L), (11L, 20L)).toDF("doc_a", "doc_b")
+    val merged = Dedup.mergeClusters(oldLabels, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val oneShot = Dedup.dupClusters(oldPairs.union(newPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == oneShot)
+    assert(merged(5L) == 1L && merged(4L) == 1L, "bridge must fuse both old clusters")
+    assert(merged(20L) == 10L, "new member joins the old component's min id")
+  }
+
   test("dupClustersStar collapses a long chain in O(log diameter) rounds") {
     // diameter 40: label propagation would need 40 rounds; the star
     // algorithm's default 25 is plenty (log-diameter convergence)
