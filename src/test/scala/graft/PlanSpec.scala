@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unscalable join shapes:\n${offenders.mkString("\n")}")
   }
 
+  test("snapshot diff reconciles in exactly one full-outer join") {
+    val p = SparkEntry.queries("s11_snapshot_diff")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
+    val joins = SparkEntry.queries("s11_snapshot_diff")(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case j if j.nodeName.contains("Join") => j
+      }
+    assert(joins.size == 1,
+      s"the diff must touch each snapshot exactly once, found ${joins.size} joins:\n$p")
+  }
+
   test("sequence packing plans no single-task global window") {
     val df = SparkEntry.queries("pack_sequences")(spark, sfDir)
     val windows = df.queryExecution.sparkPlan.collect {

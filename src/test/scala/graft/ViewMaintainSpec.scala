@@ -14,6 +14,39 @@ import graft.streaming.ViewMaintain
   */
 class ViewMaintainSpec extends SparkSpec {
 
+  test("streaming top-k: maintained per-user counts present the batch top-3 exactly") {
+    import spark.implicits._
+    // maintain (event_type, user_id) counts from a 3-micro-batch stream,
+    // then rank the maintained state with the bounded-heap aggregate —
+    // a continuously-queryable streaming top-k without a second stateful
+    // aggregation inside the stream (which Structured Streaming forbids)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    val srcDir = Files.createTempDirectory("graft_topk_src").toString
+    (0 to 2).foreach { i =>
+      ev.filter(pmod(col("user_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val store = new TableStore(spark, Files.createTempDirectory("graft_topk").toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    ViewMaintain.maintainer(stream, store, "user_counts",
+      Seq("event_type", "user_id"), Nil).start().awaitTermination()
+
+    val got = IncrementalAgg.present(store.read("user_counts"),
+        Seq("event_type", "user_id"), Nil)
+      .groupBy(col("event_type"))
+      .agg(call_function("topk_pairs",
+        col("n").cast("double"), col("user_id"), lit(3)).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), col("col.id").as("user_id"),
+        col("col.score").cast("long").as("n"), (col("pos") + 1).cast("long").as("rnk"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = SparkEntry.queries("events_top_users")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("streamed micro-batch folds equal the one-shot aggregate exactly") {
     val keys = Seq("l_returnflag", "l_linestatus")
     val sums = Seq("l_quantity", "l_extendedprice")
