@@ -312,6 +312,70 @@ object Curation {
         sum(col("n_chars")).cast(LongType).as("total_chars"))
   }
 
+  /** The near-dup-aware twin of [[pipeline]]: MinHash-LSH CLUSTER dedup
+    * (keep each component's min-id representative; singletons keep
+    * themselves) replaces the exact-hash keep-list, then the same quality
+    * gate, hash split, and per-split/lang token accounting. Composes the
+    * individually-certified `dedup_clusters`, `text_quality`, and
+    * `split_assign` stages — a hash match certifies that near-dup
+    * removal, filtering, and splitting chain without row loss or
+    * double-count. (For kept docs rep == doc_id, so the per-doc hash
+    * split IS the leakage-safe cluster split restricted to
+    * representatives.)
+    */
+  private val dedupPipeline = Q(
+    "curation_dedup_pipeline", {
+      val hex = "0123456789abcdef"
+      val byte = s"(strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+        s" + (strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+      s"""WITH RECURSIVE ${LlmText.sigCte},
+         |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+         |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+         |          FROM sig GROUP BY 1, 2),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+         |       FROM reach GROUP BY 1),
+         |kept AS (SELECT d.doc_id, lang, n_chars, text
+         |         FROM documents d LEFT JOIN cl USING (doc_id)
+         |         WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
+         |q AS (SELECT doc_id, lang, n_chars,
+         |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS dt
+         |      FROM kept),
+         |f AS (SELECT doc_id, lang, n_chars, n_toks FROM q
+         |      WHERE n_toks >= 20 AND n_toks <= 2000
+         |        AND CAST(dt AS DOUBLE) / CAST(n_toks AS DOUBLE) > 0.15)
+         |SELECT CASE WHEN $byte < 205 THEN 'train'
+         |            WHEN $byte < 230 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       lang, $C AS n_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM f GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 16, rowsPerBand = 4))
+    docs
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+      .filter(TextAnalysis.qualityFlag(col("text")) === 1)
+      .select(
+        Sampling.hashSplit(col("doc_id")).as("split"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        lcount().as("n_docs"),
+        sum(col("n_toks")).cast(LongType).as("total_tokens"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+  }
+
   /** Temperature-style source rebalancing — the data-MIXING stage: each
     * source is down-sampled at rate min(1, K/√|source|), so dominant
     * sources shrink toward the inverse-sqrt mixture and small sources
@@ -458,6 +522,6 @@ object Curation {
   }
 
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
-    stratSample, prioritySamp, qualityCut, pipeline, tempSample, packSeq,
-    packManifest, clusterSplit)
+    stratSample, prioritySamp, qualityCut, pipeline, dedupPipeline,
+    tempSample, packSeq, packManifest, clusterSplit)
 }
