@@ -41,9 +41,11 @@ object TableDiff {
       .withColumn("__in_new", lit(true))
       .select(keyCols.map(col) ++ compareCols.map(c => col(c).as(s"${c}_new"))
         :+ col("__in_new"): _*)
+    // no compare columns = presence-only diff: keys classify as
+    // added/removed/unchanged, never changed
     val anyChanged = compareCols
       .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, keyCols, "full_outer")
       .withColumn(
         "diff_class",

@@ -101,19 +101,13 @@ object Curation {
     * itself. The oracle rebuilds the byte from md5 hex chars.
     */
   private val splitAssign = Q(
-    "split_assign", {
-      val hex = "0123456789abcdef"
-      val byte = s"(strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
-        s" + (strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
-      s"""WITH a AS (SELECT lang, n_chars,
-         |  CASE WHEN $byte < 205 THEN 'train'
-         |       WHEN $byte < 230 THEN 'val'
-         |       ELSE 'test' END AS split
-         |  FROM documents)
-         |SELECT split, lang, $C AS n_docs,
-         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         |FROM a GROUP BY 1, 2""".stripMargin
-    }) { (s, d) =>
+    "split_assign",
+    s"""WITH a AS (SELECT lang, n_chars,
+       |  ${Q.splitCase("doc_id")} AS split
+       |  FROM documents)
+       |SELECT split, lang, $C AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM a GROUP BY 1, 2""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(Sampling.hashSplit(col("doc_id")).as("split"),
         col("lang"), col("n_chars"))
@@ -275,27 +269,30 @@ object Curation {
     * COMPOSITION: filters feed each other in the right order with no
     * row loss or double-count.
     */
+  /** Quality-gate + split + accounting SQL tail shared by the two
+    * end-to-end pipeline oracles — from a relation
+    * `kept(doc_id, lang, n_chars, text)`.
+    */
+  private def pipelineTail: String =
+    s"""q AS (SELECT doc_id, lang, n_chars,
+       |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+       |             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS dt
+       |      FROM kept),
+       |f AS (SELECT doc_id, lang, n_chars, n_toks FROM q
+       |      WHERE n_toks >= 20 AND n_toks <= 2000
+       |        AND CAST(dt AS DOUBLE) / CAST(n_toks AS DOUBLE) > 0.15)
+       |SELECT ${Q.splitCase("doc_id")} AS split,
+       |       lang, $C AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM f GROUP BY 1, 2""".stripMargin
+
   private val pipeline = Q(
-    "curation_pipeline", {
-      val hex = "0123456789abcdef"
-      val byte = s"(strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
-        s" + (strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
-      s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |q AS (SELECT d.doc_id, lang, n_chars,
-         |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
-         |             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS dt
-         |      FROM documents d JOIN k USING (doc_id)),
-         |f AS (SELECT doc_id, lang, n_chars, n_toks FROM q
-         |      WHERE n_toks >= 20 AND n_toks <= 2000
-         |        AND CAST(dt AS DOUBLE) / CAST(n_toks AS DOUBLE) > 0.15)
-         |SELECT CASE WHEN $byte < 205 THEN 'train'
-         |            WHEN $byte < 230 THEN 'val'
-         |            ELSE 'test' END AS split,
-         |       lang, $C AS n_docs,
-         |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         |FROM f GROUP BY 1, 2""".stripMargin
-    }) { (s, d) =>
+    "curation_pipeline",
+    s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |kept AS (SELECT d.doc_id, lang, n_chars, text
+       |         FROM documents d JOIN k USING (doc_id)),
+       |$pipelineTail""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val keep = Dedup.exactGroups(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
@@ -324,41 +321,13 @@ object Curation {
     * representatives.)
     */
   private val dedupPipeline = Q(
-    "curation_dedup_pipeline", {
-      val hex = "0123456789abcdef"
-      val byte = s"(strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
-        s" + (strpos('$hex', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
-      s"""WITH RECURSIVE ${LlmText.sigCte},
-         |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
-         |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-         |          FROM sig GROUP BY 1, 2),
-         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |       FROM bands a JOIN bands b
-         |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-         |          UNION SELECT doc_b, doc_a FROM pr),
-         |reach AS (SELECT src, dst FROM edges
-         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |cl AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
-         |       FROM reach GROUP BY 1),
-         |kept AS (SELECT d.doc_id, lang, n_chars, text
-         |         FROM documents d LEFT JOIN cl USING (doc_id)
-         |         WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
-         |q AS (SELECT doc_id, lang, n_chars,
-         |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
-         |             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS dt
-         |      FROM kept),
-         |f AS (SELECT doc_id, lang, n_chars, n_toks FROM q
-         |      WHERE n_toks >= 20 AND n_toks <= 2000
-         |        AND CAST(dt AS DOUBLE) / CAST(n_toks AS DOUBLE) > 0.15)
-         |SELECT CASE WHEN $byte < 205 THEN 'train'
-         |            WHEN $byte < 230 THEN 'val'
-         |            ELSE 'test' END AS split,
-         |       lang, $C AS n_docs,
-         |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         |FROM f GROUP BY 1, 2""".stripMargin
-    }) { (s, d) =>
+    "curation_dedup_pipeline",
+    s"""WITH RECURSIVE ${LlmText.sigCte},
+       |${LlmText.ccCte},
+       |kept AS (SELECT d.doc_id, lang, n_chars, text
+       |         FROM documents d LEFT JOIN cl USING (doc_id)
+       |         WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
+       |$pipelineTail""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val clusters = Dedup.dupClusters(
       Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 16, rowsPerBand = 4))
@@ -487,31 +456,14 @@ object Curation {
     * against the (small) clustered-doc relation.
     */
   private val clusterSplit = Q(
-    "split_by_cluster", {
-      val hex = "0123456789abcdef"
-      val byte = s"(strpos('$hex', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 16" +
-        s" + (strpos('$hex', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1)"
-      s"""WITH RECURSIVE ${LlmText.sigCte},
-         |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
-         |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-         |          FROM sig GROUP BY 1, 2),
-         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |       FROM bands a JOIN bands b
-         |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-         |          UNION SELECT doc_b, doc_a FROM pr),
-         |reach AS (SELECT src, dst FROM edges
-         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |cl AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
-         |       FROM reach GROUP BY 1),
-         |a AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
-         |      FROM documents d LEFT JOIN cl USING (doc_id))
-         |SELECT doc_id, rep,
-         |       CASE WHEN $byte < 205 THEN 'train'
-         |            WHEN $byte < 230 THEN 'val'
-         |            ELSE 'test' END AS split
-         |FROM a""".stripMargin
-    }) { (s, d) =>
+    "split_by_cluster",
+    s"""WITH RECURSIVE ${LlmText.sigCte},
+       |${LlmText.ccCte},
+       |a AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
+       |      FROM documents d LEFT JOIN cl USING (doc_id))
+       |SELECT doc_id, rep,
+       |       ${Q.splitCase("rep")} AS split
+       |FROM a""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val clusters = Dedup.dupClusters(
       Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 16, rowsPerBand = 4))

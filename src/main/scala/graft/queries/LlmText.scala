@@ -121,6 +121,28 @@ object LlmText {
     * closure with a recursive CTE; since `dedup_minhash_pairs` already
     * hash-matches, a match here certifies the clustering itself.
     */
+  /** Banded-LSH connected-components CTE chain, `sig` → relation
+    * `cl(doc_id, cluster)` (cluster = component min id) — prefix with
+    * `WITH RECURSIVE $sigCte,`. ONE definition so the banding parameters
+    * (seed // 4 = 4 rows/band over 16 hashes) and the min-id labeling
+    * can never drift between the oracles that replay the clustering
+    * ([[clusters]], [[clustersIncremental]], Curation's
+    * `split_by_cluster` and `curation_dedup_pipeline`).
+    */
+  private[queries] val ccCte: String =
+    """bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+      |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+      |          FROM sig GROUP BY 1, 2),
+      |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |       FROM bands a JOIN bands b
+      |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      |          UNION SELECT doc_b, doc_a FROM pr),
+      |reach AS (SELECT src, dst FROM edges
+      |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |cl AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+      |       FROM reach GROUP BY 1)""".stripMargin
+
   /** One-shot connected-components oracle over the full banded-LSH pair
     * set — shared by [[clusters]], [[clustersStar]] (same fixed point by
     * construction) and [[clustersIncremental]] (same fixed point by the
@@ -128,18 +150,8 @@ object LlmText {
     */
   private val ccOracle: String =
     s"""WITH RECURSIVE $sigCte,
-       |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
-       |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-       |          FROM sig GROUP BY 1, 2),
-       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |       FROM bands a JOIN bands b
-       |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-       |          UNION SELECT doc_b, doc_a FROM pr),
-       |reach AS (SELECT src, dst FROM edges
-       |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
-       |FROM reach GROUP BY 1""".stripMargin
+       |$ccCte
+       |SELECT doc_id, cluster FROM cl""".stripMargin
 
   private val clusters = Q("dedup_clusters", ccOracle) { (s, d) =>
     Dedup.dupClusters(
@@ -149,11 +161,16 @@ object LlmText {
 
   /** Incremental cluster maintenance: history (doc_id < 250) is clustered
     * once; the new batch folds in through its incremental candidate pairs
-    * and [[Dedup.mergeClusters]] (old connectivity enters as star edges,
-    * never as re-shingled documents). The oracle is the ONE-SHOT
-    * clustering of the full corpus — a hash match certifies the central
-    * incremental invariant: N-batch maintenance ≡ one-shot rebuild,
-    * including cross-batch merges of previously separate clusters.
+    * and [[Dedup.mergeClusters]] (old connectivity enters as star edges).
+    * The structure mirrors the production path exactly — the band-key
+    * store is old bands ∪ the new batch's appended keys, and history
+    * text feeds NOTHING else — though in this self-contained query the
+    * "persisted" old bands and labels are necessarily rebuilt from the
+    * same table rather than read from a store (same caveat as
+    * `dedup_incremental_pairs`). The oracle is the ONE-SHOT clustering
+    * of the full corpus — a hash match certifies the central incremental
+    * invariant: N-batch maintenance ≡ one-shot rebuild, including
+    * cross-batch merges of previously separate clusters.
     */
   private val clustersIncremental = Q(
     "dedup_clusters_incremental", ccOracle) { (s, d) =>
@@ -165,10 +182,13 @@ object LlmText {
             .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 3)).as("shingle")),
           "doc_id", 16),
         "doc_id", 16, 4)
-    val oldLabels = Dedup.dupClusters(
-      Dedup.candidatePairs(bands(docs.filter(col("doc_id") < 250)), "doc_id"))
+    // in production: read from the signature store / label store
+    val oldBands = bands(docs.filter(col("doc_id") < 250))
+    val oldLabels = Dedup.dupClusters(Dedup.candidatePairs(oldBands, "doc_id"))
+    // the new batch is the only thing shingled at maintenance time
+    val newBands = bands(docs.filter(col("doc_id") >= 250))
     val newPairs = Dedup.incrementalCandidatePairs(
-      bands(docs), bands(docs.filter(col("doc_id") >= 250)), "doc_id")
+      oldBands.unionByName(newBands), newBands, "doc_id")
     Dedup.mergeClusters(oldLabels, newPairs)
   }
 

@@ -37,4 +37,23 @@ object Q {
 
   /** count(*) pinned to BIGINT (DuckDB would otherwise return HUGEINT). */
   val C: String = "CAST(count(*) AS BIGINT)"
+
+  /** The md5 hash byte of an id expression, 0-255 — the SQL replay of
+    * [[graft.operators.Sampling.md5Byte]] (and therefore of every
+    * hashSplit threshold). ONE definition so the byte reconstruction
+    * can't drift between the split oracles.
+    */
+  def md5Byte(expr: String): String = {
+    val hex = "0123456789abcdef"
+    s"(strpos('$hex', substr(md5(CAST(($expr) AS VARCHAR)), 1, 1)) - 1) * 16" +
+      s" + (strpos('$hex', substr(md5(CAST(($expr) AS VARCHAR)), 2, 1)) - 1)"
+  }
+
+  /** hashSplit's train/val/test CASE over [[md5Byte]] (default 205/230
+    * cuts — keep in sync with [[graft.operators.Sampling.hashSplit]]).
+    */
+  def splitCase(expr: String): String =
+    s"""CASE WHEN ${md5Byte(expr)} < 205 THEN 'train'
+       |     WHEN ${md5Byte(expr)} < 230 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 }

@@ -41,6 +41,15 @@ class MaintenanceSpec extends SparkSpec {
     assert(r3 == ((30.0, 31.0)))
   }
 
+  test("snapshotDiff with no compare columns is a presence-only diff") {
+    val oldDf = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val newDf = Seq((2L, "z"), (3L, "w")).toDF("k", "v")
+    val classes = TableDiff.snapshotDiff(oldDf, newDf, Seq("k"), Nil)
+      .select("k", "diff_class").as[(Long, String)].collect().toMap
+    // payload differences are invisible by construction: 2 is unchanged
+    assert(classes == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
+  }
+
   test("purge cascade removes exactly the purged keys and the audit counts agree") {
     val customers = (1L to 100L).map(i => (i, s"c$i")).toDF("cust", "name")
     val orders = (1L to 300L).map(i => (i, i % 100 + 1)).toDF("ord", "cust")
