@@ -58,6 +58,87 @@ object StreamAsOf {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn(ttlUs))
   }
 
+  /** click event-times (id, µs) pending conversion + purchase times (µs). */
+  final case class BufC(clicks: Seq[(Long, Long)], purchases: Seq[Long])
+  final case class Conversion(
+      user_id: Long, event_id: Long, ts_us: Long, purchase_us: Option[Long])
+
+  /** Streaming FORWARD as-of — time-to-convert: each click is resolved to
+    * the same user's EARLIEST purchase at-or-after it within
+    * `convWindow`, or finalized unconverted once the watermark proves no
+    * such purchase can arrive. The unbounded-stream twin of
+    * [[graft.operators.AsOfJoin.asOfForward]] with a conversion window.
+    *
+    * Finality is pure event time: a click with earliest candidate
+    * purchase p is final once the watermark passes p (an earlier
+    * candidate would be below the watermark, i.e. already arrived or
+    * declared late); a click with no candidate is final unconverted once
+    * the watermark passes click + convWindow. The window makes state
+    * bounded BY CONTRACT (unlike the backward side, where the dominant
+    * click collapses to one row): pending clicks live at most convWindow
+    * past the watermark, and purchases are kept only while a pending or
+    * future click could still claim them.
+    */
+  def timeToConvert(events: DataFrame, convWindow: java.time.Duration,
+      watermark: String = "2 hours",
+      clickType: String = "click", purchaseType: String = "purchase"): Dataset[Conversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = convWindow.toMillis * 1000
+    events
+      .filter(col("event_type").isin(clickType, purchaseType))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === clickType).as("is_click"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fnFwd(winUs))
+  }
+
+  private def fnFwd(winUs: Long)(userId: Long, it: Iterator[Ev],
+      state: GroupState[BufC]): Iterator[Conversion] = {
+    val prev = state.getOption.getOrElse(BufC(Nil, Nil))
+    val evs = it.toSeq
+    val clicks = prev.clicks ++
+      evs.filter(_.is_click).map(e => (e.event_id, usOf(e.ts)))
+    val purchases = prev.purchases ++
+      evs.filterNot(_.is_click).map(e => usOf(e.ts))
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+
+    // earliest candidate within the window; final when the watermark has
+    // passed it (match) or passed click+window with no candidate (miss)
+    def firstCand(cUs: Long): Option[Long] =
+      purchases.filter(p => p >= cUs && p - cUs <= winUs).minOption
+    val (ready, pending) = clicks.partition { case (_, cUs) =>
+      firstCand(cUs).exists(_ <= wmUs) || (firstCand(cUs).isEmpty && cUs + winUs < wmUs)
+    }
+    val out = ready.sortBy(identity).map { case (id, cUs) =>
+      Conversion(userId, id, cUs, firstCand(cUs).filter(_ <= wmUs))
+    }
+
+    // purchases stay relevant for pending clicks (p >= their ts) and for
+    // clicks still above the watermark (p >= wm); everything older drops
+    val floor = (pending.map(_._2) :+ wmUs).min
+    val kept = purchases.filter(_ >= floor).distinct.sorted
+    if (pending.isEmpty && kept.isEmpty) state.remove()
+    else {
+      state.update(BufC(pending, kept))
+      // wake when the earliest pending click resolves either way; with
+      // nothing pending, wake once the watermark passes the kept
+      // purchases so an idle user's state still drains to removal
+      val wake =
+        if (pending.nonEmpty)
+          pending.map { case (_, cUs) =>
+            firstCand(cUs).getOrElse(cUs + winUs) / 1000 + 1
+          }.minOption
+        else kept.maxOption.map(_ / 1000 + 1)
+      wake.foreach(w => state.setTimeoutTimestamp(
+        math.max(w, state.getCurrentWatermarkMs() + 1)))
+    }
+    out.iterator
+  }
+
   private def fn(ttlUs: Long)(userId: Long, it: Iterator[Ev],
       state: GroupState[Buf]): Iterator[Attribution] = {
     val prev = state.getOption.getOrElse(Buf(Nil, Nil))

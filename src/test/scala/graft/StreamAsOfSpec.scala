@@ -62,6 +62,47 @@ class StreamAsOfSpec extends SparkSpec {
       "most purchases should have been finalized")
   }
 
+  test("streaming time-to-convert == windowed batch asOfForward on every emitted click") {
+    val events = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_conv").toString
+    val mid = events.agg(expr("percentile(CAST(ts AS DOUBLE), 0.5)"))
+      .head().getDouble(0)
+    events.filter(col("ts").cast("double") <= mid)
+      .coalesce(1).write.mode("append").parquet(dir)
+    events.filter(col("ts").cast("double") > mid)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val win = java.time.Duration.ofHours(24)
+    val q = StreamAsOf.timeToConvert(
+        EventStream.readEventStream(spark, dir), win)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("conv_test").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("conv_test")
+      .select("event_id", "ts_us", "purchase_us")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val batch = AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts", "ts")
+      .select(col("event_id"), unix_micros(col("ts")), unix_micros(col("asof.ts")))
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (id, c, p) =>
+        // the stream resolves within the conversion window only
+        id -> ((c, p.filter(_ - c <= win.toMillis * 1000)))
+      }.toMap
+
+    assert(streamed.nonEmpty, "watermark advance must finalize some clicks")
+    val wrong = streamed.filter { case (id, got) => batch.get(id) != Some(got) }
+    assert(wrong.isEmpty, s"stream disagrees with batch: ${wrong.take(3)}")
+    assert(streamed.values.exists(_._2.nonEmpty), "some clicks must convert")
+    assert(streamed.values.exists(_._2.isEmpty),
+      "some clicks must finalize unconverted (window proof)")
+  }
+
   test("maxClickAge binds at emit even when the watermark jumps past expiry and purchase together") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_asof_ttl").toString
