@@ -1290,6 +1290,115 @@ object Relational {
     * ([[graft.operators.Skew]]). Exact counts; share is one IEEE division
     * of exact longs, so even the doubles hash-match.
     */
+  /** Data-profiling sweep — one row per profiled column with null count,
+    * exact distinct count, and numeric min/max (dates as epoch-micros,
+    * exact below 2^53; strings profile nulls/distincts only — cross-
+    * engine double→string formatting is not stable, numbers are). One
+    * scan: Spark plans the multi-count(DISTINCT) via Expand, the
+    * standard profiling shape.
+    */
+  private val qaProfile = Q(
+    "qa_profile",
+    s"""WITH a AS (SELECT
+       |  $C AS n_rows,
+       |  CAST(count(*) - count(o_custkey) AS BIGINT) AS nulls_cust,
+       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+       |  CAST(min(o_custkey) AS DOUBLE) AS min_cust,
+       |  CAST(max(o_custkey) AS DOUBLE) AS max_cust,
+       |  CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nulls_status,
+       |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+       |  CAST(count(*) - count(o_totalprice) AS BIGINT) AS nulls_price,
+       |  CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+       |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+       |  CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+       |  CAST(count(*) - count(o_orderdate) AS BIGINT) AS nulls_date,
+       |  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+       |  CAST(epoch_us(min(CAST(o_orderdate AS TIMESTAMP))) AS DOUBLE) AS min_date,
+       |  CAST(epoch_us(max(CAST(o_orderdate AS TIMESTAMP))) AS DOUBLE) AS max_date
+       |  FROM orders)
+       |SELECT 'o_custkey' AS column_name, n_rows, nulls_cust AS n_nulls,
+       |       nd_cust AS n_distinct, min_cust AS min_num, max_cust AS max_num FROM a
+       |UNION ALL
+       |SELECT 'o_orderstatus', n_rows, nulls_status, nd_status,
+       |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+       |UNION ALL
+       |SELECT 'o_totalprice', n_rows, nulls_price, nd_price, min_price, max_price FROM a
+       |UNION ALL
+       |SELECT 'o_orderdate', n_rows, nulls_date, nd_date, min_date, max_date FROM a""".stripMargin) {
+    (s, d) =>
+      val a = oF(s, d).agg(
+        lcount().as("n_rows"),
+        (count(lit(1)) - count(col("o_custkey"))).cast(LongType).as("nulls_cust"),
+        countDistinct(col("o_custkey")).cast(LongType).as("nd_cust"),
+        min(col("o_custkey")).cast("double").as("min_cust"),
+        max(col("o_custkey")).cast("double").as("max_cust"),
+        (count(lit(1)) - count(col("o_orderstatus"))).cast(LongType).as("nulls_status"),
+        countDistinct(col("o_orderstatus")).cast(LongType).as("nd_status"),
+        (count(lit(1)) - count(col("o_totalprice"))).cast(LongType).as("nulls_price"),
+        countDistinct(col("o_totalprice")).cast(LongType).as("nd_price"),
+        min(col("o_totalprice")).cast("double").as("min_price"),
+        max(col("o_totalprice")).cast("double").as("max_price"),
+        (count(lit(1)) - count(col("o_orderdate"))).cast(LongType).as("nulls_date"),
+        countDistinct(col("o_orderdate")).cast(LongType).as("nd_date"),
+        // NTZ → TZ cast is stable under the pinned UTC session zone
+        unix_micros(min(col("o_orderdate")).cast("timestamp"))
+          .cast("double").as("min_date"),
+        unix_micros(max(col("o_orderdate")).cast("timestamp"))
+          .cast("double").as("max_date"))
+      def row(name: String, nulls: String, nd: String,
+          mn: Column, mx: Column) =
+        a.select(lit(name).as("column_name"), col("n_rows"),
+          col(nulls).as("n_nulls"), col(nd).as("n_distinct"),
+          mn.as("min_num"), mx.as("max_num"))
+      row("o_custkey", "nulls_cust", "nd_cust", col("min_cust"), col("max_cust"))
+        .union(row("o_orderstatus", "nulls_status", "nd_status",
+          lit(null).cast("double"), lit(null).cast("double")))
+        .union(row("o_totalprice", "nulls_price", "nd_price",
+          col("min_price"), col("max_price")))
+        .union(row("o_orderdate", "nulls_date", "nd_date",
+          col("min_date"), col("max_date")))
+  }
+
+  /** FK orphan sweep — referential-integrity QA: child keys with no
+    * parent, one left-anti count per declared FK (plus one against a
+    * deliberately-restricted parent so a nonzero path proves the
+    * anti-join actually runs — all-zero output alone would also be
+    * produced by a broken probe).
+    */
+  private val qaOrphans = Q(
+    "qa_fk_orphans",
+    s"""SELECT 'lineitem->orders' AS fk, (SELECT $C FROM lineitem
+       |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+       |UNION ALL
+       |SELECT 'orders->customer', (SELECT $C FROM orders
+       |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+       |UNION ALL
+       |SELECT 'lineitem->part', (SELECT $C FROM lineitem
+       |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+       |UNION ALL
+       |SELECT 'lineitem->orders[F]', (SELECT $C FROM lineitem
+       |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+       |                           WHERE o_orderstatus = 'F'))""".stripMargin) {
+    (s, d) =>
+      def orphans(fk: String, child: org.apache.spark.sql.DataFrame,
+          childKey: String, parentKeys: org.apache.spark.sql.DataFrame) =
+        child.join(
+            parentKeys.select(col(parentKeys.columns.head).as(childKey)).distinct(),
+            Seq(childKey), "left_anti")
+          .agg(lcount().as("n_orphans"))
+          .select(lit(fk).as("fk"), col("n_orphans"))
+      val li = lF(s, d)
+      orphans("lineitem->orders", li.select(col("l_orderkey")), "l_orderkey",
+          oF(s, d).select(col("o_orderkey")))
+        .union(orphans("orders->customer", oF(s, d).select(col("o_custkey")),
+          "o_custkey", cF(s, d).select(col("c_custkey"))))
+        .union(orphans("lineitem->part", li.select(col("l_partkey")),
+          "l_partkey", Tables.part(s, d).select(col("p_partkey"))))
+        .union(orphans("lineitem->orders[F]", li.select(col("l_orderkey")),
+          "l_orderkey",
+          oF(s, d).filter(col("o_orderstatus") === "F").select(col("o_orderkey"))))
+  }
+
   private val qaSkew = Q(
     "qa_key_skew",
     s"""WITH t AS (SELECT o_custkey AS k, $C AS n FROM orders GROUP BY 1),
@@ -1373,5 +1482,6 @@ object Relational {
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a12, a13, a14, a2approx, d1, u1, u2, u3, u4, f1, f2, f3, f6, f9, f10,
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
-    funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, anomalies)
+    funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
+    qaOrphans, anomalies)
 }
