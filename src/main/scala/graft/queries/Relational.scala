@@ -1345,18 +1345,19 @@ object Relational {
           .cast("double").as("min_date"),
         unix_micros(max(col("o_orderdate")).cast("timestamp"))
           .cast("double").as("max_date"))
-      def row(name: String, nulls: String, nd: String,
-          mn: Column, mx: Column) =
-        a.select(lit(name).as("column_name"), col("n_rows"),
-          col(nulls).as("n_nulls"), col(nd).as("n_distinct"),
-          mn.as("min_num"), mx.as("max_num"))
-      row("o_custkey", "nulls_cust", "nd_cust", col("min_cust"), col("max_cust"))
-        .union(row("o_orderstatus", "nulls_status", "nd_status",
-          lit(null).cast("double"), lit(null).cast("double")))
-        .union(row("o_totalprice", "nulls_price", "nd_price",
-          col("min_price"), col("max_price")))
-        .union(row("o_orderdate", "nulls_date", "nd_date",
-          col("min_date"), col("max_date")))
+      // stack the ONE aggregate row into per-column rows — a union of
+      // per-column selects would re-plan (and re-scan for) the whole
+      // aggregate once per branch
+      a.select(col("n_rows"), expr(
+          "stack(4, " +
+            "'o_custkey', nulls_cust, nd_cust, min_cust, max_cust, " +
+            "'o_orderstatus', nulls_status, nd_status, " +
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+            "'o_totalprice', nulls_price, nd_price, min_price, max_price, " +
+            "'o_orderdate', nulls_date, nd_date, min_date, max_date) " +
+            "AS (column_name, n_nulls, n_distinct, min_num, max_num)"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"))
   }
 
   /** FK orphan sweep — referential-integrity QA: child keys with no

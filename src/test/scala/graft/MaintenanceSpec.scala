@@ -6,8 +6,9 @@ import graft.operators.{Dedup, Purge, TableDiff}
 
 /** Unit coverage for the warehouse-maintenance operators added with
   * `s11_snapshot_diff` / `s12_purge_audit`, the leakage-safe
-  * `split_by_cluster`, and boilerplate phrase stats — the end-to-end
-  * oracle rows live in CORRECTNESS_r{N}.json.
+  * `split_by_cluster`, and boilerplate phrase stats. End-to-end oracle
+  * certification comes from the Verify + DuckDB gate (tools/check.py
+  * locally; the driver records it as CORRECTNESS_r{N}.json each round).
   */
 class MaintenanceSpec extends SparkSpec {
   private lazy val s = spark
