@@ -459,6 +459,65 @@ object Dedup {
     jaccardForPairs(sh, idCol, all).filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard-similarity join by prefix filtering (the AllPairs /
+    * PPJoin family — Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search"; Xiao et al., PPJoin): every pair with
+    * `jaccard >= threshold`, with NO false negatives, without MinHash's
+    * probabilistic recall and without the brute-force shingle self-join.
+    *
+    * How: order every document's shingles by a single global total order
+    * — (document frequency ASC, shingle) — so the RAREST shingles come
+    * first. If `J(a,b) >= t` then `|a∩b| >= ceil(t·|s|)` for both sets
+    * `s`, and the prefix-filter lemma says the first
+    * `|s| - ceil(t·|s|) + 1` shingles of each side must share at least
+    * one shingle. Candidates therefore come from an equi-join of PREFIX
+    * rows only — dominated by rare shingles, so bucket sizes stay small
+    * where a full shingle join would square the hot-shingle rows. A size
+    * filter (`min_sz >= t·max_sz`, also implied by `J >= t`) prunes
+    * further. Survivors are verified exactly by [[jaccardForPairs]].
+    *
+    * Exactness: both pruning rules are necessary conditions of
+    * `J >= t`, and the verify stage recomputes the true Jaccard — so the
+    * output equals brute force (DedupSpec asserts it; the registered
+    * query's oracle IS the brute-force formulation).
+    *
+    * Scale shape: df aggregate (shuffle on shingle), per-DOC windows for
+    * the prefix ranks (never a global window), prefix equi-join (shuffle
+    * on shingle), verify join (shuffles on doc id) — all keyed; nothing
+    * all-pairs, nothing single-task. `t·|s|` is computed in DECIMAL so
+    * the prefix length never wobbles on float representation
+    * (0.7·5 = 3.5000000000000004 would lengthen a prefix — harmless —
+    * but 0.7·10 = 7.000000000000001 would ceil to 8 and SHORTEN one,
+    * dropping true pairs).
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: BigDecimal, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
+    val t = lit(threshold.underlying()) // exact decimal literal
+    val sh = shingleSet(docs, idCol, textCol, shingleN)
+    val dfs = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val sizes = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("sz"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfs, Seq("shingle")).join(sizes, Seq(idCol))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + lit(1))
+      .select(col(idCol), col("shingle"), col("sz"))
+    val cands = prefix.select(col(idCol).as("doc_a"), col("shingle"),
+        col("sz").as("sza"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"),
+        col("sz").as("szb")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("sza"), col("szb")).cast("decimal(20,0)") >=
+          greatest(col("sza"), col("szb")) * t)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardForPairs(sh, idCol, cands)
+      .filter(col("jaccard") >= threshold.toDouble)
+  }
+
   /** SimHash (64-bit) per document over its token set: per bit position,
     * sum ±1 weighted by each token-hash's bit, take the sign. Uses Spark's
     * native xxhash64 — codegen'd, no UDF. The 64 positions are 64 sum

@@ -47,6 +47,42 @@ object IncrementalAgg {
         sum(col("n")).cast("long").as("n"),
         sumCols.map(c => sum(col(s"sum_$c")).cast(State).as(s"sum_$c")): _*)
 
+  /** Aggregate a CHANGE batch into signed state rows: rows whose `opCol`
+    * is 'D' contribute −1 to the count and −value to every sum, anything
+    * else +1/+value — so deletes are RETRACTIONS, not a re-scan trigger.
+    * The result merges through [[mergeRetract]] exactly like an
+    * insert-only delta: at 100 TB a correction batch (late data, GDPR
+    * erasure, a bad upstream day re-issued) costs one delta-sized
+    * aggregate, where the naive path re-aggregates the whole history
+    * because "sum minus the bad rows" isn't expressible without state.
+    * Exactness: counts and DECIMAL sums are distributive GROUPS (have
+    * inverses), so retract-then-present is bit-equal to recomputing from
+    * the surviving rows — the c8 oracle asserts that equality.
+    */
+  def fromChanges(batch: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      opCol: String): DataFrame = {
+    val sign = when(col(opCol) === "D", lit(-1)).otherwise(lit(1))
+    batch.groupBy(keys.map(col): _*)
+      .agg(
+        sum(sign).cast("long").as("n"),
+        // cast BEFORE negating so a delete retracts bit-exactly what the
+        // insert path accumulated (same double→decimal rounding point)
+        sumCols.map(c =>
+          sum(col(c).cast(State) * sign).cast(State).as(s"sum_$c")): _*)
+  }
+
+  /** [[merge]] plus retraction cleanup: groups whose count reaches zero
+    * are REMOVED (a recompute over the surviving rows has no row for
+    * them, and a lingering zero-group would present phantom 0.0 sums and
+    * pin state forever). PRECONDITION: deletes must retract rows that
+    * were actually inserted — a negative count means the feed is corrupt,
+    * and this filter would silently hide it, so validate upstream
+    * (QualityChecks) when the source isn't trusted.
+    */
+  def mergeRetract(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    merge(state, delta, keys, sumCols).filter(col("n") =!= 0)
+
   /** Consumer view of the state: counts as BIGINT, sums as DOUBLE. */
   def present(state: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
     state.select(

@@ -272,6 +272,35 @@ object LlmText {
         Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text", 0.2)
   }
 
+  /** EXACT Jaccard-≥0.7 similarity join over the FULL corpus via prefix
+    * filtering ([[Dedup.prefixJaccardPairs]], AllPairs/PPJoin family) —
+    * the deterministic scale path next to MinHash-LSH's probabilistic
+    * one. The oracle is the brute-force formulation (full shingle
+    * self-join): a hash match certifies that prefix + size pruning lose
+    * NOTHING — same pairs, same similarity values — while the engine
+    * side only ever joins prefix rows dominated by rare shingles.
+    */
+  private val prefixJaccard = Q(
+    "dedup_prefix_jaccard",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
+       |sz AS (SELECT doc_id, $C AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $C AS n_inter
+       |          FROM sh a JOIN sh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = inter.doc_a
+       |JOIN sz sb ON sb.doc_id = inter.doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.7""".stripMargin) {
+    (s, d) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        BigDecimal("0.7"))
+  }
+
   /** Train→test 5-gram decontamination report over the deterministic
     * md5-byte split ([[graft.operators.Sampling.hashSplit]]): per test
     * doc, how many of its 5-grams leak from the train split. The oracle
@@ -724,7 +753,8 @@ object LlmText {
   val queries: Seq[Q] =
     Seq(exact, exactLongest, sigs, pairs, incPairs, clusters,
       clustersIncremental, simhash,
-      simhashPortable, hammingPairs, jaccard, contamination, chunks, bpe,
+      simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
+      chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
       boilerplate)

@@ -377,8 +377,44 @@ object PipelineQueries {
     IncrementalAgg.present(merged, keys, sums)
   }
 
+  /** Retractable view maintenance ([[IncrementalAgg.fromChanges]] /
+    * `mergeRetract`): bootstrap the c7 state from the FULL table, then
+    * apply one mixed correction batch — every `l_orderkey % 4 == 1` row
+    * re-issued as a DELETE, and the `% 8 == 1` half re-inserted with
+    * corrected measures (quantity +1, price +0.05). The oracle aggregates
+    * the surviving rows from scratch; bit-equality proves deletes retract
+    * exactly what inserts accumulated — the delta-sized path for late
+    * corrections/erasure that otherwise forces a full-history re-scan.
+    */
+  private val retractAgg = Q(
+    "c8_retractable_agg",
+    s"""SELECT l_returnflag, l_linestatus, $C AS n,
+       |       ${DS("l_quantity")} AS sum_l_quantity,
+       |       ${DS("l_extendedprice")} AS sum_l_extendedprice
+       |FROM (SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+       |      FROM lineitem WHERE l_orderkey % 4 <> 1
+       |      UNION ALL
+       |      SELECT l_returnflag, l_linestatus, l_quantity + 1,
+       |             l_extendedprice + 0.05
+       |      FROM lineitem WHERE l_orderkey % 8 = 1)
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val sums = Seq("l_quantity", "l_extendedprice")
+    val state0 = IncrementalAgg.fromBatch(li, keys, sums)
+    val changes = li.filter(col("l_orderkey") % 4 === 1)
+      .withColumn("op", lit("D"))
+      .unionByName(li.filter(col("l_orderkey") % 8 === 1)
+        .withColumn("l_quantity", col("l_quantity") + 1)
+        .withColumn("l_extendedprice", col("l_extendedprice") + 0.05)
+        .withColumn("op", lit("I")))
+    val delta = IncrementalAgg.fromChanges(changes, keys, sums, "op")
+    IncrementalAgg.present(
+      IncrementalAgg.mergeRetract(state0, delta, keys, sums), keys, sums)
+  }
+
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
-      deltaAgg, bugCompatView, employeeRegionView, factDateFk, factOrderDim,
-      quarantine)
+      deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
+      factOrderDim, quarantine)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Cleaning.{dsum, lcount}
 import graft.model.Constants
-import graft.operators.{DateDim, Purge, Scd2, Surrogates, TableDiff}
+import graft.operators.{Cdc, DateDim, Purge, Scd2, Surrogates, TableDiff}
 import graft.sources.Tables
 import graft.queries.Q.{C, DS}
 
@@ -290,6 +290,87 @@ object WarehouseQueries {
           "l_orderkey", purgedOrderKeys))
   }
 
+  /** CDC ordered apply ([[Cdc.applyChanges]]): a Debezium-shaped feed
+    * synthesized from `orders` — insert everything (seq 1), re-price
+    * every 5th key (seq 2 update), delete every 7th (seq 3), resurrect
+    * every 21st with a fresh row (seq 4 insert-after-delete). The feed is
+    * UNIONED OUT OF ORDER (deletes first) — the fold is defined by the
+    * sequence column, not arrival order. The oracle states the surviving
+    * end-state in closed form, so a hash match certifies the whole op
+    * semantics: last-writer-wins, delete removal, resurrection.
+    */
+  private val cdcApply = Q(
+    "cdc_apply",
+    """SELECT o_orderkey AS orderkey,
+      |       CASE WHEN o_orderkey % 21 = 0 THEN 'N'
+      |            WHEN o_orderkey % 5 = 0 THEN 'R'
+      |            ELSE o_orderstatus END AS status,
+      |       CASE WHEN o_orderkey % 21 = 0 THEN CAST(0.0 AS DOUBLE)
+      |            WHEN o_orderkey % 5 = 0
+      |              THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DOUBLE)
+      |            ELSE o_totalprice END AS total
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 0 OR o_orderkey % 21 = 0""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    val ins = base.select(col("orderkey"), lit(1L).as("seq"),
+      lit("I").as("op"), col("status"), col("total"))
+    val upd = base.filter(col("orderkey") % 5 === 0)
+      .select(col("orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        lit("R").as("status"),
+        (col("total").cast("decimal(18,4)") * 2).cast("double").as("total"))
+    val del = base.filter(col("orderkey") % 7 === 0)
+      .select(col("orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("status"),
+        lit(null).cast("double").as("total"))
+    val reins = base.filter(col("orderkey") % 21 === 0)
+      .select(col("orderkey"), lit(4L).as("seq"), lit("I").as("op"),
+        lit("N").as("status"), lit(0.0).as("total"))
+    Cdc.applyChanges(del.unionByName(reins).unionByName(upd).unionByName(ins),
+      Seq("orderkey"), "seq", "op")
+  }
+
+  /** Soft-delete three-way merge ([[Cdc.mergeSoftDelete]]): a changeset
+    * against the customer table updates every 4th key (balance +100,
+    * segment lowercased), flags every 8th for deletion, inserts new keys
+    * for every 9th — and the every-18th insert arrives pre-deleted (a
+    * no-op, the delete-of-absent-key case). Output is the post-merge
+    * table with its audit action column.
+    */
+  private val cdcMerge = Q(
+    "cdc_merge_soft_delete",
+    """SELECT c_custkey AS custkey,
+      |       CASE WHEN c_custkey % 4 = 0 THEN lower(c_mktsegment)
+      |            ELSE c_mktsegment END AS segment,
+      |       CASE WHEN c_custkey % 4 = 0
+      |              THEN CAST(CAST(c_acctbal AS DECIMAL(18,4)) + 100 AS DOUBLE)
+      |            ELSE c_acctbal END AS acct,
+      |       CASE WHEN c_custkey % 4 = 0 THEN 'updated' ELSE 'kept' END AS action
+      |FROM customer WHERE c_custkey % 8 <> 0
+      |UNION ALL
+      |SELECT c_custkey + 900000 AS custkey, 'NEW' AS segment,
+      |       CAST(0.0 AS DOUBLE) AS acct, 'inserted' AS action
+      |FROM customer WHERE c_custkey % 9 = 0 AND c_custkey % 18 <> 0""".stripMargin) {
+    (s, d) =>
+      val target = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("acct"))
+      val updates = target.filter(col("custkey") % 4 === 0)
+        .select(col("custkey"), lower(col("segment")).as("segment"),
+          (col("acct").cast("decimal(18,4)") + 100).cast("double").as("acct"),
+          (col("custkey") % 8 === 0).as("deleted"))
+      val inserts = target.filter(col("custkey") % 9 === 0)
+        .select((col("custkey") + 900000L).as("custkey"),
+          lit("NEW").as("segment"), lit(0.0).as("acct"),
+          (col("custkey") % 18 === 0).as("deleted"))
+      Cdc.mergeSoftDelete(target, updates.unionByName(inserts),
+        Seq("custkey"), "deleted")
+  }
+
   val queries: Seq[Q] =
-    Seq(scd2, scd2TwoSource, g1, g2, g4, pit, diff, purgeAudit)
+    Seq(scd2, scd2TwoSource, g1, g2, g4, pit, diff, purgeAudit, cdcApply,
+      cdcMerge)
 }

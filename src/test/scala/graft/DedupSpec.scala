@@ -67,6 +67,39 @@ class DedupSpec extends SparkSpec {
     assert(candidates.size < 26 * 25 / 4)
   }
 
+  test("prefix-filter Jaccard join == brute force at several thresholds") {
+    // thresholds straddle the fixture's similarity bands (exact dups 1.0,
+    // near-dups ~0.90, everything else 0) plus a mid-band doc pair built
+    // here with J ≈ 0.5, so each τ prunes a DIFFERENT prefix length and
+    // the equality is exercised where pruning actually bites
+    val mid = Seq(
+      (300L, (0 until 30).map(i => s"m_$i").mkString(" ")),
+      (301L, (10 until 40).map(i => s"m_$i").mkString(" "))) // share 20/40 tokens
+    val docs = corpus.union(mid.toDF("doc_id", "text"))
+    for (tau <- Seq("0.3", "0.7", "0.95")) {
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", BigDecimal(tau))
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val want = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", tau.toDouble)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty, s"fixture must have pairs at tau=$tau")
+      assert(got == want, s"tau=$tau: prefix filtering must be exact")
+    }
+    // boundary exactness: a pair at EXACTLY J = τ must survive. 19-token
+    // docs sharing their first 16 tokens: 17 shingles each, 14 shared ->
+    // J = 14/(17+17-14) = 0.7 exactly. Float prefix math (0.7*17 =
+    // 11.899999999999999 vs 11.9) is where a naive ceil can shorten a
+    // prefix and silently drop such a pair; the decimal arithmetic must not.
+    val shared = (0 until 16).map(i => s"c_$i")
+    val edge = Seq(
+      (400L, (shared ++ Seq("a1", "a2", "a3")).mkString(" ")),
+      (401L, (shared ++ Seq("b1", "b2", "b3")).mkString(" "))).toDF("doc_id", "text")
+    val e = Dedup.prefixJaccardPairs(edge, "doc_id", "text", BigDecimal("0.7"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(e.toSeq == Seq((400L, 401L, 0.7)))
+  }
+
   test("jaccardForPairs computes exact overlap") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
     val sh = Dedup.shingleSet(docs, "doc_id", "text")
