@@ -1478,11 +1478,133 @@ object Relational {
       .agg(lcount().as("n_windows"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** Grouped OLS trend + Pearson r over EXACT sufficient statistics
+    * ([[graft.operators.Stats.regressionBy]]): the monthly revenue trend
+    * per market segment — monthly totals first (exact decimal), then the
+    * five moments in one hash aggregate, slope/intercept/r derived by a
+    * fixed IEEE double sequence at the end. The oracle replays the same
+    * two-level CTE and the same final formula — double results
+    * hash-match because every operand entering double space is exact and
+    * the op order is pinned. The usual `regr_slope`/`corr` aggregates
+    * accumulate IN double, so their last bits depend on partition order
+    * — unusable under a bit-compare gate, and irreproducible between
+    * runs at 100 TB.
+    *
+    * y is the WHOLE-DOLLAR monthly total (rounded once, in decimal):
+    * with a scale-0 y every sufficient statistic here stays under 2^53,
+    * so its decimal→double cast is exact in ANY engine — wide-scale
+    * decimals cast to double differently across engines (unscaled-int
+    * conversion then 10^-scale multiply = two roundings), which is an
+    * ulp-level trap this unit choice removes (see Stats scaladoc).
+    */
+  private val regression = Q(
+    "a15_regression_trend",
+    """WITH monthly AS (
+      |  SELECT c_mktsegment AS segment,
+      |         year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS x,
+      |         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DECIMAL(14,0)) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |         SUM(CAST(y AS DECIMAL(24,0)) * y) AS syy
+      |  FROM monthly GROUP BY 1),
+      |d AS (
+      |  SELECT segment, n,
+      |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+      |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      |  FROM st)
+      |SELECT segment, n,
+      |       (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+      |       (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd AS intercept,
+      |       (nd * sxyd - sxd * syd)
+      |         / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS r
+      |FROM d""".stripMargin) { (s, d) =>
+    val monthly = oF(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("c_mktsegment").as("segment"),
+        (year(col("o_orderdate").cast("date")) * 12 +
+          month(col("o_orderdate").cast("date"))).as("x"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 0)
+        .cast("decimal(14,0)").as("y"))
+    graft.operators.Stats.regressionBy(monthly, Seq("segment"), col("x"),
+      col("y"), yType = "decimal(14,0)")
+  }
+
+  /** Sliding-window activity: distinct users and event counts per
+    * 2-hour window sliding every 30 minutes (each event belongs to
+    * exactly 4 windows). Spark's `window()` assigns epoch-aligned
+    * windows map-side — one shuffle on the window key, no self-join;
+    * the oracle derives the same 4 buckets per event arithmetically.
+    * The overlap factor is size/slide = 4×, paid as exploded GROUPED
+    * rows, never as a range join.
+    */
+  private val slidingActive = Q(
+    "events_sliding_active",
+    s"""WITH w AS (
+       |  SELECT user_id, event_id,
+       |         time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+       |           - s.j * INTERVAL '30 minutes' AS win_start
+       |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j) s)
+       |SELECT CAST(win_start AS TIMESTAMP) AS win_start,
+       |       CAST(win_start + INTERVAL '2 hours' AS TIMESTAMP) AS win_end,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       $C AS n_events
+       |FROM w GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        lcount().as("n_events"))
+      .select(
+        col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("w.end").cast("timestamp_ntz").as("win_end"),
+        col("n_users"), col("n_events"))
+  }
+
+  /** Hourly resample with DETERMINISTIC first/last: the OHLC shape over
+    * the event stream — per hour, counts, exact value total, and the
+    * first/last event type ordered by (ts, event_id). `min`/`max` over a
+    * (ts, event_id, type) struct gives lexicographic arg-min/arg-max in
+    * the SAME single hash aggregate as the other measures (partial-agg
+    * friendly); a bare `min_by(type, ts)` would tie-break by partition
+    * luck on equal timestamps. The oracle pins the identical order with
+    * two ranked windows.
+    */
+  private val resample = Q(
+    "events_resample",
+    s"""WITH b AS (
+       |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
+       |         ts, event_id, event_type, value FROM events),
+       |r AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY hour_ts ORDER BY ts, event_id) AS ra,
+       |         row_number() OVER (PARTITION BY hour_ts ORDER BY ts DESC, event_id DESC) AS rd
+       |  FROM b)
+       |SELECT hour_ts, $C AS n_events, ${DS("value")} AS total_value,
+       |       max(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+       |       max(CASE WHEN rd = 1 THEN event_type END) AS last_type
+       |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"))
+      .agg(
+        lcount().as("n_events"),
+        dsum(col("value")).as("total_value"),
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_type"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_type"))
+  }
+
   val queries: Seq[Q] = Seq(
     s1, p2, p3, p4, j1, j2, j3, j4, j5, j6, j7, j8, j10,
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a12, a13, a14, a2approx, d1, u1, u2, u3, u4, f1, f2, f3, f6, f9, f10,
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
-    qaOrphans, anomalies)
+    qaOrphans, anomalies, regression, slidingActive, resample)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** [[Stats.regressionBy]]: exact sufficient statistics → closed-form
+  * OLS/Pearson; degenerate groups yield NULL, not Inf/NaN.
+  */
+class StatsSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  test("regressionBy recovers a known line and correlation") {
+    // g1: y = 2x + 1 exactly -> slope 2, intercept 1, r = 1
+    // g2: y = -0.5x + 10 with noise orthogonal to x (+1,-1,-1,+1 has zero
+    // covariance with x = 0,2,4,6), so OLS recovers the base slope exactly
+    val rows =
+      (1 to 10).map(x => ("g1", x, 2.0 * x + 1)) ++
+        Seq(("g2", 0, 10.0 + 1), ("g2", 2, 9.0 - 1),
+          ("g2", 4, 8.0 - 1), ("g2", 6, 7.0 + 1))
+    val got = Stats.regressionBy(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    val (_, n1, sl1, ic1, r1) = got("g1")
+    assert(n1 == 10 && sl1.contains(2.0) && ic1.contains(1.0))
+    assert(math.abs(r1.get - 1.0) < 1e-12)
+    val (_, _, sl2, _, r2) = got("g2")
+    assert(math.abs(sl2.get - (-0.5)) < 1e-12)
+    assert(r2.get < 0 && r2.get > -1, "noisy negative trend")
+  }
+
+  test("degenerate groups produce NULL, never Inf/NaN") {
+    val rows = Seq(
+      ("one_point", 5, 3.0),
+      ("flat_x", 2, 1.0), ("flat_x", 2, 9.0),   // zero x-variance
+      ("flat_y", 1, 4.0), ("flat_y", 3, 4.0))   // zero y-variance
+    val got = Stats.regressionBy(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), col("y"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got("one_point")._3.isEmpty && got("flat_x")._3.isEmpty)
+    assert(got("one_point")._5.isEmpty && got("flat_x")._5.isEmpty)
+    // flat_y: slope is defined (0), r is not (zero y-variance)
+    assert(got("flat_y")._3.contains(0.0) && got("flat_y")._5.isEmpty)
+  }
+}
