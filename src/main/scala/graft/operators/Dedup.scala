@@ -495,14 +495,21 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"prefix filtering needs 0 < threshold <= 1, got $threshold")
     val t = lit(threshold.underlying()) // exact decimal literal
-    val sh = shingleSet(docs, idCol, textCol, shingleN)
+    // the shingle set feeds five consumers (df agg, prefix ranks, both
+    // candidate sides via prefix, and the verify join's three legs);
+    // checkpoint it once instead of re-shingling the corpus per consumer
+    // (same tradeoff note as the clustering loops: executor-local blocks
+    // unless a reliable checkpoint dir is configured)
+    val sh = ckpt(shingleSet(docs, idCol, textCol, shingleN))
     val dfs = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).cast(LongType).as("df"))
-    val sizes = sh.groupBy(col(idCol))
-      .agg(count(lit(1)).cast(LongType).as("sz"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(dfs, Seq("shingle")).join(sizes, Seq(idCol))
+    // sz and the prefix rank share ONE shuffle on the doc id: an
+    // unordered count-over-partition and the ordered row_number are two
+    // window execs over the same exchange
+    val byDocAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val byDoc = byDocAll.orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfs, Seq("shingle"))
+      .withColumn("sz", count(lit(1)).over(byDocAll))
       .withColumn("rn", row_number().over(byDoc))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + lit(1))
       .select(col(idCol), col("shingle"), col("sz"))
