@@ -39,12 +39,25 @@ object Cdc {
     * usually mis-extracted.
     */
   def applyChanges(feed: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String): DataFrame =
+    latestRows(feed, keyCols, seqCol, opCol)
+      .filter(col(opCol) =!= "D")
+      .drop(seqCol, opCol)
+
+  /** The winning row per key WITH its op and sequence retained — deletes
+    * stay as tombstones. This is the mergeable form: `latestRows(a ∪ b)`
+    * == `latestRows(latestRows(a) ∪ b)`, which is what lets a stored
+    * state fold batch after batch ([[graft.streaming.StreamCdc]])
+    * without ever replaying history; [[applyChanges]] is this plus
+    * tombstone removal.
+    */
+  def latestRows(feed: DataFrame, keyCols: Seq[String], seqCol: String,
       opCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).desc, col(opCol).asc)
     feed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= "D")
-      .drop("__rn", seqCol, opCol)
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Three-way soft-delete merge (the Delta-style `MERGE` shape):

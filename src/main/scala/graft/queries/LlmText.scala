@@ -635,6 +635,71 @@ object LlmText {
         .select(col("doc_id"), col("tok"), col("tf"), col("tfidf_lin"))
   }
 
+  /** Multi-term keyword search over the corpus: per-doc tf for each
+    * query term (one conditional aggregate over the token stream — the
+    * inverted-index probe), idf as the linear `N/df` (ln would differ in
+    * the last ulp between engines' libm), scored row-level with a PINNED
+    * left-to-right double expression so no partition-order float
+    * addition exists anywhere, then global top-10 by (score, doc_id) via
+    * `ORDER BY … LIMIT` — Spark plans TakeOrderedAndProject: per-
+    * partition bounded heaps merged on the driver, k rows per partition
+    * moved, never a global sort. df/N stay corpus-side aggregates
+    * (vocabulary-scale, never collected); only the 1-row scalar frame
+    * broadcasts.
+    */
+  private val keywordSearch = {
+    val terms = Seq("spark", "merge", "vector")
+    val tfCols = terms.indices.map(i => s"tf${i + 1}")
+    val scoreSql = terms.indices.map(i =>
+      s"CAST(tf${i + 1} AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df${i + 1} AS DOUBLE)")
+      .mkString(" + ")
+    Q(
+      "text_keyword_search",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |n AS (SELECT $C AS n_docs FROM documents),
+         |tf AS (SELECT doc_id,
+         |${terms.zipWithIndex.map { case (t, i) =>
+             s"          CAST(count(*) FILTER (WHERE tok = '$t') AS BIGINT) AS tf${i + 1}"
+           }.mkString(",\n")}
+         |       FROM tok GROUP BY 1),
+         |df AS (SELECT
+         |${terms.zipWithIndex.map { case (t, i) =>
+             s"          CAST(count(DISTINCT CASE WHEN tok = '$t' THEN doc_id END) AS BIGINT) AS df${i + 1}"
+           }.mkString(",\n")}
+         |       FROM tok)
+         |SELECT doc_id, ${tfCols.mkString(", ")}, $scoreSql AS score
+         |FROM tf CROSS JOIN df CROSS JOIN n
+         |WHERE ${tfCols.map(c => s"$c > 0").mkString(" OR ")}
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = Tables.spread(docs)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id")).agg(
+        lcount(when(col("tok") === terms.head, lit(1))).as("tf1"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          lcount(when(col("tok") === t, lit(1))).as(s"tf${i + 2}")
+        }: _*)
+      // df per term + N: ONE scalar row each, from corpus-wide aggregates
+      val dfRow = toks.agg(
+        countDistinct(when(col("tok") === terms.head, col("doc_id"))).cast(LongType).as("df1"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          countDistinct(when(col("tok") === t, col("doc_id")))
+            .cast(LongType).as(s"df${i + 2}")
+        }: _*)
+      val nRow = docs.select(lcount().as("n_docs"))
+      val score = terms.indices.map { i =>
+        col(s"tf${i + 1}").cast("double") * col("n_docs").cast("double") /
+          col(s"df${i + 1}").cast("double")
+      }.reduceLeft(_ + _)
+      tf.crossJoin(broadcast(dfRow)).crossJoin(broadcast(nRow))
+        .filter(tfCols.map(c => col(c) > 0).reduceLeft(_ || _))
+        .withColumn("score", score)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select((col("doc_id") +: tfCols.map(col) :+ col("score")): _*)
+    }
+  }
+
   /** Oracle CTE mirroring Multimodal.attachPayload + decodeStub: media
     * type round-robins on doc_id, byte count is the UTF-8 payload length,
     * the stub's fake frame count is arithmetic in the byte count.
@@ -757,5 +822,5 @@ object LlmText {
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
-      boilerplate)
+      boilerplate, keywordSearch)
 }
