@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Surrogates
+
 /** Grouped ordinary-least-squares regression and Pearson correlation with
   * ENGINE-EXACT arithmetic: the five sufficient statistics
   * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in integer/DECIMAL space —
@@ -78,5 +80,35 @@ object Stats {
         slope.as("slope") :+
         when(varXN > 0, (syD - (covN / varXN) * sxD) / nD).as("intercept") :+
         r.as("r"): _*)
+  }
+
+  /** EXACT quantiles (percentile_disc semantics: the data value at rank
+    * ⌈q·n⌉, rank 1 for q→0) at distributed scale: global ranks come from
+    * [[Surrogates.assignScalable]] — a RANGE shuffle plus per-partition
+    * indexing — never the single-task `row_number().over(Window.orderBy)`
+    * that serializes the whole table through one executor. Equal values
+    * share arbitrary ranks, but the VALUE at any fixed rank is unique, so
+    * the result is deterministic without a tiebreaker.
+    *
+    * Cost: one count job for `n`, one ranked pass, a broadcast join of
+    * the |qs|-row rank table. Returns (q DOUBLE, value) one row per
+    * requested quantile. Exact — where a sketch (approx_percentile)
+    * trades rank error for one fewer pass; under a bit-compare gate or a
+    * contractual SLA ("p99 latency"), exact is the one you can certify.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qs: Seq[BigDecimal]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    val n = df.count()
+    val ranked = Surrogates.assignScalable(
+      df.select(col(valueCol)), "__rank", Seq(col(valueCol)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = qs
+      .map(q => (q.toDouble, math.max(1L, (q * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)))
+      .toDF("q", "__rank")
+    ranked.join(broadcast(targets), Seq("__rank"))
+      .select(col("q"), col(valueCol))
   }
 }

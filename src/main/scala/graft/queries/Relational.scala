@@ -1535,6 +1535,29 @@ object Relational {
       col("y"), yType = "decimal(14,0)")
   }
 
+  /** EXACT order-value quantiles at distributed scale
+    * ([[graft.operators.Stats.exactQuantiles]]): percentile_disc values
+    * for p25/p50/p75/p99 over `o_totalprice` — global ranks via range
+    * shuffle + per-partition indexing, NOT a single-task global window;
+    * the oracle's window formulation selects the identical ranks. The
+    * rank targets ⌈q·n⌉ are computed in decimal on both sides (0.75·n
+    * in float could ceil one rank high at exact multiples).
+    */
+  private val quantilesExact = Q(
+    "a16_exact_quantiles",
+    """WITH r AS (SELECT o_totalprice AS v,
+      |                 row_number() OVER (ORDER BY o_totalprice) AS rn,
+      |                 count(*) OVER () AS n
+      |          FROM orders),
+      |q AS (SELECT unnest([0.25, 0.50, 0.75, 0.99]) AS qd)
+      |SELECT CAST(qd AS DOUBLE) AS q, v AS value
+      |FROM q JOIN r ON rn = GREATEST(1, CAST(ceil(qd * n) AS BIGINT))""".stripMargin) {
+    (s, d) =>
+      graft.operators.Stats.exactQuantiles(
+        oF(s, d).select(col("o_totalprice").as("value")), "value",
+        Seq("0.25", "0.50", "0.75", "0.99").map(BigDecimal(_)))
+  }
+
   /** Sliding-window activity: distinct users and event counts per
     * 2-hour window sliding every 30 minutes (each event belongs to
     * exactly 4 windows). Spark's `window()` assigns epoch-aligned
@@ -1606,5 +1629,5 @@ object Relational {
     a9, a10, a12, a13, a14, a2approx, d1, u1, u2, u3, u4, f1, f2, f3, f6, f9, f10,
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
-    qaOrphans, anomalies, regression, slidingActive, resample)
+    qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact)
 }

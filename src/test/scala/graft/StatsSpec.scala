@@ -31,6 +31,22 @@ class StatsSpec extends SparkSpec {
     assert(r2.get < 0 && r2.get > -1, "noisy negative trend")
   }
 
+  test("exactQuantiles selects the value at rank ceil(q*n), ties and edges included") {
+    // 10 values with duplicates; ranks: q=0.25->3, 0.5->5, 0.75->8, 1.0->10
+    val vals = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 9.0, 7.0, 3.0, 8.0, 7.0)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val got = Stats.exactQuantiles(df, "v",
+      Seq("0.25", "0.5", "0.75", "1.0").map(BigDecimal(_)))
+      .as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    assert(got == Map(0.25 -> sorted(2), 0.5 -> sorted(4),
+      0.75 -> sorted(7), 1.0 -> sorted(9)))
+    // q small enough that ceil(q*n) < 1 clamps to rank 1 (the minimum)
+    val tiny = Stats.exactQuantiles(df, "v", Seq(BigDecimal("0.01")))
+      .as[(Double, Double)].collect().toSeq
+    assert(tiny == Seq((0.01, 1.0)))
+  }
+
   test("degenerate groups produce NULL, never Inf/NaN") {
     val rows = Seq(
       ("one_point", 5, 3.0),
