@@ -65,6 +65,7 @@ class PlanSpec extends SparkSpec {
       "embed_ann_ivf_kmeans_portable", // corpus × 16-row broadcast centroid frame (native-dot assignment)
       "embed_ann_incremental", // history/new-batch × 16-row broadcast centroid frame (index maintenance)
       "text_tfidf_topk", // 1-row broadcast corpus-count frame (scalar N in the idf ratio)
+      "text_keyword_search", // 1-row broadcast df/N frames (scalar idf inputs for the score)
       "qa_key_skew", // 1-row broadcast total-count frame (the share denominator)
       "s12_purge_audit" // 1-row × 1-row count frames per audit row (rows_before × rows_removed)
     )
