@@ -640,4 +640,107 @@ object Dedup {
       .select(explode(pairsFromSortedArray(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+
+  /** EXACT edit-distance-≤d self-join (PassJoin-family pigeonhole —
+    * Li et al., "PassJoin: a partition-based method for similarity
+    * joins", VLDB 2012; same family as [[simhashHammingPairs]]'s chunk
+    * buckets, extended to handle the alignment SHIFT that insertions and
+    * deletions introduce).
+    *
+    * Candidate generation: each string of length L ≥ d+1 is split into
+    * d+1 balanced contiguous segments. If ED(a,b) ≤ d then, by
+    * pigeonhole, some segment of `a` is untouched by any of the ≤ d edit
+    * operations and therefore appears VERBATIM in `b`, shifted by at
+    * most d positions (the net insertions/deletions before it). So the
+    * "segment" role emits its d+1 segments keyed by (L, segIdx, text)
+    * and the "probe" role emits, for every admissible partner length
+    * L ∈ [len−d, len+d] and shift δ ∈ [−d, d], the substring of itself
+    * at the segment geometry of L — an equi-join on the key yields every
+    * true pair's candidate, never an all-pairs product. Strings of
+    * length ≤ d (near-universal matchers: ED ≤ d reaches only partners
+    * of length ≤ 2d) go through one constant-key bucket instead.
+    * Candidates then verify with `levenshtein` — the filter is a
+    * necessary condition, so the result is EXACTLY the brute-force
+    * answer at bucket-join cost.
+    *
+    * Scale shape: probe emission is map-side, (2d+1)²·(d+1) substrings
+    * per row at most (`array_distinct` collapses repeats); one shuffle
+    * on the segment key; the verify joins touch only candidate ids, so
+    * long strings never ride through the exploded exchange. Key
+    * hot-spots mirror [[prefixJaccardPairs]]'s caveat: a segment shared
+    * by a large fraction of the corpus (e.g. a constant field prefix)
+    * concentrates its bucket; segment-frequency capping composes the
+    * same way rarity ordering does there. Long-string inputs should key
+    * on a bounded prefix or fingerprint first — edit distance itself is
+    * O(|s|²) per verify.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val d = maxDist
+    require(d >= 1, s"maxDist must be >= 1, got $d")
+    val k = d + 1
+    val base = docs.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      length(col(strCol)).as("__len"))
+
+    // balanced segment geometry for a string of length L: segment i
+    // (0-based) is one char longer for i < L mod k, and none is empty
+    // when L >= k — widths differ by at most one
+    def segStart(l: org.apache.spark.sql.Column, i: Int) =
+      lit(i) * floor(l / k).cast("int") + least(lit(i), l % k) + 1
+    def segLen(l: org.apache.spark.sql.Column, i: Int) =
+      when(lit(i) < l % k, floor(l / k).cast("int") + 1)
+        .otherwise(floor(l / k).cast("int"))
+
+    val segs = base.filter(col("__len") >= k).select(
+      col("__id"),
+      explode(array((0 until k).map { i =>
+        struct(
+          col("__len").cast("int").as("klen"), lit(i).as("kidx"),
+          col("__s").substr(segStart(col("__len"), i),
+            segLen(col("__len"), i)).as("kstr"))
+      }: _*)).as("kk"))
+
+    val probeStructs = for {
+      off <- (-d to d).toSeq; i <- 0 until k; delta <- -d to d
+    } yield {
+      val tl = col("__len") + off // the partner (segmented-side) length
+      val st = segStart(tl, i) + delta
+      val ln = segLen(tl, i)
+      when(tl >= k && st >= 1 && st + ln - 1 <= col("__len"),
+        struct(tl.cast("int").as("klen"), lit(i).as("kidx"),
+          col("__s").substr(st, ln).as("kstr")))
+    }
+    val probes = base.select(
+      col("__id"),
+      explode(array_distinct(
+        filter(array(probeStructs: _*), _.isNotNull))).as("kk"))
+
+    val longCand = segs.as("a")
+      .join(probes.as("b"), col("a.kk") === col("b.kk"))
+      .select(col("a.__id").as("ia"), col("b.__id").as("ib"))
+
+    // constant-key bucket for the length-≤d stragglers (an equi-join on a
+    // literal key — a hash join over a by-design tiny population, not a
+    // nested-loop product)
+    val shortCand = base.filter(col("__len") <= d)
+      .select(col("__id").as("ia"), lit(0).as("kb"))
+      .join(base.filter(col("__len") <= 2 * d)
+        .select(col("__id").as("ib"), lit(0).as("kb")), Seq("kb"))
+      .select(col("ia"), col("ib"))
+
+    longCand.unionByName(shortCand)
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .distinct()
+      .join(base.select(col("__id").as("id_a"), col("__s").as("sa")),
+        Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__s").as("sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+      .filter(col("dist") <= d)
+  }
 }

@@ -96,6 +96,64 @@ object Stats {
     * trades rank error for one fewer pass; under a bit-compare gate or a
     * contractual SLA ("p99 latency"), exact is the one you can certify.
     */
+  /** Per-group σ-threshold outliers decided ENTIRELY in integer
+    * arithmetic: |x − μ| > (num/den)·σ is equivalent to
+    *
+    *   den² · (n·x − S)²  >  num² · (n·Q − S²)
+    *
+    * with S = Σx, Q = Σx² — no mean, no variance, no sqrt, no doubles
+    * anywhere, so the flagged set is reproducible bit for bit across
+    * engines and partitionings (a double formulation can flip rows that
+    * sit exactly on the threshold). One hash aggregate for the per-group
+    * (n, S, Q) plus one equi-join back — the same two-pass shape as the
+    * quantile quality cut.
+    *
+    * Bounds: exact while n²·max(x)² fits a signed 64-bit long (e.g.
+    * 10⁶ rows/group × values ≤ 10³). Past that, cast the three
+    * statistics to DECIMAL(38,0) — same plan, wider buffers.
+    *
+    * Returns the input rows with (grp_n, grp_sum, grp_sumsq) appended —
+    * callers project; μ and σ are derivable downstream without another
+    * pass.
+    */
+  def integerOutliers(df: DataFrame, keys: Seq[String], x: Column,
+      num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= 1, s"threshold must be positive, got $num/$den")
+    val xd = x.cast("long")
+    val g = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).cast("long").as("grp_n"),
+      sum(xd).as("grp_sum"),
+      sum(xd * xd).as("grp_sumsq"))
+    val dev = col("grp_n") * xd - col("grp_sum")
+    df.join(g, keys)
+      .filter(lit(den.toLong * den) * dev * dev >
+        lit(num.toLong * num) *
+          (col("grp_n") * col("grp_sumsq") - col("grp_sum") * col("grp_sum")))
+  }
+
+  /** Equi-width histogram of a numeric column: (bucket, bucket_lo, n).
+    * Two aggregates — one 1-row min/max frame broadcast back (the only
+    * cross join, bounded by design), then a map-side bucket assignment
+    * and one hash aggregate. Bucketing arithmetic is a fixed sequence of
+    * IEEE double ops ((x−lo)/w, floor, clamp), so bucket membership is
+    * reproducible across engines; a degenerate column (min = max) lands
+    * everything in bucket 0 rather than dividing by zero.
+    */
+  def equiWidthHistogram(df: DataFrame, value: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"need at least one bucket, got $nBuckets")
+    val mm = df.agg(min(value).cast("double").as("lo"),
+      max(value).cast("double").as("hi"))
+    val w = (col("hi") - col("lo")) / nBuckets
+    val bucket = when(col("hi") > col("lo"),
+      least(lit(nBuckets - 1),
+        floor((value.cast("double") - col("lo")) / w).cast("int")))
+      .otherwise(0)
+    df.crossJoin(broadcast(mm))
+      .groupBy(bucket.as("bucket"), (col("lo") + bucket * w).as("bucket_lo"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   def exactQuantiles(df: DataFrame, valueCol: String,
       qs: Seq[BigDecimal]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),

@@ -184,6 +184,32 @@ object Curation {
         min(col("p25")).as("p25"))
   }
 
+  /** Per-source length outliers at 1.5σ ([[graft.operators.Stats
+    * .integerOutliers]]): docs whose length deviates from their source's
+    * mean by more than 1.5 standard deviations — truncation/concat
+    * artifacts a scrape-quality gate quarantines. Unlike
+    * `events_anomalies`' double z-scores, the decision rule here is
+    * PURE INTEGER arithmetic (den²·(n·x−S)² > num²·(n·Q−S²)), so rows
+    * sitting exactly on the threshold cannot flip between engines.
+    */
+  private val lengthOutliers = Q(
+    "curation_length_outliers",
+    """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS grp_n,
+      |                  CAST(sum(n_chars) AS BIGINT) AS grp_sum,
+      |                  CAST(sum(n_chars * n_chars) AS BIGINT) AS grp_sumsq
+      |           FROM documents GROUP BY 1)
+      |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars, g.grp_n
+      |FROM documents d JOIN g USING (source)
+      |WHERE 4 * (g.grp_n * d.n_chars - g.grp_sum)
+      |        * (g.grp_n * d.n_chars - g.grp_sum)
+      |      > 9 * (g.grp_n * g.grp_sumsq - g.grp_sum * g.grp_sum)""".stripMargin) {
+    (s, d) =>
+      graft.operators.Stats.integerOutliers(
+        Tables.documents(s, d), Seq("source"), col("n_chars"), num = 3, den = 2)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast(LongType).as("n_chars"), col("grp_n"))
+  }
+
   /** Priority sampling ([[Sampling.prioritySample]], Duffield–Lund–
     * Thorup): the 25 documents winning the weight-proportional draw with
     * n_chars as the quality weight — heavy docs (near-)certain, light
@@ -474,6 +500,6 @@ object Curation {
   }
 
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
-    stratSample, prioritySamp, qualityCut, pipeline, dedupPipeline,
-    tempSample, packSeq, packManifest, clusterSplit)
+    stratSample, prioritySamp, qualityCut, lengthOutliers, pipeline,
+    dedupPipeline, tempSample, packSeq, packManifest, clusterSplit)
 }

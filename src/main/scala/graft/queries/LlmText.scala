@@ -56,6 +56,61 @@ object LlmText {
     Dedup.exactGroupsKeepLongest(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Exact edit-distance-≤2 pairs over the distinct part-name vocabulary
+    * (fuzzy entity resolution — the reference's map_customer/map_product
+    * dedup tables confront exactly this "same entity, dirty spelling"
+    * problem, bl_cl.sql:95–233). Engine side: PassJoin pigeonhole
+    * segments + levenshtein verify, never an all-pairs product; the
+    * brute-force oracle is exact because the candidate filter is a
+    * necessary condition.
+    */
+  private val editPairs = Q(
+    "dedup_edit_pairs",
+    """WITH n AS (SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
+      |           FROM part GROUP BY 1)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM n a JOIN n b
+      |  ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 2
+      |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).cast(LongType).as("id"))
+    Dedup.editDistancePairs(names, "id", "p_name", maxDist = 2)
+  }
+
+  /** Entity resolution end to end: edit-distance-≤2 pairs over the
+    * part-name vocabulary ([[Dedup.editDistancePairs]]) fed into the
+    * certified connected-components loop ([[Dedup.dupClusters]]) —
+    * variant spellings collapse to one canonical id (component min), the
+    * same compose-certified-stages shape as `curation_dedup_pipeline`.
+    * The oracle takes the transitive closure of the brute-force pair set
+    * with a recursive CTE; singletons (no pair) stay out, as in
+    * `dedup_clusters`.
+    */
+  private val editClusters = Q(
+    "dedup_edit_clusters",
+    """WITH RECURSIVE
+      |n AS (SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
+      |      FROM part GROUP BY 1),
+      |pr AS (SELECT a.id AS doc_a, b.id AS doc_b
+      |       FROM n a JOIN n b
+      |         ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 2
+      |       WHERE levenshtein(a.name, b.name) <= 2),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      |          UNION SELECT doc_b, doc_a FROM pr),
+      |reach AS (SELECT src, dst FROM edges
+      |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |cl AS (SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+      |       FROM reach GROUP BY 1)
+      |SELECT id, cluster FROM cl""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).cast(LongType).as("id"))
+    Dedup.dupClusters(
+      Dedup.editDistancePairs(names, "id", "p_name", maxDist = 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("id"), col("cluster"))
+  }
+
   /** MinHash signatures (16 hashes, long format). */
   private val sigs = Q(
     "dedup_minhash_signatures",
@@ -816,8 +871,8 @@ object LlmText {
   }
 
   val queries: Seq[Q] =
-    Seq(exact, exactLongest, sigs, pairs, incPairs, clusters,
-      clustersIncremental, simhash,
+    Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs,
+      clusters, clustersIncremental, simhash,
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,

@@ -1558,6 +1558,32 @@ object Relational {
         Seq("0.25", "0.50", "0.75", "0.99").map(BigDecimal(_)))
   }
 
+  /** Equi-width 16-bucket histogram of `l_extendedprice` — the
+    * data-profiling companion to `qa_profile`'s min/max: distribution
+    * shape in two aggregates (1-row min/max frame broadcast back, then
+    * map-side bucketing + one hash aggregate). Bucket arithmetic is a
+    * pinned IEEE double sequence, identical in both engines.
+    */
+  private val qaHistogram = Q(
+    "qa_histogram",
+    """WITH m AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+      |                  CAST(max(l_extendedprice) AS DOUBLE) AS hi
+      |           FROM lineitem),
+      |b AS (SELECT CASE WHEN m.hi > m.lo
+      |             THEN least(15, CAST(floor((CAST(l_extendedprice AS DOUBLE) - m.lo)
+      |                                       / ((m.hi - m.lo) / 16)) AS INT))
+      |             ELSE 0 END AS bucket
+      |      FROM lineitem CROSS JOIN m)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(m.lo + bucket * ((m.hi - m.lo) / 16) AS DOUBLE) AS bucket_lo,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM b CROSS JOIN m GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    graft.operators.Stats.equiWidthHistogram(
+      lF(s, d), col("l_extendedprice"), nBuckets = 16)
+      .select(col("bucket").cast(LongType).as("bucket"), col("bucket_lo"),
+        col("n"))
+  }
+
   /** Sliding-window activity: distinct users and event counts per
     * 2-hour window sliding every 30 minutes (each event belongs to
     * exactly 4 windows). Spark's `window()` assigns epoch-aligned
@@ -1629,5 +1655,6 @@ object Relational {
     a9, a10, a12, a13, a14, a2approx, d1, u1, u2, u3, u4, f1, f2, f3, f6, f9, f10,
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
-    qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact)
+    qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
+    qaHistogram)
 }

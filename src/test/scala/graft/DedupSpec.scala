@@ -235,6 +235,42 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashHammingPairs(corpus, "doc_id", "text", maxDist = 32))
   }
 
+  test("editDistancePairs equals brute-force levenshtein at d=1,2,3") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(identity)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(cur + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    // small alphabet + lengths 0..8 forces exact dups, empty strings
+    // (the short bucket), and dense near-miss pairs around every d
+    val rnd = new scala.util.Random(11)
+    val strs = (0 until 70).map { i =>
+      (i.toLong,
+        (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(1, 2, 3)) {
+      val got = Dedup.editDistancePairs(df, "id", "s", d)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist)).toSet
+      assert(got == want,
+        s"d=$d: missing=${want -- got}, extra=${got -- want}")
+    }
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(df, "id", "s", maxDist = 0))
+  }
+
   test("portable simhash: near-dups are close in Hamming distance, strangers far") {
     val h = Dedup.simhashPortable(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -61,4 +61,43 @@ class StatsSpec extends SparkSpec {
     // flat_y: slope is defined (0), r is not (zero y-variance)
     assert(got("flat_y")._3.contains(0.0) && got("flat_y")._5.isEmpty)
   }
+
+  test("integerOutliers matches exact BigInt arithmetic; boundary and σ=0 excluded") {
+    val rows = ((1 to 9).map(v => ("A", v)) :+ (("A", 60))) ++
+      (1 to 5).map(_ => ("B", 7)) ++ // constant group: σ = 0, no outliers
+      Seq(("C", 0), ("C", 2)) // both sit EXACTLY on 1σ — strict > excludes
+    val df = rows.toDF("g", "v")
+    for ((num, den) <- Seq((1, 1), (3, 2), (2, 1))) {
+      val got = Stats.integerOutliers(df, Seq("g"), col("v"), num, den)
+        .select(col("g"), col("v")).as[(String, Int)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, m) =>
+        val n = BigInt(m.size)
+        val s = m.map(r => BigInt(r._2)).sum
+        val q = m.map(r => BigInt(r._2) * r._2).sum
+        m.filter { case (_, x) =>
+          BigInt(den * den) * (n * x - s).pow(2) >
+            BigInt(num * num) * (n * q - s * s)
+        }
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"k=$num/$den")
+      if (num == den) {
+        assert(!got.keySet.exists(_._1 == "C"), "exact-boundary rows flagged")
+        assert(got.keySet.exists(_._1 == "A"), "the far outlier must flag")
+      }
+    }
+  }
+
+  test("equiWidthHistogram partitions every row, clamps max, handles a flat column") {
+    val df = (0 to 16).map(Tuple1(_)).toDF("v")
+    val got = Stats.equiWidthHistogram(df, col("v"), 16)
+      .as[(Int, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(_._3).sum == 17, "every row lands in exactly one bucket")
+    assert(got.last == ((15, 15.0, 2L)), "v=16 clamps into the top bucket")
+    assert(got.head == ((0, 0.0, 1L)) && got.length == 16)
+    val flat = Stats.equiWidthHistogram(
+      Seq(5, 5, 5).map(Tuple1(_)).toDF("v"), col("v"), 16)
+      .as[(Int, Double, Long)].collect()
+    assert(flat.toSeq == Seq((0, 5.0, 3L)), "min=max degenerates to bucket 0")
+  }
 }
