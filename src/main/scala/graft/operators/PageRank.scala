@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank as a FIXED-POINT INTEGER iteration — link-analysis
+  * authority scoring (the quality-weighting signal web-scale training-data
+  * pipelines attach to sources) computed so that every engine and every
+  * partitioning produces the IDENTICAL ranks.
+  *
+  * Ranks live in integer "ppm" units (node starts at `baseRank` =
+  * 1 000 000) and each round applies the damped update
+  *
+  *   rank'(v) = teleport + (dampNum · Σ_{u→v} (rank(u)·w(u,v) div outW(u)))
+  *              div dampDen
+  *
+  * with TRUNCATING integer division (`div` in Spark, `//` in an ANSI
+  * oracle — both floor for the non-negative operands here). A float
+  * formulation would drift across partial-aggregation orders; this one is
+  * reproducible bit for bit, and the sub-ppm mass the truncation sheds is
+  * far below any ranking decision threshold.
+  *
+  * Scale shape: each iteration is ONE equi-join of the edge list with the
+  * (node, rank) frame plus ONE hash aggregate on the destination — the
+  * canonical distributed PageRank step; nothing is collected, and the
+  * rank frame stays node-sized. Dangling nodes (no out-edges) simply
+  * contribute nothing, and nodes with no in-edges settle at the teleport
+  * floor. The iteration count is a caller-fixed unroll; past ~10 rounds,
+  * checkpoint the rank frame per round (as [[Dedup.dupClusters]] does)
+  * to keep lineage O(1).
+  *
+  * Input `edges`: (src, dst, w) with positive integral weights.
+  * Output: (node, rank) — BIGINT ppm after `iters` rounds.
+  */
+object PageRank {
+
+  def ranks(edges: DataFrame, iters: Int, baseRank: Long = 1000000L,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampNum >= 0 && dampDen > dampNum,
+      s"damping must satisfy 0 <= num < den, got $dampNum/$dampDen")
+    val teleport = baseRank * (dampDen - dampNum) / dampDen
+    val outW = edges.groupBy(col("src"))
+      .agg(sum(col("w")).cast("long").as("outw"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .join(outW, Seq("src"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var rank = nodes.select(col("node"), lit(baseRank).as("rank"))
+    for (_ <- 1 to iters) {
+      val inbound = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank * w) div outw").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      rank = nodes.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(sc, 0L)) div $dampDen")).as("rank"))
+    }
+    rank
+  }
+}

@@ -993,6 +993,53 @@ object Relational {
         max(col("k")).cast(LongType).as("k_max"))
   }
 
+  /** Link-analysis authority scoring: weighted PageRank over the
+    * per-user page-transition graph (LAG over each user's event stream
+    * gives src→dst edges on the `props.k` page key; transition counts
+    * are the weights). [[graft.operators.PageRank.ranks]] runs 3 damped
+    * rounds ENTIRELY in integer arithmetic (truncating div), so the
+    * oracle replays the identical fixed point by unrolling the
+    * iterations as CTEs — no float drift anywhere. Each round is one
+    * edge-list equi-join + one hash aggregate; the window that builds
+    * the edges is user-partitioned, never global.
+    */
+  private val pagerank = {
+    val iters = 3
+    def round(i: Int): String =
+      s"""r$i AS (SELECT n.node,
+         |        150000 + (85 * COALESCE(s.sc, 0)) // 100 AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank * e.w) // o.outw) AS sc
+         |    FROM e JOIN o ON e.src = o.src JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    Q(
+      "events_pagerank",
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events),
+         |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         |              k AS dst
+         |       FROM ev),
+         |e AS (SELECT src, dst, $C AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+         |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+         |${(1 to iters).map(round).mkString(",\n")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters""".stripMargin) {
+      (s, d) =>
+        val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = ev
+          .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+          .filter(col("src").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(lcount().as("w"))
+        graft.operators.PageRank.ranks(edges, iters)
+    }
+  }
+
   /** Ordered funnel analysis (signup → first click → first purchase per
     * user): one grouped aggregate computes each user's stage timestamps
     * via conditional mins, one single-row aggregate counts stage
@@ -1656,5 +1703,5 @@ object Relational {
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
-    qaHistogram)
+    qaHistogram, pagerank)
 }
