@@ -721,13 +721,17 @@ object Dedup {
       .join(probes.as("b"), col("a.kk") === col("b.kk"))
       .select(col("a.__id").as("ia"), col("b.__id").as("ib"))
 
-    // constant-key bucket for the length-≤d stragglers (an equi-join on a
-    // literal key — a hash join over a by-design tiny population, not a
-    // nested-loop product)
+    // length-keyed buckets for the length-≤d stragglers: the short side
+    // keys on its own length, the partner side (length ≤ 2d — beyond
+    // that ED > d is forced by the length gap) emits each admissible
+    // short length in [len−d, d]. A genuine hash equi-join — a literal
+    // constant key would constant-fold into a nested-loop product
     val shortCand = base.filter(col("__len") <= d)
-      .select(col("__id").as("ia"), lit(0).as("kb"))
+      .select(col("__id").as("ia"), col("__len").as("kb"))
       .join(base.filter(col("__len") <= 2 * d)
-        .select(col("__id").as("ib"), lit(0).as("kb")), Seq("kb"))
+        .select(col("__id").as("ib"),
+          explode(sequence(greatest(lit(0), col("__len") - d), lit(d)))
+            .as("kb")), Seq("kb"))
       .select(col("ia"), col("ib"))
 
     longCand.unionByName(shortCand)

@@ -210,6 +210,48 @@ object Curation {
           col("n_chars").cast(LongType).as("n_chars"), col("grp_n"))
   }
 
+  /** Winsorized length accounting: clip every doc's length into the
+    * corpus's exact [p05, p95] band (percentile_disc ranks from
+    * [[graft.operators.Stats.exactQuantiles]] — range shuffle, never a
+    * single-task window on the engine side) and report per-source
+    * clipped totals. Thresholds are DATA VALUES and lengths are
+    * integers, so the whole readout is integer-exact — the robust-stats
+    * companion to `curation_length_outliers`' σ rule. Rank targets are
+    * computed in decimal on both sides (float ⌈q·n⌉ can land one rank
+    * off at exact multiples).
+    */
+  private val winsorized = Q(
+    "curation_winsorized",
+    """WITH r AS (SELECT n_chars,
+      |                 row_number() OVER (ORDER BY n_chars) AS rn,
+      |                 count(*) OVER () AS n
+      |          FROM documents),
+      |t AS (SELECT max(CASE WHEN rn = GREATEST(1, CAST(ceil(CAST(0.05 AS DECIMAL(6,4)) * n) AS BIGINT))
+      |                      THEN n_chars END) AS lo,
+      |             max(CASE WHEN rn = GREATEST(1, CAST(ceil(CAST(0.95 AS DECIMAL(6,4)) * n) AS BIGINT))
+      |                      THEN n_chars END) AS hi
+      |      FROM r)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(least(greatest(n_chars, t.lo), t.hi)) AS BIGINT) AS clipped_chars,
+      |       CAST(sum(CASE WHEN n_chars < t.lo OR n_chars > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM documents CROSS JOIN t GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val qs = graft.operators.Stats.exactQuantiles(
+      docs.select(col("n_chars").cast(LongType).as("value")), "value",
+      Seq(BigDecimal("0.05"), BigDecimal("0.95")))
+    val thr = qs.groupBy().agg(
+      max(when(col("q") === 0.05, col("value"))).as("lo"),
+      max(when(col("q") === 0.95, col("value"))).as("hi"))
+    val clipped = least(greatest(col("n_chars").cast(LongType), col("lo")), col("hi"))
+    docs.crossJoin(broadcast(thr))
+      .groupBy(col("source"))
+      .agg(
+        lcount().as("n"),
+        sum(clipped).cast(LongType).as("clipped_chars"),
+        sum(when(col("n_chars") < col("lo") || col("n_chars") > col("hi"), 1L)
+          .otherwise(0L)).cast(LongType).as("n_clipped"))
+  }
+
   /** Priority sampling ([[Sampling.prioritySample]], Duffield–Lund–
     * Thorup): the 25 documents winning the weight-proportional draw with
     * n_chars as the quality weight — heavy docs (near-)certain, light
@@ -500,6 +542,6 @@ object Curation {
   }
 
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
-    stratSample, prioritySamp, qualityCut, lengthOutliers, pipeline,
-    dedupPipeline, tempSample, packSeq, packManifest, clusterSplit)
+    stratSample, prioritySamp, qualityCut, lengthOutliers, winsorized,
+    pipeline, dedupPipeline, tempSample, packSeq, packManifest, clusterSplit)
 }
