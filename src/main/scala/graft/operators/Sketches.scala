@@ -36,6 +36,64 @@ object Sketches {
       .groupBy(col("pos").as("r"), col("col").as("bucket"))
       .agg(count(lit(1)).cast(LongType).as("n"))
 
+  /** Portable HyperLogLog registers: m = 2^b register maxima over the
+    * md5-derived 60-bit hash — register = hash mod m, rank ρ = position
+    * of the highest set bit of the remaining 52 bits, computed as the
+    * first '1' in the zero-padded binary string (`lpad(bin(w), 52)`) so
+    * every step is integer/string-exact — no float log2 anywhere. The
+    * register maxima partial-aggregate map-side: at most m rows per
+    * partition reach the ONE shuffle regardless of input size, which is
+    * the whole point of the sketch (the exact COUNT(DISTINCT) shuffles
+    * the full key domain). Output: (register, m_rho), ≤ m rows.
+    */
+  def hllRegisters(keys: DataFrame, keyCol: String, b: Int = 8): DataFrame = {
+    val m = 1L << b
+    val wBits = 60 - b // suffix width after the register is peeled off
+    keys
+      .select(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast(LongType).as("__h"))
+      .select(
+        pmod(col("__h"), lit(m)).cast(LongType).as("register"),
+        expr(s"__h DIV $m").cast(LongType).as("__w"))
+      .select(col("register"),
+        when(col("__w") === 0, lit(wBits + 1))
+          .otherwise(instr(lpad(bin(col("__w")), wBits, "0"), "1"))
+          .cast(LongType).as("rho"))
+      .groupBy(col("register"))
+      .agg(max(col("rho")).cast(LongType).as("m_rho"))
+  }
+
+  /** One-row HLL readout from [[hllRegisters]] output: the harmonic sum
+    * Σ 2^(-M_j) is carried as the EXACT integer Σ 2^(53-M_j) (every term
+    * a power of two; absent registers contribute 2^53 each), so sketch
+    * state and estimate are bit-replayable by an external SQL oracle.
+    * `raw_est` = α_m·m²/Σ2^(-M) as ONE pinned left-to-right double
+    * expression — the uncorrected estimator, accurate in the n ≳ 2.5m
+    * regime (callers in the small-range regime should read n_zero and
+    * apply linear counting; this readout keeps every op IEEE-pinned).
+    */
+  def hllEstimate(registers: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1L << b
+    // Σ 2^(-M_j) is scaled by 2^maxRho so every term is an exact BIGINT
+    // power of two; worst case m · 2^maxRho = 2^61 — never overflows
+    val maxRho = 61 - b
+    val scale = 1L << maxRho
+    registers
+      .agg(
+        count(lit(1)).cast(LongType).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxRho - m_rho AS INT))"))
+          .cast(LongType).as("s_present"))
+      .select(
+        lit(m).cast(LongType).as("m"),
+        (lit(m) - col("n_present")).cast(LongType).as("n_zero"),
+        (col("s_present") + (lit(m) - col("n_present")) * lit(scale))
+          .cast(LongType).as("s_inv"))
+      .withColumn("raw_est",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          lit((m * m).toDouble) * lit(scale.toDouble) /
+          col("s_inv").cast("double"))
+  }
+
   /** Estimate each probe key's frequency: min over the sketch's rows of
     * its bucket counter. Probes keep their other columns; the sketch side
     * is at most depth×width rows (broadcast). PRECONDITION: probe rows

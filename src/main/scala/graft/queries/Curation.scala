@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.functions.Cleaning.lcount
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Dedup, Sampling}
+import graft.operators.{AsOfJoin, Dedup, Sampling, Sketches, Surrogates}
 import graft.sources.Tables
 import graft.queries.Q.C
 
@@ -541,7 +541,116 @@ object Curation {
       .withColumn("split", Sampling.hashSplit(col("rep")))
   }
 
+  /** Portable HyperLogLog cardinality sketch over the corpus's distinct
+    * word-3-shingles (a ~16k-cardinality domain at test SF — the n ≳ 2.5m
+    * regime the raw estimator is designed for; the 31-token vocabulary
+    * would sit in the linear-counting range). The certification is exact:
+    * register maxima, the integer harmonic sum, and the pinned-double
+    * estimate are all bit-replayed by the oracle, and the exact
+    * COUNT(DISTINCT) rides along as the readout's error reference. Scale
+    * shape: the sketch is ONE map-side-partial aggregate to ≤256 rows —
+    * the exact side is the certification readout, not part of the sketch
+    * cost. See [[graft.operators.Sketches.hllRegisters]].
+    */
+  private val hllDistinct = Q(
+    "sketch_hll_distinct",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
+      |h AS (SELECT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+      |r AS (SELECT h % 256 AS register, CAST(h // 256 AS BIGINT) AS w FROM h),
+      |rho AS (SELECT register,
+      |          CASE WHEN w = 0 THEN 53 ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      |        FROM r),
+      |reg AS (SELECT register, CAST(max(rho) AS BIGINT) AS m_rho FROM rho GROUP BY 1),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
+      |               CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_rho AS INT)) AS BIGINT) AS s_present
+      |        FROM reg),
+      |e AS (SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS exact_n FROM sh)
+      |SELECT CAST(256 AS BIGINT) AS m,
+      |       CAST(256 - n_present AS BIGINT) AS n_zero,
+      |       CAST(s_present + (256 - n_present) * 9007199254740992 AS BIGINT) AS s_inv,
+      |       CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+      |         * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+      |         / CAST(s_inv AS DOUBLE) AS raw_est,
+      |       exact_n
+      |FROM agg CROSS JOIN e""".stripMargin) { (s, d) =>
+    val sh = Tables.spread(Tables.documents(s, d))
+      .select(explode(TextAnalysis.shingles(col("text"), 3)).as("shingle"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(sh, "shingle", b = 8), b = 8)
+    val exact = sh.agg(countDistinct(col("shingle")).cast(LongType).as("exact_n"))
+    est.crossJoin(broadcast(exact))
+  }
+
+  /** Deterministic k-per-group downsampling: the 5 lowest md5-keyed docs
+    * per language — the "cap every stratum at k" step a mixture pipeline
+    * runs, WITHOUT a per-group sort: the native bounded-heap `topk_pairs`
+    * aggregate keeps a 5-element heap per language and partial-aggregates
+    * map-side, so only k rows per lang per map partition reach the
+    * shuffle, where the `row_number()` window form would shuffle and
+    * fully sort every row of the corpus. The 32-bit md5-prefix key is
+    * exact in the aggregate's double score; ties break on lower doc_id in
+    * both formulations.
+    */
+  private val kPerGroup = Q(
+    "sample_k_per_group",
+    """WITH k AS (SELECT lang, doc_id,
+      |        CAST(('0x' || substr(md5('kpg|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS key32
+      |      FROM documents),
+      |r AS (SELECT lang, doc_id, key32,
+      |        CAST(row_number() OVER (PARTITION BY lang ORDER BY key32, doc_id) AS BIGINT) AS rnk
+      |      FROM k)
+      |SELECT lang, doc_id, key32, rnk FROM r WHERE rnk <= 5""".stripMargin) { (s, d) =>
+    val key32 = conv(
+      substring(md5(concat(lit("kpg|"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast(LongType)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), key32.as("key32"))
+      .groupBy(col("lang"))
+      .agg(call_function("topk_pairs",
+        -col("key32").cast("double"), col("doc_id"), lit(5)).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(
+        col("lang"), col("col.id").as("doc_id"),
+        (-col("col.score")).cast(LongType).as("key32"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
+  }
+
+  /** Per-epoch deterministic training shuffle: each epoch is a different
+    * but exactly reproducible permutation of the corpus (order key =
+    * md5(epoch|doc_id)), materialized as the (epoch, doc_id, shuffle_pos)
+    * manifest a data loader reads. Positions come from the distributed
+    * range-shuffle rank assigner ([[graft.operators.Surrogates
+    * .assignScalable]]) over (epoch, key) — a sort that scales out, not a
+    * single-task global window — and the per-epoch position is recovered
+    * from the global rank by integer arithmetic (every epoch carries all
+    * N docs). The epoch axis is an `explode` over a literal array:
+    * map-side replication, no join.
+    */
+  private val epochOrder = Q(
+    "curation_epoch_order",
+    """WITH e AS (SELECT CAST(unnest([0, 1]) AS BIGINT) AS epoch),
+      |k AS (SELECT epoch, doc_id,
+      |        md5('ep' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS k
+      |      FROM documents CROSS JOIN e)
+      |SELECT epoch, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS BIGINT) AS shuffle_pos
+      |FROM k""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count()
+    val keyed = docs
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L))).as("epoch"))
+      .select(col("epoch"), col("doc_id"),
+        md5(concat(lit("ep"), col("epoch").cast("string"), lit("|"),
+          col("doc_id").cast("string"))).as("k"))
+    Surrogates.assignScalable(keyed, "__rank",
+        Seq(col("epoch"), col("k"), col("doc_id")))
+      .select(col("epoch"), col("doc_id"),
+        (col("__rank") - col("epoch") * lit(n)).cast(LongType).as("shuffle_pos"))
+  }
+
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
     stratSample, prioritySamp, qualityCut, lengthOutliers, winsorized,
-    pipeline, dedupPipeline, tempSample, packSeq, packManifest, clusterSplit)
+    pipeline, dedupPipeline, tempSample, packSeq, packManifest, clusterSplit,
+    hllDistinct, kPerGroup, epochOrder)
 }

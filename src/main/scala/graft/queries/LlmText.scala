@@ -870,6 +870,138 @@ object LlmText {
       Tables.documents(s, d), "doc_id", "text", "source", n = 3, minDf = 3)
   }
 
+  /** BM25 ranking for a fixed multi-term query — the production retrieval
+    * scorer (k1 = 1.2, b = 0.75): per-doc term frequencies AND document
+    * length from ONE conditional aggregate over the token stream, corpus
+    * statistics (df per term, doc count, total token count) as scalar
+    * aggregate rows broadcast back. The idf is the LINEAR `N/df` (`ln`
+    * differs in the last ulp across engines' libm; the linear form keeps
+    * every float op IEEE-pinned cross-engine), the saturated-tf factor is
+    * the classic `tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` written as one
+    * left-to-right double expression mirrored textually in the oracle.
+    * Global top-10 via `ORDER BY … LIMIT` → TakeOrderedAndProject:
+    * per-partition bounded heaps, 10 rows per partition to the driver,
+    * never a global sort. df/N/avgdl stay corpus-side aggregates — only
+    * 1-row scalar frames broadcast.
+    */
+  private val bm25 = {
+    val terms = Seq("spark", "merge", "vector")
+    val tfCols = terms.indices.map(i => s"tf${i + 1}")
+    // pinned double expression, identical token-for-token in both engines:
+    // (N/df) * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*dl/avgdl)) with
+    // avgdl = total_toks/n_docs inlined as a parenthesized quotient
+    val scoreSql = terms.indices.map { i =>
+      s"CAST(n_docs AS DOUBLE) / CAST(df${i + 1} AS DOUBLE)" +
+        s" * (CAST(tf${i + 1} AS DOUBLE) * CAST(2.2 AS DOUBLE))" +
+        s" / (CAST(tf${i + 1} AS DOUBLE) + CAST(1.2 AS DOUBLE)" +
+        s" * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)" +
+        s" / (CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    }.mkString(" + ")
+    Q(
+      "text_bm25_search",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, $C AS dl,
+         |${terms.zipWithIndex.map { case (t, i) =>
+             s"          CAST(count(*) FILTER (WHERE tok = '$t') AS BIGINT) AS tf${i + 1}"
+           }.mkString(",\n")}
+         |       FROM tok GROUP BY 1),
+         |df AS (SELECT
+         |${terms.zipWithIndex.map { case (t, i) =>
+             s"          CAST(count(DISTINCT CASE WHEN tok = '$t' THEN doc_id END) AS BIGINT) AS df${i + 1}"
+           }.mkString(",\n")}
+         |       FROM tok),
+         |n AS (SELECT $C AS n_docs FROM documents),
+         |s AS (SELECT $C AS total_toks FROM tok)
+         |SELECT doc_id, ${tfCols.mkString(", ")}, dl, $scoreSql AS score
+         |FROM tf CROSS JOIN df CROSS JOIN n CROSS JOIN s
+         |WHERE ${tfCols.map(c => s"$c > 0").mkString(" OR ")}
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = Tables.spread(docs)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id")).agg(
+        lcount().as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          lcount(when(col("tok") === t, lit(1))).as(s"tf${i + 1}")
+        }: _*)
+      val dfRow = toks.agg(
+        countDistinct(when(col("tok") === terms.head, col("doc_id")))
+          .cast(LongType).as("df1"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          countDistinct(when(col("tok") === t, col("doc_id")))
+            .cast(LongType).as(s"df${i + 2}")
+        }: _*)
+      val nRow = docs.select(lcount().as("n_docs"))
+      val sRow = toks.select(lcount().as("total_toks"))
+      val score = terms.indices.map { i =>
+        val tf_ = col(s"tf${i + 1}").cast("double")
+        col("n_docs").cast("double") / col(s"df${i + 1}").cast("double") *
+          (tf_ * lit(2.2)) /
+          (tf_ + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+            (col("total_toks").cast("double") / col("n_docs").cast("double"))))
+      }.reduceLeft(_ + _)
+      tf.crossJoin(broadcast(dfRow)).crossJoin(broadcast(nRow))
+        .crossJoin(broadcast(sRow))
+        .filter(tfCols.map(c => col(c) > 0).reduceLeft(_ || _))
+        .withColumn("score", score)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select((col("doc_id") +: tfCols.map(col)) ++
+          Seq(col("dl"), col("score")): _*)
+    }
+  }
+
+  /** Bigram collocation mining (PMI-style lift): how much more often a
+    * word pair co-occurs than independence predicts —
+    * `lift = N·c(ab) / (c(a)·c(b))` over integer counts with ONE pinned
+    * double expression. Bigrams are generated MAP-SIDE from each doc's
+    * token array (a codegen'd `transform` over adjacent positions — no
+    * token-position self-join); the unigram count relation is
+    * VOCABULARY-sized, so both attachment joins shuffle on the word key
+    * rather than broadcasting, and only the scalar token total
+    * broadcasts. Top-20 via `ORDER BY … LIMIT` → TakeOrderedAndProject.
+    */
+  private val collocations = Q(
+    "text_collocations",
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |d2 AS (SELECT string_split(text, ' ') AS l FROM documents),
+       |bg AS (SELECT l[i] AS w1, l[i+1] AS w2
+       |       FROM d2 CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS i) t),
+       |u AS (SELECT tok, $C AS n FROM toks GROUP BY 1),
+       |c AS (SELECT w1, w2, $C AS n_ab FROM bg GROUP BY 1, 2),
+       |n AS (SELECT $C AS n_toks FROM toks)
+       |SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+       |       CAST(n_toks AS DOUBLE) * CAST(n_ab AS DOUBLE)
+       |         / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS lift
+       |FROM c JOIN u ua ON ua.tok = c.w1
+       |       JOIN u ub ON ub.tok = c.w2 CROSS JOIN n
+       |WHERE n_ab >= 5
+       |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = Tables.spread(Tables.documents(s, d))
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val bigrams = docs
+      .select(split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS w1, l[i] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks.groupBy(col("tok")).agg(lcount().as("n"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2")).agg(lcount().as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val nRow = toks.select(lcount().as("n_toks"))
+    pairCounts
+      .join(uni.select(col("tok").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("lift",
+        col("n_toks").cast("double") * col("n_ab").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+  }
+
   val queries: Seq[Q] =
     Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs,
       clusters, clustersIncremental, simhash,
@@ -877,5 +1009,5 @@ object LlmText {
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
-      boilerplate, keywordSearch)
+      boilerplate, keywordSearch, bm25, collocations)
 }

@@ -69,7 +69,10 @@ class PlanSpec extends SparkSpec {
       "qa_key_skew", // 1-row broadcast total-count frame (the share denominator)
       "qa_histogram", // 1-row broadcast min/max frame (the bucket-width inputs)
       "curation_winsorized", // 1-row broadcast p05/p95 threshold frame
-      "s12_purge_audit" // 1-row × 1-row count frames per audit row (rows_before × rows_removed)
+      "s12_purge_audit", // 1-row × 1-row count frames per audit row (rows_before × rows_removed)
+      "text_bm25_search", // 1-row broadcast df/N/avgdl frames (scalar BM25 inputs)
+      "text_collocations", // 1-row broadcast token-total frame (the lift numerator scalar)
+      "sketch_hll_distinct" // 1-row sketch readout × 1-row exact-count reference
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)

@@ -53,4 +53,46 @@ class SketchesSpec extends SparkSpec {
       .select("t").as[Long].collect()
     assert(perRow.forall(_ == keys.count()))
   }
+
+  // --- HyperLogLog ---------------------------------------------------------
+
+  private def domain(n: Int) = (1 to n).map(i => s"item_$i").toDF("k")
+
+  test("hll estimates high-cardinality domains within the published error") {
+    // n = 4096 >> 2.5m for m=256: the raw estimator's regime; its standard
+    // error is 1.04/sqrt(256) = 6.5% — assert a generous 4 sigma
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(domain(4096), "k"), b = 8)
+      .select("raw_est").as[Double].head()
+    assert(math.abs(est - 4096) / 4096 < 0.26,
+      s"raw HLL estimate $est too far from 4096")
+  }
+
+  test("hll is insensitive to duplication (cardinality, not frequency)") {
+    val once = domain(512)
+    val tripled = once.unionAll(once).unionAll(once)
+    val a = Sketches.hllEstimate(Sketches.hllRegisters(once, "k"), 8).collect()
+    val b = Sketches.hllEstimate(Sketches.hllRegisters(tripled, "k"), 8).collect()
+    assert(a.sameElements(b), "duplicate rows must not move any register")
+  }
+
+  test("hll registers merge by max (the partition-union property)") {
+    val whole = domain(2048)
+    val a = whole.filter(col("k") < "item_5") // lexicographic split
+    val b = whole.filter(!(col("k") < "item_5"))
+    val merged = Sketches.hllRegisters(a, "k")
+      .unionByName(Sketches.hllRegisters(b, "k"))
+      .groupBy("register").agg(max("m_rho").as("m_rho"))
+    val direct = Sketches.hllRegisters(whole, "k")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "hll(a ∪ b) must equal max-merge of hll(a), hll(b)")
+  }
+
+  test("hll sketch stays within m rows and legal rank range") {
+    val regs = Sketches.hllRegisters(domain(10000), "k", b = 4).collect()
+    assert(regs.length <= 16)
+    assert(regs.forall { r =>
+      val reg = r.getLong(0); val rho = r.getLong(1)
+      reg >= 0 && reg < 16 && rho >= 1 && rho <= 53
+    }, s"illegal register/rank: ${regs.toSeq}")
+  }
 }
