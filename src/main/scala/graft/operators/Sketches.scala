@@ -46,20 +46,31 @@ object Sketches {
     * the whole point of the sketch (the exact COUNT(DISTINCT) shuffles
     * the full key domain). Output: (register, m_rho), ≤ m rows.
     */
-  def hllRegisters(keys: DataFrame, keyCol: String, b: Int = 8): DataFrame = {
+  def hllRegisters(keys: DataFrame, keyCol: String, b: Int = 8): DataFrame =
+    hllRegistersBy(keys, keyCol, Nil, b)
+
+  /** As [[hllRegisters]] but one sketch PER GROUP — (groupCols*, register,
+    * m_rho), ≤ m rows per group. Same single map-side-partial shuffle;
+    * the group columns simply ride in the grouping key (this is what a
+    * per-day / per-source distinct readout wants instead of one global
+    * sketch).
+    */
+  def hllRegistersBy(keys: DataFrame, keyCol: String,
+      groupCols: Seq[String], b: Int = 8): DataFrame = {
     val m = 1L << b
     val wBits = 60 - b // suffix width after the register is peeled off
+    val g = groupCols.map(col)
     keys
-      .select(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-        .cast(LongType).as("__h"))
-      .select(
+      .select(g :+ conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast(LongType).as("__h"): _*)
+      .select(g ++ Seq(
         pmod(col("__h"), lit(m)).cast(LongType).as("register"),
-        expr(s"__h DIV $m").cast(LongType).as("__w"))
-      .select(col("register"),
+        expr(s"__h DIV $m").cast(LongType).as("__w")): _*)
+      .select(g ++ Seq(col("register"),
         when(col("__w") === 0, lit(wBits + 1))
           .otherwise(instr(lpad(bin(col("__w")), wBits, "0"), "1"))
-          .cast(LongType).as("rho"))
-      .groupBy(col("register"))
+          .cast(LongType).as("rho")): _*)
+      .groupBy(g :+ col("register"): _*)
       .agg(max(col("rho")).cast(LongType).as("m_rho"))
   }
 
@@ -72,27 +83,43 @@ object Sketches {
     * regime (callers in the small-range regime should read n_zero and
     * apply linear counting; this readout keeps every op IEEE-pinned).
     */
-  def hllEstimate(registers: DataFrame, b: Int = 8): DataFrame = {
+  def hllEstimate(registers: DataFrame, b: Int = 8): DataFrame =
+    hllEstimateBy(registers, Nil, b)
+
+  /** As [[hllEstimate]] but one readout row per group of [[hllRegistersBy]]
+    * output — (groupCols*, m, n_zero, s_inv, raw_est).
+    */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String],
+      b: Int = 8): DataFrame = {
     val m = 1L << b
     // Σ 2^(-M_j) is scaled by 2^maxRho so every term is an exact BIGINT
     // power of two; worst case m · 2^maxRho = 2^61 — never overflows
     val maxRho = 61 - b
     val scale = 1L << maxRho
+    val g = groupCols.map(col)
     registers
+      .groupBy(g: _*)
       .agg(
         count(lit(1)).cast(LongType).as("n_present"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxRho - m_rho AS INT))"))
           .cast(LongType).as("s_present"))
-      .select(
+      .select(g ++ Seq(
         lit(m).cast(LongType).as("m"),
         (lit(m) - col("n_present")).cast(LongType).as("n_zero"),
         (col("s_present") + (lit(m) - col("n_present")) * lit(scale))
-          .cast(LongType).as("s_inv"))
+          .cast(LongType).as("s_inv")): _*)
       .withColumn("raw_est",
         lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
           lit((m * m).toDouble) * lit(scale.toDouble) /
           col("s_inv").cast("double"))
   }
+
+  /** 52-bit md5-derived hash (13 hex chars): non-negative, exactly
+    * representable in a DOUBLE, and identical in any engine with md5 —
+    * the hash family the KMV bottom-k sketch draws from.
+    */
+  def hash52(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast(LongType)
 
   /** Estimate each probe key's frequency: min over the sketch's rows of
     * its bucket counter. Probes keep their other columns; the sketch side

@@ -51,5 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_sketch(hash, k) takes two arguments")
+        KmvSketch(children(0), children(1)).toAggregateExpression()
+      }))
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -582,6 +583,223 @@ object Curation {
     est.crossJoin(broadcast(exact))
   }
 
+  /** KMV (k minimum values) set-overlap sketch: how much two corpus
+    * halves (even vs odd doc_id) share of their word-3-shingle sets,
+    * estimated from two 128-value bottom-k sketches instead of a full
+    * distinct-key shuffle. The sketches are built by the native
+    * duplicate-aware bounded-TreeSet aggregate
+    * ([[graft.plans.KmvSketch]] — ≤ k values per map partition reach the
+    * shuffle; a `distinct` + `LIMIT k` formulation would shuffle every
+    * distinct shingle), merged driver-free by array ops on the two 1-row
+    * frames: union sketch = first k of the sorted hash union, θ = its
+    * max, ρ = union-sketch members present in BOTH sides (any union-
+    * sketch member of A is inside A's bottom-k, because A's k-th minimum
+    * ≥ the union's). |A∪B| ≈ (k_u−1)·2^52/θ and Ĵ = ρ/k are the
+    * textbook KMV estimators, every float op a pinned left-to-right
+    * double expression; sketch contents are md5-derived, so the oracle
+    * bit-replays registers AND estimates, with the exact union /
+    * intersection riding along as the error reference.
+    */
+  private val kmvOverlap = Q(
+    "sketch_kmv_overlap",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
+      |ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT) AS h
+      |       FROM sh WHERE doc_id % 2 = 0),
+      |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT) AS h
+      |       FROM sh WHERE doc_id % 2 = 1),
+      |ka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+      |kb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+      |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 128),
+      |hk AS (SELECT CAST(max(h) AS BIGINT) AS h_k, CAST(count(*) AS BIGINT) AS ku FROM u),
+      |rho AS (SELECT CAST(count(*) AS BIGINT) AS rho FROM u
+      |        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union
+      |       FROM (SELECT h FROM ha UNION SELECT h FROM hb)),
+      |ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
+      |       FROM ha WHERE h IN (SELECT h FROM hb))
+      |SELECT CAST(128 AS BIGINT) AS k, ku, h_k, rho,
+      |       CAST(ku - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+      |         / CAST(h_k AS DOUBLE) AS est_union,
+      |       CAST(rho AS DOUBLE) / CAST(128 AS DOUBLE) AS jaccard_est,
+      |       CAST(rho AS DOUBLE) / CAST(128 AS DOUBLE)
+      |         * (CAST(ku - 1 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+      |            / CAST(h_k AS DOUBLE)) AS est_inter,
+      |       exact_union, exact_inter
+      |FROM hk CROSS JOIN rho CROSS JOIN ex CROSS JOIN ei""".stripMargin) { (s, d) =>
+    val k = 128
+    val sh = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), 3)).as("s"))
+      .select((col("doc_id") % 2 === 0).as("even"),
+        Sketches.hash52(col("s")).as("h"))
+    def sketch(side: DataFrame, name: String) =
+      side.agg(call_function("kmv_sketch", col("h"), lit(k)).as(name))
+    val a = sketch(sh.filter(col("even")), "a")
+    val b = sketch(sh.filter(!col("even")), "b")
+    // exact union/intersection reference: one shuffle on the hash key
+    val exact = sh.groupBy(col("h"))
+      .agg(max(when(col("even"), 1).otherwise(0)).as("ia"),
+        max(when(!col("even"), 1).otherwise(0)).as("ib"))
+      .agg(lcount().as("exact_union"),
+        lcount(when(col("ia") === 1 && col("ib") === 1, 1)).as("exact_inter"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(exact))
+      .withColumn("u", slice(array_sort(array_union(col("a"), col("b"))), 1, k))
+      .withColumn("ku", size(col("u")).cast(LongType))
+      .withColumn("h_k", element_at(col("u"), size(col("u"))))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("u"), col("a")), col("b")))
+          .cast(LongType))
+      .withColumn("est_union",
+        (col("ku") - 1).cast("double") * lit(4503599627370496.0) /
+          col("h_k").cast("double"))
+      .withColumn("jaccard_est", col("rho").cast("double") / lit(k.toDouble))
+      .withColumn("est_inter", col("jaccard_est") * col("est_union"))
+      .select(lit(k.toLong).as("k"), col("ku"), col("h_k"), col("rho"),
+        col("est_union"), col("jaccard_est"), col("est_inter"),
+        col("exact_union"), col("exact_inter"))
+  }
+
+  /** Deterministic contrastive negative sampling: 3 pseudo-random
+    * negatives per anchor document via a HASH RING — doc positions are
+    * 52-bit md5 points, each (anchor, j) seed is another md5 point, and
+    * the negative is the first document clockwise of the seed. Uniform
+    * (positions and seeds are independent hashes), reproducible in any
+    * engine, and joinless per draw. The ring is cut into 64 buckets by
+    * the position's HIGH bits so the successor search is the bucketed
+    * forward as-of join ([[graft.operators.AsOfJoin.asOfForward]] —
+    * single shuffle on the bucket key, per-bucket window sort, never a
+    * global window); a seed past its bucket's last doc wraps to the
+    * bucket's own first doc (a broadcast 64-row frame), keeping the wrap
+    * local instead of ring-global. Self-matches (the anchor drawn as its
+    * own negative) are dropped. The oracle replays the successor with a
+    * bounded p >= seed join at test SF — same answer, quadratic shape the
+    * Spark side avoids.
+    */
+  private val negatives = {
+    val B = 64
+    val W = 1L << 46 // 2^52 / 64: bucket = high 6 bits of the position
+    Q(
+      "curation_negative_samples",
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |pos AS (SELECT doc_id,
+         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS p
+         |        FROM d),
+         |posb AS (SELECT doc_id, p, p // $W AS bucket FROM pos),
+         |seeds AS (SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,
+         |            CAST(('0x' || substr(md5('neg' || CAST(t.j AS VARCHAR) || '|'
+         |              || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS sp
+         |          FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) t),
+         |seedb AS (SELECT doc_id, j, sp, sp // $W AS bucket FROM seeds),
+         |succ AS (SELECT s.doc_id, s.j, min(pb.p) AS mp
+         |         FROM seedb s JOIN posb pb
+         |           ON pb.bucket = s.bucket AND pb.p >= s.sp
+         |         GROUP BY 1, 2),
+         |succdoc AS (SELECT s.doc_id, s.j, min(pb.doc_id) AS neg
+         |            FROM succ s JOIN posb pb ON pb.p = s.mp GROUP BY 1, 2),
+         |bmin AS (SELECT bucket, min(p) AS mp FROM posb GROUP BY 1),
+         |bmindoc AS (SELECT b.bucket, min(pb.doc_id) AS neg
+         |            FROM bmin b JOIN posb pb
+         |              ON pb.bucket = b.bucket AND pb.p = b.mp
+         |            GROUP BY 1)
+         |SELECT sb.doc_id, sb.j,
+         |       COALESCE(sd.neg, bm.neg) AS neg_doc
+         |FROM seedb sb
+         |LEFT JOIN succdoc sd ON sd.doc_id = sb.doc_id AND sd.j = sb.j
+         |LEFT JOIN bmindoc bm ON bm.bucket = sb.bucket
+         |WHERE COALESCE(sd.neg, bm.neg) <> sb.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val pos = docs.select(
+        col("doc_id"), Sketches.hash52(col("doc_id")).as("p"))
+        .withColumn("bucket", expr(s"p DIV $W"))
+      val seeds = docs
+        .select(col("doc_id"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("sp", Sketches.hash52(
+          concat(lit("neg"), col("j").cast("string"), lit("|"),
+            col("doc_id").cast("string"))))
+        .withColumn("bucket", expr(s"sp DIV $W"))
+      val matched = AsOfJoin.asOfForward(
+        seeds, pos.withColumnRenamed("doc_id", "ring_doc"),
+        key = "bucket", leftTs = "sp", rightTs = "p",
+        tiebreak = Some("ring_doc"))
+      val bucketFirst = pos
+        .groupBy(col("bucket"))
+        .agg(min(struct(col("p"), col("doc_id"))).as("m"))
+        .select(col("bucket"), col("m.doc_id").as("wrap_doc"))
+      matched
+        .join(broadcast(bucketFirst), Seq("bucket"), "left")
+        .select(col("doc_id"), col("j"),
+          coalesce(col("asof.ring_doc"), col("wrap_doc")).as("neg_doc"))
+        .filter(col("neg_doc") =!= col("doc_id"))
+    }
+  }
+
+  /** Mixture water-filling: given a token budget of HALF the corpus and
+    * an equal-share target per source, solve Σ_s min(tokens_s, L) = T for
+    * the water level L — small sources contribute everything, large
+    * sources are capped at L, and the solve is EXACT: the level is found
+    * by integer comparisons on the sorted per-source token counts
+    * (`num = T − P_{k}`, `den = n − k`, valid iff c_k·den ≤ num < c_{k+1}
+    * ·den — no float until the final pinned rate readout), so both
+    * engines pick the identical pivot row. Scale shape: the window that
+    * sorts runs over the SOURCE-cardinality aggregate (n rows, not the
+    * corpus), the level is a 1-row broadcast, and the corpus itself is
+    * touched only by the one grouped token-count aggregate.
+    */
+  private val waterfill = Q(
+    "curation_mixture_waterfill",
+    """WITH caps AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |              FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n FROM caps),
+      |w AS (SELECT source, tokens, total // 2 AS t, n,
+      |        CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rn,
+      |        CAST(SUM(tokens) OVER (ORDER BY tokens, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+      |        lag(tokens) OVER (ORDER BY tokens, source) AS prev_c
+      |      FROM caps CROSS JOIN tot),
+      |lvl AS (SELECT t - (p - tokens) AS level_num, n - rn + 1 AS level_den
+      |        FROM w
+      |        WHERE t - (p - tokens) < tokens * (n - rn + 1)
+      |          AND (prev_c IS NULL OR t - (p - tokens) >= prev_c * (n - rn + 1))),
+      |sel AS (SELECT c.source, c.tokens,
+      |          CAST(l.level_num AS BIGINT) AS level_num,
+      |          CAST(l.level_den AS BIGINT) AS level_den,
+      |          LEAST(CAST(c.tokens AS DOUBLE),
+      |                CAST(l.level_num AS DOUBLE) / CAST(l.level_den AS DOUBLE)) AS take_tokens
+      |        FROM caps c CROSS JOIN lvl l)
+      |SELECT source, tokens, level_num, level_den, take_tokens,
+      |       take_tokens / CAST(tokens AS DOUBLE) AS rate
+      |FROM sel""".stripMargin) { (s, d) =>
+    val caps = Tables.spread(Tables.documents(s, d))
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).cast(LongType).as("tokens"))
+    val tot = caps.agg(sum(col("tokens")).cast(LongType).as("total"),
+      lcount().as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens"), col("source"))
+    val w = caps.crossJoin(broadcast(tot))
+      .withColumn("t", expr("total DIV 2"))
+      .withColumn("rn", row_number().over(win).cast(LongType))
+      .withColumn("p", sum(col("tokens")).over(
+        win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast(LongType))
+      .withColumn("prev_c", lag(col("tokens"), 1).over(win))
+    val num = col("t") - (col("p") - col("tokens"))
+    val den = col("n") - col("rn") + 1
+    val lvl = w
+      .filter(num < col("tokens") * den &&
+        (col("prev_c").isNull || num >= col("prev_c") * den))
+      .select(num.cast(LongType).as("level_num"), den.cast(LongType).as("level_den"))
+    caps.crossJoin(broadcast(lvl))
+      .withColumn("take_tokens",
+        least(col("tokens").cast("double"),
+          col("level_num").cast("double") / col("level_den").cast("double")))
+      .select(col("source"), col("tokens"), col("level_num"), col("level_den"),
+        col("take_tokens"),
+        (col("take_tokens") / col("tokens").cast("double")).as("rate"))
+  }
+
   /** Deterministic k-per-group downsampling: the 5 lowest md5-keyed docs
     * per language — the "cap every stratum at k" step a mixture pipeline
     * runs, WITHOUT a per-group sort: the native bounded-heap `topk_pairs`
@@ -652,5 +870,5 @@ object Curation {
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
     stratSample, prioritySamp, qualityCut, lengthOutliers, winsorized,
     pipeline, dedupPipeline, tempSample, packSeq, packManifest, clusterSplit,
-    hllDistinct, kPerGroup, epochOrder)
+    hllDistinct, kPerGroup, epochOrder, kmvOverlap, negatives, waterfill)
 }

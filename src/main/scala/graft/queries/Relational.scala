@@ -1040,6 +1040,105 @@ object Relational {
     }
   }
 
+  /** Community-density readout: per-node triangle counts and local
+    * clustering coefficient over the (undirected) page-transition graph —
+    * how clique-like each page's neighborhood is. The Spark side uses the
+    * DEGREE-ORDERED enumeration ([[graft.operators.Triangles]]: every
+    * triangle is found exactly once at its minimum-(degree, id) apex, so
+    * wedge generation is bounded by Σ (outdeg choose 2) with outdeg
+    * O(√m) — hot nodes cannot explode); the oracle enumerates the same
+    * triangles the textbook way (a < b < c triple join on the canonical
+    * edge list), which is fine for DuckDB at test SF. `coeff` =
+    * 2·tri/(deg·(deg−1)) as one pinned left-to-right double expression,
+    * 0.0 below degree 2.
+    */
+  private val triangles = Q(
+    "events_triangles",
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |           FROM events),
+       |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |              k AS dst
+       |       FROM ev),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM tr WHERE src IS NOT NULL AND src <> dst),
+       |deg AS (SELECT node, $C AS deg
+       |        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |        GROUP BY 1),
+       |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |      FROM und e1
+       |      JOIN und e2 ON e2.u = e1.v AND e2.v > e1.v
+       |      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |tn AS (SELECT node, $C AS tri
+       |       FROM (SELECT a AS node FROM t
+       |             UNION ALL SELECT b FROM t
+       |             UNION ALL SELECT c FROM t)
+       |       GROUP BY 1)
+       |SELECT deg.node, deg.deg,
+       |       COALESCE(tn.tri, CAST(0 AS BIGINT)) AS tri,
+       |       CASE WHEN deg.deg >= 2
+       |            THEN CAST(2.0 AS DOUBLE) * CAST(COALESCE(tn.tri, 0) AS DOUBLE)
+       |                 / (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE))
+       |            ELSE CAST(0.0 AS DOUBLE) END AS coeff
+       |FROM deg LEFT JOIN tn ON tn.node = deg.node""".stripMargin) { (s, d) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .filter(col("src").isNotNull)
+    graft.operators.Triangles.nodeTriangles(edges)
+  }
+
+  /** Per-day distinct-user estimation from GROUPED HyperLogLog sketches
+    * (m = 16 registers per day, ~134 true distincts/day — the n ≳ 2.5m
+    * raw-estimator regime): the registers ride the day into one grouped
+    * map-side-partial aggregate, ≤ 16 rows per day ever reach the
+    * shuffle — the per-group form of the sketch a 100 TB pipeline keeps
+    * per (day × source × shard) where exact COUNT(DISTINCT) per group
+    * would shuffle every key. Register maxima, the integer harmonic sum,
+    * and the pinned-double estimate are bit-replayed by the oracle; the
+    * exact per-day distinct count rides along as the error reference.
+    */
+  private val dailyDistinct = Q(
+    "events_daily_distinct",
+    s"""WITH ev AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       |                  user_id
+       |           FROM events),
+       |h AS (SELECT day, CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |      FROM ev),
+       |r AS (SELECT day, h % 16 AS register, CAST(h // 16 AS BIGINT) AS w FROM h),
+       |rho AS (SELECT day, register,
+       |          CASE WHEN w = 0 THEN 57 ELSE strpos(lpad(bin(w), 56, '0'), '1') END AS rho
+       |        FROM r),
+       |reg AS (SELECT day, register, CAST(max(rho) AS BIGINT) AS m_rho
+       |        FROM rho GROUP BY 1, 2),
+       |agg AS (SELECT day, $C AS n_present,
+       |               CAST(SUM(CAST(1 AS BIGINT) << CAST(57 - m_rho AS INT)) AS BIGINT) AS s_present
+       |        FROM reg GROUP BY 1),
+       |ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+       |       FROM ev GROUP BY 1)
+       |SELECT agg.day, CAST(16 AS BIGINT) AS m,
+       |       CAST(16 - n_present AS BIGINT) AS n_zero,
+       |       CAST(s_present + (16 - n_present) * 144115188075855872 AS BIGINT) AS s_inv,
+       |       CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(16.0 AS DOUBLE))
+       |         * CAST(256.0 AS DOUBLE) * CAST(144115188075855872.0 AS DOUBLE)
+       |         / CAST(s_inv AS DOUBLE) AS raw_est,
+       |       exact_users
+       |FROM agg JOIN ex ON ex.day = agg.day""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+      col("user_id"))
+    val est = graft.operators.Sketches.hllEstimateBy(
+      graft.operators.Sketches.hllRegistersBy(ev, "user_id", Seq("day"), b = 4),
+      Seq("day"), b = 4)
+    val exact = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).cast(LongType).as("exact_users"))
+    est.join(exact, Seq("day"))
+  }
+
   /** Ordered funnel analysis (signup → first click → first purchase per
     * user): one grouped aggregate computes each user's stage timestamps
     * via conditional mins, one single-row aggregate counts stage
@@ -1703,5 +1802,5 @@ object Relational {
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
-    qaHistogram, pagerank)
+    qaHistogram, pagerank, triangles, dailyDistinct)
 }

@@ -87,6 +87,60 @@ class SketchesSpec extends SparkSpec {
       "hll(a ∪ b) must equal max-merge of hll(a), hll(b)")
   }
 
+  test("grouped hll registers equal per-group global registers") {
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"item_$i")).toDF("g", "k")
+    val grouped = Sketches.hllRegistersBy(df, "k", Seq("g"), b = 6)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val direct = Sketches.hllRegisters(df.filter(col("g") === g), "k", b = 6)
+      val slice = grouped.filter(col("g") === g).drop("g")
+      assert(slice.exceptAll(direct).isEmpty && direct.exceptAll(slice).isEmpty,
+        s"group $g registers diverge from a dedicated sketch")
+    }
+    val est = Sketches.hllEstimateBy(grouped, Seq("g"), b = 6)
+      .select("g", "raw_est").as[(String, Double)].collect().toMap
+    assert(est.keySet === Set("g0", "g1", "g2"))
+    assert(est.values.forall(e => math.abs(e - 1000) / 1000 < 0.6))
+  }
+
+  // --- KMV bottom-k -------------------------------------------------------
+
+  private def kmv(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+    df.agg(call_function("kmv_sketch",
+      graft.operators.Sketches.hash52(col("k")), lit(k)).as("s"))
+      .select("s").as[Seq[Long]].head()
+
+  test("kmv keeps the k smallest distinct hashes, ascending") {
+    val ref = (1 to 1000)
+      .map(i => s"item_$i")
+      .map(s => java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .take(7).map("%02x".format(_)).mkString.take(13), 16))
+      .distinct.sorted.take(64)
+    assert(kmv(domain(1000), 64) === ref)
+  }
+
+  test("kmv is duplicate-insensitive and partition-order-insensitive") {
+    val once = domain(300)
+    val messy = once.unionAll(once).unionAll(once).repartition(17)
+    assert(kmv(once, 32) === kmv(messy, 32))
+  }
+
+  test("kmv sketches of parts merge into the sketch of the whole") {
+    val whole = domain(500)
+    val a = whole.filter(col("k") < "item_3")
+    val b = whole.filter(!(col("k") < "item_3"))
+    val mergedU = kmv(a, 48) ++ kmv(b, 48)
+    val merged = mergedU.distinct.sorted.take(48)
+    assert(merged === kmv(whole, 48))
+  }
+
+  test("kmv cardinality estimate lands within a few standard errors") {
+    val hs = kmv(domain(5000), 128)
+    val est = 127.0 * 4503599627370496.0 / hs.last.toDouble
+    // relative std error ~ 1/sqrt(k-2) = 8.9%; allow 4 sigma
+    assert(math.abs(est - 5000) / 5000 < 0.36, s"KMV estimate $est vs 5000")
+  }
+
   test("hll sketch stays within m rows and legal rank range") {
     val regs = Sketches.hllRegisters(domain(10000), "k", b = 4).collect()
     assert(regs.length <= 16)

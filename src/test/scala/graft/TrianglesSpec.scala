@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Triangles
+
+/** Degree-ordered triangle counting vs an exhaustive reference. */
+class TrianglesSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  /** Brute force: per-node triangle count over an undirected edge set. */
+  private def reference(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b))
+    }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    val tri = nodes.map { v =>
+      val nb = adj(v).toSeq
+      v -> nb.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }.toLong
+    }.toMap
+    nodes.map(v => v -> (adj(v).size.toLong, tri(v))).toMap
+  }
+
+  test("matches exhaustive counts on a known graph") {
+    // K4 on {1,2,3,4} plus a pendant 5-1 and an isolated edge 6-7
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1), (6, 7),
+      (2, 1), (3, 3)) // reversed dup + self loop must be ignored
+    val got = Triangles.nodeTriangles(edges.toDF("a", "b"))
+      .select("node", "deg", "tri").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === reference(edges))
+  }
+
+  test("matches brute force on random graphs, including skewed-degree ones") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // node 0 is a hub touching everything — exercises the orientation
+      val edges = Seq.tabulate(30)(i => (0L, i.toLong + 1)) ++
+        Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val got = Triangles.nodeTriangles(edges.toDF("a", "b"))
+        .select("node", "deg", "tri").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === reference(edges), s"trial $trial diverged")
+    }
+  }
+
+  test("clustering coefficient is 1.0 on a clique, 0.0 on a star") {
+    val clique = (for {
+      a <- 1L to 5L; b <- 1L to 5L if a < b
+    } yield (a, b)).toDF("a", "b")
+    val cRows = Triangles.nodeTriangles(clique)
+      .select("coeff").as[Double].collect()
+    assert(cRows.length == 5 && cRows.forall(_ == 1.0))
+
+    val star = (2L to 6L).map(b => (1L, b)).toDF("a", "b")
+    val sRows = Triangles.nodeTriangles(star)
+      .select("coeff").as[Double].collect()
+    assert(sRows.length == 6 && sRows.forall(_ == 0.0))
+  }
+}
