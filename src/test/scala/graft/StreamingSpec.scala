@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
-import graft.streaming.{EventStream, StreamDedup}
+import graft.streaming.{EventStream, StreamDedup, StreamSketch}
 
 /** Structured Streaming over the events shape: the streaming hourly rollup
   * must agree with the batch rollup on the same data (shared transform,
@@ -83,5 +83,33 @@ class StreamingSpec extends SparkSpec {
     val want = docs.select(md5(col("text")).as("fp")).distinct()
     assert(got.count() == want.count(), "one surviving row per distinct text")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming hll registers == batch registers == the batch sketch operator") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    // 3 files => 3 micro-batches: register maxima must max-merge across
+    // triggers (the sketch's partition-union property, now over time)
+    events.repartition(3).write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.startMemorySink(
+      StreamSketch.streamingDailyRegisters(
+        EventStream.readEventStream(spark, dir)),
+      "hll_stream_test")
+    q.awaitTermination()
+
+    val got = spark.table("hll_stream_test")
+    val want = StreamSketch.dailyUserRegisters(events)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // and the shared transform agrees with the batch sketch operator
+    val op = graft.operators.Sketches.hllRegistersBy(
+      events.select(date_trunc("day", col("ts")).as("day"), col("user_id")),
+      "user_id", Seq("day"), b = 4)
+    val shared = want.withColumnRenamed("day", "d")
+    assert(shared.join(op,
+      shared("d") === op("day") && shared("register") === op("register") &&
+        shared("m_rho") === op("m_rho")).count() == op.count())
   }
 }
