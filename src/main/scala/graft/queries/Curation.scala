@@ -800,6 +800,52 @@ object Curation {
         (col("take_tokens") / col("tokens").cast("double")).as("rate"))
   }
 
+  /** Incremental sketch maintenance: the corpus arrives as THREE batches
+    * (doc_id mod 3) whose register sketches are max-merged — and the
+    * merged readout must be BIT-IDENTICAL to the oracle's one-shot
+    * recompute over everything, proving a sketch refresh can shuffle only
+    * the delta batch while 100 TB of history stays summarized in ≤ m
+    * register rows (the sketch analog of the `c7_delta_agg` decimal-state
+    * merge; register max-merge is associative, commutative, and
+    * retraction-free). Readout and exact reference as in
+    * `sketch_hll_distinct`.
+    */
+  private val hllIncremental = Q(
+    "sketch_hll_incremental",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
+      |h AS (SELECT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+      |r AS (SELECT h % 256 AS register, CAST(h // 256 AS BIGINT) AS w FROM h),
+      |rho AS (SELECT register,
+      |          CASE WHEN w = 0 THEN 53 ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      |        FROM r),
+      |reg AS (SELECT register, CAST(max(rho) AS BIGINT) AS m_rho FROM rho GROUP BY 1),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
+      |               CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_rho AS INT)) AS BIGINT) AS s_present
+      |        FROM reg),
+      |e AS (SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS exact_n FROM sh)
+      |SELECT CAST(256 AS BIGINT) AS m,
+      |       CAST(256 - n_present AS BIGINT) AS n_zero,
+      |       CAST(s_present + (256 - n_present) * 9007199254740992 AS BIGINT) AS s_inv,
+      |       CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+      |         * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+      |         / CAST(s_inv AS DOUBLE) AS raw_est,
+      |       exact_n
+      |FROM agg CROSS JOIN e""".stripMargin) { (s, d) =>
+    val sh = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), 3)).as("shingle"))
+    def batchRegs(i: Int) =
+      Sketches.hllRegisters(sh.filter(col("doc_id") % 3 === i), "shingle", b = 8)
+    val merged = batchRegs(0).unionByName(batchRegs(1)).unionByName(batchRegs(2))
+      .groupBy(col("register"))
+      .agg(max(col("m_rho")).cast(LongType).as("m_rho"))
+    val est = Sketches.hllEstimate(merged, b = 8)
+    val exact = sh.agg(countDistinct(col("shingle")).cast(LongType).as("exact_n"))
+    est.crossJoin(broadcast(exact))
+  }
+
   /** Deterministic k-per-group downsampling: the 5 lowest md5-keyed docs
     * per language — the "cap every stratum at k" step a mixture pipeline
     * runs, WITHOUT a per-group sort: the native bounded-heap `topk_pairs`
@@ -870,5 +916,6 @@ object Curation {
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
     stratSample, prioritySamp, qualityCut, lengthOutliers, winsorized,
     pipeline, dedupPipeline, tempSample, packSeq, packManifest, clusterSplit,
-    hllDistinct, kPerGroup, epochOrder, kmvOverlap, negatives, waterfill)
+    hllDistinct, hllIncremental, kPerGroup, epochOrder, kmvOverlap, negatives,
+    waterfill)
 }

@@ -1092,6 +1092,118 @@ object Relational {
     graft.operators.Triangles.nodeTriangles(edges)
   }
 
+  /** Common-neighbor link prediction over the page-transition graph: for
+    * node pairs NOT yet connected, how many shared neighbors they have
+    * and the Jaccard overlap of their neighborhoods — the classic
+    * "you may also like" / missing-edge score. Wedge generation is one
+    * self-equi-join of the adjacency list on the CENTER node (each
+    * common neighbor contributes exactly one (a < b) wedge row, grouped
+    * to a count), existing edges leave by anti-join, and the top 20 ride
+    * `ORDER BY … LIMIT` → TakeOrderedAndProject. Per-center wedge volume
+    * is O(deg²) — inherent to common-neighbor counting; at web scale the
+    * standard mitigation (cap or sample hot-node neighbor lists before
+    * the self-join) slots in front of the same plan. The Jaccard
+    * denominator is |N(a) ∪ N(b)| = deg(a)+deg(b)−cn, all integers,
+    * one pinned double division at the end.
+    */
+  private val linkPredict = Q(
+    "events_link_predict",
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |           FROM events),
+       |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |              k AS dst
+       |       FROM ev),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM tr WHERE src IS NOT NULL AND src <> dst),
+       |adj AS (SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT c, $C AS deg FROM adj GROUP BY 1),
+       |wed AS (SELECT a.n AS a, b.n AS b, $C AS cn
+       |        FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n
+       |        GROUP BY 1, 2),
+       |miss AS (SELECT w.a, w.b, w.cn FROM wed w
+       |         WHERE NOT EXISTS (SELECT 1 FROM und
+       |                           WHERE und.u = w.a AND und.v = w.b))
+       |SELECT m.a, m.b, m.cn,
+       |       CAST(m.cn AS DOUBLE)
+       |         / CAST(da.deg + db.deg - m.cn AS DOUBLE) AS jaccard
+       |FROM miss m
+       |JOIN deg da ON da.c = m.a
+       |JOIN deg db ON db.c = m.b
+       |ORDER BY cn DESC, jaccard DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .filter(col("src").isNotNull)
+    val und = graft.operators.Triangles.undirected(edges)
+    val adj = und.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(und.select(col("v").as("c"), col("u").as("n")))
+    val deg = adj.groupBy(col("c")).agg(lcount().as("deg"))
+    val wed = adj.select(col("c"), col("n").as("a"))
+      .join(adj.select(col("c"), col("n").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(lcount().as("cn"))
+    val miss = wed.join(und,
+      wed("a") === und("u") && wed("b") === und("v"), "left_anti")
+    miss
+      .join(deg.select(col("c").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("c").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        (col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double")).as("jaccard"))
+      .orderBy(col("cn").desc, col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
+  /** First-order Markov next-page model: the empirical transition
+    * probability P(dst | src) = c(src,dst)/c(src) over the per-user
+    * event stream, plus each page's argmax next page — the sequence
+    * model a recommender or prefetcher estimates. One grouped count on
+    * (src, dst), the per-src total by a second rollup of THAT (node-
+    * cardinality) frame — the raw stream is touched once; the argmax is
+    * a plain integer MAX over the sort key cnt·2^20 − dst (exact since
+    * cnt < 2^40 and 0 ≤ dst < 2^20; higher count wins, ties to the
+    * LOWER dst), and a row is the argmax iff its own key equals that
+    * max. Probabilities are one pinned double division.
+    */
+  private val markov = Q(
+    "events_markov_next",
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |           FROM events),
+       |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |              k AS dst
+       |       FROM ev),
+       |c AS (SELECT src, dst, $C AS n FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS total,
+       |             CAST(MAX(n * 1048576 - dst) AS BIGINT) AS best_key
+       |      FROM c GROUP BY 1)
+       |SELECT c.src, c.dst, c.n, t.total,
+       |       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS p,
+       |       c.n * 1048576 - c.dst = t.best_key AS is_best
+       |FROM c JOIN t ON t.src = c.src""".stripMargin) { (s, d) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = ev
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(lcount().as("n"))
+    val t = c.groupBy(col("src")).agg(
+      sum(col("n")).cast(LongType).as("total"),
+      max(col("n") * 1048576 - col("dst")).cast(LongType).as("best_key"))
+    c.join(t, Seq("src"))
+      .select(col("src"), col("dst"), col("n"), col("total"),
+        (col("n").cast("double") / col("total").cast("double")).as("p"),
+        (col("n") * 1048576 - col("dst") === col("best_key")).as("is_best"))
+  }
+
   /** Per-day distinct-user estimation from GROUPED HyperLogLog sketches
     * (m = 16 registers per day, ~134 true distincts/day — the n ≳ 2.5m
     * raw-estimator regime): the registers ride the day into one grouped
@@ -1802,5 +1914,5 @@ object Relational {
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
-    qaHistogram, pagerank, triangles, dailyDistinct)
+    qaHistogram, pagerank, triangles, dailyDistinct, linkPredict, markov)
 }

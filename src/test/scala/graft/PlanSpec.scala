@@ -73,6 +73,7 @@ class PlanSpec extends SparkSpec {
       "text_bm25_search", // 1-row broadcast df/N/avgdl frames (scalar BM25 inputs)
       "text_collocations", // 1-row broadcast token-total frame (the lift numerator scalar)
       "sketch_hll_distinct", // 1-row sketch readout × 1-row exact-count reference
+      "sketch_hll_incremental", // 1-row merged-sketch readout × 1-row exact reference
       "sketch_kmv_overlap", // 1-row sketch frames × 1-row exact-reference frame
       "curation_mixture_waterfill" // 1-row total and 1-row water-level frames
     )
