@@ -21,17 +21,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
   * Scale shape: the codebook is `nCent` strided corpus vectors
   * (deterministic, the same seed rule the IVF quantizer uses) collected
   * once — nCent×dim values, never the corpus; ENCODING is one map-side
-  * projection against codebook literals (no join, no shuffle — the
-  * O(n·nCent·dim) distance flops run inside codegen where they belong);
-  * the ADC join attaches the (nQueries × nSub × nCent)-row table frame by
-  * broadcast and reduces per (query, vector) with one grouped sum.
+  * projection (no join, no shuffle) whose O(nCent·dim) per-row distance
+  * loop runs as higher-order array functions over a codebook literal —
+  * loops, not unrolled terms, because an unrolled 32×16×2-term decimal
+  * expression breaches Janino's 64 KB method limit and knocks the whole
+  * stage out of codegen (measured 20-30 s vs ~2 s on 2000 rows). A
+  * native `Expression` (the `DotProduct` pattern) is the drop-in upgrade
+  * if encode ever dominates. The ADC join attaches the
+  * (nQueries × nSub × nCent)-row table frame by broadcast and reduces
+  * per (query, vector) with one grouped sum.
   *
   * Exactness contract: subspace distances accumulate (x−c)² terms in
   * DECIMAL(38,18) (order-independent, bit-replayable by an external
   * decimal SQL engine — the `embed_norm_stats` trick), argmin ties break
   * on the lower code, and the final ADC readout is one decimal sum cast
-  * to DOUBLE — no float op anywhere whose result depends on partial-
-  * aggregation order.
+  * to DOUBLE rounded to 12 decimals (the decimal→double cast differs
+  * between engines in the last ULP) — no float op anywhere whose result
+  * depends on partial-aggregation order.
   */
 object Pq {
 
@@ -56,46 +62,53 @@ object Pq {
       .map { case (r, j) => (j, r.getSeq[Double](0).toArray) }.toSeq
   }
 
-  /** Exact decimal squared distance between subspace `m` of `vec` (a
-    * double-array column) and the same subspace of centroid `cent`.
-    */
-  private def subDist(vec: Column, cent: Array[Double], m: Int,
-      sub: Int): Column =
-    (0 until sub).map { i =>
-      val idx = m * sub + i
-      val d = vec(idx) - lit(cent(idx))
-      (d * d).cast(dec)
-    }.reduce(_ + _)
+  /** The codebook as one array<array<double>> literal, code = position. */
+  private def cbLit(cb: Seq[(Int, Array[Double])]): Column =
+    typedLit(cb.sortBy(_._1).map(_._2.toSeq))
 
-  /** The per-subspace nearest-code expression: argmin over the codebook
-    * of the exact decimal subspace distance, ties to the lower code.
+  /** Exact decimal squared distance between subspace `m` (a column) of
+    * `vec` and of `cent`, accumulated element-by-element in
+    * DECIMAL(38,18) (each partial re-cast to pin the scale).
     */
-  private def codeExpr(vec: Column, cb: Seq[(Int, Array[Double])], m: Int,
+  private def sqDist(vec: Column, cent: Column, m: Column, sub: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(sub - 1)),
+      lit(java.math.BigDecimal.ZERO).cast(dec),
+      (acc, i) => {
+        val idx = (m * sub + i + 1).cast(IntegerType) // element_at is 1-based
+        val d = element_at(vec, idx) - element_at(cent, idx)
+        (acc + (d * d).cast(dec)).cast(dec)
+      })
+
+  /** Per-subspace nearest codes of `vec` as an nSub-long array: argmin
+    * over the codebook of the decimal subspace distance, ties to the
+    * lower code.
+    */
+  private def codesArray(vec: Column, cbL: Column, nSub: Int,
       sub: Int): Column =
-    array_min(array(cb.map { case (j, cent) =>
-      struct(subDist(vec, cent, m, sub).as("d"), lit(j).as("j"))
-    }: _*)).getField("j")
+    transform(sequence(lit(0), lit(nSub - 1)), m =>
+      array_min(transform(cbL, (cent, j) =>
+        struct(sqDist(vec, cent, m, sub).as("d"), j.as("j"))))
+        .getField("j").cast(IntegerType))
 
   /** Encode the corpus: (nid, m, code) — one row per vector per subspace,
-    * produced by a single map-side projection (codebook rides as plan
-    * literals; the corpus is neither joined nor shuffled here).
+    * produced by a single map-side projection (codebook rides as a plan
+    * literal; the corpus is neither joined nor shuffled here).
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Seq[(Int, Array[Double])], nSub: Int): DataFrame = {
     val dim = cb.head._2.length
     val sub = dim / nSub
-    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
-    c.select(col("nid"), posexplode(array((0 until nSub).map { m =>
-        codeExpr(col("cvec"), cb, m, sub).cast(IntegerType)
-      }: _*)))
+    corpus
+      .select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
+      .select(col("nid"), posexplode(codesArray(col("cvec"), cbLit(cb), nSub, sub)))
       .select(col("nid"), col("pos").cast(IntegerType).as("m"),
         col("col").as("code"))
   }
 
   /** ADC top-k: approximate k nearest corpus vectors per query by table
-    * lookup over the codes. Queries must be broadcast-small (enforced via
-    * [[Similarity.MaxBroadcastQueryRows]] semantics by the caller's query
-    * set; the table frame is nQueries × nSub × nCent rows).
+    * lookup over the codes. Queries must be broadcast-small (the table
+    * frame is nQueries × nSub × nCent rows).
     */
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nSub: Int, nCent: Int,
@@ -103,22 +116,22 @@ object Pq {
     val cb = codebook(corpus, idCol, vecCol, nCent, corpusSize)
     val dim = cb.head._2.length
     val sub = dim / nSub
+    val cbL = cbLit(cb)
     val codes = encode(corpus, idCol, vecCol, cb, nSub)
 
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
     // the ADC table: per (query, subspace, code) the exact decimal
     // distance from the query's subvector to that centroid's subvector
-    val table = q.select(col("qid"), posexplode(array((for {
-        m <- 0 until nSub; (j, cent) <- cb
-      } yield struct(lit(m).as("m"), lit(j).as("j"),
-        subDist(col("qvec"), cent, m, sub).as("t"))): _*)))
-      .select(col("qid"), col("col.m").as("m"), col("col.j").as("j"),
+    val table = q.select(col("qid"), posexplode(flatten(
+        transform(sequence(lit(0), lit(nSub - 1)), m =>
+          transform(cbL, (cent, j) =>
+            struct(m.cast(IntegerType).as("m"), j.cast(IntegerType).as("j"),
+              sqDist(col("qvec"), cent, m, sub).as("t")))))))
+      .select(col("qid"), col("col.m").as("tm"), col("col.j").as("tj"),
         col("col.t").as("t"))
 
-    val tbl = table.select(col("qid"), col("m").as("tm"), col("j").as("tj"),
-      col("t"))
     val dist = codes
-      .join(broadcast(tbl), col("m") === col("tm") && col("code") === col("tj"))
+      .join(broadcast(table), col("m") === col("tm") && col("code") === col("tj"))
       .filter(col("nid") =!= col("qid"))
       .groupBy(col("qid"), col("nid"))
       // round to 12 decimals: the decimal->double cast differs between
