@@ -846,6 +846,69 @@ object Curation {
     est.crossJoin(broadcast(exact))
   }
 
+  /** Pairwise corpus-overlap matrix from GROUPED KMV sketches: which
+    * sources share shingle vocabulary with which — the duplicate-feed
+    * detector a multi-source ingest runs before mixing. One grouped
+    * `kmv_sketch` aggregate builds a 64-value bottom-k sketch PER SOURCE
+    * (≤ k values per source per map partition — the corpus is scanned
+    * once for all sources), then every source pair gets union-sketch /
+    * ρ / Ĵ estimates from pure array ops on the source-cardinality
+    * sketch frame — the pair join is bounded by (#sources)², a
+    * dimension-sized nested-loop the sweep whitelists, never a corpus
+    * join. Sketches are md5-derived, so the oracle bit-replays every
+    * sketch row and estimate.
+    */
+  private val kmvMatrix = Q(
+    "sketch_kmv_matrix",
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT source, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
+      |hs AS (SELECT DISTINCT source, CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT) AS h
+      |       FROM sh),
+      |sk AS (SELECT source, h FROM (
+      |         SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      |         FROM hs) WHERE r <= 64),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |pairs AS (SELECT a.source AS sa, b.source AS sb
+      |          FROM srcs a JOIN srcs b ON a.source < b.source),
+      |uu AS (SELECT sa, sb, h FROM (
+      |         SELECT u.sa, u.sb, u.h,
+      |                row_number() OVER (PARTITION BY u.sa, u.sb ORDER BY u.h) AS r
+      |         FROM (SELECT DISTINCT p.sa, p.sb, k.h
+      |               FROM pairs p JOIN sk k ON k.source = p.sa OR k.source = p.sb) u)
+      |       WHERE r <= 64),
+      |st AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS ku,
+      |              CAST(max(h) AS BIGINT) AS h_k
+      |       FROM uu GROUP BY 1, 2),
+      |rh AS (SELECT uu.sa, uu.sb, CAST(count(*) AS BIGINT) AS rho
+      |       FROM uu
+      |       JOIN sk a ON a.source = uu.sa AND a.h = uu.h
+      |       JOIN sk b ON b.source = uu.sb AND b.h = uu.h
+      |       GROUP BY 1, 2)
+      |SELECT st.sa, st.sb, st.ku, st.h_k,
+      |       COALESCE(rh.rho, CAST(0 AS BIGINT)) AS rho,
+      |       CAST(COALESCE(rh.rho, 0) AS DOUBLE) / CAST(64 AS DOUBLE) AS jaccard_est
+      |FROM st LEFT JOIN rh ON rh.sa = st.sa AND rh.sb = st.sb""".stripMargin) { (s, d) =>
+    val k = 64
+    val hs = Tables.spread(Tables.documents(s, d))
+      .select(col("source"),
+        explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      .select(col("source"), Sketches.hash52(col("sh")).as("h"))
+    val sk = hs.groupBy(col("source"))
+      .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
+    val a = sk.select(col("source").as("sa"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("sb"), col("sk").as("skb"))
+    a.join(broadcast(b), col("sa") < col("sb"))
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("ku", size(col("u")).cast(LongType))
+      .withColumn("h_k", element_at(col("u"), size(col("u"))))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("u"), col("ska")), col("skb")))
+          .cast(LongType))
+      .select(col("sa"), col("sb"), col("ku"), col("h_k"), col("rho"),
+        (col("rho").cast("double") / lit(k.toDouble)).as("jaccard_est"))
+  }
+
   /** Deterministic k-per-group downsampling: the 5 lowest md5-keyed docs
     * per language — the "cap every stratum at k" step a mixture pipeline
     * runs, WITHOUT a per-group sort: the native bounded-heap `topk_pairs`
@@ -916,6 +979,6 @@ object Curation {
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
     stratSample, prioritySamp, qualityCut, lengthOutliers, winsorized,
     pipeline, dedupPipeline, tempSample, packSeq, packManifest, clusterSplit,
-    hllDistinct, hllIncremental, kPerGroup, epochOrder, kmvOverlap, negatives,
-    waterfill)
+    hllDistinct, hllIncremental, kPerGroup, epochOrder, kmvOverlap, kmvMatrix,
+    negatives, waterfill)
 }

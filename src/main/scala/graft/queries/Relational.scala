@@ -1251,6 +1251,57 @@ object Relational {
     est.join(exact, Seq("day"))
   }
 
+  /** Seasonality diagnosis: Pearson autocorrelation of the hourly event
+    * count series at lag 1 (momentum) and lag 24 (daily cycle). The
+    * series is the HOUR-cardinality aggregate, not the event stream —
+    * the lag pairing is an equi-join on the shifted hour index (shuffles
+    * ~hours rows, scales), and every Pearson term (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) is an exact BIGINT sum, so the only float ops are the final
+    * pinned numerator/denominator division (sqrt is correctly-rounded
+    * IEEE in both engines). The hour index is `unix_micros DIV 3600e6`
+    * — the epoch_us idiom `events_correlate` already certifies.
+    */
+  private val seasonality = Q(
+    "events_seasonality",
+    s"""WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx,
+       |                  $C AS c
+       |           FROM events GROUP BY 1),
+       |l AS (SELECT CAST(t.lag AS BIGINT) AS lag FROM (SELECT unnest([1, 24]) AS lag) t),
+       |p AS (SELECT l.lag, x.c AS cx, y.c AS cy
+       |      FROM l JOIN h x ON true JOIN h y ON y.idx = x.idx + l.lag),
+       |s AS (SELECT lag, $C AS n,
+       |             CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy,
+       |             CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+       |             CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+       |             CAST(SUM(cy * cy) AS BIGINT) AS syy
+       |      FROM p GROUP BY 1)
+       |SELECT lag, n, sx, sy, sxy,
+       |       CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+       |FROM s""".stripMargin) { (s, d) =>
+    val hours = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000")
+        .cast(LongType).as("idx"))
+      .groupBy(col("idx")).agg(lcount().as("c"))
+    val x = hours.select(col("idx"), col("c").as("cx"),
+      explode(array(lit(1L), lit(24L))).as("lag"))
+    val y = hours.select(col("idx").as("yidx"), col("c").as("cy"))
+    val sums = x.join(y, col("yidx") === col("idx") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(lcount().as("n"),
+        sum(col("cx")).cast(LongType).as("sx"),
+        sum(col("cy")).cast(LongType).as("sy"),
+        sum(col("cx") * col("cy")).cast(LongType).as("sxy"),
+        sum(col("cx") * col("cx")).cast(LongType).as("sxx"),
+        sum(col("cy") * col("cy")).cast(LongType).as("syy"))
+    sums.select(col("lag"), col("n"), col("sx"), col("sy"), col("sxy"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("r"))
+  }
+
   /** Ordered funnel analysis (signup → first click → first purchase per
     * user): one grouped aggregate computes each user's stage timestamps
     * via conditional mins, one single-row aggregate counts stage
@@ -1816,6 +1867,41 @@ object Relational {
         Seq("0.25", "0.50", "0.75", "0.99").map(BigDecimal(_)))
   }
 
+  /** k-anonymity audit over the (nation, market-segment) quasi-identifier
+    * pair: how many equivalence classes exist, how many fall below k = 5
+    * members, and what share of rows would need suppression before a
+    * release — the governance readout a training-data pipeline runs on
+    * person-derived tables. One grouped count to the class frame, one
+    * rollup of THAT (class-cardinality) frame; the share is the only
+    * float op, pinned.
+    */
+  private val qaKAnon = Q(
+    "qa_k_anonymity",
+    s"""WITH g AS (SELECT c_nationkey, c_mktsegment, $C AS n
+       |           FROM customer GROUP BY 1, 2)
+       |SELECT CAST(5 AS BIGINT) AS k,
+       |       $C AS classes,
+       |       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS small_classes,
+       |       CAST(SUM(n) AS BIGINT) AS rows_total,
+       |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_suppressed,
+       |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+       |         / CAST(SUM(n) AS DOUBLE) AS suppressed_share
+       |FROM g""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(lcount().as("n"))
+      .agg(
+        lcount().as("classes"),
+        sum(when(col("n") < 5, 1).otherwise(0)).cast(LongType).as("small_classes"),
+        sum(col("n")).cast(LongType).as("rows_total"),
+        sum(when(col("n") < 5, col("n")).otherwise(0)).cast(LongType)
+          .as("rows_suppressed"))
+      .select(lit(5L).as("k"), col("classes"), col("small_classes"),
+        col("rows_total"), col("rows_suppressed"),
+        (col("rows_suppressed").cast("double") / col("rows_total").cast("double"))
+          .as("suppressed_share"))
+  }
+
   /** Equi-width 16-bucket histogram of `l_extendedprice` — the
     * data-profiling companion to `qa_profile`'s min/max: distribution
     * shape in two aggregates (1-row min/max frame broadcast back, then
@@ -1914,5 +2000,6 @@ object Relational {
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
-    qaHistogram, pagerank, triangles, dailyDistinct, linkPredict, markov)
+    qaHistogram, qaKAnon, pagerank, triangles, dailyDistinct, linkPredict,
+    markov, seasonality)
 }

@@ -75,6 +75,7 @@ class PlanSpec extends SparkSpec {
       "sketch_hll_distinct", // 1-row sketch readout × 1-row exact-count reference
       "sketch_hll_incremental", // 1-row merged-sketch readout × 1-row exact reference
       "sketch_kmv_overlap", // 1-row sketch frames × 1-row exact-reference frame
+      "sketch_kmv_matrix", // (#sources)² pair join on the source-cardinality sketch frame
       "curation_mixture_waterfill" // 1-row total and 1-row water-level frames
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
