@@ -112,4 +112,30 @@ class StreamingSpec extends SparkSpec {
       shared("d") === op("day") && shared("register") === op("register") &&
         shared("m_rho") === op("m_rho")).count() == op.count())
   }
+
+  test("streaming kmv bottom-k sketch == batch sketch across micro-batches") {
+    val events = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    // 3 files => 3 micro-batches: the TreeSet buffers must dedup and
+    // bottom-k-merge across triggers exactly as across partitions
+    events.repartition(3).write.mode("overwrite").parquet(dir)
+
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        graft.operators.Sketches.hash52(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(call_function("kmv_sketch", col("h"), lit(16)).as("sk"))
+
+    val q = sketch(EventStream.readEventStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("kmv_stream_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("kmv_stream_test")
+    val want = sketch(events)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
