@@ -413,8 +413,39 @@ object PipelineQueries {
       IncrementalAgg.mergeRetract(state0, delta, keys, sums), keys, sums)
   }
 
+  /** Snapshot time travel ([[TableStore.overwriteVersioned]] /
+    * `readVersion`): publish the open-orders rollup, then overwrite it
+    * with the all-orders rollup, and report per priority the CURRENT
+    * row count against the count read BACK FROM THE RETAINED SNAPSHOT —
+    * what an auditor or a bad-deploy rollback reads. Snapshots are one
+    * atomic rename each (no data copied); the oracle recomputes both
+    * rollups from the base table, so the hash match certifies the
+    * snapshot read returns exactly the superseded publication.
+    */
+  private val timeTravel = Q(
+    "s13_time_travel",
+    s"""WITH v1 AS (SELECT o_orderpriority AS priority, $C AS n_v1
+       |            FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+       |cur AS (SELECT o_orderpriority AS priority, $C AS n_current
+       |        FROM orders GROUP BY 1)
+       |SELECT cur.priority, v1.n_v1, cur.n_current,
+       |       CAST(cur.n_current - v1.n_v1 AS BIGINT) AS added
+       |FROM cur JOIN v1 ON v1.priority = cur.priority""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_tt").toString)
+    val orders = Tables.orders(s, d)
+    def rollup(df: DataFrame, cnt: String) =
+      df.groupBy(col("o_orderpriority").as("priority")).agg(lcount().as(cnt))
+    store.overwriteVersioned("rollup",
+      rollup(orders.filter(col("o_orderstatus") === "O"), "n_v1"))
+    val snapId = store.overwriteVersioned("rollup", rollup(orders, "n_current"))
+    store.read("rollup")
+      .join(store.readVersion("rollup", snapId), Seq("priority"))
+      .select(col("priority"), col("n_v1"), col("n_current"),
+        (col("n_current") - col("n_v1")).cast(LongType).as("added"))
+  }
+
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
       deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
-      factOrderDim, quarantine)
+      factOrderDim, quarantine, timeTravel)
 }

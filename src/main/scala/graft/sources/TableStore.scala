@@ -43,6 +43,83 @@ final class TableStore(spark: SparkSession, root: String) {
     deleteRecursively(old)
   }
 
+  // --- Snapshot versioning (time travel / rollback) -----------------------
+
+  private def snapDir(table: String): Path = Paths.get(s"$root/.snap_$table")
+
+  /** Like [[overwrite]], but the displaced current version is RETAINED as
+    * a numbered snapshot instead of deleted — the time-travel / rollback
+    * primitive (Iceberg-style snapshot retention at parquet-directory
+    * grade: a snapshot is one atomic rename, no data copy, and old
+    * readers holding the previous file listing keep reading their files
+    * untouched). Keeps the newest `keep` snapshots, prunes older ones.
+    * Returns the snapshot id the displaced version received (0 when the
+    * table didn't exist yet).
+    */
+  def overwriteVersioned(table: String, df: DataFrame, keep: Int = 3,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val tmp = Paths.get(s"$root/.tmp_$table")
+    deleteRecursively(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    val live = Paths.get(path(table))
+    var snapped = 0L
+    if (Files.exists(live)) {
+      snapped = versions(table).lastOption.getOrElse(0L) + 1
+      Files.createDirectories(snapDir(table))
+      Files.move(live, snapDir(table).resolve(s"v$snapped"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    versions(table).dropRight(keep)
+      .foreach(v => deleteRecursively(snapDir(table).resolve(s"v$v")))
+    snapped
+  }
+
+  /** Retained snapshot ids of `table`, ascending (oldest first). */
+  def versions(table: String): Seq[Long] = {
+    val d = snapDir(table)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val it = Files.list(d).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("v")) buf += name.drop(1).toLong
+      }
+      buf.sorted.toSeq
+    }
+  }
+
+  /** Time-travel read of snapshot `v` (an id from [[versions]]). */
+  def readVersion(table: String, v: Long): DataFrame = {
+    val p = snapDir(table).resolve(s"v$v")
+    require(Files.exists(p), s"$table has no snapshot v$v; have ${versions(table)}")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Roll `table` back to snapshot `v`: the current version is snapshotted
+    * first (so the rollback itself is undoable), then `v` becomes current
+    * — two renames, no data copied or recomputed. `v` leaves the snapshot
+    * list (it IS the table again). Returns the snapshot id the displaced
+    * current version received.
+    */
+  def rollback(table: String, v: Long): Long = {
+    val snap = snapDir(table).resolve(s"v$v")
+    require(Files.exists(snap), s"$table has no snapshot v$v; have ${versions(table)}")
+    val live = Paths.get(path(table))
+    var snapped = 0L
+    if (Files.exists(live)) {
+      snapped = versions(table).last + 1
+      Files.move(live, snapDir(table).resolve(s"v$snapped"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.move(snap, live, StandardCopyOption.ATOMIC_MOVE)
+    snapped
+  }
+
   /** Compact a table's small files. Micro-batch appends (per-Load_id
     * staging, the streaming warehouse sink) leave one file set per batch;
     * at warehouse scale the accumulated small files throttle scan

@@ -24,6 +24,29 @@ class TableStoreSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"stale swap dirs: ${leftovers.toSeq}")
   }
 
+  test("versioned overwrite retains snapshots, time-travels, prunes, rolls back") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    assert(store.overwriteVersioned("t", Seq(1).toDF("v")) == 0L) // nothing displaced
+    assert(store.overwriteVersioned("t", Seq(2).toDF("v")) == 1L)
+    assert(store.overwriteVersioned("t", Seq(3).toDF("v")) == 2L)
+    assert(store.versions("t") == Seq(1L, 2L))
+    assert(store.read("t").as[Int].head() == 3)
+    assert(store.readVersion("t", 1).as[Int].head() == 1) // time travel
+    assert(store.readVersion("t", 2).as[Int].head() == 2)
+
+    // rollback: current (3) is snapshotted as v3, v1 becomes current again
+    assert(store.rollback("t", 1) == 3L)
+    assert(store.read("t").as[Int].head() == 1)
+    assert(store.versions("t") == Seq(2L, 3L))
+    assert(store.readVersion("t", 3).as[Int].head() == 3) // rollback undoable
+
+    // retention: keep=2 prunes the oldest snapshot
+    store.overwriteVersioned("t", Seq(4).toDF("v"), keep = 2)
+    assert(store.versions("t") == Seq(3L, 4L))
+    intercept[IllegalArgumentException](store.readVersion("t", 2))
+  }
+
   test("append accumulates; partitioned append lays out partition dirs") {
     val root = Files.createTempDirectory("graft_store").toString
     val store = new TableStore(spark, root)
