@@ -106,39 +106,38 @@ object Pq {
         col("col").as("code"))
   }
 
-  /** ADC top-k: approximate k nearest corpus vectors per query by table
-    * lookup over the codes. Queries must be broadcast-small (the table
-    * frame is nQueries × nSub × nCent rows).
+  /** The ADC table frame: per (query, subspace, code) the exact decimal
+    * distance from the query's subvector to that centroid's subvector —
+    * (qid, tm, tj, t), nQueries × nSub × nCent rows, broadcast-sized.
     */
-  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nSub: Int, nCent: Int,
-      corpusSize: Option[Long] = None): DataFrame = {
-    val cb = codebook(corpus, idCol, vecCol, nCent, corpusSize)
-    val dim = cb.head._2.length
-    val sub = dim / nSub
+  private def adcTables(queries: DataFrame, idCol: String, vecCol: String,
+      cb: Seq[(Int, Array[Double])], nSub: Int): DataFrame = {
+    val sub = cb.head._2.length / nSub
     val cbL = cbLit(cb)
-    val codes = encode(corpus, idCol, vecCol, cb, nSub)
-
-    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
-    // the ADC table: per (query, subspace, code) the exact decimal
-    // distance from the query's subvector to that centroid's subvector
-    val table = q.select(col("qid"), posexplode(flatten(
+    queries
+      .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
+      .select(col("qid"), posexplode(flatten(
         transform(sequence(lit(0), lit(nSub - 1)), m =>
           transform(cbL, (cent, j) =>
             struct(m.cast(IntegerType).as("m"), j.cast(IntegerType).as("j"),
               sqDist(col("qvec"), cent, m, sub).as("t")))))))
       .select(col("qid"), col("col.m").as("tm"), col("col.j").as("tj"),
         col("col.t").as("t"))
+  }
 
-    val dist = codes
+  /** The grouped ADC readout: (qid, nid, dist_est) from a (nid, m, code)
+    * frame joined to broadcast tables. Rounded to 12 decimals: the
+    * decimal→double cast differs between engines in the last ULP; 12
+    * digits is far above that noise and far below any ranking decision.
+    */
+  private def adcReduce(codes: DataFrame, table: DataFrame): DataFrame =
+    codes
       .join(broadcast(table), col("m") === col("tm") && col("code") === col("tj"))
       .filter(col("nid") =!= col("qid"))
       .groupBy(col("qid"), col("nid"))
-      // round to 12 decimals: the decimal->double cast differs between
-      // engines in the last ULP; 12 digits is far above that noise and
-      // far below any real ranking decision (ties break on nid anyway)
       .agg(round(sum(col("t")).cast(DoubleType), 12).as("dist_est"))
 
+  private def heapTopK(dist: DataFrame, k: Int): DataFrame =
     dist
       .groupBy(col("qid"))
       .agg(call_function("topk_pairs", -col("dist_est"), col("nid"),
@@ -147,5 +146,39 @@ object Pq {
       .select(col("qid"), col("col.id").as("nid"),
         (-col("col.score")).as("dist_est"),
         (col("pos") + 1).cast(LongType).as("rnk"))
+
+  /** ADC top-k: approximate k nearest corpus vectors per query by table
+    * lookup over the codes. Queries must be broadcast-small (the table
+    * frame is nQueries × nSub × nCent rows).
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nSub: Int, nCent: Int,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val cb = codebook(corpus, idCol, vecCol, nCent, corpusSize)
+    val codes = encode(corpus, idCol, vecCol, cb, nSub)
+    heapTopK(adcReduce(codes, adcTables(queries, idCol, vecCol, cb, nSub)), k)
+  }
+
+  /** The IVF-PQ composition point: ADC top-k restricted to a candidate
+    * (qid, nid) pair frame (the coarse quantizer's probed inverted
+    * lists). Only candidate codes join the tables — the fine stage never
+    * touches raw vectors OR non-probed lists.
+    */
+  def adcTopKForPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, pairs: DataFrame, k: Int, nSub: Int, nCent: Int,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val cb = codebook(corpus, idCol, vecCol, nCent, corpusSize)
+    val codes = encode(corpus, idCol, vecCol, cb, nSub)
+      .join(pairs.select(col("qid").as("pqid"), col("nid")), Seq("nid"))
+    val table = adcTables(queries, idCol, vecCol, cb, nSub)
+      .withColumnRenamed("qid", "tqid")
+    val dist = codes
+      .join(broadcast(table),
+        col("pqid") === col("tqid") &&
+          col("m") === col("tm") && col("code") === col("tj"))
+      .filter(col("nid") =!= col("pqid"))
+      .groupBy(col("pqid").as("qid"), col("nid"))
+      .agg(round(sum(col("t")).cast(DoubleType), 12).as("dist_est"))
+    heapTopK(dist, k)
   }
 }

@@ -787,8 +787,91 @@ object LlmEmbed {
       "vec_id", "embedding", k = 3, nSub = 32, nCent = 16)
   }
 
+  /** IVF-PQ — the standard production ANN index, composed from the two
+    * certified stages: the strided coarse quantizer assigns every corpus
+    * vector to its nearest-by-L2 centroid (inverted lists), each query
+    * probes its 4 nearest lists, and ONLY the probed candidates are
+    * ranked — by PQ ADC table lookup over the compressed codes, never by
+    * touching raw vectors. At 100 TB that means the fine stage reads
+    * 16 bytes/vector from ~4/16ths of the corpus. Every distance in both
+    * stages is a DECIMAL(38,18) accumulation rounded to 12 at the double
+    * readout, so list assignment, probes, codes, tables, and the final
+    * ranking all bit-replay in the oracle.
+    */
+  private val annIvfPq = Q(
+    "embed_ann_ivfpq",
+    s"""WITH $elCte,
+       |str AS (SELECT greatest(1, CAST(floor(count(*) / 16.0) AS BIGINT)) AS s
+       |        FROM embeddings),
+       |cents AS (SELECT vec_id AS cid FROM embeddings, str
+       |          WHERE vec_id % s = 0 ORDER BY vec_id LIMIT 16),
+       |ce AS (SELECT cid, i, x AS cx FROM el JOIN cents ON el.vec_id = cents.cid),
+       |cd AS (SELECT a.vec_id, ce.cid,
+       |              round(CAST(SUM(CAST((a.x - ce.cx) * (a.x - ce.cx) AS DECIMAL(38,18))) AS DOUBLE), 12) AS d2
+       |       FROM el a JOIN ce ON ce.i = a.i GROUP BY 1, 2),
+       |ranked AS (SELECT vec_id, cid,
+       |                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS cr
+       |           FROM cd),
+       |lists AS (SELECT vec_id AS nid, cid FROM ranked WHERE cr = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE cr <= 4 AND vec_id < 5),
+       |cand AS (SELECT DISTINCT qid, nid
+       |         FROM probes JOIN lists ON probes.cid = lists.cid
+       |         WHERE nid <> qid),
+       |cbv AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+       |        FROM embeddings CROSS JOIN str
+       |        WHERE vec_id % s = 0 ORDER BY vec_id LIMIT 16),
+       |cbe AS (SELECT cbv.j, CAST((el.i - 1) // 2 AS BIGINT) AS m, el.i, el.x AS c
+       |        FROM cbv JOIN el ON el.vec_id = cbv.vec_id),
+       |enc0 AS (SELECT el.vec_id AS nid, cbe.m, cbe.j,
+       |                SUM(CAST((el.x - cbe.c) * (el.x - cbe.c) AS DECIMAL(38,18))) AS d2
+       |         FROM el JOIN cbe ON cbe.i = el.i GROUP BY 1, 2, 3),
+       |enc AS (SELECT nid, m, j AS code
+       |        FROM (SELECT nid, m, j,
+       |                     row_number() OVER (PARTITION BY nid, m ORDER BY d2, j) AS r
+       |              FROM enc0)
+       |        WHERE r = 1),
+       |qt AS (SELECT nid AS qid, m, j, d2 AS t FROM enc0 WHERE nid < 5),
+       |dist AS (SELECT cand.qid, cand.nid,
+       |                round(CAST(SUM(qt.t) AS DOUBLE), 12) AS dist_est
+       |         FROM cand
+       |         JOIN enc ON enc.nid = cand.nid
+       |         JOIN qt ON qt.qid = cand.qid AND qt.m = enc.m AND qt.j = enc.code
+       |         GROUP BY 1, 2)
+       |SELECT qid, nid, dist_est, rnk
+       |FROM (SELECT qid, nid, dist_est,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist_est, nid) AS BIGINT) AS rnk
+       |      FROM dist)
+       |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    val emb = Tables.spread(Tables.embeddings(s, d))
+    val el = elements(s, d)
+    val stride = math.max(1L, Tables.rowCount(s, d, "embeddings") / 16)
+    val cents = emb.select(col("vec_id").as("cid"))
+      .filter(pmod(col("cid"), lit(stride)) === 0)
+      .orderBy(col("cid")).limit(16)
+    val ce = el.join(cents, col("vec_id") === col("cid"))
+      .select(col("cid"), col("i"), col("x").as("cx"))
+    val cd = el.join(ce, Seq("i"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(round(sum(((col("x") - col("cx")) * (col("x") - col("cx"))).cast(dec))
+        .cast(DoubleType), 12).as("d2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val ranked = cd.withColumn("cr", row_number().over(w))
+    val lists = ranked.filter(col("cr") === 1)
+      .select(col("vec_id").as("nid"), col("cid"))
+    val probes = ranked.filter(col("cr") <= 4 && col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(lists, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid")).distinct()
+    graft.operators.Pq.adcTopKForPairs(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", cand,
+      k = 3, nSub = 32, nCent = 16,
+      corpusSize = Some(Tables.rowCount(s, d, "embeddings")))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
-      cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK)
+      cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
+      annIvfPq)
 }

@@ -69,6 +69,45 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ (probed lists only) still recalls the exact top-10") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    // coarse: nearest strided centroid per vector, queries probe 4 lists
+    val stride = math.max(1L, corpus.count() / nCent)
+    val cents = corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(nCent)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast(org.apache.spark.sql.types.DoubleType)).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def nearest(vec: Seq[Double], top: Int): Seq[Long] =
+      cents.map { case (cid, cv) =>
+        (cid, vec.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (cid, d) => (d, cid) }.take(top).map(_._1).toSeq
+    val vecs = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(org.apache.spark.sql.types.DoubleType)).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val listOf = vecs.map { case (id, v) => id -> nearest(v, 1).head }.toMap
+    val pairs = (for {
+      (qid, qv) <- vecs if qid < 5
+      probed = nearest(qv, 4).toSet
+      (nid, _) <- vecs if nid != qid && probed.contains(listOf(nid))
+    } yield (qid, nid)).toSeq.toDF("qid", "nid")
+    val got = Pq.adcTopKForPairs(corpus, queries, "vec_id", "embedding",
+      pairs, 3, nSub, nCent)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = vecs.filter(_._1 < 5).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (nid, v) =>
+          (nid, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        .sortBy { case (nid, dd) => (dd, nid) }.take(10).map(_._1).toSet
+    }.toMap
+    val hits = got.map { case (qid, nids) => (nids & brute(qid)).size }.sum
+    val total = got.values.map(_.size).sum
+    assert(total > 0 && hits.toDouble / total >= 0.4,
+      s"IVF-PQ recall vs exact top-10: $hits/$total")
+  }
+
   test("PQ top-3 recalls most of the exact squared-L2 top-10") {
     val queries = corpus.filter(col("vec_id") < 5)
     val got = Pq.adcTopK(corpus, queries, "vec_id", "embedding", 3, nSub, nCent)
