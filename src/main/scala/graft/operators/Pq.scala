@@ -125,17 +125,25 @@ object Pq {
         col("col.t").as("t"))
   }
 
-  /** The grouped ADC readout: (qid, nid, dist_est) from a (nid, m, code)
-    * frame joined to broadcast tables. Rounded to 12 decimals: the
-    * decimal→double cast differs between engines in the last ULP; 12
-    * digits is far above that noise and far below any ranking decision.
+  /** The grouped ADC readout: (qid, nid, dist_est) from a (nid, m, code
+    * [, pqid]) frame joined to broadcast tables — when the codes frame
+    * carries a per-pair `pqid` (the IVF-PQ candidate restriction), each
+    * code row only meets its own query's table rows. Rounded to 12
+    * decimals: the decimal→double cast differs between engines in the
+    * last ULP; 12 digits is far above that noise and far below any
+    * ranking decision.
     */
-  private def adcReduce(codes: DataFrame, table: DataFrame): DataFrame =
+  private def adcReduce(codes: DataFrame, table: DataFrame): DataFrame = {
+    val tbl = table.withColumnRenamed("qid", "tqid")
+    val sameQuery =
+      if (codes.columns.contains("pqid")) col("pqid") === col("tqid") else lit(true)
     codes
-      .join(broadcast(table), col("m") === col("tm") && col("code") === col("tj"))
-      .filter(col("nid") =!= col("qid"))
-      .groupBy(col("qid"), col("nid"))
+      .join(broadcast(tbl),
+        sameQuery && col("m") === col("tm") && col("code") === col("tj"))
+      .filter(col("nid") =!= col("tqid"))
+      .groupBy(col("tqid").as("qid"), col("nid"))
       .agg(round(sum(col("t")).cast(DoubleType), 12).as("dist_est"))
+  }
 
   private def heapTopK(dist: DataFrame, k: Int): DataFrame =
     dist
@@ -149,7 +157,10 @@ object Pq {
 
   /** ADC top-k: approximate k nearest corpus vectors per query by table
     * lookup over the codes. Queries must be broadcast-small (the table
-    * frame is nQueries × nSub × nCent rows).
+    * frame is nQueries × nSub × nCent rows), and query ids must share
+    * the corpus id space: a corpus vector whose id equals a query id is
+    * treated as the query itself and excluded from that query's ranking
+    * (every ANN entry point here draws queries from the corpus).
     */
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nSub: Int, nCent: Int,
@@ -159,10 +170,11 @@ object Pq {
     heapTopK(adcReduce(codes, adcTables(queries, idCol, vecCol, cb, nSub)), k)
   }
 
-  /** The IVF-PQ composition point: ADC top-k restricted to a candidate
+  /** The IVF-PQ composition point: [[adcTopK]] restricted to a candidate
     * (qid, nid) pair frame (the coarse quantizer's probed inverted
     * lists). Only candidate codes join the tables — the fine stage never
-    * touches raw vectors OR non-probed lists.
+    * touches raw vectors OR non-probed lists. Same shared-id-space
+    * contract as [[adcTopK]].
     */
   def adcTopKForPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, pairs: DataFrame, k: Int, nSub: Int, nCent: Int,
@@ -170,15 +182,6 @@ object Pq {
     val cb = codebook(corpus, idCol, vecCol, nCent, corpusSize)
     val codes = encode(corpus, idCol, vecCol, cb, nSub)
       .join(pairs.select(col("qid").as("pqid"), col("nid")), Seq("nid"))
-    val table = adcTables(queries, idCol, vecCol, cb, nSub)
-      .withColumnRenamed("qid", "tqid")
-    val dist = codes
-      .join(broadcast(table),
-        col("pqid") === col("tqid") &&
-          col("m") === col("tm") && col("code") === col("tj"))
-      .filter(col("nid") =!= col("pqid"))
-      .groupBy(col("pqid").as("qid"), col("nid"))
-      .agg(round(sum(col("t")).cast(DoubleType), 12).as("dist_est"))
-    heapTopK(dist, k)
+    heapTopK(adcReduce(codes, adcTables(queries, idCol, vecCol, cb, nSub)), k)
   }
 }

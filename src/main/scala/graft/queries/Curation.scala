@@ -553,8 +553,14 @@ object Curation {
     * the exact side is the certification readout, not part of the sketch
     * cost. See [[graft.operators.Sketches.hllRegisters]].
     */
-  private val hllDistinct = Q(
-    "sketch_hll_distinct",
+  /** The b=8 shingle-HLL readout oracle, shared VERBATIM by
+    * `sketch_hll_distinct` and `sketch_hll_incremental`: the incremental
+    * query's whole contract is that batch-merged registers replay the
+    * one-shot readout bit for bit, so the two queries certifying against
+    * ONE oracle string makes that contract true by construction (an
+    * HLL-constant fix can never drift between them).
+    */
+  private val hllOracleSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
       |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
@@ -575,7 +581,10 @@ object Curation {
       |         * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
       |         / CAST(s_inv AS DOUBLE) AS raw_est,
       |       exact_n
-      |FROM agg CROSS JOIN e""".stripMargin) { (s, d) =>
+      |FROM agg CROSS JOIN e""".stripMargin
+
+  private val hllDistinct = Q(
+    "sketch_hll_distinct", hllOracleSql) { (s, d) =>
     val sh = Tables.spread(Tables.documents(s, d))
       .select(explode(TextAnalysis.shingles(col("text"), 3)).as("shingle"))
     val est = Sketches.hllEstimate(Sketches.hllRegisters(sh, "shingle", b = 8), b = 8)
@@ -811,28 +820,7 @@ object Curation {
     * `sketch_hll_distinct`.
     */
   private val hllIncremental = Q(
-    "sketch_hll_incremental",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |sh AS (SELECT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
-      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
-      |h AS (SELECT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
-      |r AS (SELECT h % 256 AS register, CAST(h // 256 AS BIGINT) AS w FROM h),
-      |rho AS (SELECT register,
-      |          CASE WHEN w = 0 THEN 53 ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
-      |        FROM r),
-      |reg AS (SELECT register, CAST(max(rho) AS BIGINT) AS m_rho FROM rho GROUP BY 1),
-      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
-      |               CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_rho AS INT)) AS BIGINT) AS s_present
-      |        FROM reg),
-      |e AS (SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS exact_n FROM sh)
-      |SELECT CAST(256 AS BIGINT) AS m,
-      |       CAST(256 - n_present AS BIGINT) AS n_zero,
-      |       CAST(s_present + (256 - n_present) * 9007199254740992 AS BIGINT) AS s_inv,
-      |       CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
-      |         * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
-      |         / CAST(s_inv AS DOUBLE) AS raw_est,
-      |       exact_n
-      |FROM agg CROSS JOIN e""".stripMargin) { (s, d) =>
+    "sketch_hll_incremental", hllOracleSql) { (s, d) =>
     val sh = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(TextAnalysis.shingles(col("text"), 3)).as("shingle"))

@@ -757,7 +757,7 @@ object LlmEmbed {
   private val pqTopK = Q(
     "embed_pq_topk",
     s"""WITH $elCte,
-       |n16 AS (SELECT CAST(count(*) // 16 AS BIGINT) AS stride FROM embeddings),
+       |n16 AS (SELECT greatest(1, CAST(count(*) // 16 AS BIGINT)) AS stride FROM embeddings),
        |cbv AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
        |        FROM embeddings CROSS JOIN n16
        |        WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
@@ -784,7 +784,8 @@ object LlmEmbed {
     val corpus = Tables.spread(Tables.embeddings(s, d))
     graft.operators.Pq.adcTopK(
       corpus, corpus.filter(col("vec_id") < 5),
-      "vec_id", "embedding", k = 3, nSub = 32, nCent = 16)
+      "vec_id", "embedding", k = 3, nSub = 32, nCent = 16,
+      corpusSize = Some(Tables.rowCount(s, d, "embeddings")))
   }
 
   /** IVF-PQ — the standard production ANN index, composed from the two

@@ -1003,6 +1003,24 @@ object Relational {
     * edge-list equi-join + one hash aggregate; the window that builds
     * the edges is user-partitioned, never global.
     */
+  /** Page-transition edges (src → dst) from each user's consecutive event
+    * stream on the `props.k` page key — THE graph every graph query here
+    * analyzes. ONE definition so PageRank, triangles, link prediction,
+    * and the Markov model can never disagree about what the graph is
+    * (each query's oracle mirrors this same lag-over-(user, ts,
+    * event_id) derivation in its `tr` CTE). The window is
+    * user-partitioned, never global.
+    */
+  private def pageTransitions(s: SparkSession, d: String): DataFrame = {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .filter(col("src").isNotNull)
+  }
+
   private val pagerank = {
     val iters = 3
     def round(i: Int): String =
@@ -1027,14 +1045,7 @@ object Relational {
          |${(1 to iters).map(round).mkString(",\n")}
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters""".stripMargin) {
       (s, d) =>
-        val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val edges = ev
-          .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
-          .filter(col("src").isNotNull)
+        val edges = pageTransitions(s, d)
           .groupBy(col("src"), col("dst")).agg(lcount().as("w"))
         graft.operators.PageRank.ranks(edges, iters)
     }
@@ -1081,15 +1092,7 @@ object Relational {
        |                 / (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE))
        |            ELSE CAST(0.0 AS DOUBLE) END AS coeff
        |FROM deg LEFT JOIN tn ON tn.node = deg.node""".stripMargin) { (s, d) =>
-    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val edges = ev
-      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
-      .filter(col("src").isNotNull)
-    graft.operators.Triangles.nodeTriangles(edges)
+    graft.operators.Triangles.nodeTriangles(pageTransitions(s, d))
   }
 
   /** Common-neighbor link prediction over the page-transition graph: for
@@ -1131,15 +1134,7 @@ object Relational {
        |JOIN deg da ON da.c = m.a
        |JOIN deg db ON db.c = m.b
        |ORDER BY cn DESC, jaccard DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
-    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val edges = ev
-      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
-      .filter(col("src").isNotNull)
-    val und = graft.operators.Triangles.undirected(edges)
+    val und = graft.operators.Triangles.undirected(pageTransitions(s, d))
     val adj = und.select(col("u").as("c"), col("v").as("n"))
       .unionAll(und.select(col("v").as("c"), col("u").as("n")))
     val deg = adj.groupBy(col("c")).agg(lcount().as("deg"))
@@ -1165,10 +1160,10 @@ object Relational {
     * model a recommender or prefetcher estimates. One grouped count on
     * (src, dst), the per-src total by a second rollup of THAT (node-
     * cardinality) frame — the raw stream is touched once; the argmax is
-    * a plain integer MAX over the sort key cnt·2^20 − dst (exact since
-    * cnt < 2^40 and 0 ≤ dst < 2^20; higher count wins, ties to the
-    * LOWER dst), and a row is the argmax iff its own key equals that
-    * max. Probabilities are one pinned double division.
+    * two rollups of the EDGE-cardinality frame (max count per src, then
+    * lowest dst among max-count rows — no assumptions about the dst
+    * domain), and a row is the argmax iff it matches both. Probabilities
+    * are one pinned double division.
     */
   private val markov = Q(
     "events_markov_next",
@@ -1180,28 +1175,27 @@ object Relational {
        |       FROM ev),
        |c AS (SELECT src, dst, $C AS n FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
        |t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS total,
-       |             CAST(MAX(n * 1048576 - dst) AS BIGINT) AS best_key
-       |      FROM c GROUP BY 1)
+       |             CAST(MAX(n) AS BIGINT) AS maxn
+       |      FROM c GROUP BY 1),
+       |b AS (SELECT c.src, CAST(MIN(c.dst) AS BIGINT) AS bdst
+       |      FROM c JOIN t ON t.src = c.src AND c.n = t.maxn
+       |      GROUP BY 1)
        |SELECT c.src, c.dst, c.n, t.total,
        |       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS p,
-       |       c.n * 1048576 - c.dst = t.best_key AS is_best
-       |FROM c JOIN t ON t.src = c.src""".stripMargin) { (s, d) =>
-    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val c = ev
-      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
-      .filter(col("src").isNotNull)
+       |       c.n = t.maxn AND c.dst = b.bdst AS is_best
+       |FROM c JOIN t ON t.src = c.src JOIN b ON b.src = c.src""".stripMargin) { (s, d) =>
+    val c = pageTransitions(s, d)
       .groupBy(col("src"), col("dst")).agg(lcount().as("n"))
     val t = c.groupBy(col("src")).agg(
       sum(col("n")).cast(LongType).as("total"),
-      max(col("n") * 1048576 - col("dst")).cast(LongType).as("best_key"))
-    c.join(t, Seq("src"))
+      max(col("n")).cast(LongType).as("maxn"))
+    val b = c.join(t, Seq("src"))
+      .filter(col("n") === col("maxn"))
+      .groupBy(col("src")).agg(min(col("dst")).cast(LongType).as("bdst"))
+    c.join(t, Seq("src")).join(b, Seq("src"))
       .select(col("src"), col("dst"), col("n"), col("total"),
         (col("n").cast("double") / col("total").cast("double")).as("p"),
-        (col("n") * 1048576 - col("dst") === col("best_key")).as("is_best"))
+        (col("n") === col("maxn") && col("dst") === col("bdst")).as("is_best"))
   }
 
   /** Per-day distinct-user estimation from GROUPED HyperLogLog sketches

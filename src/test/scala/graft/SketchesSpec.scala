@@ -144,9 +144,10 @@ class SketchesSpec extends SparkSpec {
   test("hll sketch stays within m rows and legal rank range") {
     val regs = Sketches.hllRegisters(domain(10000), "k", b = 4).collect()
     assert(regs.length <= 16)
+    // legal rank range for b=4 is 1..wBits+1 = 1..57 (56 suffix bits)
     assert(regs.forall { r =>
       val reg = r.getLong(0); val rho = r.getLong(1)
-      reg >= 0 && reg < 16 && rho >= 1 && rho <= 53
+      reg >= 0 && reg < 16 && rho >= 1 && rho <= 57
     }, s"illegal register/rank: ${regs.toSeq}")
   }
 }
