@@ -1861,6 +1861,43 @@ object Relational {
         Seq("0.25", "0.50", "0.75", "0.99").map(BigDecimal(_)))
   }
 
+  /** Equi-DEPTH (equal-frequency) 8-bucket histogram of order totals —
+    * the profiling companion to `qa_histogram`'s equi-width buckets:
+    * boundaries are the EXACT distributed 1/8…7/8 quantiles (range-
+    * shuffle global ranks, no single-task window — `a16`'s machinery),
+    * and bucket assignment is map-side against the broadcast 7-value
+    * boundary array (`1 + #boundaries strictly below v`, so duplicate
+    * boundary values shift bucket ids identically in both engines).
+    * Counts are exact integers; tied values make buckets uneven by
+    * exactly the tie mass — the honest equal-frequency readout.
+    */
+  private val qaHistogramDepth = Q(
+    "qa_histogram_depth",
+    s"""WITH r AS (SELECT o_totalprice AS v,
+       |                  CAST(row_number() OVER (ORDER BY o_totalprice) AS BIGINT) AS rn,
+       |                  CAST(count(*) OVER () AS BIGINT) AS n
+       |           FROM orders),
+       |q AS (SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qd),
+       |bnds AS (SELECT v FROM q JOIN r ON rn = GREATEST(1, CAST(ceil(qd * n) AS BIGINT))),
+       |dv AS (SELECT o_totalprice AS v, $C AS c FROM orders GROUP BY 1),
+       |bk AS (SELECT dv.v, dv.c, CAST(1 + count(b.v) AS BIGINT) AS bucket
+       |       FROM dv LEFT JOIN bnds b ON b.v < dv.v GROUP BY dv.v, dv.c)
+       |SELECT bucket, CAST(SUM(c) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+       |FROM bk GROUP BY 1""".stripMargin) { (s, d) =>
+    val vals = oF(s, d).select(col("o_totalprice").as("v"))
+    val bnds = graft.operators.Stats.exactQuantiles(
+        vals.select(col("v").as("value")), "value",
+        (1 to 7).map(i => BigDecimal(i) / 8))
+      .agg(sort_array(collect_list(col("value"))).as("bnds"))
+    vals.groupBy(col("v")).agg(lcount().as("c"))
+      .crossJoin(broadcast(bnds))
+      .withColumn("bucket",
+        (size(filter(col("bnds"), b => b < col("v"))) + 1).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).cast(LongType).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
   /** k-anonymity audit over the (nation, market-segment) quasi-identifier
     * pair: how many equivalence classes exist, how many fall below k = 5
     * members, and what share of rows would need suppression before a
@@ -1994,6 +2031,6 @@ object Relational {
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
-    qaHistogram, qaKAnon, pagerank, triangles, dailyDistinct, linkPredict,
-    markov, seasonality)
+    qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
+    linkPredict, markov, seasonality)
 }

@@ -68,6 +68,7 @@ class PlanSpec extends SparkSpec {
       "text_keyword_search", // 1-row broadcast df/N frames (scalar idf inputs for the score)
       "qa_key_skew", // 1-row broadcast total-count frame (the share denominator)
       "qa_histogram", // 1-row broadcast min/max frame (the bucket-width inputs)
+      "qa_histogram_depth", // 1-row broadcast quantile-boundary array frame
       "curation_winsorized", // 1-row broadcast p05/p95 threshold frame
       "s12_purge_audit", // 1-row × 1-row count frames per audit row (rows_before × rows_removed)
       "text_bm25_search", // 1-row broadcast df/N/avgdl frames (scalar BM25 inputs)
