@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -897,6 +897,51 @@ object Curation {
         (col("rho").cast("double") / lit(k.toDouble)).as("jaccard_est"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each document
+    * goes to the shard with the max md5 weight of (shard, doc) — THE
+    * minimal-movement placement scheme: growing the fleet from 8 to 9
+    * shards moves ONLY the ~1/9 of documents whose new shard-9 weight
+    * wins (a mod-N scheme would reshuffle ~8/9 of the corpus). The
+    * readout is the (shard_8, shard_9) transition matrix, which proves
+    * the property by construction: every off-diagonal row has
+    * shard_9 = 8. Assignment is a per-row argmax over 8/9 weight
+    * expressions — map-side, no join, no shuffle beyond the final
+    * matrix rollup; weights are the portable md5 family, ties
+    * (probability ~2^-52) break to the lower shard via max-struct in
+    * both engines.
+    */
+  private val shardAssign = Q(
+    "curation_shard_assign",
+    """WITH d AS (SELECT doc_id FROM documents),
+      |w AS (SELECT doc_id, s,
+      |        CAST(('0x' || substr(md5('hrw' || CAST(s AS VARCHAR) || '|'
+      |          || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS wt
+      |      FROM d CROSS JOIN (SELECT unnest(range(0, 9)) AS s) t),
+      |a8 AS (SELECT doc_id, CAST(s AS BIGINT) AS shard8 FROM (
+      |         SELECT doc_id, s, row_number() OVER (
+      |           PARTITION BY doc_id ORDER BY wt DESC, s) AS r
+      |         FROM w WHERE s < 8) WHERE r = 1),
+      |a9 AS (SELECT doc_id, CAST(s AS BIGINT) AS shard9 FROM (
+      |         SELECT doc_id, s, row_number() OVER (
+      |           PARTITION BY doc_id ORDER BY wt DESC, s) AS r
+      |         FROM w) WHERE r = 1)
+      |SELECT a8.shard8, a9.shard9, CAST(count(*) AS BIGINT) AS n
+      |FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    def weight(shard: Int): Column = Sketches.hash52(
+      concat(lit("hrw"), lit(shard.toString), lit("|"), col("doc_id").cast("string")))
+    // argmax via max-struct over (weight, -shard): highest weight wins,
+    // ties to the LOWER shard — mirrors the oracle's (wt DESC, s) order
+    def assign(nShards: Int): Column =
+      (-array_max(array((0 until nShards).map(sh =>
+        struct(weight(sh).as("w"), lit(-sh.toLong).as("ns"))): _*))
+        .getField("ns")).cast(LongType)
+    Tables.documents(s, d)
+      .select(col("doc_id"), assign(8).as("shard8"), assign(9).as("shard9"))
+      .groupBy(col("shard8"), col("shard9"))
+      .agg(lcount().as("n"))
+  }
+
   /** Deterministic k-per-group downsampling: the 5 lowest md5-keyed docs
     * per language — the "cap every stratum at k" step a mixture pipeline
     * runs, WITHOUT a per-group sort: the native bounded-heap `topk_pairs`
@@ -968,5 +1013,5 @@ object Curation {
     stratSample, prioritySamp, qualityCut, lengthOutliers, winsorized,
     pipeline, dedupPipeline, tempSample, packSeq, packManifest, clusterSplit,
     hllDistinct, hllIncremental, kPerGroup, epochOrder, kmvOverlap, kmvMatrix,
-    negatives, waterfill)
+    negatives, waterfill, shardAssign)
 }
