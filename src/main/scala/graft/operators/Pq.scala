@@ -155,6 +155,21 @@ object Pq {
         (-col("col.score")).as("dist_est"),
         (col("pos") + 1).cast(LongType).as("rnk"))
 
+  /** The hot-path encode: same (nid, m, code) output as [[encode]], but
+    * per-row codes come from the native fused-loop expression
+    * ([[graft.plans.PqEncode]], whole-stage codegen, double arithmetic,
+    * reads floats directly — no cast pass, no interpreted higher-order
+    * closures). The decimal [[encode]] stays the portable reference;
+    * PqSpec pins the two agree code-for-code.
+    */
+  def encodeNative(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Seq[(Int, Array[Double])], nSub: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("nid"), posexplode(call_function("pq_encode",
+        col(vecCol), typedLit(cb.sortBy(_._1).map(_._2.toSeq)), lit(nSub))))
+      .select(col("nid"), col("pos").cast(IntegerType).as("m"),
+        col("col").as("code"))
+
   /** ADC top-k: approximate k nearest corpus vectors per query by table
     * lookup over the codes. Queries must be broadcast-small (the table
     * frame is nQueries × nSub × nCent rows), and query ids must share

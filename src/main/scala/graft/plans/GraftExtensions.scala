@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "pq_encode(vec, codebook, nSub) takes three arguments")
+        PqEncode(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (children: Seq[Expression]) => {

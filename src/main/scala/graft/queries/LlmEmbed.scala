@@ -870,9 +870,50 @@ object LlmEmbed {
       corpusSize = Some(Tables.rowCount(s, d, "embeddings")))
   }
 
+  /** The native fused-loop PQ encoder ([[graft.plans.PqEncode]] — the
+    * codegen'd hot path) certified END-TO-END: all 32 codes of every
+    * corpus vector, against an oracle that replays the double-arithmetic
+    * argmin exactly — with 2-dim subspaces each candidate distance is
+    * the PINNED expression (x1−c1)² + (x2−c2)², no float aggregation
+    * order anywhere, so even the fast path is bit-replayable. (The
+    * decimal [[graft.operators.Pq.encode]] path keeps `embed_pq_topk`;
+    * PqSpec additionally pins native == decimal code-for-code.)
+    */
+  private val pqCodesNative = Q(
+    "embed_pq_codes_native",
+    s"""WITH $elCte,
+       |n16 AS (SELECT greatest(1, CAST(count(*) // 16 AS BIGINT)) AS stride FROM embeddings),
+       |cbv AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+       |        FROM embeddings CROSS JOIN n16
+       |        WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+       |cbe AS (SELECT cbv.j, CAST((el.i - 1) // 2 AS BIGINT) AS m, el.i, el.x AS c
+       |        FROM cbv JOIN el ON el.vec_id = cbv.vec_id),
+       |cb2 AS (SELECT j, m,
+       |               MAX(CASE WHEN (i - 1) % 2 = 0 THEN c END) AS c1,
+       |               MAX(CASE WHEN (i - 1) % 2 = 1 THEN c END) AS c2
+       |        FROM cbe GROUP BY 1, 2),
+       |ve2 AS (SELECT vec_id AS nid, CAST((i - 1) // 2 AS BIGINT) AS m,
+       |               MAX(CASE WHEN (i - 1) % 2 = 0 THEN x END) AS v1,
+       |               MAX(CASE WHEN (i - 1) % 2 = 1 THEN x END) AS v2
+       |        FROM el GROUP BY 1, 2),
+       |d AS (SELECT ve2.nid, ve2.m, cb2.j,
+       |             (ve2.v1 - cb2.c1) * (ve2.v1 - cb2.c1)
+       |               + (ve2.v2 - cb2.c2) * (ve2.v2 - cb2.c2) AS d2
+       |      FROM ve2 JOIN cb2 ON cb2.m = ve2.m)
+       |SELECT nid, CAST(m AS INT) AS m, CAST(j AS INT) AS code
+       |FROM (SELECT nid, m, j,
+       |             row_number() OVER (PARTITION BY nid, m ORDER BY d2, j) AS r
+       |      FROM d)
+       |WHERE r = 1""".stripMargin) { (s, d) =>
+    val corpus = Tables.spread(Tables.embeddings(s, d))
+    val cb = graft.operators.Pq.codebook(corpus, "vec_id", "embedding", 16,
+      corpusSize = Some(Tables.rowCount(s, d, "embeddings")))
+    graft.operators.Pq.encodeNative(corpus, "vec_id", "embedding", cb, 32)
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
-      annIvfPq)
+      annIvfPq, pqCodesNative)
 }

@@ -29,6 +29,14 @@ class PqSpec extends SparkSpec {
     assert(codes.groupBy("nid").count().filter(col("count") =!= nSub).isEmpty)
   }
 
+  test("native fused-loop encode agrees with the decimal reference code-for-code") {
+    val ref = Pq.encode(corpus, "vec_id", "embedding", cb, nSub)
+    val native = Pq.encodeNative(corpus, "vec_id", "embedding", cb, nSub)
+    assert(native.count() == ref.count())
+    assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty,
+      "double-argmin and decimal-argmin codes must agree on real data")
+  }
+
   test("a codebook vector encodes to its own code in every subspace") {
     val codes = Pq.encode(corpus, "vec_id", "embedding", cb, nSub)
     // codebook entry j is the corpus vector at id j*stride (stride = n/16)
