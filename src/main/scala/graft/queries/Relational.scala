@@ -1296,6 +1296,57 @@ object Relational {
         .as("r"))
   }
 
+  /** A/B experiment readout: users split 50/50 by a deterministic md5
+    * arm assignment (the same portable hash family every split here
+    * uses), conversion = "ever made a purchase above 150" (plain
+    * "ever purchased" saturates at 100% on every SF — zero pooled
+    * variance, NaN z), and the two-proportion pooled z-statistic
+    * decides significance. Counts are exact integers from ONE grouped
+    * pass over users; the z formula is a single pinned left-to-right
+    * double expression (sqrt is correctly-rounded IEEE), mirrored
+    * token-for-token in the oracle.
+    */
+  private val abTest = Q(
+    "events_ab_test",
+    s"""WITH u AS (SELECT user_id,
+       |                  CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) % 2 AS arm,
+       |                  MAX(CASE WHEN event_type = 'purchase' AND value > CAST(150 AS DOUBLE) THEN 1 ELSE 0 END) AS conv
+       |           FROM events GROUP BY 1, 2),
+       |c AS (SELECT
+       |        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+       |        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |        CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+       |      FROM u)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |         / sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+       |                * (CAST(1.0 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |                * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |                   + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z
+       |FROM c""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > lit(150).cast("double"), 1)
+        .otherwise(0)).as("conv"))
+      .withColumn("arm", pmod(graft.operators.Sketches.hash52(
+        concat(lit("ab|"), col("user_id").cast("string"))), lit(2L)))
+    val c = u.agg(
+      sum(when(col("arm") === 0, 1).otherwise(0)).cast(LongType).as("n_a"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast(LongType).as("conv_a"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).cast(LongType).as("n_b"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast(LongType).as("conv_b"))
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      ((col("conv_a").cast("double") / col("n_a").cast("double") -
+        col("conv_b").cast("double") / col("n_b").cast("double")) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))).as("z"))
+  }
+
   /** Ordered funnel analysis (signup → first click → first purchase per
     * user): one grouped aggregate computes each user's stage timestamps
     * via conditional mins, one single-row aggregate counts stage
@@ -2032,5 +2083,5 @@ object Relational {
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
-    linkPredict, markov, seasonality)
+    linkPredict, markov, seasonality, abTest)
 }
