@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Curation, DmQueries, LlmEmbed, LlmText, PipelineQueries, Q, Relational, WarehouseQueries}
+import graft.queries.{Curation, DmQueries, LlmEmbed, LlmText, MlQueries, PipelineQueries, Q, Relational, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   val catalog: Seq[Q] =
     Relational.queries ++ WarehouseQueries.queries ++
       DmQueries.queries ++ PipelineQueries.queries ++
-      LlmText.queries ++ LlmEmbed.queries ++ Curation.queries
+      LlmText.queries ++ LlmEmbed.queries ++ Curation.queries ++
+      MlQueries.queries
 
   /** Flagship: the `yearly_sales_profit` analogue — star join over the full
     * schema with exact rounded aggregates (SURVEY.md E2; bl_dm.sql:274-285).

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.TextAnalysis
+
+/** N-gram language-model QUALITY SCORING — the KenLM-style filter of a
+  * training-data pipeline (score each document by how probable its token
+  * stream is under a corpus-trained model; the low tail is gibberish,
+  * boilerplate, or the wrong language). The model here is a bigram MLE
+  * trained on the corpus itself.
+  *
+  * ENGINE-EXACT scoring: a conditional probability c(prev,cur)/c(prev)
+  * is not reproducible as a float across engines/partitionings, so each
+  * transition scores the INTEGER (c_pair · 10¹²) div c_prev (truncating
+  * division — identical everywhere), and a document's score is the mean
+  * of those integers, divided back to probability space by one pinned
+  * double expression at the very end. Sums stay far under 2⁶³ (each term
+  * ≤ 10¹²; a document would need 9 million tokens to overflow).
+  *
+  * Scale shape: transitions are a map-side array zip (no self-join on
+  * position); the model is two hash aggregates whose size is bounded by
+  * VOCAB², independent of corpus size; scoring joins transitions to the
+  * model on the token pair — at 100 TB the model side is millions of
+  * rows against billions of transitions, a plain shuffle join AQE will
+  * broadcast when the vocab is small. No driver materialization.
+  */
+object LangModel {
+
+  /** Bigram transition model: (prev, cur, n_pair, n_prev) with exact
+    * integer counts, from whitespace-tokenized `textCol`.
+    */
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
+    val pairs = transitions(docs, idCol = null, textCol)
+    val cPair = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast(LongType).as("n_pair"))
+    val cPrev = cPair.groupBy(col("prev"))
+      .agg(sum(col("n_pair")).cast(LongType).as("n_prev"))
+    cPair.join(cPrev, Seq("prev"))
+  }
+
+  /** (doc_id?, prev, cur) token transitions — one exploded map-side pass. */
+  private def transitions(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val arr = TextAnalysis.tokens(col(textCol))
+    val n1 = greatest(size(arr) - 1, lit(0))
+    val pairs = zip_with(
+      slice(arr, lit(1), n1), slice(arr, lit(2), n1),
+      (x, y) => struct(x.as("prev"), y.as("cur")))
+    val base =
+      if (idCol == null) docs.select(explode(pairs).as("p"))
+      else docs.select(col(idCol), explode(pairs).as("p"))
+    base.withColumn("prev", col("p.prev")).withColumn("cur", col("p.cur"))
+      .drop("p")
+  }
+
+  /** Per-document mean bigram probability under the corpus-trained model:
+    * (idCol, n_trans, avg_prob). Documents with fewer than two tokens
+    * have no transitions and are absent (nothing to score).
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val Scale = 1000000000000L // 10^12: probability resolution of the integer score
+    val model = bigramModel(docs, textCol)
+    transitions(docs, idCol, textCol)
+      .join(model, Seq("prev", "cur"))
+      .select(col(idCol),
+        expr(s"(n_pair * ${Scale}L) div n_prev").as("p_scaled"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_trans"),
+        (sum(col("p_scaled")).cast("double") /
+          count(lit(1)).cast("double") /
+          lit(Scale).cast("double")).as("avg_prob"))
+  }
+}

@@ -100,6 +100,65 @@ object Similarity {
     heapTopK(scored, k)
   }
 
+  /** SPARSE-vector top-k: exact tf-idf cosine neighbors of a bounded
+    * query-doc set over a tokenized corpus — retrieval over TEXT where
+    * [[bruteForceTopK]] ranks dense embeddings. The inverted index IS
+    * the join: corpus (doc, term, tf) rows meet the broadcast query
+    * postings on the term key, so the corpus is scanned once and only
+    * docs SHARING a term with a query are ever scored (true sparse
+    * candidate generation — no all-pairs).
+    *
+    * ENGINE-EXACT scoring: idf is the rational N/df (no libm log), and
+    * every accumulated quantity is the INTEGER
+    * (tf_q · tf_d · 10¹²) div (df · df) — a term's contribution to
+    * q·d/N² — summed exactly; the cosine emerges from one pinned double
+    * expression over three exact integers. Ranking uses the bounded-heap
+    * `topk_pairs` aggregate (k rows per query per partition reach the
+    * shuffle). Overflow bound: Σ tf_q·tf_d·10¹²/df² must stay under
+    * 2⁶³ — high-tf shared RARE terms dominate; at 10¹² scale that allows
+    * ~9M of tf=1 df=1 shared terms, far past real documents.
+    *
+    * `maxDf` (optional) drops terms in more than that many docs — the
+    * stop-term cut that bounds hot-term fan-out at corpus scale (a term
+    * in half the corpus contributes ~nothing to cosine but dominates
+    * join cost).
+    *
+    * Returns (qid, nid, cosine, rank), rank 1..k per query.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryIds: Seq[Long], k: Int, maxDf: Option[Long] = None): DataFrame = {
+    val Scale = 1000000000000L
+    val tf = docs
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfc = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val w0 = tf.join(dfc, Seq("term"))
+    val w = maxDf.fold(w0)(cap => w0.filter(col("df") <= cap))
+    val contrib = expr(s"(tfq * tf * ${Scale}L) div (df * df)")
+    val wq = w.filter(col("doc").isInCollection(queryIds))
+      .select(col("term"), col("doc").as("qid"), col("tf").as("tfq"))
+    val dots = w
+      .join(broadcast(wq), Seq("term"))
+      .filter(col("doc") =!= col("qid"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(contrib).cast(LongType).as("dp"))
+    val nrm = w
+      .select(col("doc"), expr(s"(tf * tf * ${Scale}L) div (df * df)").as("c"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).cast(LongType).as("nrm"))
+    val scored = dots
+      .join(nrm.withColumnRenamed("doc", "qid").withColumnRenamed("nrm", "nrm_q"), Seq("qid"))
+      .join(nrm, Seq("doc"))
+      .select(col("qid"), col("doc").as("nid"),
+        (col("dp").cast("double") /
+          sqrt(col("nrm_q").cast("double") * col("nrm").cast("double")))
+          .as("cosine"))
+    heapTopK(scored, k)
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded), as literal arrays. */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rng = new scala.util.Random(seed)

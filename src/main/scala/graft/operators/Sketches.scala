@@ -121,6 +121,19 @@ object Sketches {
   def hash52(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast(LongType)
 
+  /** HASHING-TRICK feature bucket: a categorical feature string maps to
+    * a fixed-dimension index via [[hash52]] mod `nBuckets` — the
+    * featurizer that needs NO vocabulary pass, no dictionary broadcast,
+    * and no retrain when new categories appear (they land in some
+    * bucket deterministically). Collisions are the accepted trade; audit
+    * them with a (bucket → distinct features) aggregate before fixing
+    * the dimension. Pure map-side column — embeds in any scan stage.
+    */
+  def featureBucket(feat: Column, nBuckets: Int): Column = {
+    require(nBuckets >= 1, s"need a positive dimension, got $nBuckets")
+    pmod(hash52(feat), lit(nBuckets.toLong))
+  }
+
   /** Estimate each probe key's frequency: min over the sketch's rows of
     * its bucket counter. Probes keep their other columns; the sketch side
     * is at most depth×width rows (broadcast). PRECONDITION: probe rows

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.operators.Surrogates
 
@@ -152,6 +153,86 @@ object Stats {
     df.crossJoin(broadcast(mm))
       .groupBy(bucket.as("bucket"), (col("lo") + bucket * w).as("bucket_lo"))
       .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** Benford first-digit audit of a positive money column — the fraud /
+    * data-fabrication screen: natural multi-scale amounts follow
+    * P(d) = log10(1 + 1/d); synthetic or truncated feeds don't. The
+    * digit is extracted WITHOUT floating log arithmetic: amounts become
+    * exact integer cents (round in DECIMAL space — half-away-from-zero
+    * in both engines), and the leading digit is the first character of
+    * the integer's decimal string — integer→string is exact everywhere,
+    * where floor(x/10^floor(log10 x)) would hang reproducibility on two
+    * libm calls. One hash aggregate (9 groups) plus a 1-row total join;
+    * the expected shares are compile-time literals.
+    *
+    * Returns (digit, n, share, expected, abs_dev) for digits present.
+    */
+  def benfordAudit(df: DataFrame, amount: Column): DataFrame = {
+    // log10(1 + 1/d), d = 1..9 — literals, no runtime libm
+    val benford = Array(
+      0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val cents = round(amount.cast("decimal(18,4)") * 100, 0).cast(LongType)
+    val g = df.filter(amount > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast(LongType).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val t = g.agg(sum(col("n")).cast(LongType).as("total"))
+    val share = col("n").cast("double") / col("total").cast("double")
+    val expected = element_at(typedLit(benford), col("digit").cast("int"))
+    g.crossJoin(broadcast(t))
+      .select(col("digit"), col("n"), share.as("share"),
+        expected.as("expected"), abs(share - expected).as("abs_dev"))
+  }
+
+  /** Two-sample distribution-DRIFT detector: did `value`'s distribution
+    * change between the first and second half of the time range? The
+    * production gate before a model retrain ("is this week's feed still
+    * last week's distribution?"). Rows split into early/late at the
+    * integer-exact midpoint of the observed span (2·t < t₀ + t₁ in
+    * microseconds — no float time math), bin into `nBins` equi-width
+    * buckets over the GLOBAL min/max, and each bin contributes the
+    * standard chi-square term Σ (obs − exp)²/exp over the two period
+    * cells, exp = row·col/total. Counts are exact BIGINTs; each term is
+    * one pinned double expression replayed token-for-token by the
+    * oracle. Compare Σ chi2_term against the χ²(nBins−1) critical value
+    * downstream.
+    *
+    * Cost: one 1-row bounds aggregate broadcast back, one map-side
+    * bin+period assignment, one nBins-row hash aggregate. Scale-
+    * independent output.
+    */
+  def driftChi2(df: DataFrame, value: Column, ts: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need at least two bins, got $nBins")
+    val mm = df.agg(
+      min(value).cast("double").as("lo"), max(value).cast("double").as("hi"),
+      min(unix_micros(ts)).as("t0"), max(unix_micros(ts)).as("t1"))
+    val w = (col("hi") - col("lo")) / nBins
+    val bin = when(col("hi") > col("lo"),
+      least(lit(nBins - 1),
+        floor((value.cast("double") - col("lo")) / w).cast("int")))
+      .otherwise(0)
+    val early = unix_micros(ts) * 2 < col("t0") + col("t1")
+    val g = df.crossJoin(broadcast(mm))
+      .groupBy(bin.cast(LongType).as("bin"))
+      .agg(
+        sum(when(early, 1).otherwise(0)).cast(LongType).as("n_early"),
+        sum(when(early, 0).otherwise(1)).cast(LongType).as("n_late"))
+    val t = g.agg(
+      sum(col("n_early")).cast(LongType).as("tot_early"),
+      sum(col("n_late")).cast(LongType).as("tot_late"))
+    val totD = (col("tot_early") + col("tot_late")).cast("double")
+    val rowD = (col("n_early") + col("n_late")).cast("double")
+    val eE = rowD * col("tot_early").cast("double") / totD
+    val eL = rowD * col("tot_late").cast("double") / totD
+    val dE = col("n_early").cast("double") - eE
+    val dL = col("n_late").cast("double") - eL
+    g.crossJoin(broadcast(t))
+      .select(col("bin"), col("n_early"), col("n_late"),
+        (dE * dE / eE + dL * dL / eL).as("chi2_term"))
   }
 
   def exactQuantiles(df: DataFrame, valueCol: String,

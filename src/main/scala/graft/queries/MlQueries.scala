@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Bpe, LangModel, Similarity, Sketches, Stats}
+import graft.queries.Q.C
+import graft.sources.Tables
+
+/** ML-preparation operators a training pipeline runs between the raw
+  * warehouse and the trainer: data-drift gates, fabrication audits,
+  * vocabulary induction, LM-based quality scoring, hashing-trick
+  * featurization, sparse retrieval. Every entry is oracle-checked with
+  * the engine-exact arithmetic recipes (integer-scaled division, decimal
+  * sums, pinned final doubles) the rest of the catalog uses.
+  */
+object MlQueries {
+
+  /** Benford first-digit audit over order totals
+    * ([[Stats.benfordAudit]]): the data-fabrication screen. Digits come
+    * from exact integer cents via string heads (no libm); expected
+    * shares are literals. The synthetic feed's flat-ish digit profile is
+    * exactly what the audit is built to flag.
+    */
+  private val benford = Q(
+    "qa_benford",
+    """WITH c AS (SELECT CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0) AS BIGINT) AS cents
+      |          FROM orders WHERE o_totalprice > 0),
+      |g AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |             CAST(count(*) AS BIGINT) AS n
+      |      FROM c GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+      |e AS (SELECT digit, n,
+      |             CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      |             ([0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      |               0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      |               0.05799194697768673, 0.05115252244738129, 0.04575749056067514])[digit] AS expected
+      |      FROM g CROSS JOIN t)
+      |SELECT digit, n, share, expected, abs(share - expected) AS abs_dev
+      |FROM e""".stripMargin) { (s, d) =>
+    Stats.benfordAudit(Tables.orders(s, d), col("o_totalprice"))
+  }
+
+  /** Distribution drift of purchase values between the first and second
+    * half of the event span ([[Stats.driftChi2]]): 8 equi-width bins,
+    * exact integer cell counts, per-bin chi-square terms as pinned
+    * doubles — the pre-retrain feed gate.
+    */
+  private val drift = Q(
+    "qa_drift",
+    """WITH p AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DOUBLE) AS v
+      |          FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi,
+      |             CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+      |             CAST(epoch_us(max(ts)) AS BIGINT) AS t1
+      |      FROM p),
+      |b AS (SELECT CASE WHEN m.hi > m.lo
+      |             THEN least(7, CAST(floor((p.v - m.lo) / ((m.hi - m.lo) / 8)) AS INT))
+      |             ELSE 0 END AS bin,
+      |             CASE WHEN epoch_us(p.ts) * 2 < m.t0 + m.t1 THEN 1 ELSE 0 END AS early
+      |      FROM p CROSS JOIN m),
+      |g AS (SELECT CAST(bin AS BIGINT) AS bin,
+      |             CAST(SUM(early) AS BIGINT) AS n_early,
+      |             CAST(SUM(1 - early) AS BIGINT) AS n_late
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_early) AS BIGINT) AS tot_early,
+      |             CAST(SUM(n_late) AS BIGINT) AS tot_late FROM g)
+      |SELECT bin, n_early, n_late,
+      |       (CAST(n_early AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+      |       * (CAST(n_early AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+      |       / (CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+      |       + (CAST(n_late AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+      |       * (CAST(n_late AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+      |       / (CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE)) AS chi2_term
+      |FROM g CROSS JOIN t""".stripMargin) { (s, d) =>
+    Stats.driftChi2(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      col("value"), col("ts"), nBins = 8)
+  }
+
+  /** Hashing-trick featurization of customers
+    * ([[Sketches.featureBucket]]): segment and nation features land in a
+    * 64-bucket space with NO vocabulary pass; the readout is the
+    * collision audit (rows, distinct features, sample per bucket) that
+    * decides whether the dimension is wide enough.
+    */
+  private val featureHash = Q(
+    "ml_feature_hash",
+    s"""WITH f AS (SELECT c_custkey,
+       |                 unnest(['seg=' || c_mktsegment,
+       |                         'nat=' || CAST(c_nationkey AS VARCHAR)]) AS feat
+       |          FROM customer),
+       |h AS (SELECT feat,
+       |             CAST(('0x' || substr(md5(feat), 1, 13)) AS BIGINT) % 64 AS bucket
+       |      FROM f)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, $C AS n_rows,
+       |       CAST(count(DISTINCT feat) AS BIGINT) AS n_feats,
+       |       min(feat) AS sample_feat
+       |FROM h GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(explode(array(
+        concat(lit("seg="), col("c_mktsegment")),
+        concat(lit("nat="), col("c_nationkey").cast("string")))).as("feat"))
+      .groupBy(Sketches.featureBucket(col("feat"), 64).as("bucket"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_rows"),
+        countDistinct(col("feat")).cast(LongType).as("n_feats"),
+        min(col("feat")).as("sample_feat"))
+  }
+
+  /** Corpus-trained bigram-LM quality score per document
+    * ([[LangModel.bigramScore]]): mean conditional probability of each
+    * token transition, computed as integer-scaled truncating divisions
+    * (engine-exact) with one pinned double readout — the KenLM-style
+    * low-tail filter.
+    */
+  private val bigramLm = Q(
+    "text_bigram_lm",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tr AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS i) t),
+      |cp AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_pair FROM tr GROUP BY 1, 2),
+      |cu AS (SELECT prev, CAST(SUM(n_pair) AS BIGINT) AS n_prev FROM cp GROUP BY 1),
+      |sc AS (SELECT tr.doc_id,
+      |              CAST((cp.n_pair * 1000000000000) // cu.n_prev AS BIGINT) AS p_scaled
+      |       FROM tr JOIN cp ON tr.prev = cp.prev AND tr.cur = cp.cur
+      |              JOIN cu ON tr.prev = cu.prev)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+      |       CAST(SUM(p_scaled) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |         / CAST(1000000000000 AS DOUBLE) AS avg_prob
+      |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+    LangModel.bigramScore(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** Sparse tf-idf cosine top-3 for a bounded query-doc set
+    * ([[Similarity.tfidfTopK]]): the inverted-index join — corpus
+    * scanned once, only term-sharing docs scored, integer-exact
+    * accumulations, rational idf (N/df, no libm), bounded-heap ranking.
+    */
+  private val tfidfKnn = Q(
+    "text_tfidf_knn",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tf AS (SELECT doc_id AS doc, l[i] AS term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) t
+      |       GROUP BY 1, 2),
+      |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |w AS (SELECT tf.doc, tf.term, tf.tf, dfc.df FROM tf JOIN dfc ON tf.term = dfc.term),
+      |wq AS (SELECT term, doc AS qid, tf AS tfq FROM w WHERE doc < 8),
+      |dots AS (SELECT wq.qid, w.doc,
+      |                CAST(SUM((wq.tfq * w.tf * 1000000000000) // (w.df * w.df)) AS BIGINT) AS dp
+      |         FROM w JOIN wq ON w.term = wq.term AND w.doc <> wq.qid
+      |         GROUP BY 1, 2),
+      |nrm AS (SELECT doc, CAST(SUM((tf * tf * 1000000000000) // (df * df)) AS BIGINT) AS nrm
+      |        FROM w GROUP BY 1),
+      |cosv AS (SELECT dots.qid, dots.doc AS nid,
+      |                CAST(dots.dp AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nd.nrm AS DOUBLE)) AS cosine
+      |         FROM dots JOIN nrm nq ON nq.doc = dots.qid JOIN nrm nd ON nd.doc = dots.doc),
+      |rk AS (SELECT qid, nid, cosine,
+      |              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      |       FROM cosv)
+      |SELECT qid, nid, cosine, CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 3""".stripMargin) { (s, d) =>
+    Similarity.tfidfTopK(Tables.documents(s, d), "doc_id", "text",
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 3)
+  }
+
+  /** BPE vocabulary induction ([[Bpe.learnMerges]]): four corpus-wide
+    * merge rounds over the word vocabulary, each round one pair-count
+    * aggregate plus a greedy left-to-right rewrite — the tokenizer-build
+    * step, learned distributed instead of on one machine's sample. The
+    * oracle unrolls the rounds as CTEs and bit-matches pair and winner.
+    */
+  private val bpeMerges = Q(
+    "text_bpe_merges", {
+      def round(i: Int): String =
+        s"""p$i AS (SELECT t.l[j] AS a, t.l[j+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+           |      FROM (SELECT string_split(sp, '  ') AS l, n FROM v${i - 1}) t
+           |      CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS j) u GROUP BY 1, 2),
+           |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$i AS (SELECT trim(replace(' ' || sp || ' ', ' ' || m$i.a || '  ' || m$i.b || ' ',
+           |                           ' ' || m$i.a || m$i.b || ' ')) AS sp, n
+           |      FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |w AS (SELECT l[i] AS word, CAST(count(*) AS BIGINT) AS n
+         |      FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) t
+         |      GROUP BY 1),
+         |v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sp, n FROM w),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |res AS (SELECT 1 AS r, a, b, cnt FROM m1 UNION ALL SELECT 2, a, b, cnt FROM m2
+         |        UNION ALL SELECT 3, a, b, cnt FROM m3 UNION ALL SELECT 4, a, b, cnt FROM m4)
+         |SELECT CAST(r AS BIGINT) AS round, a AS left, b AS right,
+         |       cnt AS pair_count, a || b AS merged
+         |FROM res""".stripMargin
+    }) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    Bpe.learnMerges(words, "word", "n", rounds = 4)
+  }
+
+  val queries: Seq[Q] = Seq(
+    benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges)
+}

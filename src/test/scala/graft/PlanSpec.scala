@@ -77,7 +77,10 @@ class PlanSpec extends SparkSpec {
       "sketch_hll_incremental", // 1-row merged-sketch readout × 1-row exact reference
       "sketch_kmv_overlap", // 1-row sketch frames × 1-row exact-reference frame
       "sketch_kmv_matrix", // (#sources)² pair join on the source-cardinality sketch frame
-      "curation_mixture_waterfill" // 1-row total and 1-row water-level frames
+      "curation_mixture_waterfill", // 1-row total and 1-row water-level frames
+      "qa_benford", // 1-row broadcast total frame (the share denominator)
+      "qa_drift", // 1-row bounds frame + 1-row column-total frame (chi-square inputs)
+      "text_bpe_merges" // 1-row broadcast winning-pair frame per merge round
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
