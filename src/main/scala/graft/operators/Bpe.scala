@@ -53,7 +53,24 @@ object Bpe {
     * convention the oracle mirrors).
     */
   def learnMerges(vocab: DataFrame, wordCol: String, countCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    learn(vocab, wordCol, countCol, rounds)._1
+
+  /** The vocabulary AFTER `rounds` merges: (token, n) — each word's
+    * double-space symbol string exploded back to tokens, corpus-count
+    * weighted. The trained-tokenizer readout (what the token stream
+    * will look like) that pairs with [[learnMerges]]'s merge table.
+    */
+  def mergedVocab(vocab: DataFrame, wordCol: String, countCol: String,
+      rounds: Int): DataFrame =
+    learn(vocab, wordCol, countCol, rounds)._2
+      .select(explode(split(col("sp"), "  ")).as("token"), col("n"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).cast(LongType).as("n"))
+
+  /** Shared loop: (merge table, final (sp, n) vocabulary). */
+  private def learn(vocab: DataFrame, wordCol: String, countCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var v = vocab.select(
       spacedChars(col(wordCol)).as("sp"),
@@ -76,6 +93,6 @@ object Bpe {
             .as("sp"),
           col("n"))
     }
-    merges.result().reduce(_ unionAll _)
+    (merges.result().reduce(_ unionAll _), v)
   }
 }

@@ -235,6 +235,94 @@ object Stats {
         (dE * dE / eE + dL * dL / eL).as("chi2_term"))
   }
 
+  /** LEAVE-ONE-OUT target encoding — the categorical featurizer that
+    * replaces a category with the target mean of its OTHER members
+    * (including the row itself leaks the label; the LOO form is the
+    * standard fix). enc = (S_cat − y) / (n_cat − 1), with S_cat an exact
+    * DECIMAL sum, so the encoding is one pinned double division from
+    * exact components — engine-reproducible, unlike a mean of doubles.
+    * Singleton categories encode NULL (no other members to borrow from).
+    *
+    * Cost: one category-cardinality aggregate joined back — AQE
+    * broadcasts it when small; at 100 TB this is a map-side transform
+    * after one tiny-dim shuffle. Appends `encCol` to the input rows.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, target: Column,
+      encCol: String, yType: String = "decimal(18,4)"): DataFrame = {
+    val g = df.groupBy(col(catCol)).agg(
+      count(lit(1)).cast(LongType).as("__n"),
+      sum(target.cast(yType)).as("__s"))
+    df.join(g, Seq(catCol))
+      .withColumn(encCol,
+        when(col("__n") > 1,
+          (col("__s") - target.cast(yType)).cast("double") /
+            (col("__n") - 1).cast("double")))
+      .drop("__n", "__s")
+  }
+
+  /** One-way ANOVA F-statistic across the groups of `keyCol` — "does the
+    * target differ between segments more than within them?", the
+    * screening test before trusting a categorical feature. Works on an
+    * INTEGER-VALUED target (pass the value pre-rounded to a coarse unit;
+    * integer sums keep every sufficient statistic exact). The
+    * between-group term Σ S_g²/n_g uses truncating integer division —
+    * a fixed-point convention both engines replay bit-for-bit, off from
+    * the real-valued F by at most (#groups) target-units² — and the
+    * final F is one pinned double expression. Bound: max |S_g|² must fit
+    * 2⁶³ (coarsen the unit as the corpus grows).
+    *
+    * Returns one row: (k, n_tot, f_stat). Degenerate inputs (one group,
+    * or zero within-group variance) yield NULL f_stat.
+    */
+  def anovaF(df: DataFrame, keyCol: String, intTarget: Column): DataFrame = {
+    val v = intTarget.cast(LongType)
+    val x = df.select(col(keyCol).as("__k"), v.as("__v"))
+    val g = x.groupBy(col("__k")).agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(col("__v")).cast(LongType).as("s"))
+    val gg = g.agg(
+      count(lit(1)).cast(LongType).as("k"),
+      sum(col("n")).cast(LongType).as("n_tot"),
+      sum(col("s")).cast(LongType).as("s_tot"),
+      sum(expr("(s * s) div n")).cast(LongType).as("ssb_part"))
+    val q = x.agg(sum(col("__v") * col("__v")).cast(LongType).as("q_tot"))
+    val ssb = col("ssb_part").cast("double") -
+      col("s_tot").cast("double") * col("s_tot").cast("double") /
+        col("n_tot").cast("double")
+    val ssw = col("q_tot").cast("double") - col("ssb_part").cast("double")
+    gg.crossJoin(broadcast(q))
+      .select(col("k"), col("n_tot"),
+        when(col("k") > 1 && ssw > 0,
+          ssb / (col("k") - 1).cast("double") /
+            (ssw / (col("n_tot") - col("k")).cast("double"))).as("f_stat"))
+  }
+
+  /** Gini concentration coefficient of a non-negative amount — the
+    * inequality profile ("do 1% of customers carry 50% of revenue?")
+    * computed at distributed scale: global value ranks come from
+    * [[Surrogates.assignScalable]]'s RANGE shuffle (never a single-task
+    * global window), Σ rank·x accumulates in DECIMAL (exact — rank·x is
+    * invariant under permuting tied values, so arbitrary tie ranks don't
+    * change the sum), and gini = 2·Σrx/(n·Σx) − (n+1)/n is one pinned
+    * double sequence. Returns one row: (n, total, gini).
+    */
+  def gini(df: DataFrame, amount: Column,
+      xType: String = "decimal(18,4)"): DataFrame = {
+    val ranked = Surrogates.assignScalable(
+      df.select(amount.cast(xType).as("__x")), "__rank", Seq(col("__x")))
+    val a = ranked.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(col("__x")).as("sx"),
+      sum(col("__rank").cast("decimal(18,0)") * col("__x")).as("srx"))
+    a.select(
+      col("n"),
+      col("sx").cast("double").as("total"),
+      (lit(2).cast("double") * col("srx").cast("double") /
+        (col("n").cast("double") * col("sx").cast("double")) -
+        (col("n").cast("double") + lit(1).cast("double")) /
+          col("n").cast("double")).as("gini"))
+  }
+
   def exactQuantiles(df: DataFrame, valueCol: String,
       qs: Seq[BigDecimal]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),

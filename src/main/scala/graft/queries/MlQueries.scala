@@ -199,6 +199,108 @@ object MlQueries {
     Bpe.learnMerges(words, "word", "n", rounds = 4)
   }
 
+  /** Leave-one-out target encoding of customer segment against account
+    * balance ([[Stats.targetEncodeLoo]]): exact decimal category sums,
+    * one pinned double division per row — the leak-free categorical
+    * featurizer.
+    */
+  private val targetEncode = Q(
+    "ml_target_encode",
+    """WITH g AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+      |                 SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s
+      |          FROM customer GROUP BY 1)
+      |SELECT c_custkey, g.seg,
+      |       CASE WHEN g.n > 1
+      |            THEN CAST(g.s - CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE)
+      |                   / CAST(g.n - 1 AS DOUBLE)
+      |            ELSE NULL END AS loo_enc
+      |FROM customer JOIN g ON g.seg = c_mktsegment""".stripMargin) { (s, d) =>
+    Stats.targetEncodeLoo(
+      Tables.customer(s, d), "c_mktsegment", col("c_acctbal"), "loo_enc")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"), col("loo_enc"))
+  }
+
+  /** One-way ANOVA of whole-dollar account balance across market
+    * segments ([[Stats.anovaF]]): integer-exact sufficient statistics,
+    * fixed-point between-group term, pinned-double F — the
+    * feature-usefulness screen.
+    */
+  private val anova = Q(
+    "qa_anova",
+    """WITH x AS (SELECT c_mktsegment AS seg,
+      |                 CAST(round(CAST(c_acctbal AS DECIMAL(18,4)), 0) AS BIGINT) AS v
+      |          FROM customer),
+      |g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+      |      FROM x GROUP BY 1),
+      |gg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+      |              CAST(SUM(s) AS BIGINT) AS s_tot,
+      |              CAST(SUM((s * s) // n) AS BIGINT) AS ssb_part
+      |       FROM g),
+      |q AS (SELECT CAST(SUM(v * v) AS BIGINT) AS q_tot FROM x)
+      |SELECT k, n_tot,
+      |  CASE WHEN k > 1 AND CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE) > 0 THEN
+      |    (CAST(ssb_part AS DOUBLE) - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+      |      / CAST(k - 1 AS DOUBLE)
+      |      / ((CAST(q_tot AS DOUBLE) - CAST(ssb_part AS DOUBLE)) / CAST(n_tot - k AS DOUBLE))
+      |  ELSE NULL END AS f_stat
+      |FROM gg CROSS JOIN q""".stripMargin) { (s, d) =>
+    Stats.anovaF(Tables.customer(s, d), "c_mktsegment",
+      round(col("c_acctbal").cast("decimal(18,4)"), 0))
+  }
+
+  /** Gini concentration of order totals ([[Stats.gini]]): distributed
+    * range-shuffle ranks, exact decimal Σ rank·x, one pinned readout —
+    * the revenue-inequality profile.
+    */
+  private val giniQ = Q(
+    "qa_gini",
+    """WITH r AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+      |                 row_number() OVER (ORDER BY o_totalprice) AS rk
+      |          FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |       CAST(SUM(x) AS DOUBLE) AS total,
+      |       CAST(2 AS DOUBLE) * CAST(SUM(CAST(rk AS DECIMAL(18,0)) * x) AS DOUBLE)
+      |         / (CAST(count(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+      |         - (CAST(count(*) AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS gini
+      |FROM r""".stripMargin) { (s, d) =>
+    Stats.gini(Tables.orders(s, d), col("o_totalprice"))
+  }
+
+  /** The token vocabulary AFTER the four learned BPE merges
+    * ([[Bpe.mergedVocab]]): top-20 tokens by corpus-weighted count —
+    * what the trained tokenizer's stream looks like. Deterministic
+    * total order (count desc, token asc) makes the cut stable.
+    */
+  private val bpeVocab = Q(
+    "text_bpe_vocab", {
+      def round(i: Int): String =
+        s"""p$i AS (SELECT t.l[j] AS a, t.l[j+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+           |      FROM (SELECT string_split(sp, '  ') AS l, n FROM v${i - 1}) t
+           |      CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS j) u GROUP BY 1, 2),
+           |m$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$i AS (SELECT trim(replace(' ' || sp || ' ', ' ' || m$i.a || '  ' || m$i.b || ' ',
+           |                           ' ' || m$i.a || m$i.b || ' ')) AS sp, n
+           |      FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |w AS (SELECT l[i] AS word, CAST(count(*) AS BIGINT) AS n
+         |      FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) t
+         |      GROUP BY 1),
+         |v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sp, n FROM w),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |tok AS (SELECT unnest(string_split(sp, '  ')) AS token, n FROM v4),
+         |agg AS (SELECT token, CAST(SUM(n) AS BIGINT) AS n FROM tok GROUP BY 1)
+         |SELECT token, n FROM agg ORDER BY n DESC, token LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    Bpe.mergedVocab(words, "word", "n", rounds = 4)
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
   val queries: Seq[Q] = Seq(
-    benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges)
+    benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
+    targetEncode, anova, giniQ, bpeVocab)
 }

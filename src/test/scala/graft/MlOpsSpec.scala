@@ -52,6 +52,41 @@ class MlOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("qid") == 0L))
   }
 
+  test("targetEncodeLoo: singleton category encodes NULL, others exact") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0))
+      .toDF("cat", "y")
+    val out = Stats.targetEncodeLoo(df, "cat", col("y"), "enc")
+      .select("cat", "y", "enc").collect()
+    val a10 = out.find(r => r.getString(0) == "a" && r.getDouble(1) == 10.0).get
+    assert(a10.getDouble(2) == 25.0) // (20+30)/2
+    assert(out.find(_.getString(0) == "b").get.isNullAt(2))
+  }
+
+  test("anovaF: zero within-group variance yields NULL, separation is large") {
+    val degenerate = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L)).toDF("k", "v")
+    assert(Stats.anovaF(degenerate, "k", col("v")).head().isNullAt(2))
+    val separated = Seq(("a", 1L), ("a", 2L), ("b", 100L), ("b", 101L)).toDF("k", "v")
+    val f = Stats.anovaF(separated, "k", col("v")).head().getDouble(2)
+    assert(f > 1000.0, s"clear separation must dominate noise, got $f")
+  }
+
+  test("gini: equal amounts -> 0, total concentration -> (n-1)/n") {
+    val equal = Seq(5.0, 5.0, 5.0, 5.0).toDF("x")
+    val g0 = Stats.gini(equal, col("x")).head()
+    assert(math.abs(g0.getAs[Double]("gini")) < 1e-12)
+    val conc = Seq(0.0, 0.0, 0.0, 100.0).toDF("x")
+    val g1 = Stats.gini(conc, col("x")).head().getAs[Double]("gini")
+    assert(math.abs(g1 - 0.75) < 1e-12) // (n-1)/n with n=4
+  }
+
+  test("mergedVocab conserves corpus character mass") {
+    val vocab = Seq(("aba", 3L), ("ab", 2L), ("b", 4L)).toDF("word", "n")
+    val toks = graft.operators.Bpe.mergedVocab(vocab, "word", "n", rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = toks.map { case (t, n) => t.length * n }.sum
+    assert(chars == 3 * 3 + 2 * 2 + 4) // every char survives merging
+  }
+
   test("featureBucket is stable and in range") {
     val b = Seq("seg=AUTO").toDF("f")
       .select(Sketches.featureBucket(col("f"), 64).as("b"))

@@ -80,7 +80,9 @@ class PlanSpec extends SparkSpec {
       "curation_mixture_waterfill", // 1-row total and 1-row water-level frames
       "qa_benford", // 1-row broadcast total frame (the share denominator)
       "qa_drift", // 1-row bounds frame + 1-row column-total frame (chi-square inputs)
-      "text_bpe_merges" // 1-row broadcast winning-pair frame per merge round
+      "text_bpe_merges", // 1-row broadcast winning-pair frame per merge round
+      "text_bpe_vocab", // same 1-row winning-pair frames feeding the final vocabulary
+      "qa_anova" // 1-row group-rollup × 1-row sum-of-squares frame (the F inputs)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
