@@ -323,6 +323,89 @@ object Stats {
           col("n").cast("double")).as("gini"))
   }
 
+  /** Robust outlier profile via MEDIAN / MAD — the heavy-tail-safe
+    * alternative to σ-thresholds (one corrupt feed day shifts a mean;
+    * it barely moves a median). Both medians are EXACT distributed
+    * quantiles ([[exactQuantiles]] — range shuffle, no global window);
+    * deviations and the 3·MAD threshold stay in DECIMAL, so the flagged
+    * count is reproducible bit for bit (a double threshold can flip
+    * boundary rows). Returns one row: (median, mad, n_outliers).
+    *
+    * Cost: two ranked passes + one counting scan — the price of EXACT
+    * medians at scale; sketch quantiles would save a pass at the cost
+    * of certifiability.
+    */
+  def madOutliers(df: DataFrame, value: Column,
+      xType: String = "decimal(18,4)"): DataFrame = {
+    val vals = df.select(value.cast(xType).as("value"))
+    val med = exactQuantiles(vals, "value", Seq(BigDecimal("0.5")))
+      .select(col("value").as("m"))
+    val dev = vals.crossJoin(broadcast(med))
+      .select(abs(col("value") - col("m")).as("value"), col("m"))
+    val mad = exactQuantiles(dev.select(col("value")), "value",
+      Seq(BigDecimal("0.5"))).select(col("value").as("madv"))
+    dev.crossJoin(broadcast(mad))
+      .agg(
+        max(col("m")).cast("double").as("median"),
+        max(col("madv")).cast("double").as("mad"),
+        sum(when(col("value") > col("madv") * 3, 1).otherwise(0))
+          .cast(LongType).as("n_outliers"))
+  }
+
+  /** Chi-square INDEPENDENCE test between two categorical columns — the
+    * feature↔label screen ([[anovaF]]'s categorical sibling; sklearn's
+    * chi2 feature selection). One contingency aggregate, two marginal
+    * rollups of that (cell-cardinality) frame, and per-cell terms
+    * (obs − exp)²/exp as pinned doubles from exact BIGINT counts. Sum
+    * the terms against χ²((r−1)(c−1)) downstream. Returns one row per
+    * observed cell: (aCol, bCol, n, chi2_term).
+    */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val c = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val ra = c.groupBy(col(aCol)).agg(sum(col("n")).cast(LongType).as("n_a"))
+    val cb = c.groupBy(col(bCol)).agg(sum(col("n")).cast(LongType).as("n_b"))
+    val t = c.agg(sum(col("n")).cast(LongType).as("n_tot"))
+    val e = col("n_a").cast("double") * col("n_b").cast("double") /
+      col("n_tot").cast("double")
+    val d = col("n").cast("double") - e
+    c.join(ra, Seq(aCol)).join(cb, Seq(bCol)).crossJoin(broadcast(t))
+      .select(col(aCol), col(bCol), col("n"), (d * d / e).as("chi2_term"))
+  }
+
+  /** Pairwise Pearson correlations of integer-valued columns (pre-scale
+    * to a fixed-point unit — cents — so every sufficient statistic is an
+    * exact DECIMAL sum) in ONE aggregate pass: n plus Σxᵢ, Σxᵢ², Σxᵢxⱼ
+    * for all pairs, then each r = cov/(σᵢσⱼ) as the fixed double
+    * sequence of [[regressionBy]]. Output unpivots map-side from the
+    * 1-row statistics frame: (x_col, y_col, n, r) for each i < j.
+    * Degenerate pairs (zero variance) yield NULL.
+    */
+  def pearsonPairs(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got ${cols.size}")
+    val named = cols.map { case (n, c) => (n, c.cast("decimal(18,0)")) }
+    val aggs =
+      named.flatMap { case (n, c) =>
+        Seq(sum(c).as(s"s_$n"), sum(c * c).as(s"ss_$n")) } ++
+      named.combinations(2).map { case Seq((na, ca), (nb, cb)) =>
+        sum(ca * cb).as(s"sp_${na}_$nb") }.toSeq
+    val st = df.agg(count(lit(1)).cast(LongType).as("n"), aggs: _*)
+    val pairRows = named.combinations(2).map { case Seq((na, _), (nb, _)) =>
+      val nD = col("n").cast("double")
+      val covN = nD * col(s"sp_${na}_$nb").cast("double") -
+        col(s"s_$na").cast("double") * col(s"s_$nb").cast("double")
+      val varA = nD * col(s"ss_$na").cast("double") -
+        col(s"s_$na").cast("double") * col(s"s_$na").cast("double")
+      val varB = nD * col(s"ss_$nb").cast("double") -
+        col(s"s_$nb").cast("double") * col(s"s_$nb").cast("double")
+      struct(lit(na).as("x_col"), lit(nb).as("y_col"),
+        when(varA > 0 && varB > 0, covN / (sqrt(varA) * sqrt(varB))).as("r"))
+    }.toSeq
+    st.select(col("n"), explode(array(pairRows: _*)).as("p"))
+      .select(col("p.x_col").as("x_col"), col("p.y_col").as("y_col"),
+        col("n"), col("p.r").as("r"))
+  }
+
   def exactQuantiles(df: DataFrame, valueCol: String,
       qs: Seq[BigDecimal]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),

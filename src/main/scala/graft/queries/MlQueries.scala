@@ -300,7 +300,131 @@ object MlQueries {
       .limit(20)
   }
 
+  /** Robust outlier profile of purchase values ([[Stats.madOutliers]]):
+    * exact distributed medians, decimal deviations, decimal 3·MAD
+    * threshold — the heavy-tail-safe feed screen.
+    */
+  private val mad = Q(
+    "qa_mad",
+    """WITH vals AS (SELECT CAST(value AS DECIMAL(18,4)) AS v FROM events),
+      |r1 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM vals),
+      |med AS (SELECT v AS m FROM r1 WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))),
+      |d AS (SELECT abs(v - m) AS dev, m FROM vals CROSS JOIN med),
+      |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn, count(*) OVER () AS n FROM d),
+      |madv AS (SELECT dev AS mv FROM r2 WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)))
+      |SELECT CAST(max(m) AS DOUBLE) AS median,
+      |       CAST(max(mv) AS DOUBLE) AS mad,
+      |       CAST(SUM(CASE WHEN dev > mv * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d CROSS JOIN madv""".stripMargin) { (s, d) =>
+    Stats.madOutliers(Tables.events(s, d), col("value"))
+  }
+
+  /** Chi-square independence of market segment × order priority
+    * ([[Stats.chi2Independence]]): is the categorical feature informative
+    * about the label? Exact contingency counts, pinned per-cell terms.
+    */
+  private val chi2Select = Q(
+    "ml_chi2_select",
+    """WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      |          FROM orders JOIN customer ON o_custkey = c_custkey),
+      |c AS (SELECT seg, pri, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+      |rt AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS n_a FROM c GROUP BY 1),
+      |ct AS (SELECT pri, CAST(SUM(n) AS BIGINT) AS n_b FROM c GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM c)
+      |SELECT c.seg, c.pri, c.n,
+      |  (CAST(c.n AS DOUBLE) - CAST(rt.n_a AS DOUBLE) * CAST(ct.n_b AS DOUBLE) / CAST(t.n_tot AS DOUBLE))
+      |  * (CAST(c.n AS DOUBLE) - CAST(rt.n_a AS DOUBLE) * CAST(ct.n_b AS DOUBLE) / CAST(t.n_tot AS DOUBLE))
+      |  / (CAST(rt.n_a AS DOUBLE) * CAST(ct.n_b AS DOUBLE) / CAST(t.n_tot AS DOUBLE)) AS chi2_term
+      |FROM c JOIN rt ON rt.seg = c.seg JOIN ct ON ct.pri = c.pri CROSS JOIN t""".stripMargin) {
+    (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      Stats.chi2Independence(j, "seg", "pri")
+  }
+
+  /** Pairwise Pearson matrix over lineitem measures
+    * ([[Stats.pearsonPairs]]): one aggregate pass for all sufficient
+    * statistics in exact fixed-point cents, pinned r per pair (rounded
+    * to 12 decimals — the >2⁵³ decimal→double convention).
+    */
+  private val corrMatrix = Q(
+    "qa_corr_matrix",
+    """WITH x AS (SELECT
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS qty,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS price,
+      |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS disc
+      |FROM lineitem),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  SUM(qty) AS s_qty, SUM(qty * qty) AS ss_qty,
+      |  SUM(price) AS s_price, SUM(price * price) AS ss_price,
+      |  SUM(disc) AS s_disc, SUM(disc * disc) AS ss_disc,
+      |  SUM(qty * price) AS sp_qty_price,
+      |  SUM(qty * disc) AS sp_qty_disc,
+      |  SUM(price * disc) AS sp_price_disc
+      |FROM x)
+      |SELECT 'qty' AS x_col, 'price' AS y_col, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sp_qty_price AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_price AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(ss_qty AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_qty AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(ss_price AS DOUBLE) - CAST(s_price AS DOUBLE) * CAST(s_price AS DOUBLE))), 12) AS r
+      |FROM st
+      |UNION ALL
+      |SELECT 'qty', 'disc', n,
+      |  round((CAST(n AS DOUBLE) * CAST(sp_qty_disc AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_disc AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(ss_qty AS DOUBLE) - CAST(s_qty AS DOUBLE) * CAST(s_qty AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(ss_disc AS DOUBLE) - CAST(s_disc AS DOUBLE) * CAST(s_disc AS DOUBLE))), 12) AS r
+      |FROM st
+      |UNION ALL
+      |SELECT 'price', 'disc', n,
+      |  round((CAST(n AS DOUBLE) * CAST(sp_price_disc AS DOUBLE) - CAST(s_price AS DOUBLE) * CAST(s_disc AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(ss_price AS DOUBLE) - CAST(s_price AS DOUBLE) * CAST(s_price AS DOUBLE))
+      |     * sqrt(CAST(n AS DOUBLE) * CAST(ss_disc AS DOUBLE) - CAST(s_disc AS DOUBLE) * CAST(s_disc AS DOUBLE))), 12) AS r
+      |FROM st""".stripMargin) { (s, d) =>
+    def cents(c: String) =
+      (col(c).cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+    Stats.pearsonPairs(Tables.lineitem(s, d),
+      Seq("qty" -> cents("l_quantity"), "price" -> cents("l_extendedprice"),
+        "disc" -> cents("l_discount")))
+      .select(col("x_col"), col("y_col"), col("n"), round(col("r"), 12).as("r"))
+  }
+
+  /** Decile featurization of order totals crossed with the priority
+    * label: boundaries are the exact distributed 1/10…9/10 quantiles
+    * broadcast back; assignment is map-side (`1 + #boundaries below v`).
+    * The discretizer a GBDT/calibration pipeline applies before
+    * binned statistics.
+    */
+  private val quantileBin = Q(
+    "ml_quantile_bin",
+    s"""WITH r AS (SELECT o_totalprice AS v,
+       |                 CAST(row_number() OVER (ORDER BY o_totalprice) AS BIGINT) AS rn,
+       |                 CAST(count(*) OVER () AS BIGINT) AS n
+       |          FROM orders),
+       |q AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qd),
+       |bnds AS (SELECT r.v FROM q JOIN r ON rn = GREATEST(1, CAST(ceil(qd * n) AS BIGINT))),
+       |dv AS (SELECT o_totalprice AS v, o_orderpriority AS pri, $C AS c
+       |       FROM orders GROUP BY 1, 2),
+       |bk AS (SELECT dv.v, dv.pri, dv.c, CAST(1 + count(b.v) AS BIGINT) AS decile
+       |       FROM dv LEFT JOIN bnds b ON b.v < dv.v GROUP BY dv.v, dv.pri, dv.c)
+       |SELECT decile, pri, CAST(SUM(c) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+       |FROM bk GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val bnds = Stats.exactQuantiles(
+      Tables.orders(s, d).select(col("o_totalprice").as("value")), "value",
+      (1 to 9).map(i => BigDecimal(i) / 10))
+      .agg(sort_array(collect_list(col("value"))).as("bnds"))
+    Tables.orders(s, d)
+      .crossJoin(broadcast(bnds))
+      .withColumn("decile",
+        (size(filter(col("bnds"), b => b < col("o_totalprice"))) + 1)
+          .cast(LongType))
+      .groupBy(col("decile"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+  }
+
   val queries: Seq[Q] = Seq(
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
-    targetEncode, anova, giniQ, bpeVocab)
+    targetEncode, anova, giniQ, bpeVocab,
+    mad, chi2Select, corrMatrix, quantileBin)
 }

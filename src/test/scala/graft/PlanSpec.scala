@@ -82,7 +82,10 @@ class PlanSpec extends SparkSpec {
       "qa_drift", // 1-row bounds frame + 1-row column-total frame (chi-square inputs)
       "text_bpe_merges", // 1-row broadcast winning-pair frame per merge round
       "text_bpe_vocab", // same 1-row winning-pair frames feeding the final vocabulary
-      "qa_anova" // 1-row group-rollup × 1-row sum-of-squares frame (the F inputs)
+      "qa_anova", // 1-row group-rollup × 1-row sum-of-squares frame (the F inputs)
+      "qa_mad", // 1-row median and 1-row MAD frames (the robust thresholds)
+      "ml_chi2_select", // 1-row broadcast grand-total frame (the expectation denominator)
+      "ml_quantile_bin" // 1-row broadcast decile-boundary array frame
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
