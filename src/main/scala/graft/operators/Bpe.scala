@@ -86,10 +86,15 @@ object Bpe {
       merges += top.select(
         lit(r.toLong).as("round"), col("a").as("left"), col("b").as("right"),
         col("cnt").as("pair_count"), concat(col("a"), col("b")).as("merged"))
-      v = v.crossJoin(broadcast(top))
+      // LEFT join on a constant-true condition: when the round has no
+      // learnable pair (rounds > distinct adjacent pairs), `top` is empty
+      // and a cross join would silently wipe the vocabulary to zero rows;
+      // the left join passes `sp` through unchanged instead (and the merge
+      // table simply has fewer than `rounds` rows — the natural signal).
+      v = v.join(broadcast(top), lit(true), "left")
         .select(
-          trim(expr(
-            "replace(' ' || sp || ' ', ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"))
+          when(col("a").isNull, col("sp")).otherwise(trim(expr(
+            "replace(' ' || sp || ' ', ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')")))
             .as("sp"),
           col("n"))
     }

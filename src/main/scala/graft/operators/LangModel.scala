@@ -17,8 +17,11 @@ import graft.functions.TextAnalysis
   * transition scores the INTEGER (c_pair · 10¹²) div c_prev (truncating
   * division — identical everywhere), and a document's score is the mean
   * of those integers, divided back to probability space by one pinned
-  * double expression at the very end. Sums stay far under 2⁶³ (each term
-  * ≤ 10¹²; a document would need 9 million tokens to overflow).
+  * double expression at the very end. The intermediate product
+  * n_pair · 10¹² is computed in DECIMAL(38,0) (a web-scale bigram count
+  * past ~9.2M would wrap a signed 64-bit product); the QUOTIENT is ≤ 10¹²
+  * so the per-document sum stays far under 2⁶³ (a document would need
+  * 9 million tokens to overflow).
   *
   * Scale shape: transitions are a map-side array zip (no self-join on
   * position); the model is two hash aggregates whose size is bounded by
@@ -66,7 +69,8 @@ object LangModel {
     transitions(docs, idCol, textCol)
       .join(model, Seq("prev", "cur"))
       .select(col(idCol),
-        expr(s"(n_pair * ${Scale}L) div n_prev").as("p_scaled"))
+        expr(s"(cast(n_pair as decimal(38,0)) * ${Scale}L) div n_prev")
+          .as("p_scaled"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast(LongType).as("n_trans"),

@@ -114,9 +114,11 @@ object Similarity {
     * q·d/N² — summed exactly; the cosine emerges from one pinned double
     * expression over three exact integers. Ranking uses the bounded-heap
     * `topk_pairs` aggregate (k rows per query per partition reach the
-    * shuffle). Overflow bound: Σ tf_q·tf_d·10¹²/df² must stay under
-    * 2⁶³ — high-tf shared RARE terms dominate; at 10¹² scale that allows
-    * ~9M of tf=1 df=1 shared terms, far past real documents.
+    * shuffle). The intermediate product tf_q·tf_d·10¹² is computed in
+    * DECIMAL(38,0) — two tf≈3000 sides (long repetitive docs) would wrap
+    * a signed 64-bit product. The per-pair SUM of quotients must still
+    * stay under 2⁶³ — high-tf shared RARE terms dominate; at 10¹² scale
+    * that allows ~9M of tf=1 df=1 shared terms, far past real documents.
     *
     * `maxDf` (optional) drops terms in more than that many docs — the
     * stop-term cut that bounds hot-term fan-out at corpus scale (a term
@@ -137,7 +139,8 @@ object Similarity {
       .agg(count(lit(1)).cast(LongType).as("df"))
     val w0 = tf.join(dfc, Seq("term"))
     val w = maxDf.fold(w0)(cap => w0.filter(col("df") <= cap))
-    val contrib = expr(s"(tfq * tf * ${Scale}L) div (df * df)")
+    val contrib =
+      expr(s"(cast(tfq as decimal(38,0)) * tf * ${Scale}L) div (df * df)")
     val wq = w.filter(col("doc").isInCollection(queryIds))
       .select(col("term"), col("doc").as("qid"), col("tf").as("tfq"))
     val dots = w
@@ -146,7 +149,9 @@ object Similarity {
       .groupBy(col("qid"), col("doc"))
       .agg(sum(contrib).cast(LongType).as("dp"))
     val nrm = w
-      .select(col("doc"), expr(s"(tf * tf * ${Scale}L) div (df * df)").as("c"))
+      .select(col("doc"),
+        expr(s"(cast(tf as decimal(38,0)) * tf * ${Scale}L) div (df * df)")
+          .as("c"))
       .groupBy(col("doc"))
       .agg(sum(col("c")).cast(LongType).as("nrm"))
     val scored = dots

@@ -230,9 +230,14 @@ object Stats {
     val eL = rowD * col("tot_late").cast("double") / totD
     val dE = col("n_early").cast("double") - eE
     val dL = col("n_late").cast("double") - eL
+    // Degenerate split (every row lands in one period — e.g. all
+    // timestamps equal makes tot_early = 0) would divide by a zero
+    // expected count and poison the downstream Σ chi2 with NaN/Infinity;
+    // guard to NULL like the other Stats readouts.
     g.crossJoin(broadcast(t))
       .select(col("bin"), col("n_early"), col("n_late"),
-        (dE * dE / eE + dL * dL / eL).as("chi2_term"))
+        when(col("tot_early") > 0 && col("tot_late") > 0,
+          dE * dE / eE + dL * dL / eL).as("chi2_term"))
   }
 
   /** LEAVE-ONE-OUT target encoding — the categorical featurizer that

@@ -80,9 +80,15 @@ case class KmvSketch(
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (hash.dataType == LongType && kExpr.dataType == IntegerType &&
-      kExpr.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+      kExpr.foldable) {
+      // k = 0 (or negative) would silently return empty sketches from
+      // every group; reject at analysis time with a clear message.
+      val kVal = kExpr.eval()
+      if (kVal != null && kVal.asInstanceOf[Number].intValue() >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1, got $kVal")
+    } else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (bigint, literal int), got " +
         s"(${hash.dataType.sql}, ${kExpr.dataType.sql})")
 

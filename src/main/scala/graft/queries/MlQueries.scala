@@ -66,12 +66,14 @@ object MlQueries {
       |t AS (SELECT CAST(SUM(n_early) AS BIGINT) AS tot_early,
       |             CAST(SUM(n_late) AS BIGINT) AS tot_late FROM g)
       |SELECT bin, n_early, n_late,
+      |       CASE WHEN tot_early > 0 AND tot_late > 0 THEN
       |       (CAST(n_early AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
       |       * (CAST(n_early AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
       |       / (CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
       |       + (CAST(n_late AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
       |       * (CAST(n_late AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
-      |       / (CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE)) AS chi2_term
+      |       / (CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+      |       END AS chi2_term
       |FROM g CROSS JOIN t""".stripMargin) { (s, d) =>
     Stats.driftChi2(
       Tables.events(s, d).filter(col("event_type") === "purchase"),
@@ -122,7 +124,7 @@ object MlQueries {
       |cp AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_pair FROM tr GROUP BY 1, 2),
       |cu AS (SELECT prev, CAST(SUM(n_pair) AS BIGINT) AS n_prev FROM cp GROUP BY 1),
       |sc AS (SELECT tr.doc_id,
-      |              CAST((cp.n_pair * 1000000000000) // cu.n_prev AS BIGINT) AS p_scaled
+      |              CAST((CAST(cp.n_pair AS HUGEINT) * 1000000000000) // cu.n_prev AS BIGINT) AS p_scaled
       |       FROM tr JOIN cp ON tr.prev = cp.prev AND tr.cur = cp.cur
       |              JOIN cu ON tr.prev = cu.prev)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
@@ -147,10 +149,10 @@ object MlQueries {
       |w AS (SELECT tf.doc, tf.term, tf.tf, dfc.df FROM tf JOIN dfc ON tf.term = dfc.term),
       |wq AS (SELECT term, doc AS qid, tf AS tfq FROM w WHERE doc < 8),
       |dots AS (SELECT wq.qid, w.doc,
-      |                CAST(SUM((wq.tfq * w.tf * 1000000000000) // (w.df * w.df)) AS BIGINT) AS dp
+      |                CAST(SUM((CAST(wq.tfq AS HUGEINT) * w.tf * 1000000000000) // (w.df * w.df)) AS BIGINT) AS dp
       |         FROM w JOIN wq ON w.term = wq.term AND w.doc <> wq.qid
       |         GROUP BY 1, 2),
-      |nrm AS (SELECT doc, CAST(SUM((tf * tf * 1000000000000) // (df * df)) AS BIGINT) AS nrm
+      |nrm AS (SELECT doc, CAST(SUM((CAST(tf AS HUGEINT) * tf * 1000000000000) // (df * df)) AS BIGINT) AS nrm
       |        FROM w GROUP BY 1),
       |cosv AS (SELECT dots.qid, dots.doc AS nid,
       |                CAST(dots.dp AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nd.nrm AS DOUBLE)) AS cosine

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the harness test tables (TESTDATA.md).
   *
@@ -47,16 +47,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** The events table carries a nanosecond INT64 parquet timestamp, which
-    * Spark only reads as a long (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set in every session here). Normalize `ts` back to a microsecond
-    * TimestampType (floor division — matches an ANSI CAST to TIMESTAMP).
+  /** The events table's `ts` has shipped with two physical parquet types
+    * across harness generations: INT64 nanoseconds (readable only as a
+    * long under `spark.sql.legacy.parquet.nanosAsLong`, set in every
+    * session here) and timestamp[us] without a timezone flag (which
+    * Spark 4 infers as TIMESTAMP_NTZ). Normalize both to a microsecond
+    * TimestampType so downstream `unix_micros`/window arithmetic always
+    * sees one type: floor-divided micros for the nanos case (matches an
+    * ANSI CAST), a same-instant cast for NTZ (sessions run UTC).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -64,6 +64,19 @@ class BpeSpec extends SparkSpec {
     assert(learn(words, 4) == bruteMerges(words, 4))
   }
 
+  test("rounds past the learnable merges leave the vocabulary intact") {
+    import spark.implicits._
+    // only one learnable merge exists ((a,b)); asking for 5 rounds must
+    // not wipe the vocabulary through an empty-top cross join
+    val vocab = Seq(("ab", 3L)).toDF("word", "n")
+    val merges = Bpe.learnMerges(vocab, "word", "n", rounds = 5).collect()
+    assert(merges.length == 1, "only the learnable round emits a merge row")
+    assert(merges.head.getString(1) == "a" && merges.head.getString(2) == "b")
+    val toks = Bpe.mergedVocab(vocab, "word", "n", rounds = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(toks == Seq(("ab", 3L)), "vocabulary must pass through unchanged")
+  }
+
   test("merged token boundaries never false-match inside multi-char tokens") {
     // after merging (a,b), a word containing "...ab c..." must not let a
     // later (b,c) merge eat the b out of "ab"

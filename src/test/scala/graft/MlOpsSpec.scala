@@ -33,6 +33,39 @@ class MlOpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_late") == 2)
   }
 
+  test("driftChi2 one-sided split yields NULL chi2 terms, never NaN/Inf") {
+    // all timestamps equal -> every row is 'late' (strict midpoint),
+    // tot_early = 0 -> expected counts are 0; terms must guard to NULL
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((1.0, t), (2.0, t), (9.0, t)).toDF("v", "ts")
+    val out = Stats.driftChi2(df, col("v"), col("ts"), nBins = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.isNullAt(3)), "degenerate split must yield NULL terms")
+  }
+
+  test("bigramScore survives bigram counts past the 64-bit product bound") {
+    // 1000 docs x 9400 'a' tokens -> n_pair('a','a') = 9.399M; the
+    // intermediate n_pair*10^12 exceeds 2^63 and would wrap long math
+    // negative — the DECIMAL path must still score p = 1.0 exactly
+    val txt = ("a " * 9400).trim
+    val docs = (0L until 1000L).map((_, txt)).toDF("id", "text")
+    val out = LangModel.bigramScore(docs, "id", "text")
+      .agg(min("avg_prob"), max("avg_prob")).head()
+    assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 1.0)
+  }
+
+  test("tfidfTopK survives tf products past the 64-bit scale bound") {
+    // two docs of 3100 repeated tokens: tfq*tf = 9.61e6, so the scaled
+    // product exceeds 2^63 — long math wraps the dot product negative;
+    // the DECIMAL path must rank the twin at cosine exactly 1.0
+    val txt = ("x " * 3100).trim
+    val docs = Seq((0L, txt), (1L, txt), (2L, "y z")).toDF("id", "text")
+    val out = Similarity.tfidfTopK(docs, "id", "text", Seq(0L), k = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("nid") == 1L)
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+  }
+
   test("bigramScore skips docs with fewer than two tokens") {
     val docs = Seq((1L, "a b a b"), (2L, "solo"), (3L, "")).toDF("id", "text")
     val out = LangModel.bigramScore(docs, "id", "text").collect()

@@ -134,6 +134,14 @@ class SketchesSpec extends SparkSpec {
     assert(merged === kmv(whole, 48))
   }
 
+  test("kmv rejects non-positive k at analysis time") {
+    // k = 0 would silently return empty sketches from every group
+    val e = intercept[Exception] { kmv(domain(10), 0) }
+    assert(e.getMessage.contains("k >= 1"), s"got: ${e.getMessage}")
+    val neg = intercept[Exception] { kmv(domain(10), -3) }
+    assert(neg.getMessage.contains("k >= 1"))
+  }
+
   test("kmv cardinality estimate lands within a few standard errors") {
     val hs = kmv(domain(5000), 128)
     val est = 127.0 * 4503599627370496.0 / hs.last.toDouble
