@@ -76,7 +76,9 @@ object Bpe {
       spacedChars(col(wordCol)).as("sp"),
       col(countCol).cast(LongType).as("n"))
     val merges = Seq.newBuilder[DataFrame]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val top = v
         .select(explode(adjacentPairs(col("sp"))).as("p"), col("n"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
@@ -97,6 +99,14 @@ object Bpe {
             "replace(' ' || sp || ' ', ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')")))
             .as("sp"),
           col("n"))
+      // Once a round finds no learnable pair, v is provably fixed and
+      // every later round's pair-count aggregate + broadcast join is
+      // wasted work. Probe only every 4th round (each probe is an extra
+      // bounded action) so the common non-exhausted path keeps its lazy
+      // single-job chaining; skipped rounds would have contributed zero
+      // merge rows, so the output is unchanged.
+      if (r % 4 == 0 && r < rounds) exhausted = top.isEmpty
+      r += 1
     }
     (merges.result().reduce(_ unionAll _), v)
   }

@@ -136,12 +136,18 @@ object Dedup {
     * BIGINT — deterministic and portable (see [[minhashWide]]). Computed
     * wide (one shuffle) and unpivoted map-side.
     */
-  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    signaturesFromWide(minhashWide(shingles, idCol, numHashes), idCol, numHashes)
+
+  /** Long-format unpivot of an existing wide signature frame — map-side
+    * only, so consumers that already hold (or persist) the wide frame pay
+    * no re-aggregation.
+    */
+  def signaturesFromWide(wide: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     val stackArgs = (0 until numHashes)
       .map(i => s"${i}L, mh$i").mkString(", ")
-    minhashWide(shingles, idCol, numHashes)
-      .select(col(idCol),
-        expr(s"stack($numHashes, $stackArgs)").as(Seq("seed", "minhash")))
+    wide.select(col(idCol),
+      expr(s"stack($numHashes, $stackArgs)").as(Seq("seed", "minhash")))
   }
 
   /** Collapse signatures into per-band bucket keys: band = seed / rows,

@@ -147,6 +147,12 @@ object Similarity {
       .join(broadcast(wq), Seq("term"))
       .filter(col("doc") =!= col("qid"))
       .groupBy(col("qid"), col("doc"))
+      // The per-pair SUM stays signed 64-bit in BOTH engines, but their
+      // failure modes past 2^63 differ: Spark's long sum wraps silently
+      // while the oracle's CAST(SUM(...) AS BIGINT) raises out-of-range.
+      // Unreachable under the ~9M-shared-rare-terms bound documented
+      // above; if that bound ever tightens, sum in DECIMAL(38,0) here
+      // too so both engines fail (or succeed) identically.
       .agg(sum(contrib).cast(LongType).as("dp"))
     val nrm = w
       .select(col("doc"),

@@ -398,8 +398,7 @@ object Curation {
        |         WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
        |$pipelineTail""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val clusters = Dedup.dupClusters(
-      Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 16, rowsPerBand = 4))
+    val clusters = Dedup.dupClusters(LlmText.corpusPairs(s, d))
     docs
       .join(clusters, Seq("doc_id"), "left")
       .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
@@ -534,8 +533,7 @@ object Curation {
        |       ${Q.splitCase("rep")} AS split
        |FROM a""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val clusters = Dedup.dupClusters(
-      Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 16, rowsPerBand = 4))
+    val clusters = Dedup.dupClusters(LlmText.corpusPairs(s, d))
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep"))

@@ -1,0 +1,33 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Process-wide memo for derived DataFrames shared by several registered
+  * queries — the analogue of [[Tables]]' plan memo, but for frames worth
+  * PERSISTING because (a) multiple queries consume the identical frame and
+  * (b) recomputing it repeats the expensive part of a whole query family
+  * (e.g. the dedup block's shingle-explode + MinHash aggregate).
+  *
+  * Persisting also truncates lineage: a consumer's plan starts from the
+  * cached blocks, so a transient host stall inside the shared stage can
+  * hit at most the first query to touch it, not every consumer (r11 lost
+  * `dedup_minhash_pairs` to exactly such a stall). This mirrors the
+  * production shape — at 100 TB the signature store is persisted state
+  * (a table), not something each consumer re-derives from raw text.
+  *
+  * Keyed on the SparkSession REFERENCE plus a caller-chosen string (which
+  * must encode the data dir and any parameters). Entries bound to a
+  * stopped session are evicted lazily, same as [[Tables]].
+  */
+object Frames {
+  private val frames = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    frames.keySet.removeIf(_._1.sparkContext.isStopped)
+    frames.computeIfAbsent((spark, key),
+      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+}
