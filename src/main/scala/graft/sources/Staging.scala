@@ -17,6 +17,12 @@ object Staging {
   def readCsvAllString(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
     spark.read
       .option("header", "true")
+      // RFC-4180 / PostgreSQL COPY CSV convention: a quote inside a quoted
+      // field is DOUBLED (`8 1/2 x 11"", Case`), not backslash-escaped.
+      // Spark's default escape (backslash) silently misparses such rows —
+      // caught by the reference's real incremental fixtures, whose product
+      // names carry embedded `""` (IncrementalFixtureSpec).
+      .option("escape", "\"")
       .schema(StructType(columns.map(StructField(_, StringType, nullable = true))))
       .csv(path)
 
