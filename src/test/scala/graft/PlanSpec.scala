@@ -97,6 +97,21 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unscalable join shapes:\n${offenders.mkString("\n")}")
   }
 
+  test("dedup family reads the persisted signature store instead of re-shingling") {
+    // The MinHash consumers share ONE persisted wide-signature frame
+    // (LlmText.corpusWide) — the production contract that the signature
+    // store is persisted state. If a rewire silently reintroduces a
+    // per-query shingle recompute, the cached scan disappears from the
+    // plan and this fails. (Cluster queries checkpoint eagerly, so the
+    // cache is invisible in their final plans — the pair queries below
+    // are the lineage that feeds them.)
+    for (n <- Seq("dedup_minhash_signatures", "dedup_minhash_pairs",
+        "dedup_incremental_pairs")) {
+      assert(plan(n).contains("InMemoryTableScan"),
+        s"$n does not read the shared signature frame")
+    }
+  }
+
   test("snapshot diff reconciles in exactly one full-outer join") {
     val p = SparkEntry.queries("s11_snapshot_diff")(spark, sfDir)
       .queryExecution.sparkPlan.toString
