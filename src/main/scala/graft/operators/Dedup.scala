@@ -429,6 +429,84 @@ object Dedup {
         max(coalesce(col("train_df"), lit(0L))).as("max_train_df"))
   }
 
+  /** Exact duplicated-substring occurrences: one row per L-token window
+    * position, keyed by the md5 of the window's text. The distributed
+    * re-expression of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a span
+    * of ≥ L tokens duplicated anywhere in the corpus necessarily
+    * duplicates every L-token window inside it, so the window index finds
+    * exactly the positions suffix arrays would — with a map-side window
+    * explode + hash aggregates instead of a global sort/suffix structure
+    * no cluster can build at 100 TB. Windows come off each doc's token
+    * array in place (like [[shingleSet]]); only (id, pos, hash) rows
+    * shuffle, never text.
+    */
+  def spanOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame =
+    graft.sources.Tables.spread(docs)
+      .select(col(idCol),
+        posexplode(TextAnalysis.shingles(col(textCol), l)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast(LongType).as("pos"),
+        md5(col("gram")).as("span_h"))
+
+  /** The corpus's duplicated-span index: every L-token window text that
+    * occurs more than once (within OR across documents — suffix-array
+    * semantics; within-doc self-repetition is duplication too), with its
+    * occurrence and document counts. One hash aggregate on the span hash.
+    */
+  def duplicatedSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame =
+    spanOccurrences(docs, idCol, textCol, l)
+      .groupBy(col("span_h"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_occ"),
+        countDistinct(col(idCol)).cast(LongType).as("n_docs"))
+      .filter(col("n_occ") > 1)
+
+  /** Per-document duplicated-token coverage: how many of each doc's
+    * tokens sit inside some L-token window whose text occurs ≥ 2 times in
+    * the corpus — the quantity Lee et al. cut on. Overlapping duplicated
+    * windows are merged into islands first (interval union), so a long
+    * duplicated passage counts each token once, not once per window.
+    *
+    * Plan shape: the window functions are PARTITIONED BY document (the
+    * per-doc position list is bounded by doc length, never corpus-wide),
+    * the duplicate filter is a left-semi join on the span hash, and the
+    * final join back to the corpus is per-doc 1:1. Output:
+    * (id, n_tokens, n_dup_tokens) for every document, 0 for clean docs.
+    */
+  def duplicatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = spanOccurrences(docs, idCol, textCol, l)
+    val dupKeys = occ.groupBy(col("span_h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") > 1)
+      .select(col("span_h"))
+    val dupPos = occ.join(dupKeys, Seq("span_h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val before = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = dupPos
+      .withColumn("prev_end", max(col("pos") + l).over(before))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(upTo))
+    val covered = islands
+      .groupBy(col(idCol), col("island"))
+      .agg((max(col("pos") + l) - min(col("pos"))).as("covered"))
+      .groupBy(col(idCol))
+      .agg(sum(col("covered")).cast(LongType).as("n_dup_tokens"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast(LongType).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
   /** Exact Jaccard similarity for given (doc_a, doc_b) pairs — the
     * verification stage after LSH candidate generation.
     */

@@ -252,6 +252,65 @@ object LlmText {
     Dedup.dupClusters(corpusPairs(s, d))
   }
 
+  /** Shared oracle CTE body: one row per 8-token window position, keyed by
+    * the md5 of the window text — relation occ(doc_id, pos, span_h), pos
+    * 0-based. The SQL re-derivation of [[Dedup.spanOccurrences]].
+    */
+  private val spanOccCte: String = {
+    val gram = (0 until 8).map(o => s"l[i + $o]").mkString(" || ' ' || ")
+    s"""toks8 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5($gram) AS span_h
+       |        FROM toks8 CROSS JOIN LATERAL
+       |          (SELECT unnest(range(1, len(l) - 6)) AS i) t)""".stripMargin
+  }
+
+  /** Exact substring-dedup index (Lee et al. 2022 re-expressed as an
+    * L-token window index — see [[Dedup.duplicatedSpanIndex]]): every
+    * 8-token span text occurring ≥ 2 times corpus-wide, with occurrence
+    * and document counts. The md5 span keys are engine-portable, so the
+    * whole index hash-matches the oracle.
+    */
+  private val substringIndex = Q(
+    "dedup_substring_index",
+    s"""WITH $spanOccCte
+       |SELECT span_h, CAST(count(*) AS BIGINT) AS n_occ,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM occ GROUP BY 1 HAVING count(*) > 1""".stripMargin) { (s, d) =>
+    Dedup.duplicatedSpanIndex(Tables.documents(s, d), "doc_id", "text", l = 8)
+  }
+
+  /** Per-document duplicated-token coverage over merged span islands —
+    * the cut quantity for substring-level dedup (docs whose duplicated
+    * fraction exceeds a threshold get trimmed or dropped). The oracle
+    * replays the interval union with the same doc-partitioned windows.
+    */
+  private val substringCoverage = Q(
+    "dedup_substring_coverage",
+    s"""WITH $spanOccCte,
+       |dup AS (SELECT span_h FROM occ GROUP BY 1 HAVING count(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM occ JOIN dup USING (span_h)),
+       |mk AS (SELECT doc_id, pos,
+       |              CASE WHEN pos > coalesce(max(pos + 8) OVER
+       |                     (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                   CAST(-1 AS BIGINT))
+       |                   THEN 1 ELSE 0 END AS ni
+       |       FROM dp),
+       |isl AS (SELECT doc_id, pos, SUM(ni) OVER
+       |              (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |        FROM mk),
+       |cov AS (SELECT doc_id, island, max(pos + 8) - min(pos) AS covered
+       |        FROM isl GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS n_dup_tokens
+       |        FROM cov GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |       coalesce(per.n_dup_tokens, CAST(0 AS BIGINT)) AS n_dup_tokens
+       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin) { (s, d) =>
+    Dedup.duplicatedSpanCoverage(Tables.documents(s, d), "doc_id", "text", l = 8)
+  }
+
   /** Incremental cluster maintenance: history (doc_id < 250) is clustered
     * once; the new batch folds in through its incremental candidate pairs
     * and [[Dedup.mergeClusters]] (old connectivity enters as star edges).
@@ -1042,7 +1101,7 @@ object LlmText {
 
   val queries: Seq[Q] =
     Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs,
-      clusters, clustersIncremental, simhash,
+      clusters, clustersIncremental, substringIndex, substringCoverage, simhash,
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,

@@ -281,4 +281,37 @@ class DedupSpec extends SparkSpec {
     assert(near.forall(_ <= 12), s"near-dup distances $near exceed 12/32 bits")
     assert(far >= 8, s"unrelated docs only $far bits apart")
   }
+
+  test("duplicated-span index and coverage: exact windows, merged islands, within-doc repeats") {
+    // doc1/doc2 share the 5-token run "a b c d e" (3 overlapping 3-token
+    // windows each — must merge to ONE island of 5 covered tokens);
+    // doc3 is clean; doc4 is pure self-repetition ("m m m" at pos 0 and 1
+    // — suffix-array semantics count within-doc duplication too).
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x a b c d e y"),
+      (3L, "p q r s t u v"),
+      (4L, "m m m m")).toDF("doc_id", "text")
+
+    val idx = Dedup.duplicatedSpanIndex(docs, "doc_id", "text", l = 3)
+      .as[(String, Long, Long)].collect().toSet
+    val expectedGrams = Map(
+      "a b c" -> (2L, 2L), "b c d" -> (2L, 2L), "c d e" -> (2L, 2L),
+      "m m m" -> (2L, 1L))
+    val expectedIdx = expectedGrams.map { case (g, (occ, nd)) =>
+      (java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString, occ, nd)
+    }.toSet
+    assert(idx == expectedIdx)
+
+    val cov = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", l = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nt, nd) => id -> ((nt, nd)) }.toMap
+    assert(cov == Map(
+      1L -> (7L, 5L), // island [0,5): a b c d e; f g clean
+      2L -> (7L, 5L), // island [1,6): same run, shifted
+      3L -> (7L, 0L), // clean doc still reported, zero coverage
+      4L -> (4L, 4L)) // overlapping self-repeats merge to the whole doc
+    )
+  }
 }
