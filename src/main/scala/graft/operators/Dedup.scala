@@ -463,6 +463,38 @@ object Dedup {
         countDistinct(col(idCol)).cast(LongType).as("n_docs"))
       .filter(col("n_occ") > 1)
 
+  /** The persisted span-count store: one row per distinct L-token window
+    * text with its corpus occurrence count — the substring analog of the
+    * LSH band-key store. Incremental maintenance appends a batch's counts
+    * instead of re-windowing history.
+    */
+  def spanCountStore(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame =
+    spanOccurrences(docs, idCol, textCol, l)
+      .groupBy(col("span_h"))
+      .agg(count(lit(1)).cast(LongType).as("n_old"))
+
+  /** Incremental substring-dedup maintenance: the spans that are
+    * duplicated corpus-wide AND involve the new batch, computed from the
+    * persisted count store plus the NEW batch's occurrences only —
+    * history text is never re-windowed, and the keyed left join touches
+    * exactly the store rows the new spans land on. `store` is the
+    * PRE-batch state (unlike the band-key store contract, which appends
+    * first): totals are store + new, so new-vs-new duplication — a span
+    * occurring twice inside the batch but absent from history — surfaces
+    * too. Output: (span_h, n_occ, n_new), n_occ > 1.
+    */
+  def incrementalDuplicatedSpans(store: DataFrame, newOcc: DataFrame): DataFrame =
+    newOcc
+      .groupBy(col("span_h"))
+      .agg(count(lit(1)).cast(LongType).as("n_new"))
+      .join(store, Seq("span_h"), "left")
+      .select(
+        col("span_h"),
+        (coalesce(col("n_old"), lit(0L)) + col("n_new")).as("n_occ"),
+        col("n_new"))
+      .filter(col("n_occ") > 1)
+
   /** Per-document duplicated-token coverage: how many of each doc's
     * tokens sit inside some L-token window whose text occurs ≥ 2 times in
     * the corpus — the quantity Lee et al. cut on. Overlapping duplicated

@@ -279,6 +279,31 @@ object LlmText {
     Dedup.duplicatedSpanIndex(Tables.documents(s, d), "doc_id", "text", l = 8)
   }
 
+  /** Incremental substring dedup: the spans duplicated corpus-wide that
+    * involve the NEW batch (doc_id >= 250), computed from the persisted
+    * span-count store plus the new batch's windows only — history text is
+    * never re-windowed (the substring analog of
+    * `dedup_incremental_pairs`). The oracle recomputes the same totals
+    * from scratch, so a hash match certifies store + batch ≡ one-shot,
+    * including new-vs-new duplication.
+    */
+  private val substringIncremental = Q(
+    "dedup_substring_incremental",
+    s"""WITH $spanOccCte,
+       |agg AS (SELECT span_h, CAST(count(*) AS BIGINT) AS n_occ,
+       |               CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |        FROM occ GROUP BY 1)
+       |SELECT span_h, n_occ, n_new FROM agg
+       |WHERE n_occ > 1 AND n_new > 0""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // in production the count store is persisted state; here the history
+    // half is necessarily rebuilt from the same table (same caveat as
+    // dedup_incremental_pairs)
+    Dedup.incrementalDuplicatedSpans(
+      Dedup.spanCountStore(docs.filter(col("doc_id") < 250), "doc_id", "text", l = 8),
+      Dedup.spanOccurrences(docs.filter(col("doc_id") >= 250), "doc_id", "text", l = 8))
+  }
+
   /** Per-document duplicated-token coverage over merged span islands —
     * the cut quantity for substring-level dedup (docs whose duplicated
     * fraction exceeds a threshold get trimmed or dropped). The oracle
@@ -1101,7 +1126,8 @@ object LlmText {
 
   val queries: Seq[Q] =
     Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs,
-      clusters, clustersIncremental, substringIndex, substringCoverage, simhash,
+      clusters, clustersIncremental, substringIndex, substringCoverage,
+      substringIncremental, simhash,
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,

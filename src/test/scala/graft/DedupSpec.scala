@@ -314,4 +314,36 @@ class DedupSpec extends SparkSpec {
       4L -> (4L, 4L)) // overlapping self-repeats merge to the whole doc
     )
   }
+
+  test("incremental span maintenance: store + new batch == one-shot, incl. new-vs-new dups") {
+    // history: docs 1-2 (share "a b c"); batch: doc 10 duplicates a
+    // history span, docs 11/12 duplicate each other in a span history
+    // never saw (new-vs-new), doc 13 is clean
+    val history = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c w")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "q a b c r"),
+      (11L, "n1 n2 n3 n4"),
+      (12L, "m0 n1 n2 n3"),
+      (13L, "u v w x y")).toDF("doc_id", "text")
+    val inc = Dedup.incrementalDuplicatedSpans(
+        Dedup.spanCountStore(history, "doc_id", "text", l = 3),
+        Dedup.spanOccurrences(batch, "doc_id", "text", l = 3))
+      .as[(String, Long, Long)].collect().toSet
+
+    // one-shot over the full corpus, restricted to spans the batch touches
+    val full = history.unionByName(batch)
+    val oneShot = Dedup.duplicatedSpanIndex(full, "doc_id", "text", l = 3)
+    val batchKeys = Dedup.spanOccurrences(batch, "doc_id", "text", l = 3)
+      .groupBy(col("span_h")).agg(count(lit(1)).cast("long").as("n_new"))
+    val expected = oneShot.join(batchKeys, Seq("span_h"))
+      .select(col("span_h"), col("n_occ"), col("n_new"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(inc == expected)
+    // the batch surfaced both kinds: a history span re-hit and a
+    // new-vs-new span history never saw
+    assert(inc.exists { case (_, occ, nw) => occ == 3L && nw == 1L }) // "a b c"
+    assert(inc.exists { case (_, occ, nw) => occ == 2L && nw == 2L }) // "n1 n2 n3"
+  }
 }
