@@ -1,17 +1,26 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
-/** Streaming exact deduplication at ingest — the streaming face of
-  * [[graft.operators.Dedup.exactGroups]] (same md5-fingerprint family).
+import graft.operators.Dedup
+import graft.sources.TableStore
+
+/** Streaming deduplication at ingest.
   *
-  * Scale shape: state is keyed by fingerprint and evicted once the
-  * watermark passes `horizon` beyond a key's first arrival
-  * (`dropDuplicatesWithinWatermark`), so memory is bounded by the dedup
-  * horizon × ingest rate, not by corpus size. A duplicate arriving after
-  * the horizon re-emits — the standard bounded-state tradeoff; exact
-  * global dedup stays a batch job ([[graft.operators.Dedup]]).
+  * Exact: the streaming face of [[graft.operators.Dedup.exactGroups]]
+  * (same md5-fingerprint family). State is keyed by fingerprint and
+  * evicted once the watermark passes `horizon` beyond a key's first
+  * arrival (`dropDuplicatesWithinWatermark`), so memory is bounded by the
+  * dedup horizon × ingest rate, not by corpus size. A duplicate arriving
+  * after the horizon re-emits — the standard bounded-state tradeoff;
+  * exact global dedup stays a batch job ([[graft.operators.Dedup]]).
+  *
+  * Near-dup: [[nearDupMaintainer]] keeps the MinHash-LSH band-key store
+  * current from a document stream and emits each micro-batch's candidate
+  * near-dup pairs against everything seen so far — online what
+  * [[graft.operators.Dedup.incrementalCandidatePairs]] is per batch.
   */
 object StreamDedup {
 
@@ -25,4 +34,69 @@ object StreamDedup {
       .withColumn("fp", md5(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Maintain the band-key store + candidate-pair log from a document
+    * stream: each micro-batch shingles ONLY its own documents, joins its
+    * band keys against the store (history is never re-shingled — the
+    * [[graft.operators.Dedup.incrementalCandidatePairs]] contract), logs
+    * the new candidate pairs, and commits the grown store. Union over all
+    * batches of the emitted pairs equals the one-shot corpus pair set
+    * (StreamNearDupSpec asserts it) — so a downstream clustering job
+    * always sees complete candidate edges no matter how the corpus was
+    * batched.
+    */
+  def nearDupMaintainer(stream: DataFrame, store: TableStore,
+      bandTable: String, pairsTable: String, idCol: String, textCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      shingleN: Int = 3): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(store, bandTable, pairsTable, idCol, textCol,
+          numHashes, rowsPerBand, shingleN)(batch.toDF(), batchId)
+      }
+
+  /** The per-batch fold, exposed for direct testing of replay semantics.
+    *
+    * Replay safety (foreachBatch is at-least-once): the applied batch id
+    * rides on the band store and commits in its atomic overwrite LAST, so
+    * a replayed batch short-circuits; the pair log commits FIRST and is
+    * idempotent by reconstruction — any partial rows a crashed attempt of
+    * THIS batch id left behind are replaced, not doubled. Both commits
+    * are full-table overwrites, same tradeoff as [[StreamCdc]]: O(state)
+    * per batch buys a plain table every batch query can read (a real
+    * deployment appends store partitions instead).
+    */
+  def applyBatch(store: TableStore, bandTable: String, pairsTable: String,
+      idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
+      shingleN: Int)(batch: DataFrame, batchId: Long): Unit = {
+    val lastApplied =
+      if (!store.exists(bandTable)) -1L
+      else {
+        val r = store.read(bandTable).agg(max(col("__applied"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    if (batchId > lastApplied) {
+      val newBands = Dedup.bandKeysFromWide(
+        Dedup.minhashWide(
+          batch.select(col(idCol),
+            explode(graft.functions.TextAnalysis.shingles(col(textCol), shingleN))
+              .as("shingle")),
+          idCol, numHashes),
+        idCol, numHashes, rowsPerBand)
+        .localCheckpoint() // shingle once; bands feed the join AND the store
+      val oldBands =
+        if (store.exists(bandTable)) store.read(bandTable).drop("__applied")
+        else newBands.limit(0)
+      val allBands = oldBands.unionByName(newBands)
+      val newPairs = Dedup.incrementalCandidatePairs(allBands, newBands, idCol)
+        .withColumn("__batch", lit(batchId))
+      val keptPairs =
+        if (store.exists(pairsTable))
+          store.read(pairsTable).filter(col("__batch") =!= batchId)
+        else newPairs.limit(0)
+      store.overwrite(pairsTable, keptPairs.unionByName(newPairs))
+      store.overwrite(bandTable, allBands.withColumn("__applied", lit(batchId)))
+    }
+  }
 }

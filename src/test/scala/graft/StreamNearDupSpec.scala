@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.TableStore
+import graft.streaming.StreamDedup
+
+/** Streaming near-dup maintenance: the micro-batch band-store folds must
+  * emit, across all batches, exactly the one-shot banded-LSH candidate
+  * pair set — including pairs whose members arrive in different batches —
+  * and a replayed batch must be a no-op.
+  */
+class StreamNearDupSpec extends SparkSpec {
+  private lazy val s = spark
+  import s.implicits._
+
+  /** Near-dup corpus (DedupSpec's construction): near-dup pairs differ in
+    * one token, exact dups repeat a base doc, singletons share nothing.
+    * Batched by doc_id % 3 so every near-dup pair straddles batches.
+    */
+  private def corpus = {
+    def doc(seed: Int, tweak: Int = -1) =
+      (0 until 60).map(t => if (t == tweak) s"X${seed}_$t" else s"w${seed}_$t").mkString(" ")
+    ((0 until 6).flatMap { c =>
+      Seq((c * 10L, doc(c)), (c * 10L + 1, doc(c, tweak = 30)))
+    } ++
+      (100 until 106).map(i => (i.toLong, doc(i))) ++
+      Seq((200L, doc(0)), (201L, doc(1))))
+      .toDF("doc_id", "text")
+  }
+
+  private def oneShotPairs =
+    Dedup.minhashPairs(corpus, "doc_id", "text", numHashes = 16, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+
+  test("cross-batch folds emit exactly the one-shot candidate pair set; replay is a no-op") {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sdedup").toString)
+    val fold = StreamDedup.applyBatch(
+      store, "bands", "pairs", "doc_id", "text", 16, 4, 3) _
+    (0 to 2).foreach { i =>
+      fold(corpus.filter(col("doc_id") % 3 === i), i.toLong)
+    }
+    def emitted = store.read("pairs")
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(emitted == oneShotPairs)
+    assert(oneShotPairs.nonEmpty) // the invariant is not vacuous
+
+    val bandsBefore = store.read("bands").collect().toSet
+    fold(corpus.filter(col("doc_id") % 3 === 2), 2L) // at-least-once replay
+    assert(emitted == oneShotPairs)
+    assert(store.read("bands").collect().toSet == bandsBefore)
+  }
+
+  test("a real AvailableNow stream reaches the same store state") {
+    val srcDir = Files.createTempDirectory("graft_sdedup_src").toString
+    (0 to 2).foreach { i =>
+      corpus.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val store = new TableStore(s, Files.createTempDirectory("graft_sdedup2").toString)
+    val stream = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    StreamDedup.nearDupMaintainer(stream, store, "bands", "pairs", "doc_id", "text")
+      .start().awaitTermination()
+    assert(
+      store.read("pairs").select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toSet == oneShotPairs)
+    // the store's band keys equal a one-shot banding of the corpus
+    val oneShotBands = Dedup.bandKeysFromWide(
+      Dedup.minhashWide(
+        corpus.select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.shingles(col("text"), 3)).as("shingle")),
+        "doc_id", 16),
+      "doc_id", 16, 4).as[(Long, Long, String)].collect().toSet
+    assert(
+      store.read("bands").select(col("doc_id"), col("band"), col("band_key"))
+        .as[(Long, Long, String)].collect().toSet == oneShotBands)
+  }
+}
