@@ -24,7 +24,10 @@ object Debug {
     if (args.contains("--aqe-off"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     val repeat = args.find(_.startsWith("--repeat="))
-      .map(_.stripPrefix("--repeat=").toInt).getOrElse(1)
+      .map(_.stripPrefix("--repeat="))
+      .map(v => v.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"--repeat needs a positive integer, got '$v'")))
+      .getOrElse(1)
     args.filterNot(_.startsWith("--")).foreach { name =>
       try {
         // construction included in the timing — some queries (iterative

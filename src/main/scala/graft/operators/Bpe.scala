@@ -101,11 +101,17 @@ object Bpe {
           col("n"))
       // Once a round finds no learnable pair, v is provably fixed and
       // every later round's pair-count aggregate + broadcast join is
-      // wasted work. Probe only every 4th round (each probe is an extra
-      // bounded action) so the common non-exhausted path keeps its lazy
-      // single-job chaining; skipped rounds would have contributed zero
-      // merge rows, so the output is unchanged.
-      if (r % 4 == 0 && r < rounds) exhausted = top.isEmpty
+      // wasted work. Probe only every 4th round, and localCheckpoint v
+      // first: without the checkpoint each probe would re-execute the
+      // whole r-round lineage from scratch (O(rounds²) aggregate work in
+      // the common non-exhausted case); with it, a probe — and every
+      // later round's planning — reaches back at most 4 rounds. Skipped
+      // rounds would have contributed zero merge rows, so the output is
+      // unchanged either way.
+      if (r % 4 == 0 && r < rounds) {
+        v = v.localCheckpoint()
+        exhausted = top.isEmpty
+      }
       r += 1
     }
     (merges.result().reduce(_ unionAll _), v)

@@ -456,7 +456,14 @@ object Dedup {
     */
   def duplicatedSpanIndex(docs: DataFrame, idCol: String, textCol: String,
       l: Int): DataFrame =
-    spanOccurrences(docs, idCol, textCol, l)
+    duplicatedSpanIndexFromOcc(spanOccurrences(docs, idCol, textCol, l), idCol)
+
+  /** [[duplicatedSpanIndex]] over an existing (possibly persisted)
+    * occurrence frame — consumers that share one span-occurrence store
+    * across queries pass it here instead of re-windowing the corpus.
+    */
+  def duplicatedSpanIndexFromOcc(occ: DataFrame, idCol: String): DataFrame =
+    occ
       .groupBy(col("span_h"))
       .agg(
         count(lit(1)).cast(LongType).as("n_occ"),
@@ -470,7 +477,11 @@ object Dedup {
     */
   def spanCountStore(docs: DataFrame, idCol: String, textCol: String,
       l: Int): DataFrame =
-    spanOccurrences(docs, idCol, textCol, l)
+    spanCountStoreFromOcc(spanOccurrences(docs, idCol, textCol, l))
+
+  /** [[spanCountStore]] over an existing occurrence frame. */
+  def spanCountStoreFromOcc(occ: DataFrame): DataFrame =
+    occ
       .groupBy(col("span_h"))
       .agg(count(lit(1)).cast(LongType).as("n_old"))
 
@@ -508,9 +519,17 @@ object Dedup {
     * (id, n_tokens, n_dup_tokens) for every document, 0 for clean docs.
     */
   def duplicatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
-      l: Int): DataFrame = {
+      l: Int): DataFrame =
+    // occ feeds BOTH the duplicate-key aggregate and the semi-join probe
+    // side: checkpoint it so a standalone call windows the corpus once,
+    // not twice (catalog consumers pass a persisted shared frame instead)
+    duplicatedSpanCoverageFromOcc(docs,
+      ckpt(spanOccurrences(docs, idCol, textCol, l)), idCol, textCol, l)
+
+  /** [[duplicatedSpanCoverage]] over an existing occurrence frame. */
+  def duplicatedSpanCoverageFromOcc(docs: DataFrame, occ: DataFrame,
+      idCol: String, textCol: String, l: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val occ = spanOccurrences(docs, idCol, textCol, l)
     val dupKeys = occ.groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") > 1)
       .select(col("span_h"))

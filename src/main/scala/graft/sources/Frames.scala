@@ -30,4 +30,21 @@ object Frames {
     frames.computeIfAbsent((spark, key),
       _ => build.persist(StorageLevel.MEMORY_AND_DISK))
   }
+
+  /** Unpersist and forget one shared frame (a dir's data was replaced, or
+    * its query family is done). Entries are otherwise held for the
+    * session's lifetime — fine for the bounded catalog usage here (a few
+    * frames per data dir), but a long-lived session cycling through many
+    * dirs should release retired ones explicitly.
+    */
+  def drop(spark: SparkSession, key: String): Unit = {
+    val df = frames.remove((spark, key))
+    if (df != null) df.unpersist()
+  }
+
+  /** Unpersist and forget every shared frame of one session. */
+  def clear(spark: SparkSession): Unit =
+    frames.keySet.forEach { k =>
+      if (k._1 eq spark) drop(spark, k._2)
+    }
 }

@@ -44,13 +44,22 @@ object StreamDedup {
     * (StreamNearDupSpec asserts it) — so a downstream clustering job
     * always sees complete candidate edges no matter how the corpus was
     * batched.
+    *
+    * `checkpointDir` is REQUIRED (not optional) because the store's
+    * replay guard keys on the stream's batch ids: without a durable
+    * checkpoint, a restarted stream re-allocates batch ids from 0, every
+    * new batch compares <= the store's high-water mark, and ingest
+    * silently drops — the guard can only be as durable as the id
+    * sequence it checks.
     */
   def nearDupMaintainer(stream: DataFrame, store: TableStore,
+      checkpointDir: String,
       bandTable: String, pairsTable: String, idCol: String, textCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4,
       shingleN: Int = 3): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(store, bandTable, pairsTable, idCol, textCol,
           numHashes, rowsPerBand, shingleN)(batch.toDF(), batchId)

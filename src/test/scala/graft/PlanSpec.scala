@@ -106,9 +106,10 @@ class PlanSpec extends SparkSpec {
     // cache is invisible in their final plans — the pair queries below
     // are the lineage that feeds them.)
     for (n <- Seq("dedup_minhash_signatures", "dedup_minhash_pairs",
-        "dedup_incremental_pairs")) {
+        "dedup_incremental_pairs", "dedup_substring_index",
+        "dedup_substring_coverage", "dedup_substring_incremental")) {
       assert(plan(n).contains("InMemoryTableScan"),
-        s"$n does not read the shared signature frame")
+        s"$n does not read its shared persisted frame")
     }
   }
 

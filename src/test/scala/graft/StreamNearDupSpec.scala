@@ -55,17 +55,28 @@ class StreamNearDupSpec extends SparkSpec {
     assert(store.read("bands").collect().toSet == bandsBefore)
   }
 
-  test("a real AvailableNow stream reaches the same store state") {
+  test("a real AvailableNow stream reaches the same store state, across a restart") {
     val srcDir = Files.createTempDirectory("graft_sdedup_src").toString
-    (0 to 2).foreach { i =>
+    val ckptDir = Files.createTempDirectory("graft_sdedup_ckpt").toString
+    val store = new TableStore(s, Files.createTempDirectory("graft_sdedup2").toString)
+    def run(): Unit = {
+      val stream = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      StreamDedup.nearDupMaintainer(stream, store, ckptDir,
+        "bands", "pairs", "doc_id", "text").start().awaitTermination()
+    }
+    // first process lifetime sees two batches...
+    (0 to 1).foreach { i =>
       corpus.filter(col("doc_id") % 3 === i)
         .coalesce(1).write.mode("append").parquet(srcDir)
     }
-    val store = new TableStore(s, Files.createTempDirectory("graft_sdedup2").toString)
-    val stream = s.readStream.schema(corpus.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    StreamDedup.nearDupMaintainer(stream, store, "bands", "pairs", "doc_id", "text")
-      .start().awaitTermination()
+    run()
+    // ...then the stream RESTARTS from the same checkpoint and must ingest
+    // the third batch (durable batch ids keep the replay guard monotonic —
+    // without the checkpoint a restart would silently drop it)
+    corpus.filter(col("doc_id") % 3 === 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
     assert(
       store.read("pairs").select(col("doc_a"), col("doc_b"))
         .as[(Long, Long)].collect().toSet == oneShotPairs)
