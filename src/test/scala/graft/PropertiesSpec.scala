@@ -88,4 +88,34 @@ class PropertiesSpec extends SparkSpec {
       assert(keyed.toSeq == (1L to ks.length).toSeq, s"keys=$ks")
     }
   }
+
+  test("duplicated-span coverage equals brute-force position marking on random corpora") {
+    // random docs over a tiny alphabet force plenty of repeated L-grams,
+    // within and across docs; the reference marks every covered token
+    // position directly, with no interval logic to share bugs with
+    import graft.operators.Dedup
+    val l = 3
+    val docGen = Gen.listOfN(14, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    samples(Gen.listOfN(6, docGen), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val grams: Seq[(Long, Int, String)] = texts.zipWithIndex.flatMap {
+        case (t, i) =>
+          val toks = t.split(" ")
+          (0 to toks.length - l).map(p =>
+            (i.toLong, p, toks.slice(p, p + l).mkString(" ")))
+      }
+      val dupTexts = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val covered = grams
+          .filter(g => g._1 == i.toLong && dupTexts(g._3))
+          .flatMap(g => g._2 until g._2 + l).toSet
+        i.toLong -> ((t.split(" ").length.toLong, covered.size.toLong))
+      }.toMap
+      val got = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", l)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, nt, nd) => id -> ((nt, nd)) }.toMap
+      assert(got == want, s"corpus=$texts")
+    }
+  }
 }
