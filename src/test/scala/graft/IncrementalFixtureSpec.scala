@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.functions.Cleaning
-import graft.operators.Scd2
+import graft.operators.{QualityChecks, Scd2}
 import graft.sources.{Staging, TableStore}
 
 /** Replays the reference's OWN incremental-load fixtures
@@ -174,5 +174,51 @@ class IncrementalFixtureSpec extends SparkSpec {
     assert(dim1.count() == dim0.count())
     assert(dim1.filter(!col(Scd2.IsActive)).count() == 0)
     assert(dim1.exceptAll(dim0).count() == 0 && dim0.exceptAll(dim1).count() == 0)
+  }
+
+  test("two-source SCD2 over the real batches keeps the M3-M6 invariants") {
+    val consumerOpt = staged("incremental_consumer.7z", consumerCols)
+    assume(consumerOpt.isDefined, "reference incremental fixtures not present")
+    val corporate = staged("incremental_corp_home.7z", corporateCols).get
+
+    // both feeds conformed to the dim's attribute shape (M3-M6: the
+    // second source watches its OWN columns but must carry every
+    // attribute for its inserts)
+    def conform(df: org.apache.spark.sql.DataFrame, idRaw: String) = df.select(
+      Cleaning.stripHashSuffix(col(idRaw)).as("customer_id"),
+      col("Email").as("email"),
+      col("Segment").as("segment"))
+    val consumerSrc = conform(consumerOpt.get, "Customer_Nr")
+    val corpSrc = conform(corporate, "Customer_ID")
+
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_fixture_wh2").toString)
+    store.overwrite("dim",
+      Scd2.initial(consumerSrc, Seq("customer_id"), Date.valueOf("2024-01-01")))
+    val dim1 = Scd2.scd2Apply(
+      store.read("dim"), corpSrc, Seq("customer_id"),
+      changeCols = Seq("segment"), runDate = Date.valueOf("2024-02-01"))
+
+    // at most one active version per key, no overlapping intervals
+    assert(QualityChecks.scd2ActiveViolations(dim1, Seq("customer_id")).isEmpty)
+    assert(QualityChecks.scd2OverlapViolations(dim1, Seq("customer_id")).isEmpty)
+    // the real feeds carry DISJOINT customer populations (consumer
+    // customers vs corporate accounts — the reference's segmentation),
+    // so the second source must be pure insert: every corporate customer
+    // arrives active as of the run date, and not one consumer version
+    // closes
+    val sharedKeys = corpSrc.select("customer_id")
+      .intersect(consumerSrc.select("customer_id")).count()
+    assert(sharedKeys == 0, "fixture premise: feeds are disjoint populations")
+    val newKeys = corpSrc.select("customer_id").distinct().count()
+    assert(dim1.filter(
+      col(Scd2.StartDt) === Date.valueOf("2024-02-01") && col(Scd2.IsActive))
+      .count() == newKeys)
+    assert(dim1.filter(col(Scd2.EndDt) === Date.valueOf("2024-02-01")).count() == 0)
+    // consumer history passes through bit-identical
+    val dim0 = store.read("dim")
+    assert(dim1.join(corpSrc.select("customer_id").distinct(),
+        Seq("customer_id"), "left_anti")
+      .exceptAll(dim0).count() == 0)
   }
 }
