@@ -55,6 +55,27 @@ class StreamNearDupSpec extends SparkSpec {
     assert(store.read("bands").collect().toSet == bandsBefore)
   }
 
+  test("a crash between the pair-log and band-store commits replays without duplicates") {
+    // applyBatch commits the pair log FIRST, the band store (carrying the
+    // applied-batch-id guard) LAST — so the dangerous partial state is
+    // "batch N's pairs written, batch N not marked applied". A replay of
+    // batch N must reconstruct, not double, its pair rows.
+    val store = new TableStore(s, Files.createTempDirectory("graft_sdedup3").toString)
+    val fold = StreamDedup.applyBatch(
+      store, "bands", "pairs", "doc_id", "text", 16, 4, 3) _
+    fold(corpus.filter(col("doc_id") % 3 === 0), 0L)
+    store.overwrite("bands_at_0", store.read("bands")) // pre-crash snapshot
+    fold(corpus.filter(col("doc_id") % 3 === 1), 1L)
+    val pairsAfter1 = store.read("pairs").collect().toSet
+    val bandsAfter1 = store.read("bands").collect().toSet
+    // simulate the crash: batch 1's pairs are on disk, but the band store
+    // never advanced past batch 0
+    store.overwrite("bands", store.read("bands_at_0"))
+    fold(corpus.filter(col("doc_id") % 3 === 1), 1L) // recovery replay
+    assert(store.read("pairs").collect().toSet == pairsAfter1)
+    assert(store.read("bands").collect().toSet == bandsAfter1)
+  }
+
   test("a real AvailableNow stream reaches the same store state, across a restart") {
     val srcDir = Files.createTempDirectory("graft_sdedup_src").toString
     val ckptDir = Files.createTempDirectory("graft_sdedup_ckpt").toString
