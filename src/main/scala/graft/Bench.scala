@@ -124,10 +124,19 @@ object Bench {
     val errors = scala.collection.concurrent.TrieMap[String, String]()
     // Queries whose per-query cap was squeezed below the normal cap by the
     // dying wall budget when they timed out: that's a verdict on the
-    // budget, not the query — report them as skipped (no error, and no
-    // 9999 history mark that would banish a sub-second query to the back
-    // of next round's order, as happened to dedup_minhash_pairs in r11).
-    val squeezed = scala.collection.concurrent.TrieMap[String, Unit]()
+    // budget, not the query — report them in their own `squeezed` field
+    // (with the cap they actually ran under) so a genuine hang stays
+    // distinguishable from a budget artifact, and give them no error and
+    // no 9999 history mark that would banish a sub-second query to the
+    // back of next round's order, as happened to dedup_minhash_pairs in
+    // r11. Value = the squeezed cap in seconds.
+    val squeezed = scala.collection.concurrent.TrieMap[String, Long]()
+    // Per-step warmup durations (prebuilds + per-query warmups), for
+    // attributing warmup growth: warmup went 42s -> 127s -> 151s across
+    // rounds with identical code and only a scalar on record. Steps run
+    // 16-wide, so these are overlapping wall durations — attribution
+    // signal, not a sum that should equal warmup_s.
+    val warmupSteps = scala.collection.concurrent.TrieMap[String, Double]()
     @volatile var skipped: List[String] = Nil
     @volatile var passTotals: List[Double] = Nil
     @volatile var warmupS: Double = 0.0
@@ -144,21 +153,26 @@ object Bench {
       // a success in ANY pass is the query's timing; an error from the
       // other pass (host stall -> per-query timeout) is not a failure
       val realErrors = errors.toSeq.filterNot(e => timings.contains(e._1)).sortBy(_._1)
-      val skippedAll = (skipped ++ squeezed.keys
-        .filterNot(n => timings.contains(n) || errors.contains(n))).distinct
+      val realSqueezed = squeezed.toSeq
+        .filterNot(s => timings.contains(s._1) || errors.contains(s._1)).sortBy(_._1)
+      val skippedAll = skipped.distinct
       val total = timings.values.sum
       val passes = passTotals.reverse.map(f3).mkString("[", ",", "]")
       val common =
-        s""""unit":"sec","pass_totals":$passes,"n_ok":${timings.size},"n_err":${realErrors.size},"n_skipped":${skippedAll.size},"warmup_s":${f"$warmupS%.1f"},"wall_s":${f"$elapsedS%.1f"},"sf":"$sfDir""""
+        s""""unit":"sec","pass_totals":$passes,"n_ok":${timings.size},"n_err":${realErrors.size},"n_skipped":${skippedAll.size},"n_squeezed":${realSqueezed.size},"warmup_s":${f"$warmupS%.1f"},"wall_s":${f"$elapsedS%.1f"},"sf":"$sfDir""""
       val fullQs = timings.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
       val fullEs = realErrors
         .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }.mkString("{", ",", "}")
       val fullSk = skippedAll.sorted.map(jstr).mkString("[", ",", "]")
+      val fullSq = realSqueezed
+        .map { case (k, cap) => s"${jstr(k)}:$cap" }.mkString("{", ",", "}")
+      val fullWu = warmupSteps.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
       try {
         val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
         try w.println(
-          s"""{"metric":"total","value":${f3(total)},$common,"queries":$fullQs,"errors":$fullEs,"skipped":$fullSk}""")
+          s"""{"metric":"total","value":${f3(total)},$common,"queries":$fullQs,"errors":$fullEs,"skipped":$fullSk,"squeezed":$fullSq,"warmup_steps":$fullWu}""")
         finally w.close()
       } catch { case _: Throwable => () }
       // Cumulative cheap-first seed for the NEXT run: this run's
@@ -173,18 +187,31 @@ object Bench {
           .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}"))
         finally w.close()
       } catch { case _: Throwable => () }
+      // stdout line stays length-bounded (harness parses the last ~2000
+      // chars): heaviest queries first under a char cap, then the slowest
+      // warmup steps under their own smaller cap.
       val sb = new StringBuilder
       timings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
         val piece = s"${jstr(k)}:${f3(v)}"
-        if (sb.length + piece.length < 1100) {
+        if (sb.length + piece.length < 850) {
           if (sb.nonEmpty) sb.append(',')
           sb.append(piece)
         }
       }
+      val wb = new StringBuilder
+      warmupSteps.toSeq.sortBy(-_._2).take(10).foreach { case (k, v) =>
+        val piece = s"${jstr(k)}:${f3(v)}"
+        if (wb.length + piece.length < 320) {
+          if (wb.nonEmpty) wb.append(',')
+          wb.append(piece)
+        }
+      }
       val esCompact = realErrors.take(6)
         .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(40))}" }.mkString("{", ",", "}")
+      val sqCompact = realSqueezed.take(6)
+        .map { case (k, cap) => s"${jstr(k)}:$cap" }.mkString("{", ",", "}")
       println(
-        s"""{"metric":"total","value":${f3(total)},$common,"queries":{$sb},"errors":$esCompact,"full":"BENCH_FULL.json"}""")
+        s"""{"metric":"total","value":${f3(total)},$common,"queries":{$sb},"errors":$esCompact,"squeezed":$sqCompact,"warmup_top":{$wb},"full":"BENCH_FULL.json"}""")
       Console.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
@@ -213,15 +240,19 @@ object Bench {
     // the TIMED dir (warehouses, partitioned fact, shared dedup signature
     // frame) so no timed query pays first-touch construction. Submitted
     // before the per-query warmups so they grab threads immediately.
-    val prebuilds = Seq[() => Unit](
-      () => graft.queries.PipelineQueries.prebuild(spark, sfDir),
-      () => graft.queries.LlmText.prewarm(spark, sfDir)
-    ).map { f =>
+    val prebuilds = Seq[(String, () => Unit)](
+      "prebuild:pipeline_warehouses" -> (() => graft.queries.PipelineQueries.prebuild(spark, sfDir)),
+      "prebuild:llmtext_signatures" -> (() => graft.queries.LlmText.prewarm(spark, sfDir))
+    ).map { case (label, f) =>
       Future {
         if (elapsedS < warmupDeadline) {
-          spark.sparkContext.setJobGroup("warmup", "prebuild", interruptOnCancel = true)
+          spark.sparkContext.setJobGroup("warmup", label, interruptOnCancel = true)
+          val t0 = System.nanoTime()
           try f() catch { case _: Throwable => () }
-          finally spark.sparkContext.clearJobGroup()
+          finally {
+            spark.sparkContext.clearJobGroup()
+            warmupSteps(label) = (System.nanoTime() - t0) / 1e9
+          }
         }
       }
     }
@@ -234,9 +265,13 @@ object Bench {
         Future {
           if (elapsedS < warmupDeadline) {
             spark.sparkContext.setJobGroup("warmup", name, interruptOnCancel = true)
+            val t0 = System.nanoTime()
             try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
             catch { case _: Throwable => () }
-            finally spark.sparkContext.clearJobGroup()
+            finally {
+              spark.sparkContext.clearJobGroup()
+              warmupSteps(s"warm:$name") = (System.nanoTime() - t0) / 1e9
+            }
           }
         }
       }
@@ -268,12 +303,29 @@ object Bench {
     var remaining = List.empty[String]
     for (pass <- 1 to 2) {
       var passTotal = 0.0
-      // pass 2 re-measures cheapest-first (pass-1 stalls/timeouts last),
-      // so if the budget runs out mid-pass the min-of-two still covers
-      // the maximum number of queries
+      // Pass-2 order: ANOMALIES first, then cheapest-first. An anomaly is
+      // a query whose pass-1 timing blew far past its cumulative history
+      // (cold codegen / host stall — exactly what min-of-two exists to
+      // absorb). r12 measured its five heaviest numbers pass-1-only
+      // because cheapest-first re-measured the already-confirmed cheap
+      // majority and the wall budget died before reaching the suspicious
+      // tail (dedup_incremental_pairs: 28.96s recorded vs 1.22s real).
+      // Leading with the anomalies (largest pass-1/history ratio first)
+      // spends the budget's first slice where the second sample actually
+      // changes the record; the cheapest-first sweep then covers the rest.
       val ordered =
         if (pass == 1) queries
-        else queries.sortBy { case (n, _) => timings.getOrElse(n, Double.MaxValue) }
+        else {
+          def ratio(n: String): Double =
+            timings.get(n).fold(0.0) { t1 =>
+              t1 / math.max(math.min(history.getOrElse(n, unknownPriority), queryCapS.toDouble), 0.05)
+            }
+          val (anomalies, rest) = queries.partition { case (n, _) =>
+            timings.get(n).exists(_ >= 2.0) && ratio(n) >= 3.0
+          }
+          anomalies.sortBy { case (n, _) => -ratio(n) } ++
+            rest.sortBy { case (n, _) => timings.getOrElse(n, Double.MaxValue) }
+        }
       ordered.foreach { case (name, fn) =>
         if (elapsedS > budgetS) {
           if (pass == 1 && !timings.contains(name) && !errors.contains(name))
@@ -300,7 +352,7 @@ object Bench {
               spark.sparkContext.cancelJobGroup(name)
               fut.cancel(true)
               if (!timings.contains(name)) {
-                if (capS < queryCapS) squeezed(name) = () // budget-squeezed, not a real timeout
+                if (capS < queryCapS) squeezed(name) = capS // budget-squeezed, not a real timeout
                 else errors(name) = s"timeout >${capS}s"
               }
               qpool.shutdownNow()

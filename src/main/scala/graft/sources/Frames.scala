@@ -26,6 +26,10 @@ object Frames {
   private val frames = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // Stopped-session entries are only dropped, not unpersist()ed: their
+    // cached blocks died with the context, and calling unpersist through a
+    // stopped session throws — removal here is garbage collection, the
+    // symmetric release path for a LIVE session is [[drop]]/[[clear]].
     frames.keySet.removeIf(_._1.sparkContext.isStopped)
     frames.computeIfAbsent((spark, key),
       _ => build.persist(StorageLevel.MEMORY_AND_DISK))
