@@ -776,6 +776,49 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
+  /** [[simhashCandidates]] over the PORTABLE 32-bit md5 SimHash
+    * ([[simhashPortable]]), banded into 4 byte-wide chunks with a
+    * HOT-BUCKET CAP: docs sharing any chunk whose bucket holds at most
+    * `maxBucket` docs are candidates. Uncapped, pigeonhole guarantees
+    * every pair within Hamming distance 3 — but on a near-dup-heavy
+    * corpus the byte chunks of biased simhash bits produce buckets of
+    * thousands of docs (sf0.1: one 1370-doc bucket ⇒ ~1M pairs from one
+    * key; 76% of ALL doc pairs became candidates), so the cap is the
+    * standard LSH skew guard real dedup pipelines apply: a bucket bigger
+    * than the cap carries ~no discrimination signal and is skipped, its
+    * pairs left to the other 3 chunks. Deterministic and SQL-replayable,
+    * so the full band → bucket-size filter → pair pipeline is oracle-
+    * certified end to end.
+    *
+    * Scale shape: bucket sizes from one count aggregate; pairs from a
+    * bucket-keyed equi-join restricted to small buckets, so no
+    * collect_set row ever exceeds `maxBucket` and each join key fans out
+    * at most maxBucket² — no all-pairs join, no unbounded state.
+    *
+    * Output: (doc_a, doc_b), a < b, distinct.
+    */
+  def simhashCandidatesPortable(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 64): DataFrame = {
+    val bands = simhashPortable(docs, idCol, textCol)
+      .select(
+        col(idCol),
+        posexplode(
+          array((0 until 4).map(c =>
+            shiftright(col("simhash32"), c * 8).bitwiseAND(0xFFL)): _*)))
+      .select(col(idCol), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val sizes = bands.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket))
+    val small = bands.join(sizes.select(col("chunk"), col("chunk_val")),
+      Seq("chunk", "chunk_val"))
+    small.select(col("chunk"), col("chunk_val"), col(idCol).as("doc_a"))
+      .join(small.select(col("chunk"), col("chunk_val"), col(idCol).as("doc_b")),
+        Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
   /** EXACT edit-distance-≤d self-join (PassJoin-family pigeonhole —
     * Li et al., "PassJoin: a partition-based method for similarity
     * joins", VLDB 2012; same family as [[simhashHammingPairs]]'s chunk

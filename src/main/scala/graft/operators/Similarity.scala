@@ -183,6 +183,33 @@ object Similarity {
         when(dot(vec, lit(p)) >= 0, "1").otherwise("0")
       }: _*)
 
+  /** Deterministic md5-derived ±1 hyperplanes: plane p's sign at (1-based)
+    * dimension i is the high bit of md5("p|i")'s first hex char — the
+    * family any engine with md5 can rederive, so bucket keys (and the
+    * candidate sets they induce) are replayable by an external SQL oracle.
+    * Same ±1 sign-pattern geometry as [[planes]]; only the source of
+    * randomness differs.
+    */
+  private def planesMd5(nPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i0 =>
+        val b = md.digest(s"$p|${i0 + 1}".getBytes("UTF-8"))(0) & 0xFF
+        if (b >= 0x80) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** [[lshBucket]] with the md5-plane family. The sign rule is strictly
+    * `> 0` (not `>= 0`) to match the portable SQL formulation `s_p > 0`
+    * bit for bit.
+    */
+  def lshBucketMd5(vec: Column, nPlanes: Int, dim: Int): Column =
+    concat(
+      planesMd5(nPlanes, dim).map { p =>
+        when(dot(vec, lit(p)) > 0, "1").otherwise("0")
+      }: _*)
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer (the
     * `nCentroids` lowest-id corpus vectors) partitions the corpus into
     * inverted lists; each query probes its `nProbe` nearest centroids and
@@ -304,12 +331,30 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Long = 42L,
-      maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame = {
-    requireBroadcastable(queries, maxQueryRows, "lshTopK")
+      maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame =
+    lshTopKBucketed(corpus, queries, idCol, vecCol, k, maxQueryRows,
+      "lshTopK", lshBucket(_, nPlanes, dim, seed))
+
+  /** [[lshTopK]] with the deterministic md5-plane family
+    * ([[lshBucketMd5]]) — identical plan shape (bucket equi-join against
+    * the broadcast query side, exact cosine within buckets), but every
+    * bucket key is rederivable by an external SQL engine, so the whole
+    * candidate pipeline is oracle-certifiable, not just recall-bounded.
+    */
+  def lshTopKMd5(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int,
+      maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame =
+    lshTopKBucketed(corpus, queries, idCol, vecCol, k, maxQueryRows,
+      "lshTopKMd5", lshBucketMd5(_, nPlanes, dim))
+
+  private def lshTopKBucketed(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxQueryRows: Long,
+      caller: String, bucketOf: Column => Column): DataFrame = {
+    requireBroadcastable(queries, maxQueryRows, caller)
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
-      .withColumn("bucket", lshBucket(col("cvec"), nPlanes, dim, seed))
+      .withColumn("bucket", bucketOf(col("cvec")))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
-      .withColumn("bucket", lshBucket(col("qvec"), nPlanes, dim, seed))
+      .withColumn("bucket", bucketOf(col("qvec")))
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))

@@ -147,15 +147,26 @@ object LlmEmbed {
       .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
   }
 
-  /** Approximate top-3 via random-hyperplane LSH buckets — the scale path
-    * (bucket equi-join, no all-pairs). Recall vs brute force is asserted
-    * in SimilaritySpec; no SQL oracle (hash family is engine-side).
+  /** Approximate top-3 via the ENGINE-NATIVE LSH path
+    * ([[Similarity.lshTopKMd5]]: packed float arrays, fused double-fold
+    * dots, bounded-heap top-k) with the deterministic md5-plane family,
+    * certified end to end against a from-scratch SQL oracle: the oracle
+    * rederives planes, bucket keys, the candidate equi-join and the
+    * per-query ranking, so a hash match proves the native bucket/rank
+    * pipeline — not just its recall (the seeded-random-plane variant
+    * keeps its recall bound in SimilaritySpec). The float-native cosine
+    * VALUES are excluded from the readout (they differ from the oracle's
+    * decimal accumulation in the last ULPs); the certified surface is
+    * (qid, nid, rnk).
     */
-  private val annLsh = Q.noOracle("embed_ann_lsh") { (s, d) =>
+  private val annLsh = Q(
+    "embed_ann_lsh",
+    s"SELECT qid, nid, rnk FROM (\n$lshPortableSql\n) certified") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    Similarity.lshTopK(
+    Similarity.lshTopKMd5(
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
       k = 3, nPlanes = 6, dim = 64)
+      .select(col("qid"), col("nid"), col("rank").as("rnk"))
   }
 
   /** Approximate top-3 via DETERMINISTIC-plane LSH, oracle-checked end to
@@ -166,44 +177,51 @@ object LlmEmbed {
     * are bit-identical across engines. Same scale shape as the engine-
     * native LSH: one bucket equi-join, no all-pairs.
     */
+  /** The portable-LSH oracle SQL, shared verbatim by
+    * `embed_ann_lsh_portable` (full readout incl. decimal cosines) and —
+    * projected to (qid, nid, rnk) — by the native `embed_ann_lsh`. A def:
+    * consumed by query vals on both sides of this point.
+    */
+  private def lshPortableSql: String = {
+    val nPlanes = 6
+    val sums = (0 until nPlanes).map(p =>
+      s"""SUM(CASE WHEN strpos('89abcdef', substr(md5('$p|' || CAST(i AS VARCHAR)), 1, 1)) > 0
+         |              THEN CAST(x AS DECIMAL(38,18)) ELSE CAST(-x AS DECIMAL(38,18)) END) AS s$p"""
+        .stripMargin.replaceAll("\n\\s*", " "))
+      .mkString(",\n       ")
+    val bucket = (0 until nPlanes).map(p =>
+      s"(CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH $elCte,
+       |bkt AS (SELECT vec_id,
+       |       $sums
+       |       FROM el GROUP BY 1),
+       |bk AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM bkt),
+       |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |        FROM el GROUP BY 1),
+       |cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid
+       |         FROM bk q JOIN bk c ON q.bucket = c.bucket
+       |         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |dots AS (SELECT cand.qid, cand.nid,
+       |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |         FROM cand
+       |         JOIN el a ON a.vec_id = cand.qid
+       |         JOIN el b ON b.vec_id = cand.nid AND b.i = a.i
+       |         GROUP BY 1, 2),
+       |cosd AS (SELECT qid, nid,
+       |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+       |         FROM dots
+       |         JOIN nrm na ON na.vec_id = dots.qid
+       |         JOIN nrm nb ON nb.vec_id = dots.nid)
+       |SELECT qid, nid, cosine, rnk
+       |FROM (SELECT qid, nid, cosine,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+       |      FROM cosd)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   private val annLshPortable = Q(
-    "embed_ann_lsh_portable", {
-      val nPlanes = 6
-      val sums = (0 until nPlanes).map(p =>
-        s"""SUM(CASE WHEN strpos('89abcdef', substr(md5('$p|' || CAST(i AS VARCHAR)), 1, 1)) > 0
-           |              THEN CAST(x AS DECIMAL(38,18)) ELSE CAST(-x AS DECIMAL(38,18)) END) AS s$p"""
-          .stripMargin.replaceAll("\n\\s*", " "))
-        .mkString(",\n       ")
-      val bucket = (0 until nPlanes).map(p =>
-        s"(CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-        .mkString(" + ")
-      s"""WITH $elCte,
-         |bkt AS (SELECT vec_id,
-         |       $sums
-         |       FROM el GROUP BY 1),
-         |bk AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM bkt),
-         |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
-         |        FROM el GROUP BY 1),
-         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid
-         |         FROM bk q JOIN bk c ON q.bucket = c.bucket
-         |         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
-         |dots AS (SELECT cand.qid, cand.nid,
-         |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-         |         FROM cand
-         |         JOIN el a ON a.vec_id = cand.qid
-         |         JOIN el b ON b.vec_id = cand.nid AND b.i = a.i
-         |         GROUP BY 1, 2),
-         |cosd AS (SELECT qid, nid,
-         |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
-         |         FROM dots
-         |         JOIN nrm na ON na.vec_id = dots.qid
-         |         JOIN nrm nb ON nb.vec_id = dots.nid)
-         |SELECT qid, nid, cosine, rnk
-         |FROM (SELECT qid, nid, cosine,
-         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
-         |      FROM cosd)
-         |WHERE rnk <= 3""".stripMargin
-    }) { (s, d) =>
+    "embed_ann_lsh_portable", lshPortableSql) { (s, d) =>
     val nPlanes = 6
     // the same md5-derived ±1 planes, computed driver-side once (64-dim)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -238,27 +256,45 @@ object LlmEmbed {
     rankTop3(el, nrm, cand)
   }
 
-  /** IVF-bucketed approximate top-3 — coarse quantizer + probed inverted
-    * lists (recall asserted in SimilaritySpec; quantizer is engine-side).
+  /** IVF-bucketed approximate top-3 through the ENGINE-NATIVE path
+    * ([[Similarity.ivfTopK]]: packed float arrays, broadcast centroid
+    * assignment, probed inverted lists, bounded-heap top-k), certified
+    * end to end: the quantizer is the deterministic strided-id sample the
+    * portable twin rederives in ANSI SQL, so centroid assignment, the
+    * probed candidate set, and the ranking all hash-match the from-
+    * scratch oracle. Float-native cosine values are excluded from the
+    * readout (last-ULP noise vs decimal accumulation); the certified
+    * surface is (qid, nid, rnk).
     */
-  private val annIvf = Q.noOracle("embed_ann_ivf") { (s, d) =>
+  private val annIvf = Q(
+    "embed_ann_ivf",
+    s"SELECT qid, nid, rnk FROM (\n$ivfPortableSql\n) certified") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
       k = 3, nCentroids = 16, nProbe = 4,
       corpusSize = Some(Tables.rowCount(s, d, "embeddings")))
+      .select(col("qid"), col("nid"), col("rank").as("rnk"))
   }
 
-  /** IVF with a k-means-refined quantizer (Lloyd iterations, broadcast
-    * assignment) — quantizer is iterative/engine-side, so rows-only;
-    * convergence and recall asserted in SimilaritySpec.
+  /** IVF with a k-means-refined quantizer through the ENGINE-NATIVE path
+    * ([[Similarity.ivfTopKKmeans]]: Lloyd iterations with decimal-exact
+    * centroid means, broadcast assignment, probed lists), certified end
+    * to end: seeds, the 2-round centroid EVOLUTION, assignments, probes
+    * and ranking are all deterministic and rederived from scratch by the
+    * oracle, so the hash match certifies the whole iterative quantizer —
+    * convergence/recall bounds stay in SimilaritySpec. Certified surface
+    * is (qid, nid, rnk) (float cosine values excluded, as above).
     */
-  private val annIvfKmeans = Q.noOracle("embed_ann_ivf_kmeans") { (s, d) =>
+  private val annIvfKmeans = Q(
+    "embed_ann_ivf_kmeans",
+    s"SELECT qid, nid, rnk FROM (\n$ivfKmeansPortableSql\n) certified") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopKKmeans(
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
       k = 3, nCentroids = 16, nProbe = 4, iters = 2,
       corpusSize = Some(Tables.rowCount(s, d, "embeddings")))
+      .select(col("qid"), col("nid"), col("rank").as("rnk"))
   }
 
   /** IVF approximate top-3, oracle-checked end to end: the coarse
@@ -272,8 +308,11 @@ object LlmEmbed {
     * element set is dimension-bounded and broadcastable), lists join
     * probes on the centroid id, and only probed lists are ranked.
     */
-  private val annIvfPortable = Q(
-    "embed_ann_ivf_portable",
+  /** The portable-IVF oracle SQL, shared by `embed_ann_ivf_portable` and
+    * (projected to qid/nid/rnk) the native `embed_ann_ivf`. A def:
+    * consumed by query vals on both sides of this point.
+    */
+  private def ivfPortableSql: String =
     s"""WITH $elCte,
        |str AS (SELECT greatest(1, CAST(floor(count(*) / 16.0) AS BIGINT)) AS s
        |        FROM embeddings),
@@ -313,7 +352,10 @@ object LlmEmbed {
        |FROM (SELECT qid, nid, cosine,
        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
        |      FROM cosd)
-       |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+       |WHERE rnk <= 3""".stripMargin
+
+  private val annIvfPortable = Q(
+    "embed_ann_ivf_portable", ivfPortableSql) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val el = elements(s, d)
     // the vector count sets the centroid stride — memoized per dir, so
@@ -374,8 +416,12 @@ object LlmEmbed {
     * aggregate per round), and only k×dim averaged values ever reach the
     * driver, never the corpus.
     */
-  private val annIvfKmeansPortable = Q(
-    "embed_ann_ivf_kmeans_portable", {
+  /** The portable k-means-IVF oracle SQL, shared by
+    * `embed_ann_ivf_kmeans_portable` and (projected to qid/nid/rnk) the
+    * native `embed_ann_ivf_kmeans`. A def: consumed by query vals on
+    * both sides of this point.
+    */
+  private def ivfKmeansPortableSql: String = {
       val dim = "len(cv)"
       // one Lloyd iteration as a CTE block: c{i} -> n/s/a/m/ce{i} -> c{i+1}
       def iter(i: Int): String =
@@ -432,7 +478,10 @@ object LlmEmbed {
          |            JOIN emb a ON a.vec_id = cand.qid
          |            JOIN emb b ON b.vec_id = cand.nid))
          |WHERE rnk <= 3""".stripMargin
-    }) { (s, d) =>
+  }
+
+  private val annIvfKmeansPortable = Q(
+    "embed_ann_ivf_kmeans_portable", ivfKmeansPortableSql) { (s, d) =>
     import s.implicits._
     val embD = Tables.embeddings(s, d)
       .select(col("vec_id"),

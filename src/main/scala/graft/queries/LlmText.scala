@@ -383,18 +383,38 @@ object LlmText {
     Dedup.mergeClusters(oldLabels, newPairs)
   }
 
-  /** SimHash near-dup candidates — hash family is Spark-native xxhash64,
-    * so no SQL oracle (recall is asserted in DedupSpec instead).
+  /** Banded SimHash near-dup candidates, oracle-checked end to end: the
+    * portable 32-bit md5 SimHash is split into 4 byte chunks; docs
+    * sharing a chunk in a bucket of ≤64 docs pair up (the hot-bucket cap
+    * is the standard LSH skew guard — see
+    * [[Dedup.simhashCandidatesPortable]]). The oracle rederives hash,
+    * bands, bucket-size filter and pairs from scratch, so the hash match
+    * certifies the full candidate pipeline — not just its recall. The
+    * xxhash64-native 64-bit variant ([[Dedup.simhashCandidates]]) keeps
+    * its recall spec in DedupSpec.
     */
-  private val simhash = Q.noOracle("dedup_simhash_candidates") { (s, d) =>
-    Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
+  private val simhash = Q(
+    "dedup_simhash_candidates",
+    s"""WITH $s32Cte,
+       |b AS (SELECT doc_id, t.c AS chunk, (simhash32 >> (8 * t.c)) & 255 AS chunk_val
+       |      FROM s32 CROSS JOIN LATERAL (SELECT unnest(range(0, 4)) AS c) t),
+       |bs AS (SELECT chunk, chunk_val, count(*) AS bn FROM b GROUP BY 1, 2),
+       |sm AS (SELECT b.doc_id, b.chunk, b.chunk_val FROM b JOIN bs USING (chunk, chunk_val)
+       |       WHERE bn BETWEEN 2 AND 64)
+       |SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
+       |FROM sm a JOIN sm x
+       |  ON a.chunk = x.chunk AND a.chunk_val = x.chunk_val
+       | AND a.doc_id < x.doc_id""".stripMargin) { (s, d) =>
+    Dedup.simhashCandidatesPortable(Tables.documents(s, d), "doc_id", "text")
   }
 
   /** Shared oracle CTE body: portable 32-bit SimHash per doc — md5-derived
     * bits (bit p of a token = high bit of hex char p of its md5), summed
     * sign-wise and reassembled. Yields relation s32(doc_id, simhash32).
     */
-  private val s32Cte: String = {
+  // a def, not a val: consumed by query vals declared both above and below
+  // this point — object-init order must not matter
+  private def s32Cte: String = {
     val sums = (0 until 32).map(p =>
       s"SUM(CASE WHEN strpos('89abcdef', substr(m, ${p + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS b$p")
       .mkString(",\n       ")

@@ -126,6 +126,32 @@ class DedupSpec extends SparkSpec {
     assert(nearDupHits >= 4, s"only $nearDupHits/8 near-dup pairs bucketed")
   }
 
+  test("portable simhash candidates: uncapped ⊇ Hamming≤3 brute force; cap only removes hot-bucket pairs") {
+    // pigeonhole recall: with no bucket cap, every pair within Hamming
+    // distance 3 of the 32-bit hash must surface as a candidate
+    val hashes = Dedup.simhashPortable(corpus, "doc_id", "text")
+      .select("doc_id", "simhash32").as[(Long, Long)].collect()
+    val within3 = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val uncapped = Dedup.simhashCandidatesPortable(
+        corpus, "doc_id", "text", maxBucket = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(within3.subsetOf(uncapped),
+      s"pigeonhole miss: ${within3 -- uncapped}")
+    // the hot-bucket cap is a pure restriction: capped ⊆ uncapped, and
+    // every surviving pair still shares at least one small-bucket chunk
+    val capped = Dedup.simhashCandidatesPortable(
+        corpus, "doc_id", "text", maxBucket = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    val byId = hashes.toMap
+    assert(capped.forall { case (a, b) =>
+      (0 until 4).exists(c => ((byId(a) >> (8 * c)) & 255) == ((byId(b) >> (8 * c)) & 255))
+    })
+  }
+
   test("incremental candidates == one-shot pairs: batch1-internal plus new-involving") {
     def bands(df: org.apache.spark.sql.DataFrame) =
       Dedup.bandKeysFromWide(

@@ -107,6 +107,19 @@ class SimilaritySpec extends SparkSpec {
       s"portable-only: ${portable -- native}; native-only: ${native -- portable}")
   }
 
+  test("native md5-plane LSH query returns the portable twin's neighbor sets") {
+    // Same md5-derived planes, same bucket rule (> 0), same k — the
+    // engine-native packed-float path and the decimal-exact portable twin
+    // must surface the same neighbors (plane sums differ from the decimal
+    // accumulation only when a projection sits within double-error of 0).
+    val native = SparkEntry.queries("embed_ann_lsh")(spark, sfDir)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val portable = SparkEntry.queries("embed_ann_lsh_portable")(spark, sfDir)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(portable == native,
+      s"portable-only: ${portable -- native}; native-only: ${native -- portable}")
+  }
+
   test("lshTopK fails fast when the broadcast query side exceeds the row cap") {
     val e = intercept[IllegalArgumentException] {
       Similarity.lshTopK(vectors, vectors, "vec_id", "embedding",
