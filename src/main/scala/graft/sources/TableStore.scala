@@ -168,21 +168,41 @@ final class TableStore(spark: SparkSession, root: String) {
     * state is ever lost (never mixed, never silently absent at repair
     * time).
     */
-  def replacePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
-    // recover from a crash inside a previous call: between its two moves
-    // a partition exists only as .old_part_* — restore it BEFORE planning
-    // this replacement, or the new df would be computed from (and then
-    // permanently bake in) the truncated table
+  /** Recover a table from a crash inside a previous [[replacePartitions]]
+    * call: between its two moves a partition exists only as its parked
+    * `.old_part_*` side-dir — restore every such partition, then drop a
+    * live dir left EMPTY by a crash before the first partition landed
+    * (so [[exists]] reports the truth: no committed data). Any reader of
+    * a partition-replaced table that runs outside [[replacePartitions]]
+    * itself (e.g. the streaming store folds, which must read the CURRENT
+    * state before planning a batch) calls this first — otherwise the read
+    * would silently miss the parked partition's rows.
+    */
+  def recoverPartitions(table: String): Unit = {
     val rootDir = Files.list(Paths.get(root))
     try rootDir
       .filter(p => p.getFileName.toString.startsWith(s".old_part_${table}_"))
       .forEach { stale =>
         val sub = stale.getFileName.toString.stripPrefix(s".old_part_${table}_")
         val live = Paths.get(s"${path(table)}/$sub")
+        Files.createDirectories(Paths.get(path(table)))
         if (!Files.exists(live)) Files.move(stale, live, StandardCopyOption.ATOMIC_MOVE)
         else deleteRecursively(stale)
       }
     finally rootDir.close()
+    val live = Paths.get(path(table))
+    if (Files.exists(live)) {
+      val ls = Files.list(live)
+      val empty = try !ls.iterator().hasNext finally ls.close()
+      if (empty) Files.delete(live)
+    }
+  }
+
+  def replacePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
+    // recover from a crash inside a previous call BEFORE planning this
+    // replacement, or the new df would be computed from (and then
+    // permanently bake in) the truncated table
+    recoverPartitions(table)
     val tmp = Paths.get(s"$root/.tmp_part_$table")
     deleteRecursively(tmp)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
@@ -191,6 +211,9 @@ final class TableStore(spark: SparkSession, root: String) {
       try walk.filter(p => p.getFileName.toString.startsWith(s"$partitionCol="))
         .toArray.map(_.asInstanceOf[Path]).toSeq
       finally walk.close()
+    // only materialize the table dir when there is data to land: an empty
+    // dir would make exists() true but read() fail on schema inference
+    if (parts.nonEmpty) Files.createDirectories(Paths.get(path(table)))
     parts.foreach { part =>
       val sub = part.getFileName.toString
       val live = Paths.get(s"${path(table)}/$sub")

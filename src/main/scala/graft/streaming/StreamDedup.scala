@@ -39,11 +39,12 @@ object StreamDedup {
     * stream: each micro-batch shingles ONLY its own documents, joins its
     * band keys against the store (history is never re-shingled — the
     * [[graft.operators.Dedup.incrementalCandidatePairs]] contract), logs
-    * the new candidate pairs, and commits the grown store. Union over all
-    * batches of the emitted pairs equals the one-shot corpus pair set
-    * (StreamNearDupSpec asserts it) — so a downstream clustering job
-    * always sees complete candidate edges no matter how the corpus was
-    * batched.
+    * the new candidate pairs, and APPENDS the batch's band keys as one
+    * store partition (write volume O(batch), not O(state) — see
+    * [[applyBatch]]). Union over all batches of the emitted pairs equals
+    * the one-shot corpus pair set (StreamNearDupSpec asserts it) — so a
+    * downstream clustering job always sees complete candidate edges no
+    * matter how the corpus was batched.
     *
     * `checkpointDir` is REQUIRED (not optional) because the store's
     * replay guard keys on the stream's batch ids: without a durable
@@ -67,45 +68,68 @@ object StreamDedup {
 
   /** The per-batch fold, exposed for direct testing of replay semantics.
     *
+    * Both stores are PARTITION-APPENDED, never rewritten: the band store
+    * is partitioned by `__applied` (the batch id that contributed the
+    * keys) and the pair log by `__batch`, and each fold lands exactly its
+    * own batch's partition through [[TableStore.replacePartitions]] — so
+    * the per-batch write volume is O(batch), not O(state), and a 100 TB
+    * band store never gets copied to absorb a 1 GB micro-batch. Reads
+    * first run [[TableStore.recoverPartitions]]: a crash inside a
+    * previous fold's partition swap parks that partition in a side-dir,
+    * and planning against a store missing parked history would silently
+    * lose band keys (and with them every future cross-batch pair against
+    * those docs).
+    *
     * Replay safety (foreachBatch is at-least-once): the applied batch id
-    * rides on the band store and commits in its atomic overwrite LAST, so
-    * a replayed batch short-circuits; the pair log commits FIRST and is
-    * idempotent by reconstruction — any partial rows a crashed attempt of
-    * THIS batch id left behind are replaced, not doubled. Both commits
-    * are full-table overwrites, same tradeoff as [[StreamCdc]]: O(state)
-    * per batch buys a plain table every batch query can read (a real
-    * deployment appends store partitions instead).
+    * IS the band partition, which lands LAST, so a replayed batch
+    * short-circuits on `batchId <= max(__applied)`; the pair log's
+    * partition lands FIRST and is idempotent by reconstruction — a
+    * crashed attempt of THIS batch id left at most a `__batch=<id>`
+    * partition that the replay replaces, never doubles.
+    *
+    * Re-ingested documents: a doc id re-arriving in a later batch (same
+    * or updated text) is folded by anti-joining its band keys against
+    * the store — already-present (id, band, key) rows are dropped, so an
+    * unchanged re-ingest appends nothing and re-emits no pairs, while an
+    * UPDATED doc contributes only its changed band keys (its stale keys
+    * stay in the store, so candidates are generated against both the old
+    * and new fingerprints — conservative over-generation, the right
+    * failure mode for a candidate stage; true key retraction needs the
+    * batch rebuild).
     */
   def applyBatch(store: TableStore, bandTable: String, pairsTable: String,
       idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
       shingleN: Int)(batch: DataFrame, batchId: Long): Unit = {
+    store.recoverPartitions(bandTable)
+    store.recoverPartitions(pairsTable)
     val lastApplied =
       if (!store.exists(bandTable)) -1L
       else {
-        val r = store.read(bandTable).agg(max(col("__applied"))).head()
+        val r = store.read(bandTable)
+          .agg(max(col("__applied").cast("long"))).head()
         if (r.isNullAt(0)) -1L else r.getLong(0)
       }
     if (batchId > lastApplied) {
-      val newBands = Dedup.bandKeysFromWide(
+      val batchBands = Dedup.bandKeysFromWide(
         Dedup.minhashWide(
           batch.select(col(idCol),
             explode(graft.functions.TextAnalysis.shingles(col(textCol), shingleN))
               .as("shingle")),
           idCol, numHashes),
         idCol, numHashes, rowsPerBand)
-        .localCheckpoint() // shingle once; bands feed the join AND the store
       val oldBands =
         if (store.exists(bandTable)) store.read(bandTable).drop("__applied")
-        else newBands.limit(0)
+        else batchBands.limit(0)
+      // shingle once; the deduped bands feed the join AND the store
+      val newBands = batchBands
+        .join(oldBands, Seq(idCol, "band", "band_key"), "left_anti")
+        .localCheckpoint()
       val allBands = oldBands.unionByName(newBands)
       val newPairs = Dedup.incrementalCandidatePairs(allBands, newBands, idCol)
         .withColumn("__batch", lit(batchId))
-      val keptPairs =
-        if (store.exists(pairsTable))
-          store.read(pairsTable).filter(col("__batch") =!= batchId)
-        else newPairs.limit(0)
-      store.overwrite(pairsTable, keptPairs.unionByName(newPairs))
-      store.overwrite(bandTable, allBands.withColumn("__applied", lit(batchId)))
+      store.replacePartitions(pairsTable, newPairs, "__batch")
+      store.replacePartitions(bandTable,
+        newBands.withColumn("__applied", lit(batchId)), "__applied")
     }
   }
 }

@@ -36,13 +36,36 @@ class StreamNearDupSpec extends SparkSpec {
     Dedup.minhashPairs(corpus, "doc_id", "text", numHashes = 16, rowsPerBand = 4)
       .as[(Long, Long)].collect().toSet
 
-  test("cross-batch folds emit exactly the one-shot candidate pair set; replay is a no-op") {
+  test("cross-batch folds emit exactly the one-shot candidate pair set; replay is a no-op; writes are O(batch)") {
     val store = new TableStore(s, Files.createTempDirectory("graft_sdedup").toString)
     val fold = StreamDedup.applyBatch(
       store, "bands", "pairs", "doc_id", "text", 16, 4, 3) _
-    (0 to 2).foreach { i =>
+    fold(corpus.filter(col("doc_id") % 3 === 0), 0L)
+    // O(batch) write volume: batch 0's band partition must be untouched
+    // bytes after batches 1 and 2 commit — later folds append their own
+    // __applied partitions instead of rewriting the store
+    def fingerprint(table: String, sub: String): Seq[(String, Long)] = {
+      val dir = java.nio.file.Paths.get(s"${store.path(table)}/$sub")
+      val walk = Files.walk(dir)
+      try {
+        val it = walk.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isRegularFile(p))
+            buf += ((p.toString, Files.getLastModifiedTime(p).toMillis))
+        }
+        buf.sortBy(_._1).toSeq
+      } finally walk.close()
+    }
+    val batch0Bands = fingerprint("bands", "__applied=0")
+    assert(batch0Bands.nonEmpty)
+    (1 to 2).foreach { i =>
       fold(corpus.filter(col("doc_id") % 3 === i), i.toLong)
     }
+    assert(fingerprint("bands", "__applied=0") == batch0Bands,
+      "a later fold rewrote an earlier batch's band partition — write volume is not O(batch)")
+    assert(Files.exists(java.nio.file.Paths.get(s"${store.path("bands")}/__applied=2")))
     def emitted = store.read("pairs")
       .select(col("doc_a"), col("doc_b"))
       .as[(Long, Long)].collect().toSet
@@ -53,27 +76,73 @@ class StreamNearDupSpec extends SparkSpec {
     fold(corpus.filter(col("doc_id") % 3 === 2), 2L) // at-least-once replay
     assert(emitted == oneShotPairs)
     assert(store.read("bands").collect().toSet == bandsBefore)
+    // and the replay left batch 0's bytes alone too
+    assert(fingerprint("bands", "__applied=0") == batch0Bands)
   }
 
   test("a crash between the pair-log and band-store commits replays without duplicates") {
-    // applyBatch commits the pair log FIRST, the band store (carrying the
-    // applied-batch-id guard) LAST — so the dangerous partial state is
-    // "batch N's pairs written, batch N not marked applied". A replay of
-    // batch N must reconstruct, not double, its pair rows.
+    // applyBatch commits the pair log FIRST, the band store partition
+    // (whose presence IS the applied-batch-id guard) LAST — so the
+    // dangerous partial state is "batch N's pairs written, batch N's band
+    // partition absent". A replay of batch N must reconstruct, not
+    // double, its pair rows.
     val store = new TableStore(s, Files.createTempDirectory("graft_sdedup3").toString)
     val fold = StreamDedup.applyBatch(
       store, "bands", "pairs", "doc_id", "text", 16, 4, 3) _
     fold(corpus.filter(col("doc_id") % 3 === 0), 0L)
-    store.overwrite("bands_at_0", store.read("bands")) // pre-crash snapshot
     fold(corpus.filter(col("doc_id") % 3 === 1), 1L)
     val pairsAfter1 = store.read("pairs").collect().toSet
     val bandsAfter1 = store.read("bands").collect().toSet
-    // simulate the crash: batch 1's pairs are on disk, but the band store
-    // never advanced past batch 0
-    store.overwrite("bands", store.read("bands_at_0"))
+    // simulate the crash: batch 1's pairs are on disk, but its band
+    // partition never landed
+    val p1 = java.nio.file.Paths.get(s"${store.path("bands")}/__applied=1")
+    val walk = Files.walk(p1)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.delete(f))
+    finally walk.close()
     fold(corpus.filter(col("doc_id") % 3 === 1), 1L) // recovery replay
     assert(store.read("pairs").collect().toSet == pairsAfter1)
     assert(store.read("bands").collect().toSet == bandsAfter1)
+  }
+
+  test("a crash parking a band partition mid-swap is recovered before the next fold plans") {
+    // replacePartitions' crash window parks the partition being replaced
+    // as .old_part_bands_<sub>; a fold that read the store without
+    // recovering it would plan against truncated history and lose every
+    // future cross-batch pair into those docs. applyBatch must restore
+    // the parked partition first.
+    val store = new TableStore(s, Files.createTempDirectory("graft_sdedup4").toString)
+    val fold = StreamDedup.applyBatch(
+      store, "bands", "pairs", "doc_id", "text", 16, 4, 3) _
+    fold(corpus.filter(col("doc_id") % 3 === 0), 0L)
+    fold(corpus.filter(col("doc_id") % 3 === 1), 1L)
+    val bandsAfter1 = store.read("bands").collect().toSet
+    // park batch 0's partition exactly as a crash between the two moves
+    // inside a replacement of it would
+    Files.move(
+      java.nio.file.Paths.get(s"${store.path("bands")}/__applied=0"),
+      java.nio.file.Paths.get(s"${store.path("bands")}/../.old_part_bands___applied=0"))
+    fold(corpus.filter(col("doc_id") % 3 === 2), 2L)
+    assert(store.read("pairs").select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet == oneShotPairs)
+    assert(bandsAfter1.subsetOf(store.read("bands").collect().toSet))
+  }
+
+  test("re-ingesting an unchanged document appends no band keys and re-emits no pairs") {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sdedup5").toString)
+    val fold = StreamDedup.applyBatch(
+      store, "bands", "pairs", "doc_id", "text", 16, 4, 3) _
+    (0 to 2).foreach { i =>
+      fold(corpus.filter(col("doc_id") % 3 === i), i.toLong)
+    }
+    val bands = store.read("bands").collect().toSet
+    val pairs = store.read("pairs").collect().toSet
+    // docs 0 and 200 (exact dups of each other) arrive AGAIN in batch 3
+    fold(corpus.filter(col("doc_id").isin(0L, 200L)), 3L)
+    assert(store.read("bands").collect().toSet == bands,
+      "re-ingest appended duplicate band keys")
+    assert(store.read("pairs").collect().toSet == pairs,
+      "re-ingest re-emitted candidate pairs under a new batch id")
   }
 
   test("a real AvailableNow stream reaches the same store state, across a restart") {
