@@ -558,6 +558,80 @@ object Dedup {
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
   }
 
+  /** APPLY the substring-dedup policy — the transform a pipeline runs
+    * AFTER [[duplicatedSpanCoverage]] measures the cut quantity. Each
+    * doc's duplicated L-token windows merge into islands (same interval
+    * union), then:
+    *  - DROP a document whose islands cover at least half its tokens
+    *    (2·n_dup_tokens ≥ n_tokens — integer arithmetic, no float
+    *    threshold to diverge across engines);
+    *  - TRIM everyone else with duplication: remove exactly the island
+    *    tokens, keep the rest in order;
+    *  - KEEP clean documents verbatim.
+    *
+    * Output: (id, action, n_tokens, n_dup_tokens, text_clean), one row
+    * per input doc; text_clean is NULL for dropped docs. Retained text ≡
+    * original minus indexed islands (DedupSpec proves it against
+    * brute-force position marking).
+    *
+    * Plan shape: the island windows stay doc-partitioned (bounded by doc
+    * length), the trim is a per-doc anti-join of token positions against
+    * island ranges, and the rebuild is one ordered per-doc aggregation —
+    * no corpus-wide window, no global sort, text only ever grouped by
+    * its own doc id.
+    */
+  def duplicatedSpanApply(docs: DataFrame, occ: DataFrame, idCol: String,
+      textCol: String, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupKeys = occ.groupBy(col("span_h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") > 1)
+      .select(col("span_h"))
+    val dupPos = occ.join(dupKeys, Seq("span_h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val before = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = dupPos
+      .withColumn("prev_end", max(col("pos") + l).over(before))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(upTo))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + l).as("e"))
+    val covered = islands.groupBy(col(idCol))
+      .agg(sum(col("e") - col("s")).cast(LongType).as("n_dup_tokens"))
+    val base = docs
+      .select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast(LongType).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+    val toks = docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast(LongType).as("pos"), col("tok"))
+    val ranges = islands
+      .select(col(idCol).as("__iid"), col("s"), col("e"))
+    val kept = toks.join(ranges,
+      col(idCol) === col("__iid") && col("pos") >= col("s") && col("pos") < col("e"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("__trimmed"))
+    val dropCond = col("n_dup_tokens") * 2 >= col("n_tokens")
+    base.join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(dropCond, "drop")
+          .when(col("n_dup_tokens") > 0, "trim")
+          .otherwise("keep").as("action"),
+        col("n_tokens"), col("n_dup_tokens"),
+        when(dropCond, lit(null).cast("string"))
+          .when(col("n_dup_tokens") > 0, col("__trimmed"))
+          .otherwise(col(textCol)).as("text_clean"))
+  }
+
   /** Exact Jaccard similarity for given (doc_a, doc_b) pairs — the
     * verification stage after LSH candidate generation.
     */

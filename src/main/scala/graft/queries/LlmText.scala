@@ -350,6 +350,59 @@ object LlmText {
       Tables.documents(s, d), corpusSpanOcc(s, d), "doc_id", "text", l = 8)
   }
 
+  /** Substring-dedup APPLY — the transform that enacts the coverage
+    * query's policy and emits the cleaned corpus: drop docs at least half
+    * duplicated (integer threshold 2·dup ≥ n), trim everyone else's
+    * islands out, keep clean docs verbatim. The oracle rebuilds islands,
+    * the per-position anti-join and the ordered token reassembly from
+    * scratch, so the hash match certifies the exact retained TEXT of
+    * every document, not just the counts.
+    */
+  private val substringApply = Q(
+    "dedup_substring_apply",
+    s"""WITH $spanOccCte,
+       |dup AS (SELECT span_h FROM occ GROUP BY 1 HAVING count(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM occ JOIN dup USING (span_h)),
+       |mk AS (SELECT doc_id, pos,
+       |              CASE WHEN pos > coalesce(max(pos + 8) OVER
+       |                     (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                   CAST(-1 AS BIGINT))
+       |                   THEN 1 ELSE 0 END AS ni
+       |       FROM dp),
+       |isl AS (SELECT doc_id, pos, SUM(ni) OVER
+       |              (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |        FROM mk),
+       |ib AS (SELECT doc_id, island, min(pos) AS s, max(pos + 8) AS e
+       |       FROM isl GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_dup_tokens
+       |        FROM ib GROUP BY 1),
+       |tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[i] AS tok
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+       |       CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) t),
+       |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+       |         WHERE NOT EXISTS (SELECT 1 FROM ib
+       |                           WHERE ib.doc_id = tk.doc_id
+       |                             AND tk.pos >= ib.s AND tk.pos < ib.e)),
+       |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS trimmed
+       |        FROM kept GROUP BY 1),
+       |base AS (SELECT d.doc_id,
+       |                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |                coalesce(per.n_dup_tokens, CAST(0 AS BIGINT)) AS n_dup_tokens,
+       |                d.text
+       |         FROM documents d LEFT JOIN per USING (doc_id))
+       |SELECT b.doc_id,
+       |       CASE WHEN n_dup_tokens * 2 >= n_tokens THEN 'drop'
+       |            WHEN n_dup_tokens > 0 THEN 'trim' ELSE 'keep' END AS action,
+       |       n_tokens, n_dup_tokens,
+       |       CASE WHEN n_dup_tokens * 2 >= n_tokens THEN NULL
+       |            WHEN n_dup_tokens > 0 THEN r.trimmed ELSE b.text END AS text_clean
+       |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin) { (s, d) =>
+    Dedup.duplicatedSpanApply(
+      Tables.documents(s, d), corpusSpanOcc(s, d), "doc_id", "text", l = 8)
+  }
+
   /** Incremental cluster maintenance: history (doc_id < 250) is clustered
     * once; the new batch folds in through its incremental candidate pairs
     * and [[Dedup.mergeClusters]] (old connectivity enters as star edges).
@@ -1161,7 +1214,7 @@ object LlmText {
   val queries: Seq[Q] =
     Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs,
       clusters, clustersIncremental, substringIndex, substringCoverage,
-      substringIncremental, simhash,
+      substringIncremental, substringApply, simhash,
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,

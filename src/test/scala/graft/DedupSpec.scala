@@ -126,6 +126,55 @@ class DedupSpec extends SparkSpec {
     assert(nearDupHits >= 4, s"only $nearDupHits/8 near-dup pairs bucketed")
   }
 
+  test("substring apply: retained text equals corpus minus brute-force-marked duplicated positions") {
+    // richer corpus than `corpus`: add a pair sharing exactly ONE 8-token
+    // phrase inside otherwise-unique 40-token docs, so the TRIM action is
+    // exercised (the base corpus only produces drop/keep — its dups cover
+    // ≥ half of every affected doc)
+    val phrase = (0 until 8).map(t => s"shared_$t").mkString(" ")
+    def uniq(seed: Int, n: Int) = (0 until n).map(t => s"u${seed}_$t")
+    val extras = Seq(
+      (300L, (uniq(300, 16) :+ phrase).mkString(" ") + " " + uniq(301, 16).mkString(" ")),
+      (310L, (uniq(310, 16) :+ phrase).mkString(" ") + " " + uniq(311, 16).mkString(" ")))
+      .toDF("doc_id", "text")
+    val docsDf = corpus.unionByName(extras)
+    val docs = docsDf.select("doc_id", "text").as[(Long, String)].collect()
+
+    // brute force: count every 8-token window text corpus-wide, mark every
+    // position covered by a window occurring >= 2 times, derive the policy
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs; w <- t.split(" ").sliding(8) if w.length == 8) {
+      val k = w.mkString(" ")
+      winCount(k) = winCount.getOrElse(k, 0) + 1
+    }
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ")
+      val marked = Array.fill(toks.length)(false)
+      for {
+        p <- 0 to toks.length - 8
+        if winCount(toks.slice(p, p + 8).mkString(" ")) >= 2
+        q <- p until p + 8
+      } marked(q) = true
+      val nDup = marked.count(identity).toLong
+      val action =
+        if (2 * nDup >= toks.length) "drop"
+        else if (nDup > 0) "trim" else "keep"
+      val clean =
+        if (action == "drop") null
+        else toks.zip(marked).collect { case (tok, false) => tok }.mkString(" ")
+      (id, action, toks.length.toLong, nDup, clean)
+    }.toSet
+    assert(expected.exists(_._2 == "trim") && expected.exists(_._2 == "drop") &&
+      expected.exists(_._2 == "keep"), "all three actions must be exercised")
+
+    val got = Dedup.duplicatedSpanApply(
+        docsDf, Dedup.spanOccurrences(docsDf, "doc_id", "text", 8),
+        "doc_id", "text", l = 8)
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got}, extra=${got -- expected}")
+  }
+
   test("portable simhash candidates: uncapped ⊇ Hamming≤3 brute force; cap only removes hot-bucket pairs") {
     // pigeonhole recall: with no bucket cap, every pair within Hamming
     // distance 3 of the 32-bit hash must surface as a candidate

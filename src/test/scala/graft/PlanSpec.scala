@@ -136,6 +136,17 @@ class PlanSpec extends SparkSpec {
         df.queryExecution.sparkPlan)
   }
 
+  test("substring apply plans only doc-partitioned windows") {
+    val df = SparkEntry.queries("dedup_substring_apply")(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "island merging should use per-doc windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window would funnel the whole corpus through one task:\n" +
+        df.queryExecution.sparkPlan)
+  }
+
   test("orchestrated fact re-keys dates through a broadcast of the date dim") {
     val p = plan("s9_fact_date_fk")
     assert(p.contains("BroadcastHashJoin"),
