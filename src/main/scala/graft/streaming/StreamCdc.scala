@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.functions.{col, lit, max, pmod, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.operators.Cdc
@@ -24,44 +24,67 @@ import graft.sources.TableStore
   * reordering horizon has passed (they are one row per deleted key —
   * bounded by key cardinality, not feed volume).
   *
-  * Replay safety mirrors [[ViewMaintain]]: foreachBatch is
-  * at-least-once, so the applied batch id rides on the state rows and
-  * commits in the same atomic overwrite — a replayed batch is a no-op.
-  * Each fold shuffles state + batch on the key; at very large key
-  * cardinality the overwrite is the cost of keeping the mirror a plain
-  * table every batch query can read (a keyed-merge sink would trade
-  * that for sink-side compaction).
+  * The mirror is HASH-BUCKETED on the key (`__bucket = hash(keys) mod
+  * nBuckets`, a partition column): a fold rewrites only the buckets its
+  * batch touches, so per-batch write volume is
+  * O(state × touchedBuckets / nBuckets + batch), not O(state) — a small
+  * batch against a 100 TB mirror rewrites a few buckets, never the
+  * table. The un-touched buckets are untouched bytes, and the state
+  * stays a plain partitioned table every batch query can read.
+  *
+  * Replay safety: foreachBatch is at-least-once, and per-bucket
+  * replacement is NOT atomic across buckets, so the applied-batch
+  * watermark lives in its own one-row marker table committed LAST
+  * (atomic overwrite). A crash anywhere before the marker — half the
+  * buckets swapped, or a bucket parked mid-swap
+  * ([[TableStore.recoverPartitions]] restores it before the next fold
+  * reads) — leaves the marker behind, the batch replays, and the fold
+  * is idempotent: re-merging rows the state already absorbed picks the
+  * same winners ([[Cdc.latestRows]] is a max, and maxes are
+  * idempotent).
   */
 object StreamCdc {
 
   def maintainer(stream: DataFrame, store: TableStore, table: String,
-      keys: Seq[String], seqCol: String, opCol: String): DataStreamWriter[Row] =
+      keys: Seq[String], seqCol: String, opCol: String,
+      nBuckets: Int = 64): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(store, table, keys, seqCol, opCol)(batch.toDF(), batchId)
+        applyBatch(store, table, keys, seqCol, opCol, nBuckets)(batch.toDF(), batchId)
       }
 
   /** The per-batch fold, exposed for direct testing of replay and
     * cross-batch reordering semantics.
     */
   def applyBatch(store: TableStore, table: String, keys: Seq[String],
-      seqCol: String, opCol: String)(batch: DataFrame, batchId: Long): Unit = {
+      seqCol: String, opCol: String, nBuckets: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    store.recoverPartitions(table)
+    val marker = s"${table}__batch"
     val lastApplied =
-      if (!store.exists(table)) -1L
-      else {
-        val r = store.read(table).agg(max(col("__applied"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+      if (!store.exists(marker)) -1L
+      else store.read(marker).agg(max(col("applied"))).head().getLong(0)
     if (batchId > lastApplied) {
+      val bucketOf =
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
       val collapsed = Cdc.latestRows(batch, keys, seqCol, opCol)
+        .withColumn("__bucket", bucketOf)
       val next =
-        if (store.exists(table))
-          Cdc.latestRows(
-            store.read(table).drop("__applied").unionByName(collapsed),
-            keys, seqCol, opCol)
-        else collapsed
-      store.overwrite(table, next.withColumn("__applied", lit(batchId)))
+        if (!store.exists(table)) collapsed
+        else {
+          // bounded driver state: at most min(batch keys, nBuckets) ids
+          val touched = collapsed.select(col("__bucket")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          // partition pruning keeps the read to the touched buckets only
+          val state = store.read(table)
+            .filter(col("__bucket").isInCollection(touched))
+          Cdc.latestRows(state.unionByName(collapsed), keys, seqCol, opCol)
+        }
+      store.replacePartitions(table, next, "__bucket")
+      val spark = batch.sparkSession
+      import spark.implicits._
+      store.overwrite(marker, Seq(batchId).toDF("applied"))
     }
   }
 
@@ -69,5 +92,5 @@ object StreamCdc {
     * the same shape batch [[Cdc.applyChanges]] produces.
     */
   def present(state: DataFrame, seqCol: String, opCol: String): DataFrame =
-    state.filter(col(opCol) =!= "D").drop(seqCol, opCol, "__applied")
+    state.filter(col(opCol) =!= "D").drop(seqCol, opCol, "__applied", "__bucket")
 }

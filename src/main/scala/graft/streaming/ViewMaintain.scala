@@ -25,39 +25,79 @@ object ViewMaintain {
   /** Maintain `table` as the running aggregate of `stream` grouped by
     * `keys` with decimal sums over `sumCols`.
     *
+    * The state is HASH-BUCKETED on the group key (`__bucket`, a
+    * partition column, same layout as [[StreamCdc]]): a fold rewrites
+    * only the buckets its delta touches, so per-batch write volume is
+    * O(touched-bucket state + delta), not O(all groups) — at 100 TB view
+    * cardinality a day's delta rewrites a few buckets, never the table.
+    *
     * Replay-safe: `foreachBatch` is at-least-once, so the fold must be
-    * idempotent per batch id. The last applied id rides ON the state
-    * rows themselves (`__applied`), so state and watermark commit in ONE
-    * atomic overwrite — a replayed batch at or below it is a no-op
-    * instead of a double-fold (which would silently double counts and
-    * sums, breaking the stream==batch bit-identity this exists for).
+    * idempotent per batch id. Per-bucket replacement is not atomic
+    * across buckets, so the applied-batch watermark lives in a one-row
+    * marker table committed LAST — a crash before it replays the batch
+    * against whatever landed. UNLIKE the CDC mirror's max-based fold,
+    * a re-MERGE of an already-folded delta would double counts and sums,
+    * so the guard is conservative in the other direction too: groups
+    * only ever move forward because the marker commit is the only
+    * boundary a replay consults, and a replayed batch at or below the
+    * marker is a no-op. The half-applied crash window (some buckets
+    * merged, marker absent, replay re-merges them) is closed by folding
+    * idempotently per bucket: the replay recomputes each touched bucket
+    * from the PRE-batch snapshot that [[TableStore.replacePartitions]]
+    * restores via its parked-partition recovery — a bucket is either
+    * fully pre-batch or fully post-batch, never half, and the re-merge
+    * of a post-batch bucket is prevented by writing the batch id into
+    * the bucket rows (`__applied`) and skipping buckets already at it.
     */
   def maintainer(stream: DataFrame, store: TableStore, table: String,
-      keys: Seq[String], sumCols: Seq[String]): DataStreamWriter[Row] =
+      keys: Seq[String], sumCols: Seq[String],
+      nBuckets: Int = 64): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(store, table, keys, sumCols)(batch.toDF(), batchId)
+        applyBatch(store, table, keys, sumCols, nBuckets)(batch.toDF(), batchId)
       }
 
   /** The per-batch fold, exposed for direct testing of replay semantics. */
   def applyBatch(store: TableStore, table: String, keys: Seq[String],
-      sumCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, max}
+      sumCols: Seq[String], nBuckets: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, pmod, xxhash64}
+    store.recoverPartitions(table)
+    val marker = s"${table}__batch"
     val lastApplied =
-      if (!store.exists(table)) -1L
-      else {
-        val r = store.read(table).agg(max(col("__applied"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+      if (!store.exists(marker)) -1L
+      else store.read(marker).agg(max(col("applied"))).head().getLong(0)
     if (batchId > lastApplied) {
+      val bucketOf =
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
       val delta = IncrementalAgg.fromBatch(batch, keys, sumCols)
+        .withColumn("__bucket", bucketOf)
       val next =
-        if (store.exists(table))
-          IncrementalAgg.merge(store.read(table).drop("__applied"),
-            delta, keys, sumCols)
-        else delta
-      store.overwrite(table, next.withColumn("__applied", lit(batchId)))
+        if (!store.exists(table)) delta.withColumn("__applied", lit(batchId))
+        else {
+          val touched = delta.select(col("__bucket")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val state = store.read(table)
+            .filter(col("__bucket").isInCollection(touched))
+          // the double-fold guard for the half-applied crash window: a
+          // bucket already carrying this batch id was fully merged by the
+          // crashed attempt — replace it with itself, don't re-merge
+          val stale = state.filter(col("__applied") =!= batchId)
+          val done = state.filter(col("__applied") === batchId)
+          IncrementalAgg.merge(
+              stale.drop("__applied", "__bucket"),
+              delta.join(done.select(keys.map(col): _*), keys, "left_anti")
+                .drop("__bucket"),
+              keys, sumCols)
+            .withColumn("__bucket", bucketOf)
+            .withColumn("__applied", lit(batchId))
+            .unionByName(done)
+        }
+      store.replacePartitions(table, next, "__bucket")
+      val spark = batch.sparkSession
+      import spark.implicits._
+      store.overwrite(marker, Seq(batchId).toDF("applied"))
     }
   }
 }

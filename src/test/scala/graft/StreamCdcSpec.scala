@@ -49,6 +49,54 @@ class StreamCdcSpec extends SparkSpec {
     assert(tomb == Seq(("D", 9L)))
   }
 
+  test("a fold rewrites only the buckets its batch touches; a crash before the marker replays clean") {
+    val store = new TableStore(s, Files.createTempDirectory("graft_cdc4").toString)
+    val fold = StreamCdc.applyBatch(store, "mirror", Seq("k"), "seq", "op") _
+    fold(feed, 0L)
+    def fingerprints(): Map[String, Seq[(String, Long)]] = {
+      val dir = java.nio.file.Paths.get(store.path("mirror"))
+      val ls = Files.list(dir)
+      try {
+        val out = scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
+        ls.forEach { p =>
+          if (p.getFileName.toString.startsWith("__bucket=")) {
+            val walk = Files.walk(p)
+            try {
+              val it = walk.iterator()
+              val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+              while (it.hasNext) {
+                val f = it.next()
+                if (Files.isRegularFile(f))
+                  buf += ((f.toString, Files.getLastModifiedTime(f).toMillis))
+              }
+              out(p.getFileName.toString) = buf.sortBy(_._1).toSeq
+            } finally walk.close()
+          }
+        }
+        out.toMap
+      } finally ls.close()
+    }
+    val before = fingerprints()
+    assert(before.size >= 2, s"want multiple buckets, got ${before.keys}")
+    // batch 1 touches ONLY key 1
+    val b1 = feed.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("k")), lit(64L)).cast("int"))
+      .head().getInt(0)
+    fold(Seq((1L, 20L, "U", "a3")).toDF("k", "seq", "op", "v"), 1L)
+    val after = fingerprints()
+    assert((before.keySet - s"__bucket=$b1").forall(k => after(k) == before(k)),
+      "a single-key batch rewrote buckets it never touched — write volume is not O(touched)")
+    assert(StreamCdc.present(store.read("mirror"), "seq", "op")
+      .filter(col("k") === 1L).select("v").as[String].head() == "a3")
+
+    // crash before the marker commit: buckets landed, marker didn't —
+    // the replayed batch must reconverge, not double or diverge
+    val stateAfter1 = store.read("mirror").collect().toSet
+    store.overwrite("mirror__batch", Seq(0L).toDF("applied"))
+    fold(Seq((1L, 20L, "U", "a3")).toDF("k", "seq", "op", "v"), 1L)
+    assert(store.read("mirror").collect().toSet == stateAfter1)
+  }
+
   test("replayed batch id is a no-op; real stream reaches the same state") {
     val store = new TableStore(s, Files.createTempDirectory("graft_cdc2").toString)
     val fold = StreamCdc.applyBatch(store, "mirror", Seq("k"), "seq", "op") _

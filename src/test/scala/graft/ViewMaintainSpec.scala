@@ -47,6 +47,47 @@ class ViewMaintainSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("half-applied crash window: replay completes stale buckets without double-folding merged ones") {
+    import spark.implicits._
+    // two group keys in DIFFERENT buckets (probe candidates until two
+    // hash apart under the default 64)
+    val cands = (0 until 20).map(i => s"g$i")
+    val buckets = cands.map { g =>
+      g -> spark.range(1).select(
+        pmod(xxhash64(lit(g)), lit(64L)).cast("int")).head().getInt(0)
+    }
+    val Seq((ga, ba), (gb, bb)) =
+      buckets.groupBy(_._2).values.filter(_.size == 1).take(2).map(_.head).toSeq
+    assert(ba != bb)
+    def batch(n: Int) = Seq((ga, n * 1.0), (gb, n * 10.0)).toDF("g", "v")
+
+    // reference: both batches folded normally
+    val ref = new TableStore(spark, Files.createTempDirectory("graft_vm_ref").toString)
+    val foldRef = ViewMaintain.applyBatch(ref, "agg", Seq("g"), Seq("v")) _
+    foldRef(batch(0), 0L); foldRef(batch(1), 1L)
+
+    // crashed store: batch 1 fully merged bucket bb, but bucket ba is
+    // still pre-batch and the marker never committed
+    val st = new TableStore(spark, Files.createTempDirectory("graft_vm_crash").toString)
+    val fold = ViewMaintain.applyBatch(st, "agg", Seq("g"), Seq("v")) _
+    fold(batch(0), 0L)
+    val preA = st.read("agg").filter(col("__bucket") === ba).collect()
+    fold(batch(1), 1L)
+    val preDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(preA.toSeq),
+      st.read("agg").schema)
+    st.replacePartitions("agg", preDf, "__bucket") // bucket ba back to pre-batch
+    st.overwrite("agg__batch", Seq(0L).toDF("applied")) // marker never advanced
+
+    fold(batch(1), 1L) // the replay
+    val got = IncrementalAgg.present(st.read("agg"), Seq("g"), Seq("v"))
+      .as[(String, Long, Double)].collect().toSet
+    val want = IncrementalAgg.present(ref.read("agg"), Seq("g"), Seq("v"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want,
+      s"replay diverged: got $got want $want (double-fold or lost bucket)")
+  }
+
   test("streamed micro-batch folds equal the one-shot aggregate exactly") {
     val keys = Seq("l_returnflag", "l_linestatus")
     val sums = Seq("l_quantity", "l_extendedprice")
