@@ -458,8 +458,29 @@ object PipelineQueries {
         (col("n_current") - col("n_v1")).cast(LongType).as("added"))
   }
 
+  /** JSONL corpus round-trip ([[graft.sources.JsonLines]]): export the
+    * documents table as JSON-Lines — the LLM-corpus interchange format —
+    * re-ingest it under an explicit schema, and emit the re-ingested
+    * rows. The oracle is the ORIGINAL table: a hash match certifies the
+    * export + parse round-trip is lossless field for field (ids, text
+    * with arbitrary token content, counts). Clean rows only — the
+    * corrupt-line quarantine path is spec-certified (JsonLinesSpec) with
+    * deliberately mangled lines, which the synthetic corpus has none of.
+    */
+  private val jsonlRoundtrip = Q(
+    "s14_jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    graft.sources.JsonLines.write(docs, dir)
+    val (clean, _) = graft.sources.JsonLines.quarantined(
+      graft.sources.JsonLines.read(s, dir, docs.schema))
+    clean.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
       deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
-      factOrderDim, quarantine, timeTravel)
+      factOrderDim, quarantine, timeTravel, jsonlRoundtrip)
 }
