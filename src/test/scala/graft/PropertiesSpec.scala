@@ -118,4 +118,44 @@ class PropertiesSpec extends SparkSpec {
       assert(got == want, s"corpus=$texts")
     }
   }
+
+  test("substring apply equals brute-force drop/trim/keep on random corpora") {
+    // same tiny-alphabet corpora as the coverage property; the reference
+    // derives the policy and the retained text directly from marked
+    // positions — no interval or anti-join logic shared with the operator
+    import graft.operators.Dedup
+    val l = 3
+    val docGen = Gen.listOfN(14, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    samples(Gen.listOfN(6, docGen), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val grams: Seq[(Long, Int, String)] = texts.zipWithIndex.flatMap {
+        case (t, i) =>
+          val toks = t.split(" ")
+          (0 to toks.length - l).map(p =>
+            (i.toLong, p, toks.slice(p, p + l).mkString(" ")))
+      }
+      val dupTexts = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ")
+        val covered = grams
+          .filter(g => g._1 == i.toLong && dupTexts(g._3))
+          .flatMap(g => g._2 until g._2 + l).toSet
+        val nDup = covered.size.toLong
+        val action =
+          if (2 * nDup >= toks.length) "drop"
+          else if (nDup > 0) "trim" else "keep"
+        val clean =
+          if (action == "drop") null
+          else toks.zipWithIndex.collect {
+            case (tok, p) if !covered(p) => tok
+          }.mkString(" ")
+        (i.toLong, action, toks.length.toLong, nDup, clean)
+      }.toSet
+      val got = Dedup.duplicatedSpanApply(docs,
+          Dedup.spanOccurrences(docs, "doc_id", "text", l), "doc_id", "text", l)
+        .as[(Long, String, Long, Long, String)].collect().toSet
+      assert(got == want, s"corpus=$texts")
+    }
+  }
 }
