@@ -66,6 +66,70 @@ object StreamDedup {
           numHashes, rowsPerBand, shingleN)(batch.toDF(), batchId)
       }
 
+  /** Maintain the SUBSTRING-dedup span-count store + duplicated-span log
+    * from a document stream — the streaming face of
+    * [[graft.operators.Dedup.incrementalDuplicatedSpans]], sharing the
+    * band store's layout discipline: each micro-batch windows ONLY its
+    * own documents (history text is never re-windowed), joins its span
+    * counts against the aggregated store, logs the spans duplicated
+    * corpus-wide that involve this batch (`span_h, n_occ, n_new` —
+    * including new-vs-new duplication), and appends the batch's counts
+    * as ONE store partition. Write volume per batch is O(batch); the
+    * store is a per-batch count log whose per-span SUM is the corpus
+    * count (compact with [[graft.sources.TableStore.compact]] when the
+    * partition count grows).
+    *
+    * Replay safety mirrors [[applyBatch]]: the span partition's presence
+    * is the applied marker (lands last), the dup log's partition lands
+    * first and replays by replacement, and folds recover parked
+    * partitions before reading. `checkpointDir` is REQUIRED for the same
+    * batch-id-durability reason as [[nearDupMaintainer]].
+    */
+  def substringMaintainer(stream: DataFrame, store: TableStore,
+      checkpointDir: String,
+      spanTable: String, dupTable: String, idCol: String, textCol: String,
+      l: Int = 8): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applySubstringBatch(store, spanTable, dupTable, idCol, textCol, l)(
+          batch.toDF(), batchId)
+      }
+
+  /** The per-batch substring fold, exposed for direct testing. */
+  def applySubstringBatch(store: TableStore, spanTable: String,
+      dupTable: String, idCol: String, textCol: String, l: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    store.recoverPartitions(spanTable)
+    store.recoverPartitions(dupTable)
+    val lastApplied =
+      if (!store.exists(spanTable)) -1L
+      else {
+        val r = store.read(spanTable)
+          .agg(max(col("__applied").cast("long"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    if (batchId > lastApplied) {
+      // window once; the occurrences feed the dup join AND the count store
+      val newOcc = Dedup.spanOccurrences(batch, idCol, textCol, l)
+        .localCheckpoint()
+      val oldCounts =
+        if (!store.exists(spanTable))
+          Dedup.spanCountStoreFromOcc(newOcc).limit(0)
+        else
+          store.read(spanTable).drop("__applied")
+            .groupBy(col("span_h"))
+            .agg(sum(col("n_old")).cast("long").as("n_old"))
+      val dups = Dedup.incrementalDuplicatedSpans(oldCounts, newOcc)
+        .withColumn("__batch", lit(batchId))
+      store.replacePartitions(dupTable, dups, "__batch")
+      store.replacePartitions(spanTable,
+        Dedup.spanCountStoreFromOcc(newOcc).withColumn("__applied", lit(batchId)),
+        "__applied")
+    }
+  }
+
   /** The per-batch fold, exposed for direct testing of replay semantics.
     *
     * Both stores are PARTITION-APPENDED, never rewritten: the band store
