@@ -240,9 +240,9 @@ object Bench {
     // the TIMED dir (warehouses, partitioned fact, shared dedup signature
     // frame) so no timed query pays first-touch construction. Submitted
     // before the per-query warmups so they grab threads immediately.
-    val prebuilds = Seq[(String, () => Unit)](
-      "prebuild:pipeline_warehouses" -> (() => graft.queries.PipelineQueries.prebuild(spark, sfDir)),
-      "prebuild:llmtext_signatures" -> (() => graft.queries.LlmText.prewarm(spark, sfDir))
+    val prebuilds = (graft.queries.PipelineQueries.prebuildSteps(spark, sfDir)
+      .map { case (n, f) => s"prebuild:$n" -> f } :+
+      ("prebuild:llmtext_signatures" -> (() => graft.queries.LlmText.prewarm(spark, sfDir)))
     ).map { case (label, f) =>
       Future {
         if (elapsedS < warmupDeadline) {

@@ -60,12 +60,20 @@ object PipelineQueries {
     * 480 s budget to two warehouse builds measured cold (35.5 s + 20.3 s
     * that cost 0.06 s warm), which is a build cost, not a query cost.
     */
-  def prebuild(s: SparkSession, d: String): Unit = {
-    warehouse(s, d)
-    incWarehouse(s, d)
-    partitionedFact(s, d)
-    ()
-  }
+  def prebuild(s: SparkSession, d: String): Unit =
+    prebuildSteps(s, d).foreach(_._2())
+
+  /** [[prebuild]] as independent named steps: the three artifacts build
+    * in separate temp stores off separate memo maps, so a warmup pool
+    * can overlap them (the sequential prebuild was the single biggest
+    * warmup step — 77.8 s of an 81.9 s warmup in the r13 local run, with
+    * the one-shot warehouse, the incremental warehouse and the fact
+    * build serialized behind each other for no reason).
+    */
+  def prebuildSteps(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "warehouse" -> (() => { warehouse(s, d); () }),
+    "inc_warehouse" -> (() => { incWarehouse(s, d); () }),
+    "partitioned_fact" -> (() => { partitionedFact(s, d); () }))
 
   private val facts = new ConcurrentHashMap[String, String]()
   private def partitionedFact(s: SparkSession, d: String): String =
