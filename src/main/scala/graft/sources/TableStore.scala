@@ -17,9 +17,49 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def path(table: String): String = s"$root/$table"
 
-  def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
+  def exists(table: String): Boolean = {
+    recoverSwap(table)
+    Files.exists(Paths.get(path(table)))
+  }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def read(table: String): DataFrame = {
+    recoverSwap(table)
+    spark.read.parquet(path(table))
+  }
+
+  /** Recover from a crash inside [[overwrite]] / [[overwriteVersioned]] /
+    * [[rollback]]'s swap window. Each of those moves the live directory
+    * aside (to `.old_<table>` or a snapshot) BEFORE moving the finished
+    * temp directory in, so a crash between the two moves leaves the table
+    * absent — and a reader that trusted the raw listing would conclude
+    * "no table" and silently rebuild state from scratch (losing, e.g.,
+    * every historical band key in a dedup store). The parked directories
+    * disambiguate: the live→parked move only runs after the temp write
+    * completed, so `live missing + .tmp_ present + (.old_ or snapshot
+    * present)` proves the new version is whole — publish it. A parked
+    * `.old_` with no finished temp restores the old version; a missing
+    * live with only snapshots left is a crash between [[rollback]]'s two
+    * moves — the displaced current sits as the newest snapshot, restore
+    * it (reversing the half-done rollback; the caller re-issues). A
+    * first-ever write that crashed mid-write (live never existed, no
+    * parked dirs) is left alone: its temp may be partial.
+    */
+  private def recoverSwap(table: String): Unit = {
+    val live = Paths.get(path(table))
+    if (Files.exists(live)) return
+    val tmp = Paths.get(s"$root/.tmp_$table")
+    val old = Paths.get(s"$root/.old_$table")
+    val snaps = versions(table)
+    if (Files.exists(tmp) && (Files.exists(old) || snaps.nonEmpty)) {
+      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+    } else if (Files.exists(old)) {
+      Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+    } else if (snaps.nonEmpty) {
+      Files.move(snapDir(table).resolve(s"v${snaps.last}"), live,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 
   /** Append a batch (the reference's INSERT INTO … SELECT). */
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {

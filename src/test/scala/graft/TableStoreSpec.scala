@@ -47,6 +47,50 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.readVersion("t", 2))
   }
 
+  test("crash between overwrite's two moves recovers: finished tmp published") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", Seq(1, 2).toDF("v"))
+    // simulate overwrite crashing between live->old and tmp->live: the new
+    // version sits finished in .tmp_, the old version is parked in .old_
+    Seq(10, 20, 30).toDF("v").write.parquet(s"$root/.tmp_t")
+    Files.move(Paths.get(s"$root/t"), Paths.get(s"$root/.old_t"))
+    assert(store.exists("t"), "recovery must publish the finished tmp")
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(10, 20, 30))
+    assert(!Files.exists(Paths.get(s"$root/.old_t")))
+    assert(!Files.exists(Paths.get(s"$root/.tmp_t")))
+  }
+
+  test("parked .old_ with no finished tmp restores the old version") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", Seq(1, 2).toDF("v"))
+    Files.move(Paths.get(s"$root/t"), Paths.get(s"$root/.old_t"))
+    assert(store.exists("t"))
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("crash between rollback's two moves restores the displaced current") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    store.overwriteVersioned("t", Seq(1).toDF("v"))
+    store.overwriteVersioned("t", Seq(2).toDF("v"))
+    // rollback("t", 1) crashed after parking current as v2, before moving
+    // v1 in: live is gone, newest snapshot holds the displaced current
+    Files.move(Paths.get(s"$root/t"), Paths.get(s"$root/.snap_t/v2"))
+    assert(store.exists("t"), "recovery must restore the newest snapshot")
+    assert(store.read("t").as[Int].head() == 2)
+    assert(store.versions("t") == Seq(1L))
+  }
+
+  test("first-ever write that crashed mid-write stays unpublished") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    // a partial tmp with no parked dirs proves nothing about completeness
+    Seq(1).toDF("v").write.parquet(s"$root/.tmp_t")
+    assert(!store.exists("t"))
+  }
+
   test("append accumulates; partitioned append lays out partition dirs") {
     val root = Files.createTempDirectory("graft_store").toString
     val store = new TableStore(spark, root)
