@@ -6,12 +6,12 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 
 import graft.functions.Cleaning.{dsum, dsumRound2, lcount}
 import graft.operators.IncrementalAgg
 import graft.pipeline.Runner
-import graft.sources.{Staging, TableStore, Tables}
+import graft.sources.{SchemaEvolve, Staging, TableStore, Tables}
 import graft.queries.Q.{C, DS, DS2}
 
 /** Queries that drive the REAL pipeline machinery (staging guard S2/S3,
@@ -487,8 +487,61 @@ object PipelineQueries {
     clean.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Schema evolution across feed generations ([[graft.sources
+    * .SchemaEvolve]]): the legacy half of the orders feed arrives with
+    * 32-bit keys, the price under its legacy name `order_value`, dates
+    * without time-of-day, and no priority column; the current half
+    * carries 64-bit keys, the canonical price name, timestamps, and the
+    * added column. `unionEvolved` merges them under declared renames —
+    * keys widen int→long, dates widen date→timestamp (midnight), the
+    * added column null-fills for legacy rows — and the rollup proves the
+    * merged corpus aggregates exactly (the oracle replays the same
+    * casts). Alignment is projection-only (SchemaEvolveSpec asserts no
+    * shuffle), so at 100 TB evolution costs nothing beyond the scan:
+    * history is read as written, never rewritten.
+    */
+  private val schemaEvolution = Q(
+    "s15_schema_evolution",
+    s"""WITH gen_a AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       |         CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus,
+       |         o_totalprice,
+       |         CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_orderdate,
+       |         CAST(NULL AS VARCHAR) AS o_orderpriority
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |gen_b AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 2 = 1),
+       |unioned AS (SELECT * FROM gen_a UNION ALL SELECT * FROM gen_b)
+       |SELECT o_orderstatus, $C AS n,
+       |       CAST(count(o_orderpriority) AS BIGINT) AS n_priority,
+       |       ${DS2("o_totalprice")} AS sum_price,
+       |       max(o_orderkey) AS max_key, min(o_orderdate) AS first_date
+       |FROM unioned GROUP BY 1""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val genA = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey").cast(IntegerType).as("o_orderkey"),
+      col("o_custkey").cast(IntegerType).as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").as("order_value"),
+      col("o_orderdate").cast(DateType).as("o_orderdate"))
+    val genB = o.filter(col("o_orderkey") % 2 === 1).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    SchemaEvolve.unionEvolved(Seq(
+      genA -> Map("order_value" -> "o_totalprice"),
+      genB -> Map.empty[String, String]))
+      .groupBy(col("o_orderstatus"))
+      .agg(lcount().as("n"),
+        count(col("o_orderpriority")).as("n_priority"),
+        dsumRound2(col("o_totalprice")).as("sum_price"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderdate")).as("first_date"))
+  }
+
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
       deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
-      factOrderDim, quarantine, timeTravel, jsonlRoundtrip)
+      factOrderDim, quarantine, timeTravel, jsonlRoundtrip, schemaEvolution)
 }
