@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.LongType
+
+import graft.operators.Sketches
+import graft.sources.TableStore
 
 /** Streaming sketch maintenance: per-day distinct-user HyperLogLog
   * registers kept by Structured Streaming itself — the bounded-state
@@ -51,4 +55,83 @@ object StreamSketch {
     */
   def streamingDailyRegisters(events: DataFrame, b: Int = 4): DataFrame =
     dailyUserRegisters(events.withWatermark("ts", "2 hours"), b)
+
+  /** Maintain corpus-lifetime heavy hitters from a stream: a Count–Min
+    * increment log plus a k-row candidate table — the CMS+heap frequent-
+    * items algorithm (Cormode & Muthukrishnan 2005) folded per micro-
+    * batch instead of per item. "Top pages all time" on an unbounded
+    * stream needs state bounded by the sketch, not the key domain —
+    * exact streaming counts grow state per distinct key forever; the
+    * windowed rollups ([[EventStream]]) bound state by time, this
+    * bounds it by accuracy.
+    *
+    * Each fold: sketch ONLY the batch's rows ([[Sketches.countMin]],
+    * same portable md5 bucket family as the batch `vocab_cms` query) and
+    * append them as one `__applied`-keyed partition of the increment log
+    * — CMS is linear, so the per-(r, bucket) SUM over partitions IS the
+    * corpus sketch, write volume O(depth×width) per batch, history never
+    * rewritten (compact with [[TableStore.compact]] as partitions
+    * accumulate). Candidates: the stored k survivors ∪ the batch's
+    * distinct keys, re-estimated against the FOLDED sketch, top k kept
+    * (ties broken by key — deterministic). A key's estimate only grows,
+    * and it is reconsidered at every arrival with its full-history
+    * estimate, so a true heavy hitter is in the table after its last
+    * arrival unless ≥ k keys out-estimate it — the standard CMS
+    * guarantee (overestimate ≤ εN with prob 1−δ for width e/ε, depth
+    * ln 1/δ).
+    *
+    * Replay safety (foreachBatch is at-least-once): the sketch partition
+    * lands LAST and its `__applied` id is the applied marker; the
+    * candidate table is overwritten FIRST and is idempotent by
+    * reconstruction (deterministic from the pre-fold sketch + batch).
+    * `checkpointDir` is REQUIRED for the batch-id-durability reason
+    * documented on [[StreamDedup.nearDupMaintainer]].
+    */
+  def heavyHitterMaintainer(stream: DataFrame, store: TableStore,
+      checkpointDir: String, cmsTable: String, topTable: String,
+      keyCol: String, k: Int = 20, depth: Int = 4, width: Int = 256)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyHeavyHitters(store, cmsTable, topTable, keyCol, k, depth, width)(
+          batch.toDF(), batchId)
+      }
+
+  /** The per-batch heavy-hitter fold, exposed for direct testing. */
+  def applyHeavyHitters(store: TableStore, cmsTable: String, topTable: String,
+      keyCol: String, k: Int, depth: Int, width: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    store.recoverPartitions(cmsTable)
+    val lastApplied =
+      if (!store.exists(cmsTable)) -1L
+      else {
+        val r = store.read(cmsTable)
+          .agg(max(col("__applied").cast("long"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    if (batchId > lastApplied) {
+      val batchCms = Sketches.countMin(batch.select(col(keyCol)), keyCol,
+        depth, width).localCheckpoint()
+      val folded = (
+        if (store.exists(cmsTable))
+          store.read(cmsTable).drop("__applied").unionByName(batchCms)
+        else batchCms)
+        .groupBy(col("r"), col("bucket"))
+        .agg(sum(col("n")).cast(LongType).as("n"))
+      val pool = (
+        if (store.exists(topTable))
+          store.read(topTable).select(col(keyCol))
+        else batch.select(col(keyCol)).limit(0))
+        .unionByName(batch.select(col(keyCol)))
+        .distinct()
+      val top = Sketches.cmsEstimate(folded, pool, keyCol, depth, width)
+        .orderBy(col("cms_n").desc, col(keyCol))
+        .limit(k)
+      store.overwrite(topTable, top)
+      store.replacePartitions(cmsTable,
+        batchCms.withColumn("__applied", lit(batchId)), "__applied")
+    }
+  }
 }
