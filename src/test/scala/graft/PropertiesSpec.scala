@@ -158,4 +158,35 @@ class PropertiesSpec extends SparkSpec {
       assert(got == want, s"corpus=$texts")
     }
   }
+
+  test("schema widening is commutative, idempotent, and value-preserving") {
+    import org.apache.spark.sql.types._
+    import graft.sources.SchemaEvolve
+    val types: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType,
+      FloatType, DoubleType, DecimalType(10, 2), DecimalType(20, 0),
+      DateType, TimestampType, StringType)
+    for (a <- types; b <- types) {
+      val ab = try Some(SchemaEvolve.widen(a, b)) catch {
+        case _: IllegalArgumentException => None
+      }
+      val ba = try Some(SchemaEvolve.widen(b, a)) catch {
+        case _: IllegalArgumentException => None
+      }
+      assert(ab == ba, s"widen not commutative: $a/$b -> $ab vs $ba")
+      // widening reaches a fixed point: the result absorbs both inputs
+      ab.foreach { w =>
+        assert(SchemaEvolve.widen(w, w) == w)
+        assert(SchemaEvolve.widen(a, w) == w, s"$a not absorbed by $w")
+        assert(SchemaEvolve.widen(b, w) == w, s"$b not absorbed by $w")
+      }
+    }
+    // every representable value survives the cast to the widened type:
+    // integral extremes through the int ladder and decimal enclosure
+    val extremes = Seq(Int.MaxValue, Int.MinValue, 1, 0, -1)
+    val df = extremes.toDF("v")
+    val widened = SchemaEvolve.widen(IntegerType, DecimalType(10, 2))
+    val back = df.select(col("v").cast(widened).cast(IntegerType).as("v"))
+      .as[Int].collect().toSet
+    assert(back == extremes.toSet, s"int extremes mangled through $widened")
+  }
 }
