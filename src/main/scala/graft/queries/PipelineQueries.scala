@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 
 import graft.functions.Cleaning.{dsum, dsumRound2, lcount}
-import graft.operators.IncrementalAgg
+import graft.operators.{IncrementalAgg, IncrementalJoin}
 import graft.pipeline.Runner
 import graft.sources.{SchemaEvolve, Staging, TableStore, Tables}
 import graft.queries.Q.{C, DS, DS2}
@@ -435,6 +435,40 @@ object PipelineQueries {
       IncrementalAgg.mergeRetract(state0, delta, keys, sums), keys, sums)
   }
 
+  /** Incremental JOIN-view maintenance ([[graft.operators
+    * .IncrementalJoin]]): the orders⋈lineitem view is refreshed from
+    * append batches by the algebraic delta ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — a bag
+    * identity, so the maintained view equals the one-shot join row for
+    * row without ever re-joining history against history. The splits are
+    * DELIBERATELY uncorrelated with the join key (customer parity on
+    * orders, supplier parity on lineitem) so all three delta terms are
+    * non-empty. The oracle aggregates the plain one-shot join; the hash
+    * match certifies the identity with exact decimal sums.
+    */
+  private val deltaJoinView = Q(
+    "c9_delta_join_view",
+    s"""SELECT o_orderpriority AS priority, $C AS n,
+       |       ${DS("l_quantity")} AS sum_qty,
+       |       ${DS("l_extendedprice")} AS sum_price
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+    val (aOld, aDelta) = (o.filter(col("o_custkey") % 2 === 0),
+      o.filter(col("o_custkey") % 2 === 1))
+    val (bOld, bDelta) = (li.filter(col("l_suppkey") % 2 === 0),
+      li.filter(col("l_suppkey") % 2 === 1))
+    IncrementalJoin.maintained(aOld.join(bOld, Seq("k")),
+      aOld, aDelta, bOld, bDelta, Seq("k"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(lcount().as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** Snapshot time travel ([[TableStore.overwriteVersioned]] /
     * `readVersion`): publish the open-orders rollup, then overwrite it
     * with the all-orders rollup, and report per priority the CURRENT
@@ -543,5 +577,6 @@ object PipelineQueries {
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
       deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
-      factOrderDim, quarantine, timeTravel, jsonlRoundtrip, schemaEvolution)
+      factOrderDim, quarantine, timeTravel, jsonlRoundtrip, schemaEvolution,
+      deltaJoinView)
 }
