@@ -469,6 +469,50 @@ object PipelineQueries {
         dsum(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** RETRACTABLE join-view maintenance ([[IncrementalJoin.weightedDelta]]
+    * — ring-weighted IVM, the join-level c8): rows carry ±1 weights, a
+    * pair's weight is the product of its sides', and one correction
+    * batch flows deletes through the join as negative weights. The
+    * corrections mirror c8's (every `l_orderkey % 4 == 1` lineitem row
+    * deleted, the `% 8 == 1` half re-inserted with quantity+1) PLUS a
+    * deletion of every `o_orderkey % 10 == 7` order — so the ΔA⋈ΔB cross
+    * term does real work: a pair losing BOTH partners nets −1−1+1 = −1,
+    * exactly once. The readout aggregates the weighted log directly
+    * (`n = Σw`, `sum_qty = Σ w·qty` in decimal); the oracle recomputes
+    * from the surviving rows one-shot.
+    */
+  private val retractJoinView = Q(
+    "c10_retract_join_view",
+    s"""WITH live_orders AS (
+       |  SELECT o_orderkey, o_orderpriority FROM orders
+       |  WHERE o_orderkey % 10 <> 7),
+       |live_li AS (
+       |  SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey % 4 <> 1
+       |  UNION ALL
+       |  SELECT l_orderkey, l_quantity + 1 FROM lineitem WHERE l_orderkey % 8 = 1)
+       |SELECT o_orderpriority AS priority, $C AS n,
+       |       ${DS("l_quantity")} AS sum_qty
+       |FROM live_orders JOIN live_li ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val a0 = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      .withColumn("w", lit(1))
+    val b0 = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+      .withColumn("w", lit(1))
+    val v0 = IncrementalJoin.weightedDelta(
+      a0.limit(0), a0, b0.limit(0), b0, Seq("k"))
+    val aDelta = a0.filter(col("k") % 10 === 7).withColumn("w", lit(-1))
+    val bDelta = b0.filter(col("k") % 4 === 1).withColumn("w", lit(-1))
+      .unionByName(b0.filter(col("k") % 8 === 1)
+        .withColumn("l_quantity", col("l_quantity") + 1))
+    val dv = IncrementalJoin.weightedDelta(a0, aDelta, b0, bDelta, Seq("k"))
+    v0.unionByName(dv)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum(col("w")).cast(LongType).as("n"),
+        dsum(col("w") * col("l_quantity")).as("sum_qty"))
+  }
+
   /** Snapshot time travel ([[TableStore.overwriteVersioned]] /
     * `readVersion`): publish the open-orders rollup, then overwrite it
     * with the all-orders rollup, and report per priority the CURRENT
@@ -578,5 +622,5 @@ object PipelineQueries {
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
       deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
       factOrderDim, quarantine, timeTravel, jsonlRoundtrip, schemaEvolution,
-      deltaJoinView)
+      deltaJoinView, retractJoinView)
 }

@@ -43,4 +43,40 @@ class IncrementalJoinSpec extends SparkSpec {
     val d = IncrementalJoin.delta(a, a.limit(0), b, b.limit(0), Seq("k"))
     assert(d.count() == 0)
   }
+
+  test("weighted retraction: deletes on either side remove exactly their pairs") {
+    val a0 = a.withColumn("w", lit(1))
+    val b0 = b.withColumn("w", lit(1))
+    // bootstrap: empty olds make the cross term the full join
+    val v0 = IncrementalJoin.weightedDelta(
+      a0.limit(0), a0, b0.limit(0), b0, Seq("k"))
+    assert(bag(IncrementalJoin.present(v0).drop("w")) == bag(a.join(b, Seq("k"))))
+
+    // delete one A row (a1, k=1) and one B row (b3, k=2) in one change batch;
+    // k=2 also loses its only A partner's pair via the B delete alone
+    val aDel = a.filter(col("av") === "a1").withColumn("w", lit(-1))
+    val bDel = b.filter(col("bv") === "b3").withColumn("w", lit(-1))
+    val dv = IncrementalJoin.weightedDelta(a0, aDel, b0, bDel, Seq("k"))
+    val net = IncrementalJoin.present(v0.unionByName(dv))
+    val expected = a.filter(col("av") =!= "a1")
+      .join(b.filter(col("bv") =!= "b3"), Seq("k"))
+    assert(bag(net.drop("w")) == bag(expected))
+    assert(net.filter(col("w") <= 0).count() == 0, "present must drop zeroed rows")
+  }
+
+  test("weighted cross term: deleting BOTH partners of a pair nets to zero once") {
+    val a0 = a.withColumn("w", lit(1))
+    val b0 = b.withColumn("w", lit(1))
+    val v0 = IncrementalJoin.weightedDelta(
+      a0.limit(0), a0, b0.limit(0), b0, Seq("k"))
+    // delete every k=3 row on both sides in the SAME batch: the pair loses
+    // -1 (A side) and -1 (B side) and regains +1 from ΔA⋈ΔB — net 0, not -1
+    val aDel = a.filter(col("k") === 3).withColumn("w", lit(-1))
+    val bDel = b.filter(col("k") === 3).withColumn("w", lit(-1))
+    val dv = IncrementalJoin.weightedDelta(a0, aDel, b0, bDel, Seq("k"))
+    val net = IncrementalJoin.present(v0.unionByName(dv))
+    assert(net.filter(col("k") === 3).count() == 0)
+    assert(bag(net.drop("w")) ==
+      bag(a.filter(col("k") =!= 3).join(b.filter(col("k") =!= 3), Seq("k"))))
+  }
 }
