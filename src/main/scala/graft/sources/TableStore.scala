@@ -238,14 +238,23 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  def replacePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
+  /** `subPartitionCols` lay out nested partition dirs INSIDE each
+    * replaced `partitionCol` partition (e.g. `__applied=3/__bucket=7/`):
+    * replacement granularity — and crash atomicity — stays at the
+    * top-level partition, while readers filtering on a sub-column get
+    * directory-level pruning across every batch partition (the
+    * bucketed-store layout: read O(touched buckets), append O(batch)).
+    */
+  def replacePartitions(table: String, df: DataFrame, partitionCol: String,
+      subPartitionCols: Seq[String] = Nil): Unit = {
     // recover from a crash inside a previous call BEFORE planning this
     // replacement, or the new df would be computed from (and then
     // permanently bake in) the truncated table
     recoverPartitions(table)
     val tmp = Paths.get(s"$root/.tmp_part_$table")
     deleteRecursively(tmp)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy((partitionCol +: subPartitionCols): _*).parquet(tmp.toString)
     val walk = Files.list(tmp)
     val parts =
       try walk.filter(p => p.getFileName.toString.startsWith(s"$partitionCol="))

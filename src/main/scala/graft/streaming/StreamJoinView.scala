@@ -18,9 +18,11 @@ import graft.sources.TableStore
   * and the view delta ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB to the view log — per-batch
   * write volume is O(batch + new matches), and the view is continuously
   * queryable as a plain table (union of its partitions) without ever
-  * re-joining history against history. At warehouse scale the side logs
-  * are what a bucketed-by-join-key layout co-locates; compact with
-  * [[TableStore.compact]] as batch partitions accumulate.
+  * re-joining history against history. The side logs are hash-bucketed
+  * on the join key inside each batch partition, so a fold's delta joins
+  * read only the buckets the batch touches — O(touched-bucket state)
+  * per refresh, not O(all history); compact with [[TableStore.compact]]
+  * as batch partitions accumulate.
   *
   * Replay safety (foreachBatch is at-least-once) rests on ONE rule: the
   * fold only ever reads side partitions with `__applied < batchId`. A
@@ -36,12 +38,12 @@ object StreamJoinView {
 
   def maintainer(stream: DataFrame, store: TableStore, checkpointDir: String,
       aTable: String, bTable: String, viewTable: String,
-      sideCol: String, keys: Seq[String]): DataStreamWriter[Row] =
+      sideCol: String, keys: Seq[String], nBuckets: Int = 64): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(store, aTable, bTable, viewTable, sideCol, keys)(
+        applyBatch(store, aTable, bTable, viewTable, sideCol, keys, nBuckets)(
           batch.toDF(), batchId)
       }
 
@@ -49,10 +51,18 @@ object StreamJoinView {
     * keep every non-null A column, B-rows every non-null B column (the
     * tagged union is ragged: each side's own columns are set, the other
     * side's are null — [[split]] reprojects them).
+    *
+    * The side logs are HASH-BUCKETED on the join key inside each batch
+    * partition (`__applied=N/__bucket=K/` — [[TableStore
+    * .replacePartitions]]' nested layout, the same key-bucket discipline
+    * as [[StreamCdc]]): matching keys share a bucket, so the fold reads
+    * only the buckets the batch's own keys touch — per-batch READ volume
+    * is O(touched-bucket state), not O(all history), while appends stay
+    * O(batch) and replacement atomicity stays per batch partition.
     */
   def applyBatch(store: TableStore, aTable: String, bTable: String,
-      viewTable: String, sideCol: String, keys: Seq[String])(
-      batch: DataFrame, batchId: Long): Unit = {
+      viewTable: String, sideCol: String, keys: Seq[String],
+      nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
     Seq(aTable, bTable, viewTable).foreach(store.recoverPartitions)
     val lastApplied =
       if (!store.exists(viewTable)) -1L
@@ -62,19 +72,29 @@ object StreamJoinView {
         if (r.isNullAt(0)) -1L else r.getLong(0)
       }
     if (batchId > lastApplied) {
-      val aDelta = split(batch, sideCol, "a", keys).localCheckpoint()
-      val bDelta = split(batch, sideCol, "b", keys).localCheckpoint()
+      val bucketOf =
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
+      val aDelta = split(batch, sideCol, "a", keys)
+        .withColumn("__bucket", bucketOf).localCheckpoint()
+      val bDelta = split(batch, sideCol, "b", keys)
+        .withColumn("__bucket", bucketOf).localCheckpoint()
+      val touched = (aDelta.select(col("__bucket"))
+        .unionByName(bDelta.select(col("__bucket"))))
+        .distinct().collect().map(_.getInt(0)).toSeq
       def priorSide(table: String, like: DataFrame): DataFrame =
-        if (!store.exists(table)) like.limit(0)
+        if (!store.exists(table)) like.limit(0).drop("__bucket")
         else store.read(table)
-          .filter(col("__applied").cast("long") < batchId).drop("__applied")
+          .filter(col("__bucket").isInCollection(touched))
+          .filter(col("__applied").cast("long") < batchId)
+          .drop("__applied", "__bucket")
       val aOld = priorSide(aTable, aDelta)
       val bOld = priorSide(bTable, bDelta)
-      val dv = IncrementalJoin.delta(aOld, aDelta, bOld, bDelta, keys)
+      val dv = IncrementalJoin.delta(
+        aOld, aDelta.drop("__bucket"), bOld, bDelta.drop("__bucket"), keys)
       store.replacePartitions(aTable,
-        aDelta.withColumn("__applied", lit(batchId)), "__applied")
+        aDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket"))
       store.replacePartitions(bTable,
-        bDelta.withColumn("__applied", lit(batchId)), "__applied")
+        bDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket"))
       store.replacePartitions(viewTable,
         dv.withColumn("__applied", lit(batchId)), "__applied")
     }

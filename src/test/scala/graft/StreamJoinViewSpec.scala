@@ -40,7 +40,8 @@ class StreamJoinViewSpec extends SparkSpec {
       .map { case (k, x, y, n) => (k, x, y) -> n }.toMap
 
   private def fold(store: TableStore) =
-    StreamJoinView.applyBatch(store, "a_log", "b_log", "v", "side", Seq("k")) _
+    StreamJoinView.applyBatch(store, "a_log", "b_log", "v", "side", Seq("k"),
+      nBuckets = 4) _
 
   private def foldAll(store: TableStore): Unit =
     (0 to 4).foreach(i => fold(store)(arrivals.filter(col("idx") === i), i.toLong))
@@ -52,6 +53,15 @@ class StreamJoinViewSpec extends SparkSpec {
     // per-batch write volume: each view partition holds only that batch's matches
     val perBatch = store.read("v").groupBy(col("__applied")).count().count()
     assert(perBatch >= 2, "matches should land across multiple batch partitions")
+    // side logs are key-bucketed inside each batch partition, and a bucket
+    // filter prunes at the directory level (what bounds a fold's reads)
+    assert(Files.exists(Path.of(store.path("a_log"), "__applied=0"))
+      && Files.list(Path.of(store.path("a_log"), "__applied=0"))
+        .anyMatch(p => p.getFileName.toString.startsWith("__bucket=")))
+    val pruned = store.read("a_log").filter(col("__bucket") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"bucket filter must prune partitions:\n$plan")
   }
 
   test("replaying an applied batch is a no-op") {
