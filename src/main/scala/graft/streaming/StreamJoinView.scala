@@ -100,16 +100,84 @@ object StreamJoinView {
     }
   }
 
+  /** CDC form: the tagged stream also carries an op column ('I' insert,
+    * 'D' delete), and the fold flows deletes through the join as −1
+    * weights ([[IncrementalJoin.weightedDelta]] — the streaming
+    * `c10_retract_join_view`): deleting a side row appends a −1 row to
+    * its log and the view delta retracts exactly the pairs that row once
+    * produced, the ΔA⋈ΔB cross term netting a double-sided delete to
+    * zero once. Readers collapse the view log with
+    * [[IncrementalJoin.present]]. Same bucket pruning, same replay rule
+    * (only side partitions with `__applied < batchId` are read). The
+    * feed must be consistent (delete only what was inserted) — weights,
+    * like any counting IVM, track the feed's algebra rather than
+    * validate it.
+    */
+  def cdcMaintainer(stream: DataFrame, store: TableStore, checkpointDir: String,
+      aTable: String, bTable: String, viewTable: String,
+      sideCol: String, opCol: String, keys: Seq[String],
+      nBuckets: Int = 64): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyCdcBatch(store, aTable, bTable, viewTable, sideCol, opCol, keys,
+          nBuckets)(batch.toDF(), batchId)
+      }
+
+  /** The per-batch weighted fold, exposed for direct testing. */
+  def applyCdcBatch(store: TableStore, aTable: String, bTable: String,
+      viewTable: String, sideCol: String, opCol: String, keys: Seq[String],
+      nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
+    Seq(aTable, bTable, viewTable).foreach(store.recoverPartitions)
+    val lastApplied =
+      if (!store.exists(viewTable)) -1L
+      else {
+        val r = store.read(viewTable)
+          .agg(max(col("__applied").cast("long"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    if (batchId > lastApplied) {
+      val weighted = batch
+        .withColumn("w", when(col(opCol) === "D", lit(-1)).otherwise(lit(1)))
+      val bucketOf =
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
+      val aDelta = split(weighted, sideCol, "a", keys, extra = Seq("w"))
+        .withColumn("__bucket", bucketOf).localCheckpoint()
+      val bDelta = split(weighted, sideCol, "b", keys, extra = Seq("w"))
+        .withColumn("__bucket", bucketOf).localCheckpoint()
+      val touched = (aDelta.select(col("__bucket"))
+        .unionByName(bDelta.select(col("__bucket"))))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      def priorSide(table: String, like: DataFrame): DataFrame =
+        if (!store.exists(table)) like.limit(0).drop("__bucket")
+        else store.read(table)
+          .filter(col("__bucket").isInCollection(touched))
+          .filter(col("__applied").cast("long") < batchId)
+          .drop("__applied", "__bucket")
+      val dv = IncrementalJoin.weightedDelta(
+        priorSide(aTable, aDelta), aDelta.drop("__bucket"),
+        priorSide(bTable, bDelta), bDelta.drop("__bucket"), keys, "w")
+      store.replacePartitions(aTable,
+        aDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket"))
+      store.replacePartitions(bTable,
+        bDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket"))
+      store.replacePartitions(viewTable,
+        dv.withColumn("__applied", lit(batchId)), "__applied")
+    }
+  }
+
   /** One side's rows of the tagged union, reprojected to its own
     * columns: the join keys plus every column that is non-null anywhere
     * on this side is kept; columns that are entirely the OTHER side's
     * (all-null here) are dropped by name convention — side columns are
-    * prefixed `a_`/`b_` (keys unprefixed).
+    * prefixed `a_`/`b_` (keys unprefixed). `extra` names shared
+    * passthrough columns (e.g. the CDC weight).
     */
   private def split(batch: DataFrame, sideCol: String, side: String,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], extra: Seq[String] = Nil): DataFrame = {
     val own = batch.columns.filter(c =>
-      keys.contains(c) || c.startsWith(s"${side}_"))
+      keys.contains(c) || extra.contains(c) || c.startsWith(s"${side}_"))
     batch.filter(col(sideCol) === side)
       .select(own.map(col).toIndexedSeq: _*)
   }
