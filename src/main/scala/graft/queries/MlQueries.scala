@@ -425,8 +425,47 @@ object MlQueries {
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
   }
 
+  /** Linear-model inference at corpus scale ([[graft.operators
+    * .LinearModel.hashedBowScore]]): the fasttext-shaped quality
+    * classifier applied to every document — hashed bag-of-words (same
+    * md5 family as `ml_feature_hash`), a 256-row integer bucket-weight
+    * MODEL broadcast to the scan, one grouped aggregate per doc, one
+    * pinned double division. The stand-in "trained" weights derive from
+    * the bucket's own md5 byte (a real model is just different rows);
+    * the oracle replays tokenization, hashing, weights, and ranking
+    * bit-for-bit. Top-10 docs by score, ties broken by id.
+    */
+  private val linearScore = Q(
+    "ml_linear_score",
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, t AS token
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |f AS (SELECT doc_id, lang,
+       |             CAST(('0x' || substr(md5(token), 1, 13)) AS BIGINT) % 256 AS bucket
+       |      FROM toks),
+       |w AS (SELECT bucket, ${Q.md5Byte("bucket")} - 128 AS w
+       |      FROM (SELECT unnest(range(256)) AS bucket)),
+       |sc AS (SELECT doc_id, lang, $C AS n_tokens,
+       |              CAST(SUM(w.w) AS BIGINT) AS sum_w
+       |       FROM f JOIN w USING (bucket) GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_tokens,
+       |       CAST(sum_w AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    val weights = s.range(256)
+      .select(col("id").as("bucket"),
+        (graft.operators.Sampling.md5Byte(col("id")) - 128).as("w"))
+    graft.operators.LinearModel.hashedBowScore(
+      Tables.documents(s, d), "doc_id", "text", weights, 256,
+      carryCols = Seq("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Seq[Q] = Seq(
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
-    mad, chi2Select, corrMatrix, quantileBin)
+    mad, chi2Select, corrMatrix, quantileBin, linearScore)
 }

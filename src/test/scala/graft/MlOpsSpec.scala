@@ -131,4 +131,21 @@ class MlOpsSpec extends SparkSpec {
       .map("%02x".format(_)).mkString.take(13)
     assert(b == java.lang.Long.parseLong(h, 16) % 64)
   }
+
+  test("hashedBowScore: mean of per-token bucket weights, token-less docs absent") {
+    import graft.operators.LinearModel
+    // a 2-bucket model with known weights makes scores hand-checkable
+    val weights = Seq((0L, 10), (1L, -10)).toDF("bucket", "w")
+    val docs = Seq((1L, "x x y"), (2L, "   "), (3L, "y")).toDF("doc_id", "text")
+    val scored = LinearModel.hashedBowScore(docs, "doc_id", "text", weights, 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, sc) => id -> ((n, sc)) }.toMap
+    // recompute the buckets the operator's own hash assigns
+    val bx = Seq("x").toDF("f").select(Sketches.featureBucket(col("f"), 2)).head().getLong(0)
+    val by = Seq("y").toDF("f").select(Sketches.featureBucket(col("f"), 2)).head().getLong(0)
+    def w(b: Long) = if (b == 0L) 10.0 else -10.0
+    assert(scored(1L) == ((3L, (2 * w(bx) + w(by)) / 3.0)))
+    assert(scored(3L) == ((1L, w(by))))
+    assert(!scored.contains(2L), "whitespace-only doc has no features to score")
+  }
 }
