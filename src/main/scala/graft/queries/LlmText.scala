@@ -1211,8 +1211,52 @@ object LlmText {
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
   }
 
+  /** Chunk-grain near-dup pairs (the RefinedWeb-style second dedup
+    * grain): documents cut into NON-overlapping 32-token chunks (same
+    * chunker as `text_chunks`; stride = size, so repeated passages
+    * inside one doc can't manufacture overlap), each chunk MinHash-LSH
+    * banded exactly like the doc-level family, chunk pairs rolled up to
+    * (doc_a, doc_b, shared-chunk-pair count) with intra-doc pairs
+    * dropped. Catches documents that share long passages without being
+    * near-dups as wholes — the grain doc-level banding misses. Scale
+    * shape identical to `dedup_minhash_pairs`: the chunk explode is
+    * map-side, buckets key the only join, never all-pairs.
+    */
+  private val chunkPairs = Q(
+    "dedup_chunk_pairs",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |ch AS (SELECT doc_id * 1000 + idx AS cid, l[idx * 32 + 1 : idx * 32 + 32] AS cl
+      |       FROM (SELECT doc_id, l, unnest(range(0, (len(l) - 1) // 32 + 1)) AS idx
+      |             FROM toks)),
+      |csh AS (SELECT DISTINCT cid, cl[i] || ' ' || cl[i+1] || ' ' || cl[i+2] AS shingle
+      |        FROM ch CROSS JOIN LATERAL (SELECT unnest(range(1, len(cl) - 1)) AS i) t),
+      |sig AS (SELECT cid, CAST(seed AS BIGINT) AS seed,
+      |               min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
+      |        FROM csh CROSS JOIN generate_series(0, 15) s(seed) GROUP BY 1, 2),
+      |bands AS (SELECT cid, CAST(seed // 4 AS BIGINT) AS band,
+      |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+      |          FROM sig GROUP BY 1, 2),
+      |cp AS (SELECT DISTINCT a.cid AS ca, b.cid AS cb
+      |       FROM bands a JOIN bands b
+      |         ON a.band = b.band AND a.band_key = b.band_key AND a.cid < b.cid)
+      |SELECT ca // 1000 AS doc_a, cb // 1000 AS doc_b,
+      |       CAST(count(*) AS BIGINT) AS n_chunk_pairs
+      |FROM cp WHERE ca // 1000 <> cb // 1000
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val chunks = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokenChunks(col("text"), chunkSize = 32, stride = 32)).as("c"))
+      .select((col("doc_id") * 1000 + col("c.chunk_idx")).as("cid"),
+        array_join(col("c.toks"), " ").as("ctext"))
+    Dedup.minhashPairs(chunks, "cid", "ctext", numHashes = 16, rowsPerBand = 4)
+      .select(expr("doc_a DIV 1000").as("doc_a"), expr("doc_b DIV 1000").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_chunk_pairs"))
+  }
+
   val queries: Seq[Q] =
-    Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs,
+    Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs, chunkPairs,
       clusters, clustersIncremental, substringIndex, substringCoverage,
       substringIncremental, substringApply, simhash,
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
