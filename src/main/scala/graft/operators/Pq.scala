@@ -97,8 +97,10 @@ object Pq {
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Seq[(Int, Array[Double])], nSub: Int): DataFrame = {
-    val dim = cb.head._2.length
-    val sub = dim / nSub
+    // empty corpus -> empty codebook -> no code rows (the expressions
+    // below never evaluate; only the driver-side geometry needs a guard)
+    val dim = cb.headOption.fold(0)(_._2.length)
+    val sub = if (dim == 0) 1 else dim / nSub
     corpus
       .select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
       .select(col("nid"), posexplode(codesArray(col("cvec"), cbLit(cb), nSub, sub)))
@@ -112,7 +114,7 @@ object Pq {
     */
   private def adcTables(queries: DataFrame, idCol: String, vecCol: String,
       cb: Seq[(Int, Array[Double])], nSub: Int): DataFrame = {
-    val sub = cb.head._2.length / nSub
+    val sub = if (cb.isEmpty) 1 else cb.head._2.length / nSub
     val cbL = cbLit(cb)
     queries
       .select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
@@ -164,11 +166,19 @@ object Pq {
     */
   def encodeNative(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Seq[(Int, Array[Double])], nSub: Int): DataFrame =
-    corpus
-      .select(col(idCol).as("nid"), posexplode(call_function("pq_encode",
-        col(vecCol), typedLit(cb.sortBy(_._1).map(_._2.toSeq)), lit(nSub))))
-      .select(col("nid"), col("pos").cast(IntegerType).as("m"),
-        col("col").as("code"))
+    if (cb.isEmpty)
+      // the native expression derives its geometry from the codebook
+      // literal, so an empty-corpus codebook short-circuits to an empty
+      // (nid, m, code) frame before the expression is ever constructed
+      corpus.select(col(idCol).as("nid"),
+        lit(0).cast(IntegerType).as("m"), lit(0).cast(IntegerType).as("code"))
+        .limit(0)
+    else
+      corpus
+        .select(col(idCol).as("nid"), posexplode(call_function("pq_encode",
+          col(vecCol), typedLit(cb.sortBy(_._1).map(_._2.toSeq)), lit(nSub))))
+        .select(col("nid"), col("pos").cast(IntegerType).as("m"),
+          col("col").as("code"))
 
   /** ADC top-k: approximate k nearest corpus vectors per query by table
     * lookup over the codes. Queries must be broadcast-small (the table

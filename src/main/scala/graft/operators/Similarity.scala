@@ -289,6 +289,10 @@ object Similarity {
       .select(col("nid"), col("cvec")).collect()
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }.toSeq
+    // an empty corpus seeds no centroids: return the empty quantizer
+    // (consumers join against it and go empty) instead of building a
+    // zero-column cosine array the analyzer rejects
+    if (cents.isEmpty) return cents
     for (_ <- 0 until iters) {
       val cosines = array(cents.map { case (_, v) => cosine(col("cvec"), lit(v)) }: _*)
       val assigned = c

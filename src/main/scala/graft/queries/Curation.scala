@@ -654,7 +654,8 @@ object Curation {
     a.crossJoin(broadcast(b)).crossJoin(broadcast(exact))
       .withColumn("u", slice(array_sort(array_union(col("a"), col("b"))), 1, k))
       .withColumn("ku", size(col("u")).cast(LongType))
-      .withColumn("h_k", element_at(col("u"), size(col("u"))))
+      .withColumn("h_k",
+        when(size(col("u")) > 0, element_at(col("u"), size(col("u")))))
       .withColumn("rho",
         size(array_intersect(array_intersect(col("u"), col("a")), col("b")))
           .cast(LongType))
@@ -887,7 +888,8 @@ object Curation {
     a.join(broadcast(b), col("sa") < col("sb"))
       .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
       .withColumn("ku", size(col("u")).cast(LongType))
-      .withColumn("h_k", element_at(col("u"), size(col("u"))))
+      .withColumn("h_k",
+        when(size(col("u")) > 0, element_at(col("u"), size(col("u")))))
       .withColumn("rho",
         size(array_intersect(array_intersect(col("u"), col("ska")), col("skb")))
           .cast(LongType))

@@ -191,7 +191,11 @@ object PipelineQueries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |WHERE year(CAST(o_orderdate AS DATE)) = 1998
        |GROUP BY 1""".stripMargin) { (s, d) =>
-    s.read.parquet(partitionedFact(s, d))
+    // explicit schema: an all-empty fact writes no data files, and a
+    // schema-inferred read of a bare partitioned dir fails instead of
+    // returning the empty frame an empty feed should produce
+    s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, order_year INT")
+      .parquet(partitionedFact(s, d))
       .filter(col("order_year") === 1998)
       .groupBy(col("order_year").cast(LongType).as("yr"))
       .agg(lcount().as("n"), dsum(col("l_quantity")).as("qty"))
