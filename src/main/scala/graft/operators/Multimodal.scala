@@ -47,6 +47,10 @@ object Multimodal {
       .encoderFor(decodedSchema)
     media
       .select(col("doc_id"), col("media_type"), col("payload"))
+      // a NULL payload is an undecodable record: dropped here, exactly
+      // where a real decoder would quarantine it (a null byte array
+      // would otherwise NPE inside the codec kernel)
+      .filter(col("payload").isNotNull && col("media_type").isNotNull)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

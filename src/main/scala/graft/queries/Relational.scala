@@ -1339,12 +1339,20 @@ object Relational {
       sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast(LongType).as("conv_b"))
     val pp = (col("conv_a") + col("conv_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
+    // z is undefined when an arm is empty or conversion is degenerate
+    // (p = 0 or 1 makes the pooled variance 0): NULL, not an ANSI
+    // divide-by-zero abort — CaseWhen evaluates only the taken branch,
+    // so the divisions never run on a degenerate readout
+    val defined = col("n_a") > 0 && col("n_b") > 0 &&
+      (col("conv_a") + col("conv_b")) > 0 &&
+      (col("conv_a") + col("conv_b")) < (col("n_a") + col("n_b"))
     c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-      ((col("conv_a").cast("double") / col("n_a").cast("double") -
-        col("conv_b").cast("double") / col("n_b").cast("double")) /
-        sqrt(pp * (lit(1.0) - pp) *
-          (lit(1.0) / col("n_a").cast("double") +
-            lit(1.0) / col("n_b").cast("double")))).as("z"))
+      when(defined,
+        (col("conv_a").cast("double") / col("n_a").cast("double") -
+          col("conv_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double")))).as("z"))
   }
 
   /** Ordered funnel analysis (signup → first click → first purchase per

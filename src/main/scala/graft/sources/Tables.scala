@@ -67,7 +67,15 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** NULL embedding rows are dropped at the source: a vector-less row is
+    * meaningless to every consumer (ANN, PQ, k-means, norms), and one
+    * null reaching a collected centroid/codebook crashes the driver-side
+    * geometry. The production feed contract is non-null vectors; rows
+    * violating it are excluded rather than poisoning the index.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
 
   /** Memoized row count per (dir, table) — harness tables are immutable,
     * so a scalar that parameterizes a plan (the IVF centroid stride) is

@@ -53,4 +53,48 @@ class EmptyInputSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"queries that crash on an empty feed:\n${failures.mkString("\n")}")
   }
+
+  test("every registered query survives a null-laden feed (10% of non-key values)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, when, xxhash64}
+    val dir = Files.createTempDirectory("graft_null_feed").toString
+    val tables = Files.list(Paths.get(sfDir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    tables.foreach { p =>
+      val name = Paths.get(p).getFileName.toString
+      val df = spark.read.parquet(p)
+      // null out a deterministic ~10% of every non-key value — the dirty
+      // feed a real ingest sees; keys stay intact (a null key is a
+      // different failure class, quarantined at staging)
+      val dirty = df.columns.foldLeft(df) { (acc, c) =>
+        if (c.toLowerCase.endsWith("key") || c.toLowerCase.endsWith("_id")) acc
+        else acc.withColumn(c,
+          when(pmod(xxhash64(col(c).cast("string"), lit(c)), lit(10)) === 0, lit(null))
+            .otherwise(col(c)))
+      }
+      dirty.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      Future {
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable
+              if e.getMessage != null &&
+                e.getMessage.contains("There is no data in the source") =>
+            None
+          case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(160)}")
+        }
+      }
+    }
+    val failures =
+      try Await.result(Future.sequence(results), Duration.Inf).flatten
+      finally pool.shutdown()
+    assert(failures.isEmpty,
+      s"queries that crash on a null-laden feed:\n${failures.mkString("\n")}")
+  }
 }
