@@ -1920,6 +1920,40 @@ object Relational {
         Seq("0.25", "0.50", "0.75", "0.99").map(BigDecimal(_)))
   }
 
+  /** ONE-PASS approximate quantiles — `a16`'s scale path. The exact
+    * machinery is two passes (range shuffle to rank, then index); the
+    * KLL/GK-family sketch behind `percentile_approx` is one pass,
+    * mergeable, constant memory — at 100 TB it is the difference
+    * between touching the corpus twice and once. The sketch VALUE is
+    * engine-specific (like `a2_distinct_approx`'s HLL), so the query
+    * certifies its own contract in-engine — the returned p50/p95
+    * elements must sit within ±5 rank points of their targets, checked
+    * against exact conditional counts — and the oracle pins the exact
+    * group sizes plus the certified booleans. Two aggregates over the
+    * fact (sketch, then rank check against the broadcast 3-row sketch
+    * frame), both single-shuffle.
+    */
+  private val quantilesApprox = Q(
+    "a17_quantiles_approx",
+    s"""SELECT l_returnflag AS flag, $C AS n,
+       |       true AS p50_in_rank_band, true AS p95_in_rank_band
+       |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+    val ap = lF(s, d).groupBy(col("l_returnflag").as("flag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("ap95"))
+    lF(s, d).select(col("l_returnflag").as("flag"), col("l_extendedprice"))
+      .join(broadcast(ap), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(lcount().as("n"),
+        (sum(when(col("l_extendedprice") <= col("ap50"), 1).otherwise(0))
+          .cast("double") / count(lit(1)).cast("double")).as("r50"),
+        (sum(when(col("l_extendedprice") <= col("ap95"), 1).otherwise(0))
+          .cast("double") / count(lit(1)).cast("double")).as("r95"))
+      .select(col("flag"), col("n"),
+        (col("r50") >= 0.45 && col("r50") <= 0.55).as("p50_in_rank_band"),
+        (col("r95") >= 0.90 && col("r95") <= 1.0).as("p95_in_rank_band"))
+  }
+
   /** Equi-DEPTH (equal-frequency) 8-bucket histogram of order totals —
     * the profiling companion to `qa_histogram`'s equi-width buckets:
     * boundaries are the EXACT distributed 1/8…7/8 quantiles (range-
@@ -2090,6 +2124,7 @@ object Relational {
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
     funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
+    quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
     linkPredict, markov, seasonality, abTest)
 }
