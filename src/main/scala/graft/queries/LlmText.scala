@@ -1220,12 +1220,15 @@ object LlmText {
     * dropped. Catches documents that share long passages without being
     * near-dups as wholes — the grain doc-level banding misses. Scale
     * shape identical to `dedup_minhash_pairs`: the chunk explode is
-    * map-side, buckets key the only join, never all-pairs.
+    * map-side, buckets key the only join, never all-pairs. Chunk ids
+    * are doc_id·10⁶ + idx — sound up to 10⁶ chunks (32M whitespace
+    * tokens) per document and 9.2·10¹² doc ids; a corpus beyond either
+    * bound needs a composite (doc, idx) key, not a packed long.
     */
   private val chunkPairs = Q(
     "dedup_chunk_pairs",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |ch AS (SELECT doc_id * 1000 + idx AS cid, l[idx * 32 + 1 : idx * 32 + 32] AS cl
+      |ch AS (SELECT doc_id * 1000000 + idx AS cid, l[idx * 32 + 1 : idx * 32 + 32] AS cl
       |       FROM (SELECT doc_id, l, unnest(range(0, (len(l) - 1) // 32 + 1)) AS idx
       |             FROM toks)),
       |csh AS (SELECT DISTINCT cid, cl[i] || ' ' || cl[i+1] || ' ' || cl[i+2] AS shingle
@@ -1239,17 +1242,17 @@ object LlmText {
       |cp AS (SELECT DISTINCT a.cid AS ca, b.cid AS cb
       |       FROM bands a JOIN bands b
       |         ON a.band = b.band AND a.band_key = b.band_key AND a.cid < b.cid)
-      |SELECT ca // 1000 AS doc_a, cb // 1000 AS doc_b,
+      |SELECT ca // 1000000 AS doc_a, cb // 1000000 AS doc_b,
       |       CAST(count(*) AS BIGINT) AS n_chunk_pairs
-      |FROM cp WHERE ca // 1000 <> cb // 1000
+      |FROM cp WHERE ca // 1000000 <> cb // 1000000
       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
     val chunks = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(TextAnalysis.tokenChunks(col("text"), chunkSize = 32, stride = 32)).as("c"))
-      .select((col("doc_id") * 1000 + col("c.chunk_idx")).as("cid"),
+      .select((col("doc_id") * 1000000 + col("c.chunk_idx")).as("cid"),
         array_join(col("c.toks"), " ").as("ctext"))
     Dedup.minhashPairs(chunks, "cid", "ctext", numHashes = 16, rowsPerBand = 4)
-      .select(expr("doc_a DIV 1000").as("doc_a"), expr("doc_b DIV 1000").as("doc_b"))
+      .select(expr("doc_a DIV 1000000").as("doc_a"), expr("doc_b DIV 1000000").as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast(LongType).as("n_chunk_pairs"))

@@ -504,8 +504,9 @@ object PipelineQueries {
     val b0 = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("k"), col("l_quantity"))
       .withColumn("w", lit(1))
-    val v0 = IncrementalJoin.weightedDelta(
-      a0.limit(0), a0, b0.limit(0), b0, Seq("k"))
+    // bootstrap: the initial view is just the weighted full join (all
+    // weights +1, so the pair weight product is +1)
+    val v0 = a0.drop("w").join(b0.drop("w"), Seq("k")).withColumn("w", lit(1))
     val aDelta = a0.filter(col("k") % 10 === 7).withColumn("w", lit(-1))
     val bDelta = b0.filter(col("k") % 4 === 1).withColumn("w", lit(-1))
       .unionByName(b0.filter(col("k") % 8 === 1)
@@ -590,11 +591,15 @@ object PipelineQueries {
        |         o_totalprice,
        |         CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_orderdate,
        |         CAST(NULL AS VARCHAR) AS o_orderpriority
-       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |  FROM orders
+       |  WHERE o_orderkey % 2 = 0 AND o_orderkey <= 2147483647
+       |        AND o_custkey <= 2147483647),
        |gen_b AS (
        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        |         o_orderdate, o_orderpriority
-       |  FROM orders WHERE o_orderkey % 2 = 1),
+       |  FROM orders
+       |  WHERE o_orderkey % 2 = 1 OR o_orderkey > 2147483647
+       |        OR o_custkey > 2147483647),
        |unioned AS (SELECT * FROM gen_a UNION ALL SELECT * FROM gen_b)
        |SELECT o_orderstatus, $C AS n,
        |       CAST(count(o_orderpriority) AS BIGINT) AS n_priority,
@@ -602,13 +607,19 @@ object PipelineQueries {
        |       max(o_orderkey) AS max_key, min(o_orderdate) AS first_date
        |FROM unioned GROUP BY 1""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d)
-    val genA = o.filter(col("o_orderkey") % 2 === 0).select(
+    // the legacy feed is, by definition, the rows whose keys FIT its
+    // 32-bit schema: a key past Int range could never have arrived
+    // through it, so such rows route to the current generation (and the
+    // ANSI int cast below can never overflow, at any scale factor)
+    val fitsLegacy = col("o_orderkey") <= Int.MaxValue &&
+      col("o_custkey") <= Int.MaxValue
+    val genA = o.filter(col("o_orderkey") % 2 === 0 && fitsLegacy).select(
       col("o_orderkey").cast(IntegerType).as("o_orderkey"),
       col("o_custkey").cast(IntegerType).as("o_custkey"),
       col("o_orderstatus"),
       col("o_totalprice").as("order_value"),
       col("o_orderdate").cast(DateType).as("o_orderdate"))
-    val genB = o.filter(col("o_orderkey") % 2 === 1).select(
+    val genB = o.filter(col("o_orderkey") % 2 === 1 || !fitsLegacy).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
     SchemaEvolve.unionEvolved(Seq(

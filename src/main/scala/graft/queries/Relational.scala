@@ -1926,10 +1926,11 @@ object Relational {
     * mergeable, constant memory — at 100 TB it is the difference
     * between touching the corpus twice and once. The sketch VALUE is
     * engine-specific (like `a2_distinct_approx`'s HLL), so the query
-    * certifies its own contract in-engine — the returned p50/p95
-    * elements must sit within ±5 rank points of their targets, checked
-    * against exact conditional counts — and the oracle pins the exact
-    * group sizes plus the certified booleans. Two aggregates over the
+    * certifies its own contract in-engine — each returned p50/p95
+    * element's exact rank interval (strict-below to at-or-below
+    * fractions) must intersect a ±5-rank-point band around its target —
+    * and the oracle pins the exact group sizes plus the certified
+    * booleans. Two aggregates over the
     * fact (sketch, then rank check against the broadcast 3-row sketch
     * frame), both single-shuffle.
     */
@@ -1941,17 +1942,27 @@ object Relational {
     val ap = lF(s, d).groupBy(col("l_returnflag").as("flag"))
       .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("ap95"))
+    // a returned element v occupies the RANK INTERVAL
+    // [count(x < v)/n, count(x <= v)/n]; the certification is that this
+    // interval intersects the target band — tie-proof (heavy tie mass
+    // widens the interval rather than pushing a point estimate out) and
+    // exact for tiny groups (where the sketch degenerates to exact
+    // selection and the interval necessarily straddles p)
     lF(s, d).select(col("l_returnflag").as("flag"), col("l_extendedprice"))
       .join(broadcast(ap), Seq("flag"))
       .groupBy(col("flag"))
       .agg(lcount().as("n"),
+        (sum(when(col("l_extendedprice") < col("ap50"), 1).otherwise(0))
+          .cast("double") / count(lit(1)).cast("double")).as("lt50"),
         (sum(when(col("l_extendedprice") <= col("ap50"), 1).otherwise(0))
-          .cast("double") / count(lit(1)).cast("double")).as("r50"),
+          .cast("double") / count(lit(1)).cast("double")).as("le50"),
+        (sum(when(col("l_extendedprice") < col("ap95"), 1).otherwise(0))
+          .cast("double") / count(lit(1)).cast("double")).as("lt95"),
         (sum(when(col("l_extendedprice") <= col("ap95"), 1).otherwise(0))
-          .cast("double") / count(lit(1)).cast("double")).as("r95"))
+          .cast("double") / count(lit(1)).cast("double")).as("le95"))
       .select(col("flag"), col("n"),
-        (col("r50") >= 0.45 && col("r50") <= 0.55).as("p50_in_rank_band"),
-        (col("r95") >= 0.90 && col("r95") <= 1.0).as("p95_in_rank_band"))
+        (col("lt50") <= 0.55 && col("le50") >= 0.45).as("p50_in_rank_band"),
+        (col("lt95") <= 1.0 && col("le95") >= 0.90).as("p95_in_rank_band"))
   }
 
   /** Equi-DEPTH (equal-frequency) 8-bucket histogram of order totals —

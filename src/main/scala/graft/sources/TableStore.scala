@@ -43,6 +43,13 @@ final class TableStore(spark: SparkSession, root: String) {
     * it (reversing the half-done rollback; the caller re-issues). A
     * first-ever write that crashed mid-write (live never existed, no
     * parked dirs) is left alone: its temp may be partial.
+    *
+    * The "finished temp" inference is sound because every swap-window
+    * entry point ([[overwrite]] / [[overwriteVersioned]] / [[rollback]])
+    * first settles any interrupted swap via this method and clears stale
+    * temps before doing its own moves — so a temp coexisting with a
+    * parked dir can only have come from the same interrupted call, after
+    * its write completed.
     */
   private def recoverSwap(table: String): Unit = {
     val live = Paths.get(path(table))
@@ -70,6 +77,7 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Atomic full overwrite: write temp, swap, drop old. */
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    recoverSwap(table)
     val tmp = Paths.get(s"$root/.tmp_$table")
     deleteRecursively(tmp)
     val w = df.write.mode(SaveMode.Overwrite)
@@ -99,6 +107,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwriteVersioned(table: String, df: DataFrame, keep: Int = 3,
       partitionBy: Seq[String] = Nil): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    recoverSwap(table)
     val tmp = Paths.get(s"$root/.tmp_$table")
     deleteRecursively(tmp)
     val w = df.write.mode(SaveMode.Overwrite)
@@ -147,6 +156,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * current version received.
     */
   def rollback(table: String, v: Long): Long = {
+    // settle any interrupted swap first (else a mid-swap table reads as
+    // "never existed" and its recoverable current version is lost), and
+    // clear a stale partial temp from a crashed write: rollback itself
+    // never uses the temp, and leaving one parked would let a LATER
+    // crash inside this method's swap window trick [[recoverSwap]] into
+    // publishing the stale temp as the live table
+    recoverSwap(table)
+    deleteRecursively(Paths.get(s"$root/.tmp_$table"))
     val snap = snapDir(table).resolve(s"v$v")
     require(Files.exists(snap), s"$table has no snapshot v$v; have ${versions(table)}")
     val live = Paths.get(path(table))
@@ -273,6 +290,22 @@ final class TableStore(spark: SparkSession, root: String) {
       deleteRecursively(old)
     }
     deleteRecursively(tmp)
+  }
+
+  /** Highest applied batch id recorded in `markerCol` of `table`, or −1
+    * when the table is absent/empty — the replay guard every streaming
+    * fold reads before touching a batch (at-least-once `foreachBatch`
+    * delivery makes this check the idempotence boundary). Recovers
+    * parked partitions first so a crashed fold can't hide the marker.
+    */
+  def lastAppliedBatch(table: String, markerCol: String = "__applied"): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    recoverPartitions(table)
+    if (!exists(table)) -1L
+    else {
+      val r = read(table).agg(max(col(markerCol).cast("long"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
   }
 
   /** Number of parquet data files currently backing a table. */

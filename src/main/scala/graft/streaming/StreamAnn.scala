@@ -52,20 +52,18 @@ object StreamAnn {
   def applyBatch(store: TableStore, listTable: String,
       neighborsTable: String, centroids: DataFrame, probe: Int, k: Int)(
       batch: DataFrame, batchId: Long): Unit = {
-    store.recoverPartitions(listTable)
     store.recoverPartitions(neighborsTable)
-    val lastApplied =
-      if (!store.exists(listTable)) -1L
-      else {
-        val r = store.read(listTable)
-          .agg(max(col("__applied").cast("long"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+    val lastApplied = store.lastAppliedBatch(listTable)
     if (batchId > lastApplied) {
       val cents = centroids
         .withColumn("n2c", Similarity.dotNative(col("cv"), col("cv")))
       val scored = batch
         .withColumn("n2", Similarity.dotNative(col("v"), col("v")))
+        // zero-norm vectors have no cosine direction: their 0/0 = NaN
+        // similarity would sort ABOVE every real neighbor (Spark orders
+        // NaN greatest), so they are unindexable — dropped here, like
+        // null embeddings at the source reader
+        .filter(col("n2") > 0d)
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("cid"),
           (Similarity.dotNative(col("v"), col("cv")) /

@@ -101,15 +101,8 @@ object StreamDedup {
   def applySubstringBatch(store: TableStore, spanTable: String,
       dupTable: String, idCol: String, textCol: String, l: Int)(
       batch: DataFrame, batchId: Long): Unit = {
-    store.recoverPartitions(spanTable)
     store.recoverPartitions(dupTable)
-    val lastApplied =
-      if (!store.exists(spanTable)) -1L
-      else {
-        val r = store.read(spanTable)
-          .agg(max(col("__applied").cast("long"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+    val lastApplied = store.lastAppliedBatch(spanTable)
     if (batchId > lastApplied) {
       // window once; the occurrences feed the dup join AND the count store
       val newOcc = Dedup.spanOccurrences(batch, idCol, textCol, l)
@@ -164,15 +157,8 @@ object StreamDedup {
   def applyBatch(store: TableStore, bandTable: String, pairsTable: String,
       idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
       shingleN: Int)(batch: DataFrame, batchId: Long): Unit = {
-    store.recoverPartitions(bandTable)
     store.recoverPartitions(pairsTable)
-    val lastApplied =
-      if (!store.exists(bandTable)) -1L
-      else {
-        val r = store.read(bandTable)
-          .agg(max(col("__applied").cast("long"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+    val lastApplied = store.lastAppliedBatch(bandTable)
     if (batchId > lastApplied) {
       val batchBands = Dedup.bandKeysFromWide(
         Dedup.minhashWide(

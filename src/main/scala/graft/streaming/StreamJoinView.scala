@@ -63,14 +63,8 @@ object StreamJoinView {
   def applyBatch(store: TableStore, aTable: String, bTable: String,
       viewTable: String, sideCol: String, keys: Seq[String],
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
-    Seq(aTable, bTable, viewTable).foreach(store.recoverPartitions)
-    val lastApplied =
-      if (!store.exists(viewTable)) -1L
-      else {
-        val r = store.read(viewTable)
-          .agg(max(col("__applied").cast("long"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+    Seq(aTable, bTable).foreach(store.recoverPartitions)
+    val lastApplied = store.lastAppliedBatch(viewTable)
     if (batchId > lastApplied) {
       val bucketOf =
         pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
@@ -107,7 +101,10 @@ object StreamJoinView {
     * its log and the view delta retracts exactly the pairs that row once
     * produced, the ΔA⋈ΔB cross term netting a double-sided delete to
     * zero once. Readers collapse the view log with
-    * [[IncrementalJoin.present]]. Same bucket pruning, same replay rule
+    * `IncrementalJoin.present(store.read(viewTable).drop("__applied"))`
+    * — the batch partition column must be dropped first or +1/−1 rows
+    * of the same pair land in different groups and never net.
+    * Same bucket pruning, same replay rule
     * (only side partitions with `__applied < batchId` are read). The
     * feed must be consistent (delete only what was inserted) — weights,
     * like any counting IVM, track the feed's algebra rather than
@@ -129,14 +126,8 @@ object StreamJoinView {
   def applyCdcBatch(store: TableStore, aTable: String, bTable: String,
       viewTable: String, sideCol: String, opCol: String, keys: Seq[String],
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
-    Seq(aTable, bTable, viewTable).foreach(store.recoverPartitions)
-    val lastApplied =
-      if (!store.exists(viewTable)) -1L
-      else {
-        val r = store.read(viewTable)
-          .agg(max(col("__applied").cast("long"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+    Seq(aTable, bTable).foreach(store.recoverPartitions)
+    val lastApplied = store.lastAppliedBatch(viewTable)
     if (batchId > lastApplied) {
       val weighted = batch
         .withColumn("w", when(col(opCol) === "D", lit(-1)).otherwise(lit(1)))

@@ -103,14 +103,7 @@ object StreamSketch {
   def applyHeavyHitters(store: TableStore, cmsTable: String, topTable: String,
       keyCol: String, k: Int, depth: Int, width: Int)(
       batch: DataFrame, batchId: Long): Unit = {
-    store.recoverPartitions(cmsTable)
-    val lastApplied =
-      if (!store.exists(cmsTable)) -1L
-      else {
-        val r = store.read(cmsTable)
-          .agg(max(col("__applied").cast("long"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+    val lastApplied = store.lastAppliedBatch(cmsTable)
     if (batchId > lastApplied) {
       val batchCms = Sketches.countMin(batch.select(col(keyCol)), keyCol,
         depth, width).localCheckpoint()
