@@ -72,6 +72,19 @@ class StreamAnnSpec extends SparkSpec {
     assert(store.read("lists").count() == 12)
   }
 
+  test("zero-norm vectors are unindexable: absent from lists and neighbor logs") {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sann_z").toString)
+    val withZero = batchDf(0)
+      .union(Seq((99L, Array(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "v"))
+    fold(store)(withZero, 0L)
+    fold(store)(batchDf(1), 1L)
+    assert(store.read("lists").filter(col("vec_id") === 99L).count() == 0,
+      "a directionless vector must not enter any inverted list")
+    // and its NaN cosine never outranks a real neighbor
+    assert(store.read("nbrs").filter(col("nid") === 99L).count() == 0)
+    assert(store.read("nbrs").filter(col("__batch") === 1).count() > 0)
+  }
+
   test("replay is a no-op; a crash before the list commit recovers on re-fold") {
     val store = new TableStore(s, Files.createTempDirectory("graft_sann").toString)
     val clean = new TableStore(s, Files.createTempDirectory("graft_sann_c").toString)
