@@ -168,10 +168,13 @@ object Dedup {
   /** All unordered (a < b) pairs drawn from an array column — nested
     * `transform` over the sorted member list, flattened. Pure Catalyst
     * expressions (codegen'd); output size is sum over buckets of C(n,2).
-    * Public because it's the generic per-group pair generator: any
-    * "co-occurrence within a group" computation (LSH buckets here, market
-    * baskets in dm_part_affinity) uses it after a `collect_set` — one
-    * shuffle on the group key, pairs generated map-side from each list.
+    * Public because it's the generic per-group pair generator for groups
+    * with a NATURAL size bound (market baskets in dm_part_affinity: one
+    * order's line items) — one shuffle on the group key, pairs generated
+    * map-side from each list. Dedup's LSH/pigeonhole buckets do NOT use
+    * it: a bucket there can grow with the corpus, so they pair via the
+    * count-filtered bucket equi-join ([[candidatePairs]]) instead of
+    * materializing a bucket as one aggregation row.
     */
   def pairsFromSortedArray(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     flatten(
@@ -181,17 +184,27 @@ object Dedup {
           b => struct(a.as("doc_a"), b.as("doc_b")))))
 
   /** Candidate near-dup pairs: docs sharing any band bucket (a < b).
-    * One shuffle on the bucket key, pairs generated per bucket — the band
-    * lineage is computed exactly once (no self-join, no recompute).
+    * Count-filtered bucket equi-join: buckets with one member (the vast
+    * majority) are pruned by the count aggregate before the join, and no
+    * aggregation row ever materializes a whole bucket's id array — an
+    * adversarial bucket (thousands of near-identical docs landing on one
+    * band key) streams through join tasks instead of OOMing a single
+    * collect_set row. Two shuffles on the bucket key (count + join),
+    * both map-combined.
     */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
-    bands
-      .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsFromSortedArray(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val sizes = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1)
+    val inBuckets = bands.select(col("band"), col("band_key"), col(idCol))
+      .join(sizes.select(col("band"), col("band_key")), Seq("band", "band_key"))
+    inBuckets.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
+      .join(inBuckets.select(col("band"), col("band_key"), col(idCol).as("doc_b")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
 
   /** Candidate pairs for an INCREMENTAL batch against a growing corpus:
     * pairs sharing a band bucket where at least one side is new. The
@@ -685,30 +698,53 @@ object Dedup {
     * filter (`min_sz >= t·max_sz`, also implied by `J >= t`) prunes
     * further. Survivors are verified exactly by [[jaccardForPairs]].
     *
-    * Exactness: both pruning rules are necessary conditions of
-    * `J >= t`, and the verify stage recomputes the true Jaccard — so the
-    * output equals brute force (DedupSpec asserts it; the registered
-    * query's oracle IS the brute-force formulation).
+    * Beyond the basic prefix filter, the full PPJoin candidate pruning:
+    *
+    *  - ASYMMETRIC INDEX PREFIX (Xiao et al. §4): for a true pair the
+    *    smaller side y satisfies `o >= 2t/(1+t)·|y|` (from
+    *    `o >= t/(1+t)·(|x|+|y|)` with `|x| >= |y|`), so y only needs its
+    *    shorter "index prefix" of `|y| - ceil(2t/(1+t)·|y|) + 1`
+    *    shingles. The candidate join is probe-prefix (full prefix, the
+    *    `>=`-sized side) ⋈ index-prefix (the `<=`-sized side) — at
+    *    t=0.7 the index side shrinks from 30% to ~18% of each doc's
+    *    shingles, and hot-bucket join populations shrink with the
+    *    PRODUCT of the two prefixes.
+    *  - POSITIONAL FILTER (Xiao et al. §3.2): a join row matching
+    *    shingle w at rank `rp` in the probe doc and `ri` in the index
+    *    doc bounds the overlap by `1 + min(szp-rp, szi-ri)` — for the
+    *    pair's FIRST shared shingle in the global order, nothing before
+    *    w is shared, so the bound is tight there and the witness row
+    *    always survives; rows failing
+    *    `(1 + min(szp-rp, szi-ri))·(1+t) >= t·(szp+szi)` are pruned
+    *    before the distinct/verify.
+    *
+    * Exactness: every pruning rule is a necessary condition of `J >= t`
+    * on the pair's witness row (its globally-first shared shingle, which
+    * provably sits in both prefixes), and the verify stage recomputes
+    * the true Jaccard — so the output equals brute force (DedupSpec
+    * asserts it at t=0.3/0.7/0.95; the registered query's oracle IS the
+    * brute-force formulation).
     *
     * Scale shape: df aggregate (shuffle on shingle), per-DOC windows for
     * the prefix ranks (never a global window), prefix equi-join (shuffle
     * on shingle), verify join (shuffles on doc id) — all keyed; nothing
-    * all-pairs, nothing single-task. `t·|s|` is computed in DECIMAL so
-    * the prefix length never wobbles on float representation
-    * (0.7·5 = 3.5000000000000004 would lengthen a prefix — harmless —
-    * but 0.7·10 = 7.000000000000001 would ceil to 8 and SHORTEN one,
-    * dropping true pairs).
+    * all-pairs, nothing single-task. All threshold arithmetic is in
+    * DECIMAL (multiplication only on the PPJoin rules — no division, so
+    * no repeating-decimal rounding) so prefix lengths and bounds never
+    * wobble on float representation (0.7·10 = 7.000000000000001 would
+    * ceil to 8 and SHORTEN a prefix, dropping true pairs).
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: BigDecimal, shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"prefix filtering needs 0 < threshold <= 1, got $threshold")
     val t = lit(threshold.underlying()) // exact decimal literal
-    // the shingle set feeds five consumers (df agg, prefix ranks, both
-    // candidate sides via prefix, and the verify join's three legs);
-    // checkpoint it once instead of re-shingling the corpus per consumer
-    // (same tradeoff note as the clustering loops: executor-local blocks
-    // unless a reliable checkpoint dir is configured)
+    // the shingle set feeds the df agg, the ranked frame, and the verify
+    // join's three legs; the ranked frame feeds both candidate sides.
+    // checkpoint each once instead of re-shingling / re-windowing the
+    // corpus per consumer (same tradeoff note as the clustering loops:
+    // executor-local blocks unless a reliable checkpoint dir is
+    // configured)
     val sh = ckpt(shingleSet(docs, idCol, textCol, shingleN))
     val dfs = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).cast(LongType).as("df"))
@@ -717,19 +753,32 @@ object Dedup {
     // window execs over the same exchange
     val byDocAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val byDoc = byDocAll.orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(dfs, Seq("shingle"))
+    val onePlusT = t + lit(1)
+    val ranked = ckpt(sh.join(dfs, Seq("shingle"))
       .withColumn("sz", count(lit(1)).over(byDocAll))
-      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("rn", row_number().over(byDoc)))
+    // probe prefix: rn <= sz - ceil(t·sz) + 1
+    val probe = ranked
       .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + lit(1))
-      .select(col(idCol), col("shingle"), col("sz"))
-    val cands = prefix.select(col(idCol).as("doc_a"), col("shingle"),
-        col("sz").as("sza"))
-      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"),
-        col("sz").as("szb")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("sza"), col("szb")).cast("decimal(20,0)") >=
-          greatest(col("sza"), col("szb")) * t)
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col(idCol).as("pid"), col("shingle"),
+        col("sz").as("psz"), col("rn").as("prn"))
+    // index prefix: rn <= sz - ceil(2t/(1+t)·sz) + 1, division-free as
+    // 2t·sz <= (sz - rn + 1)·(1+t) (RHS integer·decimal — exact; the
+    // ceil drops because ceil(x) <= n  ⟺  x <= n for integer n)
+    val index = ranked
+      .filter(col("sz") * t * lit(2) <= (col("sz") - col("rn") + lit(1)) * onePlusT)
+      .select(col(idCol).as("iid"), col("shingle"),
+        col("sz").as("isz"), col("rn").as("irn"))
+    val cands = probe.join(index, Seq("shingle"))
+      .filter(col("pid") =!= col("iid") &&
+        col("psz") >= col("isz") && // probe is the >=-sized side
+        col("isz").cast("decimal(20,0)") >= col("psz") * t && // length filter
+        // positional filter: overlap upper bound on the witness row
+        (lit(1) + least(col("psz") - col("prn"), col("isz") - col("irn"))) *
+          onePlusT >= (col("psz") + col("isz")) * t)
+      .select(least(col("pid"), col("iid")).as("doc_a"),
+        greatest(col("pid"), col("iid")).as("doc_b"))
+      .distinct()
     jaccardForPairs(sh, idCol, cands)
       .filter(col("jaccard") >= threshold.toDouble)
   }
@@ -816,39 +865,64 @@ object Dedup {
       val width = bounds(c + 1) - bounds(c)
       shiftright(col("simhash32"), bounds(c)).bitwiseAND((1L << width) - 1)
     }
-    simhashPortable(docs, idCol, textCol)
+    // Count-filtered bucket EQUI-JOIN, not a per-bucket collect_set: a
+    // collect_set would materialize each (chunk, chunk_val) bucket as a
+    // single aggregation row, and on an adversarial corpus (many
+    // near-identical docs) one bucket can hold a large fraction of all
+    // docs → executor OOM at scale before the pair count even matters.
+    // The equi-join emits exactly the same pairs (every same-bucket
+    // unordered pair, via the id ordering filter) but streams them
+    // across tasks: no row ever holds a whole bucket, and the count
+    // pre-filter keeps singleton buckets (the vast majority on a
+    // healthy corpus) out of the join entirely.
+    val bands = simhashPortable(docs, idCol, textCol)
       .select(
-        struct(col(idCol).as("id"), col("simhash32").as("h")).as("m"),
+        col(idCol).as("id"), col("simhash32").as("h"),
         posexplode(array(chunks: _*)))
-      .groupBy(col("pos").as("chunk"), col("col").as("chunk_val"))
-      .agg(sort_array(collect_set(col("m"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(pairsFromSortedArray(col("ms"))).as("p"))
-      .select(
-        col("p.doc_a.id").as("doc_a"), col("p.doc_b.id").as("doc_b"),
-        bit_count(col("p.doc_a.h").bitwiseXOR(col("p.doc_b.h"))).as("hamming"))
+      .select(col("id"), col("h"), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val sizes = bands.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1)
+    val inBuckets = bands.join(sizes.select(col("chunk"), col("chunk_val")),
+      Seq("chunk", "chunk_val"))
+    inBuckets
+      .select(col("chunk"), col("chunk_val"), col("id").as("doc_a"), col("h").as("ha"))
+      .join(inBuckets
+        .select(col("chunk"), col("chunk_val"), col("id").as("doc_b"), col("h").as("hb")),
+        Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
 
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
     * chunks; docs sharing any chunk are candidates (finds all pairs within
-    * Hamming distance 3 by pigeonhole). Same single-pass bucket-grouped
-    * pair generation as [[candidatePairs]].
+    * Hamming distance 3 by pigeonhole). Same count-filtered bucket
+    * equi-join shape as [[candidatePairs]] — no bucket is ever
+    * materialized as one aggregation row.
     */
-  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhash(docs, idCol, textCol)
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bands = simhash(docs, idCol, textCol)
       .select(
         col(idCol),
         posexplode(
           array((0 until 4).map(c =>
             shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .groupBy(col("pos").as("chunk"), col("col").as("chunk_val"))
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsFromSortedArray(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(col(idCol), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val sizes = bands.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1)
+    val inBuckets = bands.join(sizes.select(col("chunk"), col("chunk_val")),
+      Seq("chunk", "chunk_val"))
+    inBuckets.select(col("chunk"), col("chunk_val"), col(idCol).as("doc_a"))
+      .join(inBuckets.select(col("chunk"), col("chunk_val"), col(idCol).as("doc_b")),
+        Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
 
   /** [[simhashCandidates]] over the PORTABLE 32-bit md5 SimHash
     * ([[simhashPortable]]), banded into 4 byte-wide chunks with a
@@ -915,16 +989,37 @@ object Dedup {
     * necessary condition, so the result is EXACTLY the brute-force
     * answer at bucket-join cost.
     *
-    * Scale shape: probe emission is map-side, (2d+1)²·(d+1) substrings
-    * per row at most (`array_distinct` collapses repeats); one shuffle
-    * on the segment key; the verify joins touch only candidate ids, so
-    * long strings never ride through the exploded exchange. Key
-    * hot-spots mirror [[prefixJaccardPairs]]'s caveat: a segment shared
-    * by a large fraction of the corpus (e.g. a constant field prefix)
-    * concentrates its bucket; segment-frequency capping composes the
-    * same way rarity ordering does there. Long-string inputs should key
-    * on a bounded prefix or fingerprint first — edit distance itself is
-    * O(|s|²) per verify.
+    * Two skew/scale guards on top of the basic PassJoin shape:
+    *
+    *  - VALUE-GRAIN candidates: generation and verification run over
+    *    DISTINCT string values, then doc pairs re-expand by joining the
+    *    surviving value pairs (and the identical-value groups, dist 0)
+    *    back to the (id, value) frame. Exact-duplicate explosion — the
+    *    dominant real-corpus skew, where n docs share one value and the
+    *    doc-grain candidate count squares through every one of the
+    *    value's hot segment buckets — costs ONE value row here; its n²
+    *    output pairs materialize only in the final expansion join, which
+    *    is the output's own size, not wasted candidate work.
+    *  - SHIFT-PRUNED probes: a probe for segment i at length offset
+    *    `off` (partner − self) and alignment shift δ needs ≥ |δ| edits
+    *    before the segment (net insertions to shift it) and
+    *    ≥ |off + δ| after (net change behind it), so combos with
+    *    |δ| + |off + δ| > d cannot witness a true pair and are never
+    *    emitted (at d=1 this is 10 probe structs instead of 18; at
+    *    off=0 only δ=0 survives — the classic equal-length bound
+    *    2|δ| ≤ d). Both sides of the pruning are necessary conditions,
+    *    so exactness is untouched.
+    *
+    * Scale shape: probe emission is map-side and shift-pruned
+    * (`array_distinct` collapses repeats); one shuffle on the segment
+    * key. Candidate rows carry the value string as their identity (the
+    * verify is a direct `levenshtein` on the pair — no re-join to fetch
+    * strings), so candidate-row width is O(|s|); long-string inputs
+    * should key on a bounded prefix or fingerprint first — edit distance
+    * itself is O(|s|²) per verify anyway. A hot segment shared by many
+    * DISTINCT dissimilar values (constant field prefix) still
+    * concentrates its bucket — that residual is streamed through the
+    * equi-join, never materialized per-bucket.
     *
     * Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist.
     */
@@ -933,8 +1028,9 @@ object Dedup {
     val d = maxDist
     require(d >= 1, s"maxDist must be >= 1, got $d")
     val k = d + 1
-    val base = docs.select(col(idCol).as("__id"), col(strCol).as("__s"),
-      length(col(strCol)).as("__len"))
+    val ids = docs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val base = ids.select(col("__s")).distinct()
+      .select(col("__s"), length(col("__s")).as("__len"))
 
     // balanced segment geometry for a string of length L: segment i
     // (0-based) is one char longer for i < L mod k, and none is empty
@@ -946,7 +1042,7 @@ object Dedup {
         .otherwise(floor(l / k).cast("int"))
 
     val segs = base.filter(col("__len") >= k).select(
-      col("__id"),
+      col("__s"),
       explode(array((0 until k).map { i =>
         struct(
           col("__len").cast("int").as("klen"), lit(i).as("kidx"),
@@ -956,6 +1052,11 @@ object Dedup {
 
     val probeStructs = for {
       off <- (-d to d).toSeq; i <- 0 until k; delta <- -d to d
+      // shift pruning: ≥ |δ| edits must land before the segment and
+      // ≥ |off + δ| after it, so a combo exceeding d can't witness a
+      // true pair (off = partner − self, δ = partner-relative shift,
+      // net change self→partner = off)
+      if math.abs(delta) + math.abs(off + delta) <= d
     } yield {
       val tl = col("__len") + off // the partner (segmented-side) length
       val st = segStart(tl, i) + delta
@@ -965,13 +1066,13 @@ object Dedup {
           col("__s").substr(st, ln).as("kstr")))
     }
     val probes = base.select(
-      col("__id"),
+      col("__s"),
       explode(array_distinct(
         filter(array(probeStructs: _*), _.isNotNull))).as("kk"))
 
     val longCand = segs.as("a")
       .join(probes.as("b"), col("a.kk") === col("b.kk"))
-      .select(col("a.__id").as("ia"), col("b.__id").as("ib"))
+      .select(col("a.__s").as("ia"), col("b.__s").as("ib"))
 
     // length-keyed buckets for the length-≤d stragglers: the short side
     // keys on its own length, the partner side (length ≤ 2d — beyond
@@ -979,24 +1080,36 @@ object Dedup {
     // short length in [len−d, d]. A genuine hash equi-join — a literal
     // constant key would constant-fold into a nested-loop product
     val shortCand = base.filter(col("__len") <= d)
-      .select(col("__id").as("ia"), col("__len").as("kb"))
+      .select(col("__s").as("ia"), col("__len").as("kb"))
       .join(base.filter(col("__len") <= 2 * d)
-        .select(col("__id").as("ib"),
+        .select(col("__s").as("ib"),
           explode(sequence(greatest(lit(0), col("__len") - d), lit(d)))
             .as("kb")), Seq("kb"))
       .select(col("ia"), col("ib"))
 
-    longCand.unionByName(shortCand)
+    // verify at value grain (the candidate identity IS the string), …
+    val valuePairs = longCand.unionByName(shortCand)
       .filter(col("ia") =!= col("ib"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"))
+      .select(least(col("ia"), col("ib")).as("va"),
+        greatest(col("ia"), col("ib")).as("vb"))
       .distinct()
-      .join(base.select(col("__id").as("id_a"), col("__s").as("sa")),
-        Seq("id_a"))
-      .join(base.select(col("__id").as("id_b"), col("__s").as("sb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("sa"), col("sb")).as("dist"))
+      .select(col("va"), col("vb"),
+        levenshtein(col("va"), col("vb")).as("dist"))
       .filter(col("dist") <= d)
+    // … then expand to doc pairs: distinct-value pairs cross their id
+    // sets; identical-value groups contribute their internal pairs at
+    // dist 0. The two branches are disjoint (different vs same value),
+    // so no final distinct is needed.
+    val crossPairs = valuePairs
+      .join(ids.select(col("__id").as("xa"), col("__s").as("va")), Seq("va"))
+      .join(ids.select(col("__id").as("xb"), col("__s").as("vb")), Seq("vb"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("dist"))
+    val samePairs = ids.select(col("__id").as("xa"), col("__s"))
+      .join(ids.select(col("__id").as("xb"), col("__s")), Seq("__s"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"),
+        lit(0).cast("int").as("dist"))
+    crossPairs.unionByName(samePairs)
   }
 }

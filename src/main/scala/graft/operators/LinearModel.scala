@@ -37,12 +37,17 @@ object LinearModel {
         explode(TextAnalysis.tokens(col(textCol))).as("__token"): _*)
       .filter(col("__token") =!= "")
       .withColumn("bucket", Sketches.featureBucket(col("__token"), nBuckets))
+    // LEFT join + coalesce: a sparse model (missing bucket rows) means
+    // weight 0 for those tokens — they still count into n_tokens, and a
+    // doc whose tokens all miss still scores (0.0) instead of vanishing.
+    // For a dense model (every bucket present) this is bit-identical to
+    // an inner join.
     toks
-      .join(broadcast(weights), Seq("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy((col(idCol) +: carryCols.map(col)): _*)
       .agg(
         count(lit(1)).cast(LongType).as("n_tokens"),
-        sum(col("w")).cast(LongType).as("__sum_w"))
+        sum(coalesce(col("w"), lit(0))).cast(LongType).as("__sum_w"))
       .withColumn("score",
         col("__sum_w").cast("double") / col("n_tokens").cast("double"))
       .drop("__sum_w")

@@ -1053,6 +1053,75 @@ object LlmText {
         countDistinct(col("doc_id")).cast(LongType).as("n_videos"))
   }
 
+  /** REAL image decode ([[graft.operators.Multimodal.decodeImage]]):
+    * a deterministic PNG corpus (one real encoded image per doc, pixel
+    * (x,y) = f(doc_id, x, y)) decoded by an actual `javax.imageio` codec
+    * in the mapPartitions seam. The oracle predicts dimensions AND the
+    * full-pixel checksum arithmetically — PNG is lossless, so a match
+    * proves the encode→bytes→decode round trip read every pixel, not
+    * just the container header.
+    */
+  private val decodeReal = Q(
+    "multimodal_decode_real",
+    s"""WITH ids AS (SELECT doc_id,
+       |              CAST(16 + doc_id % 32 AS BIGINT) AS w,
+       |              CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS h
+       |       FROM documents),
+       |px AS (SELECT i.doc_id,
+       |              (i.doc_id + x.x) % 256 + (i.doc_id + y.y) % 256 +
+       |              (i.doc_id + x.x + y.y) % 256 AS v
+       |       FROM ids i
+       |       JOIN (SELECT unnest(range(48)) AS x) x ON x.x < i.w
+       |       JOIN (SELECT unnest(range(48)) AS y) y ON y.y < i.h),
+       |s AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS px_sum FROM px GROUP BY 1)
+       |SELECT $C AS n_images,
+       |       CAST(SUM(i.w) AS BIGINT) AS sum_w,
+       |       CAST(SUM(i.h) AS BIGINT) AS sum_h,
+       |       CAST(SUM(s.px_sum) AS BIGINT) AS total_px
+       |FROM ids i JOIN s USING (doc_id)""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal
+      .decodeImage(Multimodal.synthImages(Tables.documents(s, d), "doc_id"))
+      .agg(
+        lcount().as("n_images"),
+        sum(col("width")).cast(LongType).as("sum_w"),
+        sum(col("height")).cast(LongType).as("sum_h"),
+        sum(col("px_sum")).cast(LongType).as("total_px"))
+  }
+
+  /** REAL aspect-preserving resample ([[graft.operators.Multimodal
+    * .resizeImage]]): the synthetic PNG corpus is bilinear-resampled to
+    * fit 24 on the long edge, re-encoded, and the RESIZED payloads are
+    * decoded again — the aggregated dims come from the second decode, so
+    * a match against the oracle's floor arithmetic proves the resampler
+    * emitted real images of the claimed geometry.
+    */
+  private val resizeReal = Q(
+    "multimodal_resize_real",
+    s"""WITH ids AS (SELECT doc_id,
+       |              CAST(16 + doc_id % 32 AS BIGINT) AS w,
+       |              CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS h
+       |       FROM documents),
+       |r AS (SELECT greatest((w * 24) // greatest(w, h), 1) AS ow,
+       |             greatest((h * 24) // greatest(w, h), 1) AS oh
+       |      FROM ids)
+       |SELECT $C AS n_images,
+       |       CAST(SUM(ow) AS BIGINT) AS sum_w,
+       |       CAST(SUM(oh) AS BIGINT) AS sum_h,
+       |       CAST(MAX(greatest(ow, oh)) AS BIGINT) AS max_edge
+       |FROM r""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal
+      .decodeImage(
+        Multimodal.resizeImage(
+          Multimodal.synthImages(Tables.documents(s, d), "doc_id"), maxEdge = 24))
+      .agg(
+        lcount().as("n_images"),
+        sum(col("width")).cast(LongType).as("sum_w"),
+        sum(col("height")).cast(LongType).as("sum_h"),
+        max(greatest(col("width"), col("height"))).cast(LongType).as("max_edge"))
+  }
+
   /** Boilerplate phrase detection (the line-dedup step of CCNet-style
     * curation, phrase-grained because the corpus is a token stream):
     * a 3-gram occurring in >= 3 DISTINCT documents is boilerplate
@@ -1266,5 +1335,6 @@ object LlmText {
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
+      decodeReal, resizeReal,
       boilerplate, keywordSearch, bm25, collocations)
 }

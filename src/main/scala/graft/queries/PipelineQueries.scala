@@ -12,6 +12,7 @@ import graft.functions.Cleaning.{dsum, dsumRound2, lcount}
 import graft.operators.{IncrementalAgg, IncrementalJoin}
 import graft.pipeline.Runner
 import graft.sources.{SchemaEvolve, Staging, TableStore, Tables}
+import graft.streaming.{StreamJoinView, StreamSketch}
 import graft.queries.Q.{C, DS, DS2}
 
 /** Queries that drive the REAL pipeline machinery (staging guard S2/S3,
@@ -518,6 +519,97 @@ object PipelineQueries {
         dsum(col("w") * col("l_quantity")).as("sum_qty"))
   }
 
+  /** STREAMING join-view maintenance readout ([[graft.streaming
+    * .StreamJoinView.applyBatch]]): the orders⋈lineitem view maintained
+    * by folding three tagged micro-batches through the streaming fold —
+    * orders batched by customer parity, lineitem by supplier parity
+    * (uncorrelated with the join key, so partners arrive in different
+    * batches and every ΔA⋈B / A⋈ΔB / ΔA⋈ΔB term does real work across
+    * folds). The readout aggregates the view LOG (union of its batch
+    * partitions); the oracle is the plain one-shot join — the hash match
+    * makes "stream ≡ batch" a driver-checked invariant, not just a
+    * spec-internal one.
+    */
+  private val streamJoinView = Q(
+    "c11_stream_join_view",
+    s"""SELECT o_orderpriority AS priority, $C AS n,
+       |       ${DS("l_quantity")} AS sum_qty
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c11").toString)
+    val li = Tables.lineitem(s, d)
+    val qtyType = li.schema("l_quantity").dataType
+    val a = Tables.orders(s, d).select(
+      (col("o_custkey") % 3).cast(IntegerType).as("__b"),
+      lit("a").as("side"), col("o_orderkey").as("k"),
+      col("o_orderpriority").as("a_priority"),
+      lit(null).cast(qtyType).as("b_qty"))
+    val b = li.select(
+      (col("l_suppkey") % 3).cast(IntegerType).as("__b"),
+      lit("b").as("side"), col("l_orderkey").as("k"),
+      lit(null).cast("string").as("a_priority"),
+      col("l_quantity").as("b_qty"))
+    val tagged = a.unionByName(b)
+    val fold = StreamJoinView.applyBatch(
+      store, "c11_a", "c11_b", "c11_v", "side", Seq("k"), nBuckets = 16) _
+    (0 to 2).foreach(i =>
+      fold(tagged.filter(col("__b") === i).drop("__b"), i.toLong))
+    store.read("c11_v")
+      .groupBy(col("a_priority").as("priority"))
+      .agg(lcount().as("n"), dsum(col("b_qty")).as("sum_qty"))
+  }
+
+  /** STREAMING heavy-hitters readout ([[graft.streaming.StreamSketch
+    * .applyHeavyHitters]]): corpus-lifetime top-20 tokens maintained by
+    * folding three micro-batches (docs batched by id mod 3) through the
+    * CMS-increment-log + candidate-table fold. The oracle REPLAYS the
+    * fold: per-level folded sketch (CMS is linear, so it's the count
+    * over batches ≤ b), candidate pool = previous survivors ∪ the
+    * batch's distinct keys, top-20 by min-bucket estimate with ties on
+    * the token — certifying the stored survivor table exactly, not just
+    * its row count.
+    */
+  private val streamHeavyHitters = Q(
+    "c12_stream_heavy_hitters", {
+      val bucket = (r: String) =>
+        s"CAST(('0x' || substr(md5('$r|' || tok), 1, 15)) AS BIGINT) % 1024"
+      def est(top: String, sk: String, pool: String) =
+        s"""$top AS (SELECT kd.tok, CAST(min($sk.n) AS BIGINT) AS cms_n
+           |  FROM kd JOIN $pool USING (tok)
+           |  JOIN $sk ON $sk.r = kd.r AND $sk.bucket = kd.bucket
+           |  GROUP BY 1 ORDER BY cms_n DESC, kd.tok LIMIT 20)"""
+      s"""WITH toks AS (SELECT CAST(doc_id % 3 AS INTEGER) AS b,
+         |                     unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |keyed AS (SELECT b, tok, r,
+         |                 CASE r WHEN 0 THEN ${bucket("0")} WHEN 1 THEN ${bucket("1")}
+         |                        WHEN 2 THEN ${bucket("2")} ELSE ${bucket("3")} END AS bucket
+         |          FROM toks CROSS JOIN range(0, 4) t(r)),
+         |kd AS (SELECT DISTINCT tok, r, bucket FROM keyed),
+         |sk1 AS (SELECT r, bucket, $C AS n FROM keyed WHERE b <= 0 GROUP BY 1, 2),
+         |sk2 AS (SELECT r, bucket, $C AS n FROM keyed WHERE b <= 1 GROUP BY 1, 2),
+         |sk3 AS (SELECT r, bucket, $C AS n FROM keyed GROUP BY 1, 2),
+         |pool1 AS (SELECT DISTINCT tok FROM toks WHERE b = 0),
+         |${est("top1", "sk1", "pool1")},
+         |pool2 AS (SELECT tok FROM top1 UNION SELECT tok FROM toks WHERE b = 1),
+         |${est("top2", "sk2", "pool2")},
+         |pool3 AS (SELECT tok FROM top2 UNION SELECT tok FROM toks WHERE b = 2)
+         |SELECT kd.tok, CAST(min(sk3.n) AS BIGINT) AS cms_n
+         |FROM kd JOIN pool3 USING (tok)
+         |JOIN sk3 ON sk3.r = kd.r AND sk3.bucket = kd.bucket
+         |GROUP BY 1 ORDER BY cms_n DESC, kd.tok LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c12").toString)
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select((col("doc_id") % 3).cast(IntegerType).as("__b"),
+        explode(split(col("text"), " ")).as("tok"))
+    val fold = StreamSketch.applyHeavyHitters(
+      store, "c12_cms", "c12_top", "tok", 20, 4, 1024) _
+    (0 to 2).foreach(i =>
+      fold(toks.filter(col("__b") === i).select("tok"), i.toLong))
+    store.read("c12_top")
+  }
+
   /** Snapshot time travel ([[TableStore.overwriteVersioned]] /
     * `readVersion`): publish the open-orders rollup, then overwrite it
     * with the all-orders rollup, and report per priority the CURRENT
@@ -637,5 +729,5 @@ object PipelineQueries {
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
       deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
       factOrderDim, quarantine, timeTravel, jsonlRoundtrip, schemaEvolution,
-      deltaJoinView, retractJoinView)
+      deltaJoinView, retractJoinView, streamJoinView, streamHeavyHitters)
 }

@@ -43,9 +43,17 @@ object SchemaEvolve {
     case (x, y) if isInt(x) && isInt(y) =>
       if (intRank(x) >= intRank(y)) x else y
     case (x: DecimalType, y: DecimalType) =>
-      DecimalType(math.min(DecimalType.MAX_PRECISION,
-        math.max(x.precision - x.scale, y.precision - y.scale) + math.max(x.scale, y.scale)),
-        math.max(x.scale, y.scale))
+      val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+      val scale = math.max(x.scale, y.scale)
+      // No silent clamp: Decimal(38,0) ∪ Decimal(10,10) would "widen" to
+      // Decimal(38,10), which cannot hold (38,0)'s range — the cast would
+      // overflow at load time (ANSI error / silent null), violating this
+      // module's contract that incompatible drift fails at widen time.
+      if (intDigits + scale > DecimalType.MAX_PRECISION)
+        throw new IllegalArgumentException(
+          s"incompatible schema drift: $a vs $b needs Decimal(${intDigits + scale}," +
+            s" $scale), beyond MAX_PRECISION ${DecimalType.MAX_PRECISION}")
+      DecimalType(intDigits + scale, scale)
     case (x, y: DecimalType) if isInt(x) => widen(intDecimal(x), y)
     case (x: DecimalType, y) if isInt(y) => widen(x, intDecimal(y))
     case (_: DecimalType, FloatType | DoubleType) |

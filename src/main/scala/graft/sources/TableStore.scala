@@ -68,8 +68,19 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** Append a batch (the reference's INSERT INTO … SELECT). */
+  /** Append a batch (the reference's INSERT INTO … SELECT).
+    *
+    * Settles any interrupted swap/partition-replace FIRST: after a crash
+    * inside [[overwrite]]/[[compact]]'s swap window the live dir sits
+    * parked in `.old_`/a snapshot, and an append that blindly wrote would
+    * recreate the live dir with only the new batch — after which every
+    * recovery no-ops (live exists) and the full pre-crash table is
+    * stranded in the parked dirs. Tables that are both appended and
+    * compacted (log tables, staging) hit exactly this window.
+    */
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    recoverSwap(table)
+    recoverPartitions(table)
     val w = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(table))

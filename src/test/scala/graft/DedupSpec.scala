@@ -421,4 +421,93 @@ class DedupSpec extends SparkSpec {
     assert(inc.exists { case (_, occ, nw) => occ == 3L && nw == 1L }) // "a b c"
     assert(inc.exists { case (_, occ, nw) => occ == 2L && nw == 2L }) // "n1 n2 n3"
   }
+
+  test("editDistancePairs on a skew corpus: exact-dup explosion stays value-grain") {
+    // 400 docs over only 8 distinct values: doc-grain candidate
+    // generation would square (every doc of a value hits every other
+    // through each of the value's segment buckets — ~400²·probes join
+    // rows); value-grain generation sees 8 values, and the n² output
+    // pairs of the 200-doc value materialize only in the expansion join
+    // (the output's own size).
+    val vals = Seq("abcde", "abcdx", "abzde", "qrstu", "qrstv", "zz", "z", "")
+    val docs = ((0 until 200).map(i => (i.toLong, vals(0))) ++ // 200 exact dups
+      (200 until 400).map(i => (i.toLong, vals((i % 7) + 1))))
+      .toDF("id", "s")
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(identity)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(cur + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val byId = docs.as[(Long, String)].collect()
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(docs, "id", "s", d)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, sa) <- byId; (ib, sb) <- byId if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist)).toSet
+      assert(got.size == want.size && got == want,
+        s"d=$d: missing=${(want -- got).take(5)}, extra=${(got -- want).take(5)}")
+      // the 200-dup value alone contributes C(200,2) dist-0 pairs — the
+      // skew really is quadratic in the OUTPUT, which is the floor
+      assert(want.count(_._3 == 0) >= 199 * 100)
+    }
+  }
+
+  test("no dedup pair generator aggregates an uncapped id array") {
+    // the scale contract behind the bucket equi-join shape: a
+    // collect_set/collect_list whose group key is a BUCKET (band, chunk,
+    // segment…) materializes a whole bucket as one aggregation row and
+    // OOMs on adversarial corpora. Per-doc lists (grouped by the doc id)
+    // are bounded by one document's own data and stay legal.
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def assertNoBucketCollects(df: org.apache.spark.sql.DataFrame,
+        perRecordKeys: Set[String], label: String): Unit =
+      df.queryExecution.analyzed.foreach {
+        case agg: Aggregate =>
+          val collects = agg.aggregateExpressions.flatMap(_.collect {
+            case c: CollectSet => c: Any
+            case c: CollectList => c: Any
+          })
+          if (collects.nonEmpty) {
+            val groupNames = agg.groupingExpressions
+              .flatMap(_.collect { case a: Attribute => a.name }).toSet
+            assert(groupNames.intersect(perRecordKeys).nonEmpty,
+              s"$label: uncapped id-array aggregation grouped by $groupNames")
+          }
+        case _ =>
+      }
+    val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+    assertNoBucketCollects(
+      Dedup.candidatePairs(
+        Dedup.bandKeys(Dedup.minhashSignatures(sh, "doc_id", 8), "doc_id", 2),
+        "doc_id"),
+      Set("doc_id"), "candidatePairs")
+    assertNoBucketCollects(
+      Dedup.simhashCandidates(corpus, "doc_id", "text"), Set("doc_id"),
+      "simhashCandidates")
+    assertNoBucketCollects(
+      Dedup.simhashCandidatesPortable(corpus, "doc_id", "text"), Set("doc_id"),
+      "simhashCandidatesPortable")
+    assertNoBucketCollects(
+      Dedup.simhashHammingPairs(corpus, "doc_id", "text", maxDist = 2),
+      Set("doc_id"), "simhashHammingPairs")
+    assertNoBucketCollects(
+      Dedup.prefixJaccardPairs(corpus, "doc_id", "text", BigDecimal("0.7")),
+      Set("doc_id"), "prefixJaccardPairs")
+    assertNoBucketCollects(
+      Dedup.editDistancePairs(
+        Seq((1L, "abc"), (2L, "abd")).toDF("id", "s"), "id", "s", 1),
+      Set("id", "__id", "__s"), "editDistancePairs")
+  }
 }

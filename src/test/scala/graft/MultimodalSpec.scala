@@ -59,4 +59,58 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("frame_no") % 10 =!= 0).isEmpty)
     frames.unpersist()
   }
+
+  // --- real javax.imageio codec -------------------------------------------
+
+  private def ids = Seq(0L, 1L, 31L, 32L, 1023L, 4096L).toDF("doc_id")
+
+  /** The synthetic corpus's pixel contract, computed independently. */
+  private def expected(id: Long): (Int, Int, Long) = {
+    val w = 16 + (id % 32).toInt
+    val h = 16 + ((id / 32) % 32).toInt
+    var s = 0L
+    for (x <- 0 until w; y <- 0 until h)
+      s += (id + x) % 256 + (id + y) % 256 + (id + x + y) % 256
+    (w, h, s)
+  }
+
+  test("decodeImage reads back exactly the pixels synthImages painted") {
+    val got = Multimodal.decodeImage(Multimodal.synthImages(ids, "doc_id"))
+      .select("doc_id", "width", "height", "px_sum")
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(0L, 1L, 31L, 32L, 1023L, 4096L))
+    got.foreach { case (id, (w, h, s)) =>
+      assert((w, h, s) == expected(id), s"doc $id: got ($w,$h,$s)")
+    }
+    // PNG magic really present — these are genuine encoded images
+    val payload = Multimodal.synthImages(ids, "doc_id")
+      .filter(col("doc_id") === 1023L).head().getAs[Array[Byte]]("payload")
+    assert(payload.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+  }
+
+  test("decodeImage quarantines undecodable payloads instead of failing") {
+    val mixed = Multimodal.synthImages(ids, "doc_id").unionByName(
+      Seq((900L, "image/png", Array[Byte](1, 2, 3)), // wrong magic
+        (901L, "image/png", Array.empty[Byte]))
+        .toDF("doc_id", "media_type", "payload"))
+    val got = Multimodal.decodeImage(mixed).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 31L, 32L, 1023L, 4096L), s"quarantine failed: $got")
+  }
+
+  test("resizeImage emits real re-encoded images at the floor-arithmetic dims") {
+    val resized = Multimodal.decodeImage(
+      Multimodal.resizeImage(Multimodal.synthImages(ids, "doc_id"), maxEdge = 24))
+      .select("doc_id", "width", "height")
+      .as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(resized.keySet.size == 6)
+    resized.foreach { case (id, (ow, oh)) =>
+      val (w, h, _) = expected(id)
+      val long = math.max(w, h)
+      assert((ow, oh) == (math.max(1, w * 24 / long), math.max(1, h * 24 / long)),
+        s"doc $id: $w x $h -> $ow x $oh")
+      assert(math.max(ow, oh) <= 24 && (w >= h) == (ow >= oh))
+    }
+  }
 }

@@ -83,6 +83,46 @@ class TableStoreSpec extends SparkSpec {
     assert(store.versions("t") == Seq(1L))
   }
 
+  test("chaos: every overwrite kill window recovers via every next entry point") {
+    // enumerate the three states a kill inside overwrite can leave on
+    // disk, then drive recovery through each public entry point a
+    // restarted process might hit FIRST (read, lastAppliedBatch, append)
+    // and assert no path loses data, strands history in parked dirs, or
+    // restarts a fold from lastApplied=-1 with history present.
+    val v1 = Seq((1, 0L), (2, 0L)).toDF("v", "__applied")
+    val v2 = Seq((10, 1L), (20, 1L), (30, 1L)).toDF("v", "__applied")
+    def mkState(point: Int): (TableStore, String) = {
+      val root = Files.createTempDirectory("graft_chaos").toString
+      val store = new TableStore(spark, root)
+      store.overwrite("t", v1)
+      // overwrite("t", v2) killed at interruption point `point`:
+      if (point >= 0) v2.coalesce(1).write.parquet(s"$root/.tmp_t")
+      if (point >= 1) Files.move(Paths.get(s"$root/t"), Paths.get(s"$root/.old_t"))
+      if (point >= 2) Files.move(Paths.get(s"$root/.tmp_t"), Paths.get(s"$root/t"))
+      (store, root)
+    }
+    // point 0 (before live→old): the overwrite never committed — v1 is
+    // the table. points 1, 2: the finished new version must publish.
+    val expected = Seq(Set(1, 2), Set(10, 20, 30), Set(10, 20, 30))
+    val expectedBatch = Seq(0L, 1L, 1L)
+    for (point <- 0 to 2) {
+      val (s1, _) = mkState(point)
+      assert(s1.read("t").select("v").as[Int].collect().toSet == expected(point),
+        s"read after kill at point $point")
+      val (s2, _) = mkState(point)
+      assert(s2.lastAppliedBatch("t") == expectedBatch(point),
+        s"replay guard must never see -1 with history present (point $point)")
+      // append must land ON TOP of the recovered table — an append that
+      // recreated the live dir with only its own batch would strand the
+      // full pre-crash table in the parked dirs forever
+      val (s3, _) = mkState(point)
+      s3.append("t", Seq((99, 2L)).toDF("v", "__applied"))
+      assert(s3.read("t").select("v").as[Int].collect().toSet == expected(point) + 99,
+        s"append after kill at point $point")
+      assert(s3.lastAppliedBatch("t") == 2L)
+    }
+  }
+
   test("first-ever write that crashed mid-write stays unpublished") {
     val root = Files.createTempDirectory("graft_store").toString
     val store = new TableStore(spark, root)
