@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 import graft.functions.Cleaning.{dsum, dsumRound2, lcount}
 import graft.operators.{IncrementalAgg, IncrementalJoin}
 import graft.pipeline.Runner
-import graft.sources.{SchemaEvolve, Staging, TableStore, Tables}
+import graft.sources.{BuildCache, SchemaEvolve, Staging, TableStore, Tables}
 import graft.streaming.{StreamJoinView, StreamSketch}
 import graft.queries.Q.{C, DS, DS2}
 
@@ -25,12 +25,21 @@ object PipelineQueries {
 
   private val runDate = Date.valueOf("2024-01-01")
 
+  // Warehouse builds go through BuildCache: a finished build is reused
+  // across JVMs (each bench pass/round, each Verify run) keyed by data
+  // dir + build spec + a digest of the pipeline code, so warmup stops
+  // paying the two ~100 s warehouse builds when nothing relevant changed.
+  // The spec strings below MUST change if the load ids / run date /
+  // incremental batch predicates change (they live outside the digested
+  // classes). Queries only READ the produced store (Runner.table /
+  // qaReport), so sharing the directory is safe.
   private val runners = new ConcurrentHashMap[String, Runner]()
   private def warehouse(s: SparkSession, d: String): Runner =
     runners.computeIfAbsent(d, _ => {
-      val r = new Runner(s, d, Files.createTempDirectory("graft_wh").toString)
-      r.runAll(1, runDate)
-      r
+      val dir = BuildCache.dir("wh", d, s"runAll-1-$runDate") { p =>
+        new Runner(s, d, p).runAll(1, runDate); ()
+      }
+      new Runner(s, d, dir)
     })
 
   /** A second warehouse built INCREMENTALLY: the same source data split
@@ -43,15 +52,17 @@ object PipelineQueries {
   private val incRunners = new ConcurrentHashMap[String, Runner]()
   private def incWarehouse(s: SparkSession, d: String): Runner =
     incRunners.computeIfAbsent(d, _ => {
-      val r = new Runner(s, d, Files.createTempDirectory("graft_wh_inc").toString)
-      r.runIncremental(
-        Seq(
-          1 -> Map("orders" -> (col("o_orderkey") % 2 === 0),
-            "lineitem" -> (col("l_orderkey") % 2 === 0)),
-          2 -> Map("orders" -> (col("o_orderkey") % 2 === 1),
-            "lineitem" -> (col("l_orderkey") % 2 === 1))),
-        runDate)
-      r
+      val dir = BuildCache.dir("whinc", d, s"orderkey-parity2-$runDate") { p =>
+        new Runner(s, d, p).runIncremental(
+          Seq(
+            1 -> Map("orders" -> (col("o_orderkey") % 2 === 0),
+              "lineitem" -> (col("l_orderkey") % 2 === 0)),
+            2 -> Map("orders" -> (col("o_orderkey") % 2 === 1),
+              "lineitem" -> (col("l_orderkey") % 2 === 1))),
+          runDate)
+        ()
+      }
+      new Runner(s, d, dir)
     })
 
   /** Force-build every memoized per-dir artifact this catalog owns (the
@@ -78,16 +89,15 @@ object PipelineQueries {
 
   private val facts = new ConcurrentHashMap[String, String]()
   private def partitionedFact(s: SparkSession, d: String): String =
-    facts.computeIfAbsent(d, _ => {
-      val dir = Files.createTempDirectory("graft_fact").toString + "/fct"
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(
-          col("l_orderkey"), col("l_quantity"),
-          year(col("o_orderdate").cast("date")).as("order_year"))
-        .write.partitionBy("order_year").parquet(dir)
-      dir
-    })
+    facts.computeIfAbsent(d, _ =>
+      BuildCache.dir("fact", d, "year-partitioned") { p =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            col("l_orderkey"), col("l_quantity"),
+            year(col("o_orderdate").cast("date")).as("order_year"))
+          .write.partitionBy("order_year").parquet(p)
+      })
 
   /** S5/C5/J9/A5 — the full ETL behind the flagship view: staging →
     * dims (+SCD2 customer) → year-partitioned fact with broadcast
