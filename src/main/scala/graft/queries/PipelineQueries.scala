@@ -564,7 +564,13 @@ object PipelineQueries {
       store, "c11_a", "c11_b", "c11_v", "side", Seq("k"), nBuckets = 16) _
     (0 to 2).foreach(i =>
       fold(tagged.filter(col("__b") === i).drop("__b"), i.toLong))
-    store.read("c11_v")
+    // an all-empty feed never materializes a view partition (C1 guard:
+    // partition replacement writes nothing) — read out an empty frame of
+    // the view's shape instead of crashing on the missing path
+    val view =
+      if (store.exists("c11_v")) store.read("c11_v")
+      else tagged.limit(0).select(col("k"), col("a_priority"), col("b_qty"))
+    view
       .groupBy(col("a_priority").as("priority"))
       .agg(lcount().as("n"), dsum(col("b_qty")).as("sum_qty"))
   }
