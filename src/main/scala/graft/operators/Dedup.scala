@@ -183,28 +183,49 @@ object Dedup {
           slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
           b => struct(a.as("doc_a"), b.as("doc_b")))))
 
-  /** Candidate near-dup pairs: docs sharing any band bucket (a < b).
-    * Count-filtered bucket equi-join: buckets with one member (the vast
-    * majority) are pruned by the count aggregate before the join, and no
-    * aggregation row ever materializes a whole bucket's id array — an
-    * adversarial bucket (thousands of near-identical docs landing on one
-    * band key) streams through join tasks instead of OOMing a single
-    * collect_set row. Two shuffles on the bucket key (count + join),
-    * both map-combined.
+  /** The shared size-filtered bucket-pair generator behind every
+    * LSH/pigeonhole candidate operator: all unordered same-bucket pairs
+    * (a < b, distinct), restricted to buckets whose population passes
+    * `sizeFilter`. Two properties make it the scale shape:
+    *
+    *  - no bucket is ever materialized as one aggregation row (a
+    *    collect_set would OOM on an adversarial bucket holding a large
+    *    corpus fraction); pairs stream through join tasks instead;
+    *  - the bucket population comes from a count-over-WINDOW on the same
+    *    keys the self-join shuffles on, so the band lineage upstream is
+    *    computed ONCE: both join sides are the identical subplan and
+    *    Spark's ReuseExchange serves the second side from the first's
+    *    shuffle files (an aggregate+semi-join formulation would compute
+    *    the lineage again for the size branch).
+    *
+    * `carry` columns ride each side, suffixed `_a`/`_b` (e.g. the
+    * simhash value for the Hamming residual filter).
     */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val sizes = bands.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > 1)
-    val inBuckets = bands.select(col("band"), col("band_key"), col(idCol))
-      .join(sizes.select(col("band"), col("band_key")), Seq("band", "band_key"))
-    inBuckets.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
-      .join(inBuckets.select(col("band"), col("band_key"), col(idCol).as("doc_b")),
-        Seq("band", "band_key"))
+  def bucketPairs(bands: DataFrame, bucketCols: Seq[String], idCol: String,
+      carry: Seq[String] = Nil,
+      sizeFilter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ > 1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    val sized = bands
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(sizeFilter(col("__bn")))
+      .drop("__bn")
+    def side(sfx: String) = sized.select(
+      (bucketCols.map(col) :+ col(idCol).as(s"doc$sfx")) ++
+        carry.map(c => col(c).as(s"$c$sfx")): _*)
+    side("_a").join(side("_b"), bucketCols)
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+      .drop(bucketCols: _*)
       .distinct()
   }
+
+  /** Candidate near-dup pairs: docs sharing any band bucket (a < b) —
+    * [[bucketPairs]] over the (band, band_key) buckets.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    bucketPairs(bands.select(col("band"), col("band_key"), col(idCol)),
+      Seq("band", "band_key"), idCol)
 
   /** Candidate pairs for an INCREMENTAL batch against a growing corpus:
     * pairs sharing a band bucket where at least one side is new. The
@@ -865,64 +886,41 @@ object Dedup {
       val width = bounds(c + 1) - bounds(c)
       shiftright(col("simhash32"), bounds(c)).bitwiseAND((1L << width) - 1)
     }
-    // Count-filtered bucket EQUI-JOIN, not a per-bucket collect_set: a
-    // collect_set would materialize each (chunk, chunk_val) bucket as a
-    // single aggregation row, and on an adversarial corpus (many
-    // near-identical docs) one bucket can hold a large fraction of all
-    // docs → executor OOM at scale before the pair count even matters.
-    // The equi-join emits exactly the same pairs (every same-bucket
-    // unordered pair, via the id ordering filter) but streams them
-    // across tasks: no row ever holds a whole bucket, and the count
-    // pre-filter keeps singleton buckets (the vast majority on a
-    // healthy corpus) out of the join entirely.
+    // Size-filtered bucket EQUI-JOIN ([[bucketPairs]]), not a per-bucket
+    // collect_set: a collect_set would materialize each (chunk,
+    // chunk_val) bucket as a single aggregation row, and on an
+    // adversarial corpus (many near-identical docs) one bucket can hold
+    // a large fraction of all docs → executor OOM at scale before the
+    // pair count even matters. The equi-join emits exactly the same
+    // pairs but streams them across tasks, and the singleton-bucket
+    // majority never reaches the join.
     val bands = simhashPortable(docs, idCol, textCol)
       .select(
         col(idCol).as("id"), col("simhash32").as("h"),
         posexplode(array(chunks: _*)))
       .select(col("id"), col("h"), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val sizes = bands.groupBy(col("chunk"), col("chunk_val"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > 1)
-    val inBuckets = bands.join(sizes.select(col("chunk"), col("chunk_val")),
-      Seq("chunk", "chunk_val"))
-    inBuckets
-      .select(col("chunk"), col("chunk_val"), col("id").as("doc_a"), col("h").as("ha"))
-      .join(inBuckets
-        .select(col("chunk"), col("chunk_val"), col("id").as("doc_b"), col("h").as("hb")),
-        Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
+    bucketPairs(bands, Seq("chunk", "chunk_val"), "id", carry = Seq("h"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
 
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
     * chunks; docs sharing any chunk are candidates (finds all pairs within
-    * Hamming distance 3 by pigeonhole). Same count-filtered bucket
-    * equi-join shape as [[candidatePairs]] — no bucket is ever
-    * materialized as one aggregation row.
+    * Hamming distance 3 by pigeonhole). [[bucketPairs]] over the chunk
+    * buckets — no bucket is ever materialized as one aggregation row.
     */
-  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bands = simhash(docs, idCol, textCol)
-      .select(
-        col(idCol),
-        posexplode(
-          array((0 until 4).map(c =>
-            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col(idCol), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val sizes = bands.groupBy(col("chunk"), col("chunk_val"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > 1)
-    val inBuckets = bands.join(sizes.select(col("chunk"), col("chunk_val")),
-      Seq("chunk", "chunk_val"))
-    inBuckets.select(col("chunk"), col("chunk_val"), col(idCol).as("doc_a"))
-      .join(inBuckets.select(col("chunk"), col("chunk_val"), col(idCol).as("doc_b")),
-        Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-  }
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bucketPairs(
+      simhash(docs, idCol, textCol)
+        .select(
+          col(idCol),
+          posexplode(
+            array((0 until 4).map(c =>
+              shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        .select(col(idCol), col("pos").as("chunk"), col("col").as("chunk_val")),
+      Seq("chunk", "chunk_val"), idCol)
 
   /** [[simhashCandidates]] over the PORTABLE 32-bit md5 SimHash
     * ([[simhashPortable]]), banded into 4 byte-wide chunks with a
@@ -938,34 +936,26 @@ object Dedup {
     * so the full band → bucket-size filter → pair pipeline is oracle-
     * certified end to end.
     *
-    * Scale shape: bucket sizes from one count aggregate; pairs from a
-    * bucket-keyed equi-join restricted to small buckets, so no
-    * collect_set row ever exceeds `maxBucket` and each join key fans out
-    * at most maxBucket² — no all-pairs join, no unbounded state.
+    * Scale shape: [[bucketPairs]] with the size filter capped at
+    * `maxBucket` — bucket populations from a count-over-window on the
+    * join's own exchange, no bucket ever one aggregation row, each join
+    * key fanning out at most maxBucket² — no all-pairs join, no
+    * unbounded state.
     *
     * Output: (doc_a, doc_b), a < b, distinct.
     */
   def simhashCandidatesPortable(docs: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 64): DataFrame = {
-    val bands = simhashPortable(docs, idCol, textCol)
-      .select(
-        col(idCol),
-        posexplode(
-          array((0 until 4).map(c =>
-            shiftright(col("simhash32"), c * 8).bitwiseAND(0xFFL)): _*)))
-      .select(col(idCol), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val sizes = bands.groupBy(col("chunk"), col("chunk_val"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucket))
-    val small = bands.join(sizes.select(col("chunk"), col("chunk_val")),
-      Seq("chunk", "chunk_val"))
-    small.select(col("chunk"), col("chunk_val"), col(idCol).as("doc_a"))
-      .join(small.select(col("chunk"), col("chunk_val"), col(idCol).as("doc_b")),
-        Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-  }
+      maxBucket: Int = 64): DataFrame =
+    bucketPairs(
+      simhashPortable(docs, idCol, textCol)
+        .select(
+          col(idCol),
+          posexplode(
+            array((0 until 4).map(c =>
+              shiftright(col("simhash32"), c * 8).bitwiseAND(0xFFL)): _*)))
+        .select(col(idCol), col("pos").as("chunk"), col("col").as("chunk_val")),
+      Seq("chunk", "chunk_val"), idCol,
+      sizeFilter = _.between(2, maxBucket))
 
   /** EXACT edit-distance-≤d self-join (PassJoin-family pigeonhole —
     * Li et al., "PassJoin: a partition-based method for similarity

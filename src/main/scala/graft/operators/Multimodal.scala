@@ -190,7 +190,11 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            // NonFatal, not just IOException: imageio readers throw
+            // RuntimeExceptions (IllegalArgument, NegativeArraySize) on
+            // magic-valid but corrupt containers — those are quarantine
+            // cases too, not stage failures
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Iterator.empty // quarantined: not a decodable image
           else {
             val w = img.getWidth
@@ -230,7 +234,11 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            // NonFatal, not just IOException: imageio readers throw
+            // RuntimeExceptions (IllegalArgument, NegativeArraySize) on
+            // magic-valid but corrupt containers — those are quarantine
+            // cases too, not stage failures
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Iterator.empty
           else {
             val w = img.getWidth

@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 
 import graft.functions.Cleaning.{dsum, dsumRound2, lcount}
 import graft.operators.{IncrementalAgg, IncrementalJoin}
-import graft.pipeline.Runner
-import graft.sources.{BuildCache, SchemaEvolve, Staging, TableStore, Tables}
+import graft.pipeline.{Builds, Runner}
+import graft.sources.{SchemaEvolve, Staging, TableStore, Tables}
 import graft.streaming.{StreamJoinView, StreamSketch}
 import graft.queries.Q.{C, DS, DS2}
 
@@ -25,22 +25,16 @@ object PipelineQueries {
 
   private val runDate = Date.valueOf("2024-01-01")
 
-  // Warehouse builds go through BuildCache: a finished build is reused
-  // across JVMs (each bench pass/round, each Verify run) keyed by data
-  // dir + build spec + a digest of the pipeline code, so warmup stops
-  // paying the two ~100 s warehouse builds when nothing relevant changed.
-  // The spec strings below MUST change if the load ids / run date /
-  // incremental batch predicates change (they live outside the digested
-  // classes). Queries only READ the produced store (Runner.table /
-  // qaReport), so sharing the directory is safe.
+  // Warehouse builds go through graft.pipeline.Builds → BuildCache: a
+  // finished build is reused across JVMs (each bench pass/round, each
+  // Verify run) keyed by data dir + parameters + a digest of the
+  // pipeline code (which includes Builds itself, so editing a builder
+  // invalidates its artifacts). Queries only READ the produced store
+  // (Runner.table / qaReport), so sharing the directory is safe.
   private val runners = new ConcurrentHashMap[String, Runner]()
   private def warehouse(s: SparkSession, d: String): Runner =
-    runners.computeIfAbsent(d, _ => {
-      val dir = BuildCache.dir("wh", d, s"runAll-1-$runDate") { p =>
-        new Runner(s, d, p).runAll(1, runDate); ()
-      }
-      new Runner(s, d, dir)
-    })
+    runners.computeIfAbsent(d,
+      _ => new Runner(s, d, Builds.warehouse(s, d, runDate)))
 
   /** A second warehouse built INCREMENTALLY: the same source data split
     * into two batches by order-key parity, loaded as load 1 then load 2
@@ -51,19 +45,8 @@ object PipelineQueries {
     */
   private val incRunners = new ConcurrentHashMap[String, Runner]()
   private def incWarehouse(s: SparkSession, d: String): Runner =
-    incRunners.computeIfAbsent(d, _ => {
-      val dir = BuildCache.dir("whinc", d, s"orderkey-parity2-$runDate") { p =>
-        new Runner(s, d, p).runIncremental(
-          Seq(
-            1 -> Map("orders" -> (col("o_orderkey") % 2 === 0),
-              "lineitem" -> (col("l_orderkey") % 2 === 0)),
-            2 -> Map("orders" -> (col("o_orderkey") % 2 === 1),
-              "lineitem" -> (col("l_orderkey") % 2 === 1))),
-          runDate)
-        ()
-      }
-      new Runner(s, d, dir)
-    })
+    incRunners.computeIfAbsent(d,
+      _ => new Runner(s, d, Builds.incWarehouse(s, d, runDate)))
 
   /** Force-build every memoized per-dir artifact this catalog owns (the
     * one-shot warehouse, the incremental warehouse, the year-partitioned
@@ -89,15 +72,7 @@ object PipelineQueries {
 
   private val facts = new ConcurrentHashMap[String, String]()
   private def partitionedFact(s: SparkSession, d: String): String =
-    facts.computeIfAbsent(d, _ =>
-      BuildCache.dir("fact", d, "year-partitioned") { p =>
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .select(
-            col("l_orderkey"), col("l_quantity"),
-            year(col("o_orderdate").cast("date")).as("order_year"))
-          .write.partitionBy("order_year").parquet(p)
-      })
+    facts.computeIfAbsent(d, _ => Builds.partitionedFact(s, d))
 
   /** S5/C5/J9/A5 — the full ETL behind the flagship view: staging →
     * dims (+SCD2 customer) → year-partitioned fact with broadcast

@@ -87,7 +87,13 @@ object BuildCache {
   private def san(s: String): String =
     s.map(c => if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
 
-  private def cacheRoot: Path = Paths.get("target", "whcache")
+  /** CWD-relative by default (the repo's gitignored target/ when launched
+    * by sbt from the repo root); override with SPARK_GRAFT_CACHE_DIR for
+    * JVMs launched elsewhere — a wrong CWD only costs reuse (fresh cache
+    * tree there), never correctness.
+    */
+  private def cacheRoot: Path =
+    Paths.get(sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR", "target/whcache"))
 
   /** Return the directory holding the `kind` artifact for `dataDir` +
     * `spec`, building it with `build(targetDir)` on a miss. `build`
@@ -106,18 +112,31 @@ object BuildCache {
       if (Files.exists(dst)) dst.toString
       else {
         Files.createDirectories(cacheRoot)
-        // prune superseded digests, and half-builds whose owning process
-        // is dead (a LIVE concurrent builder's dir must not be deleted
-        // from under its in-progress write)
+        // Prune (a) half-builds of this artifact whose owning process is
+        // dead — a LIVE concurrent builder's dir must not be deleted from
+        // under its in-progress write — and (b) superseded-digest
+        // publications of EXACTLY this artifact (full stem + 16-hex tail,
+        // so a spec that extends another spec's name never matches) that
+        // are also old enough that no still-running JVM can be reading
+        // them (the age guard: a reader's JVM and the artifact it built
+        // are younger than this bound).
+        val minStaleMs = 2L * 3600 * 1000
+        val now = System.currentTimeMillis()
         val ls = Files.list(cacheRoot)
         try ls.iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
             if (n.startsWith(s".build_$stem-")) {
               val pid = n.substring(n.lastIndexOf('-') + 1)
-              pid.forall(_.isDigit) &&
+              pid.nonEmpty && pid.forall(_.isDigit) &&
                 ProcessHandle.of(pid.toLong).map[Boolean](!_.isAlive).orElse(true)
-            } else n.startsWith(s"$stem-") && p != dst
+            } else {
+              val tail = n.stripPrefix(s"$stem-")
+              n.startsWith(s"$stem-") && p != dst &&
+                tail.length == 16 && tail.forall(c => c.isDigit || ('a' to 'f').contains(c)) &&
+                (try now - Files.getLastModifiedTime(p).toMillis > minStaleMs
+                 catch { case _: Throwable => false })
+            }
           }
           .foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
         finally ls.close()
