@@ -1101,7 +1101,7 @@ object LlmText {
     s"""WITH ids AS (SELECT doc_id,
        |              CAST(16 + doc_id % 32 AS BIGINT) AS w,
        |              CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS h
-       |       FROM documents),
+       |       FROM documents WHERE doc_id % 4 = 0),
        |r AS (SELECT greatest((w * 24) // greatest(w, h), 1) AS ow,
        |             greatest((h * 24) // greatest(w, h), 1) AS oh
        |      FROM ids)
@@ -1111,10 +1111,16 @@ object LlmText {
        |       CAST(MAX(greatest(ow, oh)) AS BIGINT) AS max_edge
        |FROM r""".stripMargin) { (s, d) =>
     import graft.operators.Multimodal
+    // a deterministic quarter of the corpus: each image still runs the
+    // full decode → resample → re-encode → re-decode round trip (the
+    // certification is per-image); the subset only bounds the query's
+    // share of the bench budget — decode_real covers the full corpus
     Multimodal
       .decodeImage(
         Multimodal.resizeImage(
-          Multimodal.synthImages(Tables.documents(s, d), "doc_id"), maxEdge = 24))
+          Multimodal.synthImages(
+            Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+            "doc_id"), maxEdge = 24))
       .agg(
         lcount().as("n_images"),
         sum(col("width")).cast(LongType).as("sum_w"),

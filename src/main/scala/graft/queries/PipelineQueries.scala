@@ -525,19 +525,22 @@ object PipelineQueries {
     val li = Tables.lineitem(s, d)
     val qtyType = li.schema("l_quantity").dataType
     val a = Tables.orders(s, d).select(
-      (col("o_custkey") % 3).cast(IntegerType).as("__b"),
+      (col("o_custkey") % 2).cast(IntegerType).as("__b"),
       lit("a").as("side"), col("o_orderkey").as("k"),
       col("o_orderpriority").as("a_priority"),
       lit(null).cast(qtyType).as("b_qty"))
     val b = li.select(
-      (col("l_suppkey") % 3).cast(IntegerType).as("__b"),
+      (col("l_suppkey") % 2).cast(IntegerType).as("__b"),
       lit("b").as("side"), col("l_orderkey").as("k"),
       lit(null).cast("string").as("a_priority"),
       col("l_quantity").as("b_qty"))
     val tagged = a.unionByName(b)
+    // two folds suffice for full delta coverage: batch 2's fold exercises
+    // ΔA⋈B, A⋈ΔB and ΔA⋈ΔB against batch 1's stored state (splits are
+    // key-uncorrelated, so partners straddle the batches)
     val fold = StreamJoinView.applyBatch(
       store, "c11_a", "c11_b", "c11_v", "side", Seq("k"), nBuckets = 16) _
-    (0 to 2).foreach(i =>
+    (0 to 1).foreach(i =>
       fold(tagged.filter(col("__b") === i).drop("__b"), i.toLong))
     // an all-empty feed never materializes a view partition (C1 guard:
     // partition replacement writes nothing) — read out an empty frame of
@@ -552,13 +555,14 @@ object PipelineQueries {
 
   /** STREAMING heavy-hitters readout ([[graft.streaming.StreamSketch
     * .applyHeavyHitters]]): corpus-lifetime top-20 tokens maintained by
-    * folding three micro-batches (docs batched by id mod 3) through the
+    * folding two micro-batches (docs batched by id parity) through the
     * CMS-increment-log + candidate-table fold. The oracle REPLAYS the
     * fold: per-level folded sketch (CMS is linear, so it's the count
     * over batches ≤ b), candidate pool = previous survivors ∪ the
     * batch's distinct keys, top-20 by min-bucket estimate with ties on
-    * the token — certifying the stored survivor table exactly, not just
-    * its row count.
+    * the token — certifying the stored survivor table exactly (including
+    * the survivor-pool recursion: a token absent from the final batch
+    * survives only through the stored table), not just its row count.
     */
   private val streamHeavyHitters = Q(
     "c12_stream_heavy_hitters", {
@@ -569,7 +573,7 @@ object PipelineQueries {
            |  FROM kd JOIN $pool USING (tok)
            |  JOIN $sk ON $sk.r = kd.r AND $sk.bucket = kd.bucket
            |  GROUP BY 1 ORDER BY cms_n DESC, kd.tok LIMIT 20)"""
-      s"""WITH toks AS (SELECT CAST(doc_id % 3 AS INTEGER) AS b,
+      s"""WITH toks AS (SELECT CAST(doc_id % 2 AS INTEGER) AS b,
          |                     unnest(string_split(text, ' ')) AS tok
          |              FROM documents),
          |keyed AS (SELECT b, tok, r,
@@ -578,25 +582,22 @@ object PipelineQueries {
          |          FROM toks CROSS JOIN range(0, 4) t(r)),
          |kd AS (SELECT DISTINCT tok, r, bucket FROM keyed),
          |sk1 AS (SELECT r, bucket, $C AS n FROM keyed WHERE b <= 0 GROUP BY 1, 2),
-         |sk2 AS (SELECT r, bucket, $C AS n FROM keyed WHERE b <= 1 GROUP BY 1, 2),
-         |sk3 AS (SELECT r, bucket, $C AS n FROM keyed GROUP BY 1, 2),
+         |sk2 AS (SELECT r, bucket, $C AS n FROM keyed GROUP BY 1, 2),
          |pool1 AS (SELECT DISTINCT tok FROM toks WHERE b = 0),
          |${est("top1", "sk1", "pool1")},
-         |pool2 AS (SELECT tok FROM top1 UNION SELECT tok FROM toks WHERE b = 1),
-         |${est("top2", "sk2", "pool2")},
-         |pool3 AS (SELECT tok FROM top2 UNION SELECT tok FROM toks WHERE b = 2)
-         |SELECT kd.tok, CAST(min(sk3.n) AS BIGINT) AS cms_n
-         |FROM kd JOIN pool3 USING (tok)
-         |JOIN sk3 ON sk3.r = kd.r AND sk3.bucket = kd.bucket
+         |pool2 AS (SELECT tok FROM top1 UNION SELECT tok FROM toks WHERE b = 1)
+         |SELECT kd.tok, CAST(min(sk2.n) AS BIGINT) AS cms_n
+         |FROM kd JOIN pool2 USING (tok)
+         |JOIN sk2 ON sk2.r = kd.r AND sk2.bucket = kd.bucket
          |GROUP BY 1 ORDER BY cms_n DESC, kd.tok LIMIT 20""".stripMargin
     }) { (s, d) =>
     val store = new TableStore(s, Files.createTempDirectory("graft_c12").toString)
     val toks = Tables.spread(Tables.documents(s, d))
-      .select((col("doc_id") % 3).cast(IntegerType).as("__b"),
+      .select((col("doc_id") % 2).cast(IntegerType).as("__b"),
         explode(split(col("text"), " ")).as("tok"))
     val fold = StreamSketch.applyHeavyHitters(
       store, "c12_cms", "c12_top", "tok", 20, 4, 1024) _
-    (0 to 2).foreach(i =>
+    (0 to 1).foreach(i =>
       fold(toks.filter(col("__b") === i).select("tok"), i.toLong))
     store.read("c12_top")
   }
