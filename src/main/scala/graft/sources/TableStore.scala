@@ -19,11 +19,13 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(table: String): Boolean = {
     recoverSwap(table)
+    recoverPartitions(table)
     Files.exists(Paths.get(path(table)))
   }
 
   def read(table: String): DataFrame = {
     recoverSwap(table)
+    recoverPartitions(table)
     spark.read.parquet(path(table))
   }
 
@@ -89,6 +91,11 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Atomic full overwrite: write temp, swap, drop old. */
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     recoverSwap(table)
+    // settle parked partitions BEFORE replacing the table: a leftover
+    // .old_part_ dir from a crashed replacePartitions would otherwise
+    // outlive this overwrite and a later recovery would "restore" the
+    // stale partition into the brand-new table
+    recoverPartitions(table)
     val tmp = Paths.get(s"$root/.tmp_$table")
     deleteRecursively(tmp)
     val w = df.write.mode(SaveMode.Overwrite)
@@ -119,6 +126,7 @@ final class TableStore(spark: SparkSession, root: String) {
       partitionBy: Seq[String] = Nil): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     recoverSwap(table)
+    recoverPartitions(table)
     val tmp = Paths.get(s"$root/.tmp_$table")
     deleteRecursively(tmp)
     val w = df.write.mode(SaveMode.Overwrite)
@@ -174,6 +182,7 @@ final class TableStore(spark: SparkSession, root: String) {
     // crash inside this method's swap window trick [[recoverSwap]] into
     // publishing the stale temp as the live table
     recoverSwap(table)
+    recoverPartitions(table)
     deleteRecursively(Paths.get(s"$root/.tmp_$table"))
     val snap = snapDir(table).resolve(s"v$v")
     require(Files.exists(snap), s"$table has no snapshot v$v; have ${versions(table)}")

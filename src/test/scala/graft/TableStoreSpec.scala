@@ -123,6 +123,51 @@ class TableStoreSpec extends SparkSpec {
     }
   }
 
+  test("chaos: replacePartitions kill windows restore every parked partition") {
+    import org.apache.spark.sql.functions.col
+    // seed: partitions p=1 {1,2} and p=2 {3}; a replacement for p=2 dies
+    // in each of its kill windows — no entry point may ever observe a
+    // missing or mixed partition, and an overwrite after the crash must
+    // not leave a parked dir that a later recovery would resurrect into
+    // the fresh table
+    def seeded(): (TableStore, String) = {
+      val root = Files.createTempDirectory("graft_chaos_part").toString
+      val store = new TableStore(spark, root)
+      store.replacePartitions("t",
+        Seq((1, 1L), (2, 1L), (3, 2L)).toDF("v", "p"), "p")
+      (store, root)
+    }
+    // window 1: live p=2 parked in .old_part, replacement tmp lost —
+    // the OLD partition data must come back on any read path
+    val (s1, r1) = seeded()
+    Files.move(Paths.get(s"$r1/t/p=2"), Paths.get(s"$r1/.old_part_t_p=2"))
+    assert(s1.read("t").select("v").as[Int].collect().toSet == Set(1, 2, 3))
+    assert(!Files.exists(Paths.get(s"$r1/.old_part_t_p=2")))
+    // window 2: stale .old_part left behind AFTER the new partition
+    // landed (killed before cleanup) — the NEW data must win, the stale
+    // dir must be dropped, not restored over it
+    val (s2, r2) = seeded()
+    Seq((3, 2L)).toDF("v", "p").coalesce(1)
+      .write.parquet(s"$r2/.old_part_t_p=2")
+    s2.replacePartitions("t", Seq((30, 2L)).toDF("v", "p"), "p")
+    assert(s2.read("t").select("v").as[Int].collect().toSet == Set(1, 2, 30))
+    assert(!Files.exists(Paths.get(s"$r2/.old_part_t_p=2")))
+    // window 1 followed by a FULL overwrite: the parked partition must
+    // not survive to be "restored" into the brand-new table later
+    val (s3, r3) = seeded()
+    Files.move(Paths.get(s"$r3/t/p=2"), Paths.get(s"$r3/.old_part_t_p=2"))
+    s3.overwrite("t", Seq((100, 9L)).toDF("v", "p"), Seq("p"))
+    assert(s3.read("t").select("v").as[Int].collect().toSet == Set(100))
+    assert(!Files.exists(Paths.get(s"$r3/.old_part_t_p=2")))
+    // window 1 followed by the NEXT replacePartitions call (the streaming
+    // fold's path): recovery runs before the new batch is planned, so the
+    // fold sees the full pre-crash state and the new partition lands
+    val (s4, r4) = seeded()
+    Files.move(Paths.get(s"$r4/t/p=2"), Paths.get(s"$r4/.old_part_t_p=2"))
+    s4.replacePartitions("t", Seq((99, 3L)).toDF("v", "p"), "p")
+    assert(s4.read("t").select("v").as[Int].collect().toSet == Set(1, 2, 3, 99))
+  }
+
   test("first-ever write that crashed mid-write stays unpublished") {
     val root = Files.createTempDirectory("graft_store").toString
     val store = new TableStore(spark, root)
