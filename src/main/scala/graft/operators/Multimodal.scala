@@ -261,4 +261,102 @@ object Multimodal {
         }
       }(enc)
   }
+
+  // --- REAL audio codec (pure-JVM javax.sound.sampled) --------------------
+  //
+  // Same certification scheme as the image path: every PCM sample of the
+  // synthetic corpus is a pure function of (doc_id, t), the WAV container
+  // is lossless PCM, and the decoder reports sample count, rate and a
+  // full-sample checksum — so an external SQL oracle proves the
+  // encode→bytes→decode round trip read every sample.
+
+  /** Output schema of [[decodeAudio]]. */
+  val audioDecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false)))
+
+  /** Deterministic WAV corpus: one real RIFF/WAVE container per id —
+    * 16-bit signed PCM mono at 8 kHz, `400 + id%800` samples, sample t =
+    * `((id·31 + t·17) mod 65536) − 32768`. Every byte of the payload is
+    * a pure function of the id.
+    */
+  def synthWavs(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imagePayloadSchema)
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = 400 + (((id % 800) + 800) % 800).toInt
+          val pcm = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            val v = ((id * 31 + t * 17) % 65536 - 32768).toInt
+            pcm(2 * t) = (v & 0xFF).toByte // little-endian
+            pcm(2 * t + 1) = ((v >> 8) & 0xFF).toByte
+            t += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, "audio/wav", bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` WAV parsing in the
+    * mapPartitions seam — container header read by the codec (sample
+    * rate, frame count), PCM frames decoded to signed samples, `amp_sum`
+    * = the plain sum of all sample values. Undecodable payloads (null,
+    * truncated, wrong magic, non-PCM) are quarantined, mirroring
+    * [[decodeImage]].
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioDecodedSchema)
+    media
+      .select(col("doc_id"), col("payload"))
+      .filter(col("payload").isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val decoded =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                None
+              else {
+                val pcm = ais.readAllBytes()
+                val n = pcm.length / 2
+                var s = 0L
+                var t = 0
+                if (fmt.isBigEndian) {
+                  while (t < n) {
+                    s += ((pcm(2 * t) << 8) | (pcm(2 * t + 1) & 0xFF)).toShort.toLong
+                    t += 1
+                  }
+                } else {
+                  while (t < n) {
+                    s += (((pcm(2 * t + 1) << 8) | (pcm(2 * t) & 0xFF)).toShort).toLong
+                    t += 1
+                  }
+                }
+                Some(Row(id, bytes.length.toLong,
+                  fmt.getSampleRate.toInt, n.toLong, s))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          decoded.iterator
+        }
+      }(enc)
+  }
 }

@@ -1128,6 +1128,36 @@ object LlmText {
         max(greatest(col("width"), col("height"))).cast(LongType).as("max_edge"))
   }
 
+  /** REAL audio decode ([[graft.operators.Multimodal.decodeAudio]]):
+    * a deterministic WAV corpus (16-bit PCM mono, sample t of doc id =
+    * (id·31 + t·17) mod 65536 − 32768) decoded by the pure-JVM
+    * `javax.sound.sampled` codec. The oracle predicts clip count, total
+    * sample count, the sample-value checksum AND the container's sample
+    * rate arithmetically — WAV PCM is lossless, so the hash match proves
+    * the codec parsed the RIFF header and read back every sample.
+    */
+  private val audioReal = Q(
+    "multimodal_audio_real",
+    s"""WITH ids AS (SELECT doc_id, CAST(400 + doc_id % 800 AS BIGINT) AS n
+       |             FROM documents),
+       |sm AS (SELECT i.doc_id,
+       |              CAST(SUM((i.doc_id * 31 + t.t * 17) % 65536 - 32768) AS BIGINT) AS a
+       |       FROM ids i JOIN (SELECT unnest(range(1200)) AS t) t ON t.t < i.n
+       |       GROUP BY 1)
+       |SELECT (SELECT $C FROM ids) AS n_clips,
+       |       (SELECT CAST(SUM(n) AS BIGINT) FROM ids) AS total_samples,
+       |       (SELECT CAST(SUM(a) AS BIGINT) FROM sm) AS amp_total,
+       |       CAST(8000 AS BIGINT) AS sample_rate""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal
+      .decodeAudio(Multimodal.synthWavs(Tables.documents(s, d), "doc_id"))
+      .agg(
+        lcount().as("n_clips"),
+        sum(col("n_samples")).cast(LongType).as("total_samples"),
+        sum(col("amp_sum")).cast(LongType).as("amp_total"),
+        max(col("sample_rate")).cast(LongType).as("sample_rate"))
+  }
+
   /** Boilerplate phrase detection (the line-dedup step of CCNet-style
     * curation, phrase-grained because the corpus is a token stream):
     * a 3-gram occurring in >= 3 DISTINCT documents is boilerplate
@@ -1341,6 +1371,6 @@ object LlmText {
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
-      decodeReal, resizeReal,
+      decodeReal, resizeReal, audioReal,
       boilerplate, keywordSearch, bm25, collocations)
 }

@@ -98,6 +98,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set(0L, 1L, 31L, 32L, 1023L, 4096L), s"quarantine failed: $got")
   }
 
+  test("decodeAudio reads back exactly the PCM samples synthWavs wrote") {
+    val got = Multimodal.decodeAudio(Multimodal.synthWavs(ids, "doc_id"))
+      .select("doc_id", "sample_rate", "n_samples", "amp_sum")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(0L, 1L, 31L, 32L, 1023L, 4096L))
+    got.foreach { case (id, (rate, n, s)) =>
+      val en = 400 + (id % 800).toInt
+      val es = (0 until en).map(t => (id * 31 + t * 17) % 65536 - 32768).sum
+      assert((rate, n, s) == ((8000, en.toLong, es)), s"doc $id: got ($rate,$n,$s)")
+    }
+    // RIFF magic really present — these are genuine WAV containers
+    val payload = Multimodal.synthWavs(ids, "doc_id")
+      .filter(col("doc_id") === 1023L).head().getAs[Array[Byte]]("payload")
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    // corrupt payloads quarantine instead of failing the stage
+    val mixed = Multimodal.synthWavs(ids, "doc_id").unionByName(
+      Seq((900L, "audio/wav", Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "media_type", "payload"))
+    assert(Multimodal.decodeAudio(mixed).count() == 6)
+  }
+
   test("resizeImage emits real re-encoded images at the floor-arithmetic dims") {
     val resized = Multimodal.decodeImage(
       Multimodal.resizeImage(Multimodal.synthImages(ids, "doc_id"), maxEdge = 24))
