@@ -100,6 +100,44 @@ class DedupSpec extends SparkSpec {
     assert(e.toSeq == Seq((400L, 401L, 0.7)))
   }
 
+  test("prefix-filter Jaccard join == brute force on random corpora (seeded)") {
+    // randomized corpora with a small token alphabet force dense partial
+    // overlaps at EVERY similarity level — the regime where the PPJoin
+    // index-prefix and positional filters do the most pruning and any
+    // unsoundness (a dropped witness row) would surface as a missing pair
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // random base docs, each with 0-2 mutated variants (one token
+      // substituted / dropped / appended at a random position) — variant
+      // similarity spreads across the whole (0, 1) range as doc lengths
+      // vary, instead of clustering at hand-picked bands
+      val docs = (0 until 20).flatMap { b =>
+        val base = Vector.fill(8 + rnd.nextInt(18))(s"t${rnd.nextInt(50)}")
+        val variants = (0 until rnd.nextInt(3)).map { v =>
+          rnd.nextInt(3) match {
+            case 0 => base.updated(rnd.nextInt(base.length), s"x${b}_$v")
+            case 1 => base.patch(rnd.nextInt(base.length), Nil, 1)
+            case _ => base :+ s"x${b}_$v"
+          }
+        }
+        base +: variants
+      }.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      for (tau <- Seq("0.3", "0.5", "0.8")) {
+        val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", BigDecimal(tau))
+          .select("doc_a", "doc_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+        val want = Dedup.bruteForceJaccardPairs(docs, "doc_id", "text", tau.toDouble)
+          .select("doc_a", "doc_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+        assert(want.nonEmpty, s"seed=$seed tau=$tau: fixture must have pairs")
+        assert(got == want,
+          s"seed=$seed tau=$tau: missing=${(want -- got).take(5)}, extra=${(got -- want).take(5)}")
+      }
+    }
+  }
+
   test("jaccardForPairs computes exact overlap") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
     val sh = Dedup.shingleSet(docs, "doc_id", "text")
