@@ -262,6 +262,127 @@ object Multimodal {
       }(enc)
   }
 
+  // --- REAL multi-frame codec (pure-JVM animated GIF via javax.imageio) ---
+  //
+  // The closest pure-JVM stand-in for video: a real container with a
+  // frame SEQUENCE. Frames are painted as solid colors from an explicit
+  // 8-entry indexed palette — GIF stores the palette verbatim (no
+  // quantization of colors already in it), so the decode is lossless and
+  // an oracle can predict frame count, dimensions and the all-frame
+  // pixel checksum arithmetically.
+
+  /** Output schema of [[decodeFrames]]. */
+  val framesDecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false)))
+
+  /** Palette entry k (k in 0..7): RGB((37k)%256, (73k)%256, (109k)%256). */
+  private def paletteRgb(k: Int): (Int, Int, Int) =
+    ((37 * k) % 256, (73 * k) % 256, (109 * k) % 256)
+
+  /** Deterministic animated-GIF corpus: `1 + id%8` frames of
+    * `(8 + id%8) × (8 + (id/8)%8)` pixels, frame f filled with palette
+    * color `(id + f) % 8`.
+    */
+  def synthGifs(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imagePayloadSchema)
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        val (rs, gs, bs) = (new Array[Byte](8), new Array[Byte](8), new Array[Byte](8))
+        (0 until 8).foreach { k =>
+          val (r, g, b) = paletteRgb(k)
+          rs(k) = r.toByte; gs(k) = g.toByte; bs(k) = b.toByte
+        }
+        val icm = new java.awt.image.IndexColorModel(3, 8, rs, gs, bs)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (((id % 8) + 8) % 8).toInt
+          val h = 8 + (((id / 8 % 8) + 8) % 8).toInt
+          val nf = 1 + (((id % 8) + 8) % 8).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val g2 = img.createGraphics()
+            val (cr, cg, cb) = paletteRgb(((id + f) % 8).toInt)
+            g2.setColor(new java.awt.Color(cr, cg, cb))
+            g2.fillRect(0, 0, w, h)
+            g2.dispose()
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          Row(id, "image/gif", bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** REAL frame-sequence decode: `javax.imageio`'s GIF reader in the
+    * mapPartitions seam — frame count from the container, per-frame
+    * pixels summed into one checksum. Undecodable payloads quarantine,
+    * mirroring [[decodeImage]].
+    */
+  def decodeFrames(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(framesDecodedSchema)
+    media
+      .select(col("doc_id"), col("payload"))
+      .filter(col("payload").isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val reader = readers.next()
+              reader.setInput(iis)
+              val nf = reader.getNumImages(true)
+              var s = 0L
+              var w = 0
+              var h = 0
+              var f = 0
+              while (f < nf) {
+                val img = reader.read(f)
+                w = img.getWidth
+                h = img.getHeight
+                var x = 0
+                while (x < w) {
+                  var y = 0
+                  while (y < h) {
+                    val p = img.getRGB(x, y)
+                    s += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                    y += 1
+                  }
+                  x += 1
+                }
+                f += 1
+              }
+              reader.dispose()
+              Iterator.single(Row(id, bytes.length.toLong, w, h, nf, s))
+            }
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }
+      }(enc)
+  }
+
   // --- REAL audio codec (pure-JVM javax.sound.sampled) --------------------
   //
   // Same certification scheme as the image path: every PCM sample of the

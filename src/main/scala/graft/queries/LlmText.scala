@@ -1128,6 +1128,42 @@ object LlmText {
         max(greatest(col("width"), col("height"))).cast(LongType).as("max_edge"))
   }
 
+  /** REAL frame-sequence decode ([[graft.operators.Multimodal
+    * .decodeFrames]]): a deterministic animated-GIF corpus (1 + id%8
+    * solid-color frames from an explicit 8-entry palette — GIF stores
+    * the palette verbatim, so decode is lossless) read back by the
+    * pure-JVM `javax.imageio` GIF reader. The oracle predicts clip
+    * count, total/max frame counts and the all-frame pixel checksum
+    * arithmetically — the multi-frame analog of `multimodal_decode_real`
+    * (true video codecs stay behind the documented stub seam).
+    */
+  private val gifFramesReal = Q(
+    "multimodal_gif_frames_real",
+    s"""WITH ids AS (SELECT doc_id,
+       |        CAST(8 + doc_id % 8 AS BIGINT) AS w,
+       |        CAST(8 + (doc_id // 8) % 8 AS BIGINT) AS h,
+       |        CAST(1 + doc_id % 8 AS BIGINT) AS nf
+       |      FROM documents),
+       |fr AS (SELECT i.doc_id, i.w * i.h *
+       |         ((37 * ((i.doc_id + f.f) % 8)) % 256 +
+       |          (73 * ((i.doc_id + f.f) % 8)) % 256 +
+       |          (109 * ((i.doc_id + f.f) % 8)) % 256) AS ps
+       |       FROM ids i JOIN (SELECT unnest(range(8)) AS f) f ON f.f < i.nf)
+       |SELECT (SELECT $C FROM ids) AS n_clips,
+       |       (SELECT CAST(SUM(nf) AS BIGINT) FROM ids) AS total_frames,
+       |       (SELECT CAST(SUM(ps) AS BIGINT) FROM fr) AS px_total,
+       |       (SELECT CAST(MAX(nf) AS BIGINT) FROM ids) AS max_frames""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Multimodal
+      Multimodal
+        .decodeFrames(Multimodal.synthGifs(Tables.documents(s, d), "doc_id"))
+        .agg(
+          lcount().as("n_clips"),
+          sum(col("n_frames")).cast(LongType).as("total_frames"),
+          sum(col("px_sum")).cast(LongType).as("px_total"),
+          max(col("n_frames")).cast(LongType).as("max_frames"))
+  }
+
   /** REAL audio decode ([[graft.operators.Multimodal.decodeAudio]]):
     * a deterministic WAV corpus (16-bit PCM mono, sample t of doc id =
     * (id·31 + t·17) mod 65536 − 32768) decoded by the pure-JVM
@@ -1371,6 +1407,6 @@ object LlmText {
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
-      decodeReal, resizeReal, audioReal,
+      decodeReal, resizeReal, audioReal, gifFramesReal,
       boilerplate, keywordSearch, bm25, collocations)
 }

@@ -98,6 +98,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set(0L, 1L, 31L, 32L, 1023L, 4096L), s"quarantine failed: $got")
   }
 
+  test("decodeFrames reads back exactly the GIF frame sequence synthGifs wrote") {
+    def pal(k: Int) = ((37 * k) % 256, (73 * k) % 256, (109 * k) % 256)
+    val got = Multimodal.decodeFrames(Multimodal.synthGifs(ids, "doc_id"))
+      .select("doc_id", "width", "height", "n_frames", "px_sum")
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(0L, 1L, 31L, 32L, 1023L, 4096L))
+    got.foreach { case (id, (w, h, nf, s)) =>
+      val (ew, eh, enf) = (8 + (id % 8).toInt, 8 + ((id / 8) % 8).toInt, 1 + (id % 8).toInt)
+      val es = (0 until enf).map { f =>
+        val (r, g, b) = pal(((id + f) % 8).toInt)
+        ew.toLong * eh * (r + g + b)
+      }.sum
+      assert((w, h, nf, s) == ((ew, eh, enf, es)), s"doc $id: got ($w,$h,$nf,$s)")
+    }
+    // GIF magic really present — genuine containers
+    val payload = Multimodal.synthGifs(ids, "doc_id")
+      .filter(col("doc_id") === 1023L).head().getAs[Array[Byte]]("payload")
+    assert(new String(payload.take(6), "US-ASCII").startsWith("GIF8"))
+    // corrupt payloads quarantine instead of failing the stage
+    val mixed = Multimodal.synthGifs(ids, "doc_id").unionByName(
+      Seq((900L, "image/gif", Array[Byte](9, 9, 9)))
+        .toDF("doc_id", "media_type", "payload"))
+    assert(Multimodal.decodeFrames(mixed).count() == 6)
+  }
+
   test("decodeAudio reads back exactly the PCM samples synthWavs wrote") {
     val got = Multimodal.decodeAudio(Multimodal.synthWavs(ids, "doc_id"))
       .select("doc_id", "sample_rate", "n_samples", "amp_sum")
