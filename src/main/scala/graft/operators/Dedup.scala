@@ -671,8 +671,9 @@ object Dedup {
     *
     * Shape: semi-join the shingle stream down to docs that appear in a
     * pair (candidates are output-bounded), aggregate each candidate
-    * doc's shingles into ONE per-doc sorted array (bounded by that doc's
-    * own size — the legal grain for a collected array), then attach both
+    * doc's shingles into ONE per-doc array (bounded by that doc's own
+    * size — the legal grain for a collected array; unordered, since
+    * `size`/`array_intersect` are order-insensitive), then attach both
     * arrays to each pair and intersect them MAP-SIDE
     * (`array_intersect`). A shingle-grain intersection join would
     * explode every candidate pair into |doc| rows before re-aggregating
@@ -680,6 +681,10 @@ object Dedup {
     * the post-candidate cost is two |pairs|-row joins and an O(|a|+|b|)
     * per-row intersect, and no corpus-wide shuffle survives past the
     * semi-join.
+    *
+    * Contract (same as the original intersection-join shape): a pair
+    * with ZERO shared shingles produces no output row, and a pair
+    * naming a doc with no shingles at all likewise vanishes.
     */
   def jaccardForPairs(shingles: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val candDocs = pairs.select(col("doc_a").as(idCol))
@@ -687,7 +692,7 @@ object Dedup {
       .distinct()
     val docArrays = shingles.join(candDocs, Seq(idCol), "left_semi")
       .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("shingle"))).as("arr"))
+      .agg(collect_set(col("shingle")).as("arr"))
     pairs
       .join(docArrays.select(col(idCol).as("doc_a"), col("arr").as("__arr_a")),
         Seq("doc_a"))
@@ -699,6 +704,7 @@ object Dedup {
           .cast(LongType).as("n_inter"),
         size(col("__arr_a")).cast(LongType).as("na"),
         size(col("__arr_b")).cast(LongType).as("nb"))
+      .filter(col("n_inter") > 0)
       .select(
         col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /

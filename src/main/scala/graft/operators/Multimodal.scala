@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * relational engine as opaque `binary` columns with typed metadata, and
   * decode/feature steps run partition-parallel over the bytes.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels below are clearly-marked DETERMINISTIC STUBS — they
-  * derive fake dimensions/features from the payload bytes. Everything
-  * around them (schema, batch shape, partition-parallel execution,
-  * downstream joins) is real and tested; swapping a stub for a JNI/FFmpeg
-  * call changes one function body only.
+  * Two tiers live here. The REAL pure-JVM codecs (PNG decode + bilinear
+  * resample via `javax.imageio`, animated-GIF frame sequences, WAV PCM
+  * via `javax.sound.sampled`) decode genuine container bytes and are
+  * oracle-certified down to per-pixel/per-sample checksums. The
+  * remaining kernels are clearly-marked DETERMINISTIC STUBS (true video
+  * codecs aren't available in a pure JVM) — they derive fake
+  * dimensions/features from the payload bytes so the surrounding
+  * plumbing (schema, batch shape, partition-parallel execution,
+  * downstream joins) stays real and tested; swapping a stub for a
+  * JNI/FFmpeg call changes one function body only.
   */
 object Multimodal {
 
@@ -299,6 +303,10 @@ object Multimodal {
           rs(k) = r.toByte; gs(k) = g.toByte; bs(k) = b.toByte
         }
         val icm = new java.awt.image.IndexColorModel(3, 8, rs, gs, bs)
+        // one writer per partition (registry scan + allocation are not
+        // per-row costs); reset() detaches it between containers
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
         rows.map { r =>
           val id = r.getLong(0)
           val w = 8 + (((id % 8) + 8) % 8).toInt
@@ -306,8 +314,7 @@ object Multimodal {
           val nf = 1 + (((id % 8) + 8) % 8).toInt
           val bos = new java.io.ByteArrayOutputStream()
           val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("gif").next()
+          writer.reset()
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
@@ -324,7 +331,6 @@ object Multimodal {
             f += 1
           }
           writer.endWriteSequence()
-          writer.dispose()
           ios.close()
           Row(id, "image/gif", bos.toByteArray)
         }
@@ -346,13 +352,14 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          var reader: javax.imageio.ImageReader = null
           try {
-            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
             val readers = javax.imageio.ImageIO.getImageReaders(iis)
             if (!readers.hasNext) Iterator.empty
             else {
-              val reader = readers.next()
+              reader = readers.next()
               reader.setInput(iis)
               val nf = reader.getNumImages(true)
               var s = 0L
@@ -375,10 +382,13 @@ object Multimodal {
                 }
                 f += 1
               }
-              reader.dispose()
               Iterator.single(Row(id, bytes.length.toLong, w, h, nf, s))
             }
           } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+          finally {
+            if (reader != null) reader.dispose()
+            iis.close()
+          }
         }
       }(enc)
   }

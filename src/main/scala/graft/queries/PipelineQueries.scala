@@ -506,7 +506,7 @@ object PipelineQueries {
 
   /** STREAMING join-view maintenance readout ([[graft.streaming
     * .StreamJoinView.applyBatch]]): the orders⋈lineitem view maintained
-    * by folding three tagged micro-batches through the streaming fold —
+    * by folding two tagged micro-batches through the streaming fold —
     * orders batched by customer parity, lineitem by supplier parity
     * (uncorrelated with the join key, so partners arrive in different
     * batches and every ΔA⋈B / A⋈ΔB / ΔA⋈ΔB term does real work across

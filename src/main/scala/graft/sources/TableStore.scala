@@ -249,11 +249,13 @@ final class TableStore(spark: SparkSession, root: String) {
     * call: between its two moves a partition exists only as its parked
     * `.old_part_*` side-dir — restore every such partition, then drop a
     * live dir left EMPTY by a crash before the first partition landed
-    * (so [[exists]] reports the truth: no committed data). Any reader of
-    * a partition-replaced table that runs outside [[replacePartitions]]
-    * itself (e.g. the streaming store folds, which must read the CURRENT
-    * state before planning a batch) calls this first — otherwise the read
-    * would silently miss the parked partition's rows.
+    * (so [[exists]] reports the truth: no committed data). EVERY public
+    * entry point ([[read]]/[[exists]]/[[append]]/[[overwrite]]/
+    * [[overwriteVersioned]]/[[rollback]]/[[replacePartitions]]) runs
+    * this first, so no reader or writer — including the streaming store
+    * folds, which must see the CURRENT state before planning a batch —
+    * can ever miss a parked partition's rows or let a stale park outlive
+    * a full overwrite.
     */
   def recoverPartitions(table: String): Unit = {
     val rootDir = Files.list(Paths.get(root))
@@ -320,7 +322,8 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def lastAppliedBatch(table: String, markerCol: String = "__applied"): Long = {
     import org.apache.spark.sql.functions.{col, max}
-    recoverPartitions(table)
+    // exists()/read() settle interrupted swaps AND parked partitions, so
+    // a crashed fold can't hide the marker — no extra recovery pass here
     if (!exists(table)) -1L
     else {
       val r = read(table).agg(max(col(markerCol).cast("long"))).head()

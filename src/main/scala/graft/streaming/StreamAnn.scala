@@ -52,7 +52,6 @@ object StreamAnn {
   def applyBatch(store: TableStore, listTable: String,
       neighborsTable: String, centroids: DataFrame, probe: Int, k: Int)(
       batch: DataFrame, batchId: Long): Unit = {
-    store.recoverPartitions(neighborsTable)
     val lastApplied = store.lastAppliedBatch(listTable)
     if (batchId > lastApplied) {
       val cents = centroids

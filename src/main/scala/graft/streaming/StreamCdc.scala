@@ -60,7 +60,6 @@ object StreamCdc {
   def applyBatch(store: TableStore, table: String, keys: Seq[String],
       seqCol: String, opCol: String, nBuckets: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
-    store.recoverPartitions(table)
     val marker = s"${table}__batch"
     val lastApplied =
       if (!store.exists(marker)) -1L

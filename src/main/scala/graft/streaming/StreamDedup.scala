@@ -101,7 +101,6 @@ object StreamDedup {
   def applySubstringBatch(store: TableStore, spanTable: String,
       dupTable: String, idCol: String, textCol: String, l: Int)(
       batch: DataFrame, batchId: Long): Unit = {
-    store.recoverPartitions(dupTable)
     val lastApplied = store.lastAppliedBatch(spanTable)
     if (batchId > lastApplied) {
       // window once; the occurrences feed the dup join AND the count store
@@ -157,7 +156,6 @@ object StreamDedup {
   def applyBatch(store: TableStore, bandTable: String, pairsTable: String,
       idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
       shingleN: Int)(batch: DataFrame, batchId: Long): Unit = {
-    store.recoverPartitions(pairsTable)
     val lastApplied = store.lastAppliedBatch(bandTable)
     if (batchId > lastApplied) {
       val batchBands = Dedup.bandKeysFromWide(

@@ -63,7 +63,6 @@ object StreamJoinView {
   def applyBatch(store: TableStore, aTable: String, bTable: String,
       viewTable: String, sideCol: String, keys: Seq[String],
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
-    Seq(aTable, bTable).foreach(store.recoverPartitions)
     val lastApplied = store.lastAppliedBatch(viewTable)
     if (batchId > lastApplied) {
       val bucketOf =
@@ -126,7 +125,6 @@ object StreamJoinView {
   def applyCdcBatch(store: TableStore, aTable: String, bTable: String,
       viewTable: String, sideCol: String, opCol: String, keys: Seq[String],
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
-    Seq(aTable, bTable).foreach(store.recoverPartitions)
     val lastApplied = store.lastAppliedBatch(viewTable)
     if (batchId > lastApplied) {
       val weighted = batch

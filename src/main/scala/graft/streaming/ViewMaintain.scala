@@ -63,7 +63,6 @@ object ViewMaintain {
       sumCols: Seq[String], nBuckets: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max, pmod, xxhash64}
-    store.recoverPartitions(table)
     val marker = s"${table}__batch"
     val lastApplied =
       if (!store.exists(marker)) -1L

@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal column plumbing: binary payloads + typed metadata, decode /
-  * feature / frame-sample stages (codecs are deterministic stubs; the
-  * schema, partition-parallel shape, and joins are the real thing).
+  * feature / frame-sample stages. The stub kernels keep the plumbing
+  * (schema, partition-parallel shape, joins) testable without external
+  * codecs; the REAL pure-JVM codecs (PNG, animated GIF, WAV PCM) are
+  * certified here down to per-pixel / per-frame / per-sample round
+  * trips against the painted contracts.
   */
 class MultimodalSpec extends SparkSpec {
   private lazy val s = spark
