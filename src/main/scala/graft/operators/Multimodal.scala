@@ -304,10 +304,12 @@ object Multimodal {
         }
         val icm = new java.awt.image.IndexColorModel(3, 8, rs, gs, bs)
         // one writer per partition (registry scan + allocation are not
-        // per-row costs); reset() detaches it between containers
+        // per-row costs); reset() detaches it between containers, and the
+        // completion wrapper below disposes it once the partition drains —
+        // writers can pin native resources on long-running executors
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
-        rows.map { r =>
+        val out = rows.map { r =>
           val id = r.getLong(0)
           val w = 8 + (((id % 8) + 8) % 8).toInt
           val h = 8 + (((id / 8 % 8) + 8) % 8).toInt
@@ -333,6 +335,14 @@ object Multimodal {
           writer.endWriteSequence()
           ios.close()
           Row(id, "image/gif", bos.toByteArray)
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val more = out.hasNext
+            if (!more) writer.dispose()
+            more
+          }
+          def next(): Row = out.next()
         }
       }(enc)
   }
@@ -462,32 +472,37 @@ object Multimodal {
             try {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(bytes))
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-                None
-              else {
-                val pcm = ais.readAllBytes()
-                val n = pcm.length / 2
-                var s = 0L
-                var t = 0
-                if (fmt.isBigEndian) {
-                  while (t < n) {
-                    s += ((pcm(2 * t) << 8) | (pcm(2 * t + 1) & 0xFF)).toShort.toLong
-                    t += 1
-                  }
-                } else {
-                  while (t < n) {
-                    s += (((pcm(2 * t + 1) << 8) | (pcm(2 * t) & 0xFF)).toShort).toLong
-                    t += 1
-                  }
-                }
-                Some(Row(id, bytes.length.toLong,
-                  fmt.getSampleRate.toInt, n.toLong, s))
-              }
+              try decodeWav(id, bytes, ais)
+              finally ais.close()
             } catch { case scala.util.control.NonFatal(_) => None }
           decoded.iterator
         }
       }(enc)
+  }
+
+  private def decodeWav(id: Long, bytes: Array[Byte],
+      ais: javax.sound.sampled.AudioInputStream): Option[Row] = {
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+      fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      None
+    else {
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      var s = 0L
+      var t = 0
+      if (fmt.isBigEndian) {
+        while (t < n) {
+          s += ((pcm(2 * t) << 8) | (pcm(2 * t + 1) & 0xFF)).toShort.toLong
+          t += 1
+        }
+      } else {
+        while (t < n) {
+          s += (((pcm(2 * t + 1) << 8) | (pcm(2 * t) & 0xFF)).toShort).toLong
+          t += 1
+        }
+      }
+      Some(Row(id, bytes.length.toLong, fmt.getSampleRate.toInt, n.toLong, s))
+    }
   }
 }

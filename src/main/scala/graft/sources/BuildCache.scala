@@ -109,8 +109,17 @@ object BuildCache {
     case Some(dig) =>
       val stem = s"$kind-${san(dataDir)}-${san(spec)}"
       val dst = cacheRoot.resolve(s"$stem-$dig")
-      if (Files.exists(dst)) dst.toString
-      else {
+      if (Files.exists(dst)) {
+        // refresh the artifact's mtime on every hit: the superseded-digest
+        // prune below uses age as its "no JVM can still be reading this"
+        // proof, and a long-running JVM that adopted this artifact hours
+        // ago keeps it fresh through its reads (a newer-code JVM building
+        // the same (kind, dataDir, spec) must not delete it mid-read)
+        try Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: Throwable => () }
+        dst.toString
+      } else {
         Files.createDirectories(cacheRoot)
         // Prune (a) half-builds of this artifact whose owning process is
         // dead — a LIVE concurrent builder's dir must not be deleted from
@@ -120,7 +129,12 @@ object BuildCache {
         // are also old enough that no still-running JVM can be reading
         // them (the age guard: a reader's JVM and the artifact it built
         // are younger than this bound).
-        val minStaleMs = 2L * 3600 * 1000
+        // 12 h: the adoption-time mtime touch above keeps ACTIVE readers'
+        // artifacts fresh only at adoption, so the bound must also exceed
+        // the longest plausible single-JVM run (a full bench round is ~6 h
+        // wall) — below it, a newer-code JVM could delete an artifact a
+        // live reader adopted hours earlier
+        val minStaleMs = 12L * 3600 * 1000
         val now = System.currentTimeMillis()
         val ls = Files.list(cacheRoot)
         try ls.iterator().asScala

@@ -258,17 +258,24 @@ final class TableStore(spark: SparkSession, root: String) {
     * a full overwrite.
     */
   def recoverPartitions(table: String): Unit = {
-    val rootDir = Files.list(Paths.get(root))
-    try rootDir
-      .filter(p => p.getFileName.toString.startsWith(s".old_part_${table}_"))
-      .forEach { stale =>
-        val sub = stale.getFileName.toString.stripPrefix(s".old_part_${table}_")
+    // parks live under a PER-TABLE side directory (`.old_part/<table>/
+    // <sub>`), matched exactly by name — a shared prefix scheme
+    // (`.old_part_<t>_...`) let table `t` adopt `t_log`'s parked
+    // partitions after a crash, since `_` both separates and occurs in
+    // table names
+    val parkRoot = parkDir(table)
+    if (Files.exists(parkRoot)) {
+      val parked = Files.list(parkRoot)
+      try parked.forEach { stale =>
+        val sub = stale.getFileName.toString
         val live = Paths.get(s"${path(table)}/$sub")
         Files.createDirectories(Paths.get(path(table)))
         if (!Files.exists(live)) Files.move(stale, live, StandardCopyOption.ATOMIC_MOVE)
         else deleteRecursively(stale)
       }
-    finally rootDir.close()
+      finally parked.close()
+      deleteRecursively(parkRoot)
+    }
     val live = Paths.get(path(table))
     if (Files.exists(live)) {
       val ls = Files.list(live)
@@ -305,14 +312,23 @@ final class TableStore(spark: SparkSession, root: String) {
     parts.foreach { part =>
       val sub = part.getFileName.toString
       val live = Paths.get(s"${path(table)}/$sub")
-      val old = Paths.get(s"$root/.old_part_${table}_$sub")
+      val old = parkDir(table).resolve(sub)
       deleteRecursively(old)
-      if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(live)) {
+        Files.createDirectories(parkDir(table))
+        Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+      }
       Files.move(part, live, StandardCopyOption.ATOMIC_MOVE)
       deleteRecursively(old)
     }
     deleteRecursively(tmp)
   }
+
+  /** Per-table side directory holding partitions parked mid-swap by
+    * [[replacePartitions]] — matched EXACTLY by table name, so no table's
+    * crash recovery can adopt another's parked partitions.
+    */
+  private def parkDir(table: String): Path = Paths.get(s"$root/.old_part/$table")
 
   /** Highest applied batch id recorded in `markerCol` of `table`, or −1
     * when the table is absent/empty — the replay guard every streaming

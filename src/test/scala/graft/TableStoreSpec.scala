@@ -140,32 +140,56 @@ class TableStoreSpec extends SparkSpec {
     // window 1: live p=2 parked in .old_part, replacement tmp lost —
     // the OLD partition data must come back on any read path
     val (s1, r1) = seeded()
-    Files.move(Paths.get(s"$r1/t/p=2"), Paths.get(s"$r1/.old_part_t_p=2"))
+    Files.createDirectories(Paths.get(s"$r1/.old_part/t"))
+    Files.move(Paths.get(s"$r1/t/p=2"), Paths.get(s"$r1/.old_part/t/p=2"))
     assert(s1.read("t").select("v").as[Int].collect().toSet == Set(1, 2, 3))
-    assert(!Files.exists(Paths.get(s"$r1/.old_part_t_p=2")))
+    assert(!Files.exists(Paths.get(s"$r1/.old_part/t/p=2")))
     // window 2: stale .old_part left behind AFTER the new partition
     // landed (killed before cleanup) — the NEW data must win, the stale
     // dir must be dropped, not restored over it
     val (s2, r2) = seeded()
     Seq((3, 2L)).toDF("v", "p").coalesce(1)
-      .write.parquet(s"$r2/.old_part_t_p=2")
+      .write.parquet(s"$r2/.old_part/t/p=2")
     s2.replacePartitions("t", Seq((30, 2L)).toDF("v", "p"), "p")
     assert(s2.read("t").select("v").as[Int].collect().toSet == Set(1, 2, 30))
-    assert(!Files.exists(Paths.get(s"$r2/.old_part_t_p=2")))
+    assert(!Files.exists(Paths.get(s"$r2/.old_part/t/p=2")))
     // window 1 followed by a FULL overwrite: the parked partition must
     // not survive to be "restored" into the brand-new table later
     val (s3, r3) = seeded()
-    Files.move(Paths.get(s"$r3/t/p=2"), Paths.get(s"$r3/.old_part_t_p=2"))
+    Files.createDirectories(Paths.get(s"$r3/.old_part/t"))
+    Files.move(Paths.get(s"$r3/t/p=2"), Paths.get(s"$r3/.old_part/t/p=2"))
     s3.overwrite("t", Seq((100, 9L)).toDF("v", "p"), Seq("p"))
     assert(s3.read("t").select("v").as[Int].collect().toSet == Set(100))
-    assert(!Files.exists(Paths.get(s"$r3/.old_part_t_p=2")))
+    assert(!Files.exists(Paths.get(s"$r3/.old_part/t/p=2")))
     // window 1 followed by the NEXT replacePartitions call (the streaming
     // fold's path): recovery runs before the new batch is planned, so the
     // fold sees the full pre-crash state and the new partition lands
     val (s4, r4) = seeded()
-    Files.move(Paths.get(s"$r4/t/p=2"), Paths.get(s"$r4/.old_part_t_p=2"))
+    Files.createDirectories(Paths.get(s"$r4/.old_part/t"))
+    Files.move(Paths.get(s"$r4/t/p=2"), Paths.get(s"$r4/.old_part/t/p=2"))
     s4.replacePartitions("t", Seq((99, 3L)).toDF("v", "p"), "p")
     assert(s4.read("t").select("v").as[Int].collect().toSet == Set(1, 2, 3, 99))
+  }
+
+  test("park recovery never crosses tables whose names extend each other") {
+    // 't' and 't_log' both partition-replaced; 't_log' crashes mid-swap
+    // (its p=1 sits parked). Recovery of 't' must NOT adopt 't_log's
+    // parked partition — under the old shared-prefix park scheme
+    // (`.old_part_<t>_...`) it did, because '_' both separated the name
+    // and occurred inside it.
+    val root = Files.createTempDirectory("graft_park_collide").toString
+    val store = new TableStore(spark, root)
+    store.replacePartitions("t", Seq((1, 1L)).toDF("v", "p"), "p")
+    store.replacePartitions("t_log", Seq((7, 1L)).toDF("v", "p"), "p")
+    Files.createDirectories(Paths.get(s"$root/.old_part/t_log"))
+    Files.move(Paths.get(s"$root/t_log/p=1"),
+      Paths.get(s"$root/.old_part/t_log/p=1"))
+    // reading 't' sweeps only 't's park dir; 't_log's park stays put
+    assert(store.read("t").select("v").as[Int].collect().toSet == Set(1))
+    assert(Files.exists(Paths.get(s"$root/.old_part/t_log/p=1")))
+    // and 't_log's own recovery restores it
+    assert(store.read("t_log").select("v").as[Int].collect().toSet == Set(7))
+    assert(!Files.exists(Paths.get(s"$root/.old_part/t_log")))
   }
 
   test("first-ever write that crashed mid-write stays unpublished") {
