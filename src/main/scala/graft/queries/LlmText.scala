@@ -268,7 +268,7 @@ object LlmText {
     * the md5 of the window text — relation occ(doc_id, pos, span_h), pos
     * 0-based. The SQL re-derivation of [[Dedup.spanOccurrences]].
     */
-  private val spanOccCte: String = {
+  private[queries] val spanOccCte: String = {
     val gram = (0 until 8).map(o => s"l[i + $o]").mkString(" || ' ' || ")
     s"""toks8 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5($gram) AS span_h

@@ -1,0 +1,324 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.functions.Cleaning.{dsum, lcount}
+import graft.operators.IncrementalAgg
+import graft.sources.{TableStore, Tables}
+import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamCdc, StreamDedup, StreamSketch, ViewMaintain}
+import graft.queries.Q.{C, DS}
+
+/** Oracle-registered readouts for every persisted streaming maintainer —
+  * the c11/c12 pattern widened to the whole streaming/ package: each
+  * query folds 2+ real micro-batches through the maintainer's
+  * `applyBatch` into a fresh [[TableStore]], reads the MAINTAINED STATE
+  * back, and the DuckDB oracle recomputes the same answer one-shot from
+  * the raw tables. A hash match makes "stream ≡ batch" a driver-checked
+  * invariant for the state the engine actually persists, not just a
+  * spec-internal assertion.
+  *
+  * Batch splits are chosen uncorrelated with the operator's key wherever
+  * cross-batch interaction is the thing under test (CDC reordering, join
+  * partners straddling batches), and correlated (old/new corpus halves)
+  * where the incremental contract is "new batch vs stored history".
+  */
+object StreamingQueries {
+
+  /** CDC mirror fold ([[StreamCdc.applyBatch]]): a Debezium-shaped op
+    * feed over `orders` — every order inserted (seq 1), every 3rd
+    * updated (seq 2: status 'U', price +10), every 5th deleted (seq 3)
+    * — split into two micro-batches by a hash UNCORRELATED with the
+    * sequence, so some keys' deletes arrive a batch BEFORE their stale
+    * updates (the tombstone-resurrection window the mirror exists to
+    * close). The readout is the presented mirror; the oracle replays
+    * max-seq-wins over the whole feed. A hash match certifies the
+    * bucketed fold, the tombstone retention, and the replay guard
+    * jointly.
+    */
+  private val cdcMirror = Q(
+    "c13_stream_cdc_mirror",
+    """WITH feed AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', o_totalprice + 10, 2, 'U'
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'D'
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |w AS (SELECT *, row_number() OVER
+      |        (PARTITION BY o_orderkey ORDER BY seq DESC, op ASC) AS rn
+      |      FROM feed)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c13").toString)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val feed = o
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+      .unionByName(o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+      // key ⊗ seq hash: for keys with both an update and a delete, half
+      // get the delete FIRST and the stale update in the later batch —
+      // without the tombstone the dead key would silently resurrect
+      .withColumn("__b",
+        pmod(col("o_orderkey") * 7 + col("seq") * 3, lit(2)).cast(IntegerType))
+    val fold = StreamCdc.applyBatch(store, "mirror", Seq("o_orderkey"),
+      "seq", "op", nBuckets = 16) _
+    (0 to 1).foreach(i => fold(feed.filter(col("__b") === i).drop("__b"), i.toLong))
+    StreamCdc.present(store.read("mirror"), "seq", "op")
+  }
+
+  /** Streaming aggregate-view maintenance ([[ViewMaintain.applyBatch]]):
+    * the c7 running (count, decimal-sum) state maintained by folding
+    * THREE order-key-split batches of lineitem into the bucketed store.
+    * The oracle re-aggregates one-shot — bit-equality proves the
+    * bucketed delta merge (including the `__applied` double-fold guard's
+    * happy path) equals re-shuffling all of history.
+    */
+  private val viewAgg = Q(
+    "c14_stream_view_agg",
+    s"""SELECT l_returnflag, l_linestatus, $C AS n,
+       |       ${DS("l_quantity")} AS sum_l_quantity,
+       |       ${DS("l_extendedprice")} AS sum_l_extendedprice
+       |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c14").toString)
+    val li = Tables.lineitem(s, d)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val sums = Seq("l_quantity", "l_extendedprice")
+    val fold = ViewMaintain.applyBatch(store, "vagg", keys, sums, nBuckets = 16) _
+    (0 to 2).foreach(i => fold(li.filter(col("l_orderkey") % 3 === i), i.toLong))
+    IncrementalAgg.present(
+      store.read("vagg").drop("__bucket", "__applied"), keys, sums)
+  }
+
+  /** Streaming near-dup maintenance ([[StreamDedup.applyBatch]]): the
+    * band-key store + candidate-pair log folded over the corpus in two
+    * batches (history < 250, arrivals ≥ 250 — the same split
+    * `dedup_incremental_pairs` certifies one fold of). The readout is
+    * the UNION of the emitted per-batch pair logs; the oracle is the
+    * one-shot banded-LSH pair set over the whole corpus — equality IS
+    * the maintainer's core contract (every cross-batch and in-batch pair
+    * surfaces exactly once, nothing re-shingled).
+    */
+  private val nearDupLog = Q(
+    "c15_stream_neardup_log",
+    s"""WITH ${LlmText.sigCte},
+       |bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+       |                 string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+       |          FROM sig GROUP BY 1, 2)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin) {
+    (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c15").toString)
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val fold = StreamDedup.applyBatch(store, "bands", "pairs", "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, shingleN = 3) _
+    fold(docs.filter(col("doc_id") < 250), 0L)
+    fold(docs.filter(col("doc_id") >= 250), 1L)
+    store.read("pairs").select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Streaming substring-dedup maintenance ([[StreamDedup
+    * .applySubstringBatch]]): the span-count store + duplicated-span log
+    * folded over the same two-batch split. Two certifications in one
+    * readout: the store's per-span SUM over batch partitions must equal
+    * the one-shot corpus index (`src = 'store'`), and batch 1's emitted
+    * dup log must equal the incremental-maintenance answer for the
+    * arrivals (`src = 'batch1'`, the `dedup_substring_incremental`
+    * contract) — so both the persisted counts and the emitted deltas are
+    * driver-checked.
+    */
+  private val substringStore = Q(
+    "c16_stream_substring_store",
+    s"""WITH ${LlmText.spanOccCte},
+       |agg AS (SELECT span_h, CAST(count(*) AS BIGINT) AS n_occ,
+       |               CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |        FROM occ GROUP BY 1)
+       |SELECT 'store' AS src, span_h, n_occ, CAST(NULL AS BIGINT) AS n_new
+       |FROM agg WHERE n_occ > 1
+       |UNION ALL
+       |SELECT 'batch1', span_h, n_occ, n_new
+       |FROM agg WHERE n_occ > 1 AND n_new > 0""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c16").toString)
+    val docs = Tables.spread(Tables.documents(s, d))
+    val fold = StreamDedup.applySubstringBatch(store, "spans", "dups",
+      "doc_id", "text", l = 8) _
+    fold(docs.filter(col("doc_id") < 250), 0L)
+    fold(docs.filter(col("doc_id") >= 250), 1L)
+    store.read("spans")
+      .groupBy(col("span_h"))
+      .agg(sum(col("n_old")).cast(LongType).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(lit("store").as("src"), col("span_h"), col("n_occ"),
+        lit(null).cast(LongType).as("n_new"))
+      .unionByName(store.read("dups").filter(col("__batch") === 1)
+        .select(lit("batch1").as("src"), col("span_h"), col("n_occ"), col("n_new")))
+  }
+
+  /** Streaming ANN maintenance ([[StreamAnn.applyBatch]]): history
+    * (vec_id % 40 ≠ 7) folds as batch 0 — building the centroid-
+    * partitioned inverted lists — and the arrivals fold as batch 1,
+    * probing their top-4 lists and logging cosine top-3 among history.
+    * The readout is batch 1's neighbor log; the oracle replays the whole
+    * IVF pipeline (strided centroids, home assignment, probes,
+    * bucket-join candidates, ranked cosines) in SQL — the same replay
+    * `embed_ann_incremental` certifies for the batch twin, here run
+    * against the PERSISTED list store.
+    */
+  private val annLog = Q(
+    "c17_stream_ann_log",
+    """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |             FROM embeddings),
+      |hist AS (SELECT * FROM emb WHERE vec_id % 40 <> 7),
+      |newb AS (SELECT * FROM emb WHERE vec_id % 40 = 7),
+      |str AS (SELECT greatest(1, CAST(floor(count(*) / 16.0) AS BIGINT)) AS s FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM
+      |            (SELECT vec_id, v FROM hist, str WHERE vec_id % s = 0
+      |             ORDER BY vec_id LIMIT 16)),
+      |nc AS (SELECT cid, CAST(list_dot_product(cv, cv) AS DOUBLE) AS n2 FROM cents),
+      |hsim AS (SELECT hist.vec_id, cents.cid,
+      |                round(CAST(list_dot_product(hist.v, cents.cv) AS DOUBLE)
+      |                      / (sqrt(CAST(list_dot_product(hist.v, hist.v) AS DOUBLE)) * sqrt(nc.n2)), 12) AS cs
+      |         FROM hist CROSS JOIN cents JOIN nc ON nc.cid = cents.cid),
+      |lists AS (SELECT vec_id AS nid, cid FROM
+      |            (SELECT vec_id, cid,
+      |                    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |             FROM hsim) WHERE r = 1),
+      |qsim AS (SELECT newb.vec_id, cents.cid,
+      |                round(CAST(list_dot_product(newb.v, cents.cv) AS DOUBLE)
+      |                      / (sqrt(CAST(list_dot_product(newb.v, newb.v) AS DOUBLE)) * sqrt(nc.n2)), 12) AS cs
+      |         FROM newb CROSS JOIN cents JOIN nc ON nc.cid = cents.cid),
+      |probes AS (SELECT vec_id AS qid, cid FROM
+      |             (SELECT vec_id, cid,
+      |                     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |              FROM qsim) WHERE r <= 4),
+      |cand AS (SELECT DISTINCT qid, nid FROM probes JOIN lists USING (cid))
+      |SELECT qid, nid, cosine, rnk
+      |FROM (SELECT qid, nid, cosine,
+      |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+      |      FROM (SELECT cand.qid, cand.nid,
+      |                   round(CAST(list_dot_product(a.v, b.v) AS DOUBLE)
+      |                         / (sqrt(CAST(list_dot_product(a.v, a.v) AS DOUBLE))
+      |                            * sqrt(CAST(list_dot_product(b.v, b.v) AS DOUBLE))), 12) AS cosine
+      |            FROM cand
+      |            JOIN emb a ON a.vec_id = cand.qid
+      |            JOIN emb b ON b.vec_id = cand.nid))
+      |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c17").toString)
+    val embD = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val hist = embD.filter(pmod(col("vec_id"), lit(40)) =!= 7)
+    val newb = embD.filter(pmod(col("vec_id"), lit(40)) === 7)
+    val stride = math.max(1L, Tables.rowCount(s, d, "embeddings") / 16)
+    val cents = hist.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val fold = StreamAnn.applyBatch(store, "lists", "nbrs", cents,
+      probe = 4, k = 3) _
+    fold(hist, 0L)
+    fold(newb, 1L)
+    store.read("nbrs").filter(col("__batch") === 1)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+  }
+
+  /** Streaming HLL register maintenance ([[StreamSketch
+    * .applyDailyRegisters]]): per-day distinct-user registers folded over
+    * two user-parity batches into the persisted register store, read back
+    * as the per-(day, register) MAX over batch partitions. The oracle
+    * recomputes the registers one-shot (same md5 family as
+    * `events_daily_distinct`) — a hash match certifies the HLL merge law
+    * on the STORED registers: max-merging per-batch registers equals
+    * sketching the whole corpus.
+    */
+  private val hllRegisters = Q(
+    "c18_stream_hll_registers",
+    """WITH ev AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+      |                  user_id
+      |           FROM events),
+      |h AS (SELECT day, CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |      FROM ev),
+      |r AS (SELECT day, h % 16 AS register, CAST(h // 16 AS BIGINT) AS w FROM h),
+      |rho AS (SELECT day, register,
+      |          CASE WHEN w = 0 THEN 57 ELSE strpos(lpad(bin(w), 56, '0'), '1') END AS rho
+      |        FROM r)
+      |SELECT day, CAST(register AS BIGINT) AS register,
+      |       CAST(max(rho) AS BIGINT) AS m_rho
+      |FROM rho GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c18").toString)
+    val ev = Tables.events(s, d).select(col("ts"), col("user_id"))
+    val fold = StreamSketch.applyDailyRegisters(store, "hllregs", b = 4) _
+    (0 to 1).foreach(i =>
+      fold(ev.filter(pmod(col("user_id"), lit(2)) === i), i.toLong))
+    StreamSketch.mergedDailyRegisters(store, "hllregs")
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("register"), col("m_rho"))
+  }
+
+  /** TRUE Structured Streaming as-of attribution ([[StreamAsOf
+    * .attribute]] — flatMapGroupsWithState): the events corpus is
+    * replayed as four file micro-batches (two time-ordered halves, then
+    * two far-future sentinel clicks from a reserved user whose only job
+    * is to push the watermark past every real event, so EVERY real
+    * purchase is finalized before the AvailableNow run drains). The
+    * readout is the memory-sink output minus the sentinel user; the
+    * oracle is the batch as-of: each purchase's latest same-user click
+    * at-or-before it. A hash match certifies the stateful operator's
+    * event-time logic — dominant-click collapse, pending-purchase
+    * buffering, watermark finality — against a closed-form recompute.
+    */
+  private val asofStream = Q(
+    "c19_stream_asof",
+    """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, epoch_us(pts) AS ts_us,
+      |       max(epoch_us(cts)) AS click_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val dir = Files.createTempDirectory("graft_c19").toString
+    val evCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev = Tables.events(s, d).select(evCols.map(col): _*)
+    val mid = ev.agg(expr("percentile(CAST(ts AS DOUBLE), 0.5)")).head().getDouble(0)
+    ev.filter(col("ts").cast("double") <= mid)
+      .coalesce(1).write.mode("append").parquet(dir)
+    ev.filter(col("ts").cast("double") > mid)
+      .coalesce(1).write.mode("append").parquet(dir)
+    // sentinel batches: the first one's watermark (computed from batch 2)
+    // still trails the last 2 h of real events; the second runs WITH the
+    // first sentinel's watermark (max + 10 d − 2 h), finalizing them all
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val dayUs = 86400000000L
+    val sentinels = s.range(2).select(
+      (-col("id") - 1).as("event_id"),
+      timestamp_micros(lit(maxUs + 10 * dayUs) + col("id") * lit(3 * 3600000000L)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("click").as("event_type"),
+      lit(0.0).as("value"),
+      lit("").as("props"))
+    (1 to 2).foreach(i => sentinels.filter(col("event_id") === -i)
+      .coalesce(1).write.mode("append").parquet(dir))
+    val sink = s"c19_asof_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = StreamAsOf.attribute(EventStream.readEventStream(s, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(sink).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("click_us"))
+  }
+
+  val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
+    annLog, hllRegisters, asofStream)
+}

@@ -92,7 +92,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     recoverSwap(table)
     // settle parked partitions BEFORE replacing the table: a leftover
-    // .old_part_ dir from a crashed replacePartitions would otherwise
+    // .old_part/ park from a crashed replacePartitions would otherwise
     // outlive this overwrite and a later recovery would "restore" the
     // stale partition into the brand-new table
     recoverPartitions(table)
@@ -240,14 +240,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * replacement data for every partition value it contains; untouched
     * partitions are untouched bytes. Atomicity is per partition: a crash
     * between swaps leaves each partition old, new, or parked in its
-    * `.old_part_*` side-dir — the recovery sweep at the next call
+    * `.old_part/<table>/` side-dir — the recovery sweep at the next call
     * restores parked partitions before anything reads the table, so no
     * state is ever lost (never mixed, never silently absent at repair
     * time).
     */
   /** Recover a table from a crash inside a previous [[replacePartitions]]
     * call: between its two moves a partition exists only as its parked
-    * `.old_part_*` side-dir — restore every such partition, then drop a
+    * `.old_part/<table>/` side-dir — restore every such partition, then drop a
     * live dir left EMPTY by a crash before the first partition landed
     * (so [[exists]] reports the truth: no committed data). EVERY public
     * entry point ([[read]]/[[exists]]/[[append]]/[[overwrite]]/

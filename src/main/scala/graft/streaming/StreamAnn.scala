@@ -64,9 +64,13 @@ object StreamAnn {
         // null embeddings at the source reader
         .filter(col("n2") > 0d)
         .crossJoin(broadcast(cents))
+        // round(…, 12): the batch ANN family's engine-portability pin —
+        // assignment and ranking read the same 12-digit value in every
+        // engine that replays this fold (the per-element double dot fold
+        // is already reproducible; the rounding absorbs any tie wobble)
         .select(col("vec_id"), col("v"), col("cid"),
-          (Similarity.dotNative(col("v"), col("cv")) /
-            (sqrt(col("n2")) * sqrt(col("n2c")))).as("cs"))
+          round(Similarity.dotNative(col("v"), col("cv")) /
+            (sqrt(col("n2")) * sqrt(col("n2c"))), 12).as("cs"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cs").desc, col("cid"))
       val ranked = scored.withColumn("r", row_number().over(w)).localCheckpoint()
@@ -89,9 +93,9 @@ object StreamAnn {
         .join(hist, Seq("cid"))
         .join(batch.select(col("vec_id").as("qid"), col("v").as("va")), Seq("qid"))
         .select(col("qid"), col("nid"),
-          (Similarity.dotNative(col("va"), col("vb")) /
+          round(Similarity.dotNative(col("va"), col("vb")) /
             (sqrt(Similarity.dotNative(col("va"), col("va"))) *
-              sqrt(Similarity.dotNative(col("vb"), col("vb"))))).as("cosine"))
+              sqrt(Similarity.dotNative(col("vb"), col("vb")))), 12).as("cosine"))
         .distinct() // a neighbor reachable via several probed lists scores once
         .withColumn("rnk", row_number().over(wR).cast(LongType))
         .filter(col("rnk") <= k)

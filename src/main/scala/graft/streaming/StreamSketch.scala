@@ -56,6 +56,36 @@ object StreamSketch {
   def streamingDailyRegisters(events: DataFrame, b: Int = 4): DataFrame =
     dailyUserRegisters(events.withWatermark("ts", "2 hours"), b)
 
+  /** Persisted-store fold of [[dailyUserRegisters]] — the maintained-state
+    * form of the per-day HLL: each micro-batch computes registers over ITS
+    * rows only and appends them as one `__applied`-keyed partition;
+    * [[mergedDailyRegisters]] reads the per-(day, register) MAX over
+    * partitions, which IS the corpus register (rho maxima are monotone
+    * and order-independent, the HLL merge law). Write volume per batch is
+    * O(days-in-batch × m), history never rewritten; compact with
+    * [[TableStore.compact]] as partitions accumulate. Replay-safe the
+    * [[StreamDedup.applyBatch]] way: the register partition's `__applied`
+    * id is the applied marker, and a replayed partition replaces itself.
+    */
+  def applyDailyRegisters(store: TableStore, table: String, b: Int = 4)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val lastApplied = store.lastAppliedBatch(table)
+    if (batchId > lastApplied) {
+      store.replacePartitions(table,
+        dailyUserRegisters(batch, b).withColumn("__applied", lit(batchId)),
+        "__applied")
+    }
+  }
+
+  /** Corpus registers from the store: per-(day, register) max over every
+    * applied batch partition — equal to [[dailyUserRegisters]] over the
+    * concatenated batches (register maxima merge by max).
+    */
+  def mergedDailyRegisters(store: TableStore, table: String): DataFrame =
+    store.read(table)
+      .groupBy(col("day"), col("register"))
+      .agg(max(col("m_rho")).cast(LongType).as("m_rho"))
+
   /** Maintain corpus-lifetime heavy hitters from a stream: a Count–Min
     * increment log plus a k-row candidate table — the CMS+heap frequent-
     * items algorithm (Cormode & Muthukrishnan 2005) folded per micro-

@@ -107,7 +107,7 @@ class StreamNearDupSpec extends SparkSpec {
 
   test("a crash parking a band partition mid-swap is recovered before the next fold plans") {
     // replacePartitions' crash window parks the partition being replaced
-    // as .old_part_bands_<sub>; a fold that read the store without
+    // as .old_part/bands/<sub>; a fold that read the store without
     // recovering it would plan against truncated history and lose every
     // future cross-batch pair into those docs. applyBatch must restore
     // the parked partition first.
@@ -119,9 +119,11 @@ class StreamNearDupSpec extends SparkSpec {
     val bandsAfter1 = store.read("bands").collect().toSet
     // park batch 0's partition exactly as a crash between the two moves
     // inside a replacement of it would
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"${store.path("bands")}/../.old_part/bands"))
     Files.move(
       java.nio.file.Paths.get(s"${store.path("bands")}/__applied=0"),
-      java.nio.file.Paths.get(s"${store.path("bands")}/../.old_part_bands___applied=0"))
+      java.nio.file.Paths.get(s"${store.path("bands")}/../.old_part/bands/__applied=0"))
     fold(corpus.filter(col("doc_id") % 3 === 2), 2L)
     assert(store.read("pairs").select(col("doc_a"), col("doc_b"))
       .as[(Long, Long)].collect().toSet == oneShotPairs)
