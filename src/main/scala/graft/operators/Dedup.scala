@@ -1029,30 +1029,86 @@ object Dedup {
     * verify is a direct `levenshtein` on the pair — no re-join to fetch
     * strings), so candidate-row width is O(|s|); long-string inputs
     * should key on a bounded prefix or fingerprint first — edit distance
-    * itself is O(|s|²) per verify anyway. A hot segment shared by many
-    * DISTINCT dissimilar values (constant field prefix) still
-    * concentrates its bucket — that residual is streamed through the
-    * equi-join, never materialized per-bucket.
+    * itself is O(|s|²) per verify anyway.
+    *
+    *  - HOT-SEGMENT REFINEMENT (two-level PassJoin): a segment string
+    *    shared by more than `hotSegDf` DISTINCT values (a constant field
+    *    prefix — the adversarial shape for any positional-key scheme)
+    *    would stream a quadratically-populated bucket through the
+    *    equi-join. Buckets whose segment-side population exceeds the cap
+    *    are instead re-keyed by a SECOND pigeonhole over the REMAINDER:
+    *    if ED(a,b) ≤ d with witness segment i intact, the optimal script
+    *    splits into a prefix script and a suffix script around the
+    *    untouched block, so ED(prefix_a ++ suffix_a, prefix_b ++
+    *    suffix_b) ≤ d (concatenating the two scripts is a valid script);
+    *    splitting rem_a into d+1 pieces guarantees one piece appears
+    *    verbatim in rem_b, shifted by ≤ d — the same theorem one level
+    *    down, with the same shift pruning (the remainder lengths differ
+    *    by exactly the primary length offset). Hot-bucket candidates
+    *    therefore join on (segment key, piece index, piece string):
+    *    exactness is untouched (the refined key is a weaker necessary
+    *    condition than the levenshtein verify that still runs), and the
+    *    constant-prefix corpus now buckets on its discriminating tail.
+    *    The residual moves one level up: quadratic candidates now need
+    *    TWO constant regions (e.g. constant prefix AND suffix with only
+    *    a short variable middle) — corpora whose true pair count is
+    *    typically itself quadratic. `hotSegDf = 0` disables the split
+    *    (single-level join everywhere).
     *
     * Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1, hotSegDf: Int = 1024): DataFrame = {
     val d = maxDist
     require(d >= 1, s"maxDist must be >= 1, got $d")
-    val k = d + 1
     val ids = docs.select(col(idCol).as("__id"), col(strCol).as("__s"))
-    val base = ids.select(col("__s")).distinct()
+    val valuePairs = editDistanceValuePairs(docs, idCol, strCol, maxDist, hotSegDf)
+      .select(col("va"), col("vb"),
+        levenshtein(col("va"), col("vb")).as("dist"))
+      .filter(col("dist") <= d)
+    // expand to doc pairs: distinct-value pairs cross their id sets;
+    // identical-value groups contribute their internal pairs at dist 0.
+    // The two branches are disjoint (different vs same value), so no
+    // final distinct is needed.
+    val crossPairs = valuePairs
+      .join(ids.select(col("__id").as("xa"), col("__s").as("va")), Seq("va"))
+      .join(ids.select(col("__id").as("xb"), col("__s").as("vb")), Seq("vb"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("dist"))
+    val samePairs = ids.select(col("__id").as("xa"), col("__s"))
+      .join(ids.select(col("__id").as("xb"), col("__s")), Seq("__s"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"),
+        lit(0).cast("int").as("dist"))
+    crossPairs.unionByName(samePairs)
+  }
+
+  /** Distinct candidate VALUE pairs of [[editDistancePairs]] — (va, vb),
+    * va < vb, unverified (a superset of the true ≤ maxDist value pairs).
+    * Package-visible so specs can assert the hot-segment refinement
+    * keeps candidate counts sub-quadratic on adversarial corpora.
+    */
+  private[graft] def editDistanceValuePairs(docs: DataFrame, idCol: String,
+      strCol: String, maxDist: Int, hotSegDf: Int): DataFrame = {
+    val d = maxDist
+    val k = d + 1
+    require(hotSegDf == 0 || hotSegDf >= 2,
+      s"hotSegDf must be 0 (off) or >= 2, got $hotSegDf")
+    val base = docs.select(col(strCol).as("__s")).distinct()
       .select(col("__s"), length(col("__s")).as("__len"))
 
     // balanced segment geometry for a string of length L: segment i
     // (0-based) is one char longer for i < L mod k, and none is empty
-    // when L >= k — widths differ by at most one
-    def segStart(l: org.apache.spark.sql.Column, i: Int) =
-      lit(i) * floor(l / k).cast("int") + least(lit(i), l % k) + 1
-    def segLen(l: org.apache.spark.sql.Column, i: Int) =
-      when(lit(i) < l % k, floor(l / k).cast("int") + 1)
-        .otherwise(floor(l / k).cast("int"))
+    // when L >= k — widths differ by at most one. The index is a Column
+    // so the hot-path remainder split can reuse the same geometry with a
+    // runtime segment index.
+    def segStartC(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (i * floor(l / k).cast("int") + least(i, l % k) + 1).cast("int")
+    def segLenC(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      when(i < l % k, floor(l / k).cast("int") + 1)
+        .otherwise(floor(l / k).cast("int")).cast("int")
+    def segStart(l: org.apache.spark.sql.Column, i: Int) = segStartC(l, lit(i))
+    def segLen(l: org.apache.spark.sql.Column, i: Int) = segLenC(l, lit(i))
 
     val segs = base.filter(col("__len") >= k).select(
       col("__s"),
@@ -1083,9 +1139,99 @@ object Dedup {
       explode(array_distinct(
         filter(array(probeStructs: _*), _.isNotNull))).as("kk"))
 
-    val longCand = segs.as("a")
-      .join(probes.as("b"), col("a.kk") === col("b.kk"))
-      .select(col("a.__s").as("ia"), col("b.__s").as("ib"))
+    def hotSplitCandidates(hotKeys: DataFrame): DataFrame = {
+        val coldCand = segs.join(hotKeys, Seq("kk"), "left_anti").as("a")
+          .join(probes.as("b"), col("a.kk") === col("b.kk"))
+          .select(col("a.__s").as("ia"), col("b.__s").as("ib"))
+        // seg side of the hot path: remainder = the value minus its own
+        // witness segment, split into k balanced pieces
+        val remLen = col("kk.klen") - segLenC(col("kk.klen"), col("kk.kidx"))
+        val segsHot = segs.join(hotKeys, Seq("kk"))
+          .withColumn("__rem", {
+            val la = length(col("__s"))
+            val st = segStartC(la, col("kk.kidx"))
+            val wl = segLenC(la, col("kk.kidx"))
+            concat(col("__s").substr(lit(1), st - 1),
+              col("__s").substr(st + wl, la))
+          })
+          .select(col("__s"), col("kk"),
+            explode(array((0 until k).map { j =>
+              struct(lit(j).as("j"),
+                col("__rem").substr(segStart(remLen, j), segLen(remLen, j))
+                  .as("pstr"))
+            }: _*)).as("rk"))
+        // probe side: re-derive probes WITH (off, delta) retained — the
+        // witness window position in the probe value depends on both —
+        // keep only hot-bucket rows, then emit remainder pieces at the
+        // PARTNER's remainder geometry. The remainder lengths differ by
+        // exactly the primary off (both lose the same window width), so
+        // the shift pruning is the primary rule with a runtime off.
+        val probeStructsD = for {
+          off <- (-d to d).toSeq; i <- 0 until k; delta <- -d to d
+          if math.abs(delta) + math.abs(off + delta) <= d
+        } yield {
+          val tl = col("__len") + off
+          val st = segStart(tl, i) + delta
+          val ln = segLen(tl, i)
+          when(tl >= k && st >= 1 && st + ln - 1 <= col("__len"),
+            struct(
+              struct(tl.cast("int").as("klen"), lit(i).as("kidx"),
+                col("__s").substr(st, ln).as("kstr")).as("kk"),
+              lit(off).as("koff"), lit(delta).as("kdel")))
+        }
+        val probesHot = base.select(col("__s"),
+            explode(filter(array(probeStructsD: _*), _.isNotNull)).as("pk"))
+          .select(col("__s"), col("pk.kk").as("kk"),
+            col("pk.koff").as("koff"), col("pk.kdel").as("kdel"))
+          .join(hotKeys, Seq("kk")) // hotKeys is distinct: inner == semi
+          .withColumn("__pb",
+            segStartC(col("kk.klen"), col("kk.kidx")) + col("kdel"))
+          .withColumn("__wl", segLenC(col("kk.klen"), col("kk.kidx")))
+          .withColumn("__remb",
+            concat(col("__s").substr(lit(1), col("__pb") - 1),
+              col("__s").substr(col("__pb") + col("__wl"),
+                length(col("__s")))))
+          .select(col("__s"), col("kk"),
+            explode(array_distinct(filter(array((for {
+              j <- (0 until k).toSeq; d2 <- -d to d
+            } yield {
+              val st2 = segStart(remLen, j) + d2
+              val ln2 = segLen(remLen, j)
+              when(lit(math.abs(d2)) + abs(col("koff") + d2) <= d &&
+                  st2 >= 1 && st2 + ln2 - 1 <= length(col("__remb")),
+                struct(lit(j).as("j"),
+                  col("__remb").substr(st2, ln2).as("pstr")))
+            }): _*), _.isNotNull))).as("rk"))
+        val hotCand = segsHot.as("a")
+          .join(probesHot.as("b"),
+            col("a.kk") === col("b.kk") && col("a.rk") === col("b.rk"))
+          .select(col("a.__s").as("ia"), col("b.__s").as("ib"))
+        coldCand.unionByName(hotCand)
+      }
+
+    val longCand =
+      if (hotSegDf == 0) {
+        segs.as("a")
+          .join(probes.as("b"), col("a.kk") === col("b.kk"))
+          .select(col("a.__s").as("ia"), col("b.__s").as("ib"))
+      } else {
+        // hot buckets (> hotSegDf distinct values behind one segment key)
+        // route through the remainder re-key; the key set is tiny (at
+        // most segRows / hotSegDf) and eagerly pinned so the three joins
+        // against it don't recompute the aggregation
+        val hotKeys = segs.groupBy(col("kk"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > hotSegDf)
+          .select(col("kk")).localCheckpoint()
+        if (hotKeys.isEmpty) {
+          // no bucket over the cap (the overwhelmingly common corpus):
+          // skip the anti-join and the hot machinery entirely — the only
+          // cost of the guard was the df aggregation itself
+          segs.as("a")
+            .join(probes.as("b"), col("a.kk") === col("b.kk"))
+            .select(col("a.__s").as("ia"), col("b.__s").as("ib"))
+        } else hotSplitCandidates(hotKeys)
+      }
+
 
     // length-keyed buckets for the length-≤d stragglers: the short side
     // keys on its own length, the partner side (length ≤ 2d — beyond
@@ -1100,29 +1246,13 @@ object Dedup {
             .as("kb")), Seq("kb"))
       .select(col("ia"), col("ib"))
 
-    // verify at value grain (the candidate identity IS the string), …
-    val valuePairs = longCand.unionByName(shortCand)
+    // candidates at value grain: the identity IS the string; the caller
+    // verifies with levenshtein, so every branch above only needs to be
+    // a NECESSARY condition
+    longCand.unionByName(shortCand)
       .filter(col("ia") =!= col("ib"))
       .select(least(col("ia"), col("ib")).as("va"),
         greatest(col("ia"), col("ib")).as("vb"))
       .distinct()
-      .select(col("va"), col("vb"),
-        levenshtein(col("va"), col("vb")).as("dist"))
-      .filter(col("dist") <= d)
-    // … then expand to doc pairs: distinct-value pairs cross their id
-    // sets; identical-value groups contribute their internal pairs at
-    // dist 0. The two branches are disjoint (different vs same value),
-    // so no final distinct is needed.
-    val crossPairs = valuePairs
-      .join(ids.select(col("__id").as("xa"), col("__s").as("va")), Seq("va"))
-      .join(ids.select(col("__id").as("xb"), col("__s").as("vb")), Seq("vb"))
-      .select(least(col("xa"), col("xb")).as("id_a"),
-        greatest(col("xa"), col("xb")).as("id_b"), col("dist"))
-    val samePairs = ids.select(col("__id").as("xa"), col("__s"))
-      .join(ids.select(col("__id").as("xb"), col("__s")), Seq("__s"))
-      .filter(col("xa") < col("xb"))
-      .select(col("xa").as("id_a"), col("xb").as("id_b"),
-        lit(0).cast("int").as("dist"))
-    crossPairs.unionByName(samePairs)
   }
 }

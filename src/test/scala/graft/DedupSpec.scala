@@ -371,17 +371,63 @@ class DedupSpec extends SparkSpec {
     }
     val df = strs.toDF("id", "s")
     for (d <- Seq(1, 2, 3)) {
-      val got = Dedup.editDistancePairs(df, "id", "s", d)
-        .as[(Long, Long, Int)].collect().toSet
       val want = (for {
         (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
         dist = lev(sa, sb) if dist <= d
       } yield (ia, ib, dist)).toSet
-      assert(got == want,
-        s"d=$d: missing=${want -- got}, extra=${got -- want}")
+      // hotSegDf = 2 forces nearly every segment bucket through the
+      // remainder re-key, so the refined path is exactness-stressed on
+      // the same dense corpus as the plain one
+      for (cap <- Seq(1024, 2)) {
+        val got = Dedup.editDistancePairs(df, "id", "s", d, hotSegDf = cap)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == want,
+          s"d=$d cap=$cap: missing=${want -- got}, extra=${got -- want}")
+      }
     }
     intercept[IllegalArgumentException](
       Dedup.editDistancePairs(df, "id", "s", maxDist = 0))
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(df, "id", "s", maxDist = 1, hotSegDf = 1))
+  }
+
+  test("editDistancePairs constant-prefix corpus: hot-segment refinement keeps candidates sub-quadratic, exactly") {
+    // the adversarial shape from the r14 review: thousands of DISTINCT
+    // values sharing one constant prefix that fully covers segment 0, so
+    // the single-level join concentrates every value into one bucket
+    val rnd = new scala.util.Random(23)
+    val pre = "CONSTANTPREFIX00" // 16 chars == segment 0 at d=1, len 32
+    val n = 600
+    val bases = (0 until n).map { i =>
+      (i.toLong, pre + (0 until 16).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString)
+    }
+    // planted true pairs: suffix-edited twins (found via the HOT segment-0
+    // witness, i.e. through the refined path) and one prefix-edited twin
+    // (found via its cold suffix bucket)
+    val suffixTwins = (0 until 10).map { i =>
+      val (_, s) = bases(i * 37)
+      (1000L + i, s.updated(20 + i % 12, 'X'))
+    }
+    val prefixTwin = Seq((2000L, bases(5)._2.updated(3, 'Z')))
+    val all = bases ++ suffixTwins ++ prefixTwin
+    val df = all.toDF("id", "s")
+
+    val unrefined = Dedup.editDistanceValuePairs(df, "id", "s", 1, 0).count()
+    val refined = Dedup.editDistanceValuePairs(df, "id", "s", 1, 8).count()
+    assert(unrefined > n.toLong * n / 4,
+      s"corpus not adversarial: single-level candidates only $unrefined")
+    assert(refined < 8L * all.size,
+      s"refined candidates $refined not sub-quadratic (unrefined $unrefined)")
+
+    val got = Dedup.editDistancePairs(df, "id", "s", 1, hotSegDf = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      if sa.length == sb.length && sa.zip(sb).count { case (x, y) => x != y } <= 1
+    } yield (ia, ib)).toSet // equal lengths: ED<=1 == Hamming<=1
+    assert(want.size >= 11, s"planted pairs missing from brute force: $want")
+    assert(got == want,
+      s"missing=${want -- got}, extra=${got -- want}")
   }
 
   test("portable simhash: near-dups are close in Hamming distance, strangers far") {
