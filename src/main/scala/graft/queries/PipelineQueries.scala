@@ -717,9 +717,58 @@ object PipelineQueries {
         min(col("o_orderdate")).as("first_date"))
   }
 
+  /** Object-store-safe commit protocol end to end ([[TableStore
+    * .ManifestCommit]]): a fact table built ONLY from manifest-mode
+    * operations — a full partitioned load, a partition replacement that
+    * rebinds Include entries, a whole-dir partitioned append, and a
+    * second replacement that must take the append's EXCLUSION path while
+    * leaving its other partition visible. No directory is ever renamed;
+    * every visibility flip is one atomic manifest-file publish. The
+    * oracle recomputes the final state closed-form, so a hash match
+    * certifies the include/exclude binding algebra and the
+    * partition-discovery reads over uuid'd data dirs.
+    */
+  private val manifestStore = Q(
+    "s16_manifest_store",
+    """WITH base AS (SELECT o_orderkey, o_totalprice,
+      |                     CAST(o_orderkey % 4 AS BIGINT) AS p
+      |              FROM orders),
+      |cur AS (
+      |  SELECT o_orderkey, o_totalprice, p FROM base WHERE p IN (0, 3)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 100, p FROM base WHERE p = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 200, p FROM base WHERE p = 2
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, CAST(9 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderkey, o_totalprice, p FROM cur""".stripMargin) { (s, d) =>
+    val store = new TableStore(s,
+      Files.createTempDirectory("graft_s16").toString, TableStore.ManifestCommit)
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(4)).cast(LongType).as("p"))
+    store.replacePartitions("fact", base, "p")
+    store.replacePartitions("fact",
+      base.filter(col("p") === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 100), "p")
+    store.append("fact",
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit(9L).as("p")),
+      Seq("p"))
+    store.replacePartitions("fact",
+      base.filter(col("p") === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 200), "p")
+    store.read("fact").select(col("o_orderkey"), col("o_totalprice"),
+      // partition discovery re-infers the narrowest integral type from
+      // the path strings; pin the declared width for the readout
+      col("p").cast(LongType).as("p"))
+  }
+
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
       deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
       factOrderDim, quarantine, timeTravel, jsonlRoundtrip, schemaEvolution,
-      deltaJoinView, retractJoinView, streamJoinView, streamHeavyHitters)
+      deltaJoinView, retractJoinView, streamJoinView, streamHeavyHitters,
+      manifestStore)
 }

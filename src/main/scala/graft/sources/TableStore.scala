@@ -8,26 +8,58 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 /** Parquet-backed layer tables with crash-safe overwrite (reference C6 —
   * per-procedure transactions; SURVEY.md §7.6.4).
   *
-  * Overwrites write to a temp directory and atomically swap via rename, so
-  * a crash mid-write never corrupts the published table — the closest
-  * parquet analog of the reference's per-statement transactionality.
+  * Two commit protocols, selected at construction:
+  *
+  *  - [[TableStore.RenameCommit]] (default): writes land in a temp
+  *    directory and publish via atomic DIRECTORY rename — the local-FS
+  *    fast path (one metadata op, no file listing). Crash windows
+  *    between the paired renames are settled by the recovery sweeps
+  *    every entry point runs ([[recoverSwap]]/[[recoverPartitions]]).
+  *  - [[TableStore.ManifestCommit]]: the object-store-safe protocol.
+  *    S3/GCS-class stores have no atomic directory rename, so data
+  *    files are written into never-renamed, never-mutated uuid'd
+  *    directories (invisible to readers), and visibility flips by
+  *    publishing ONE small manifest file via an atomic single-file
+  *    move — the local-FS model of an object store's atomic pointer
+  *    PUT. Readers resolve the highest manifest id; a crash anywhere
+  *    before the publish leaves the previous manifest current, so NO
+  *    recovery logic exists in this mode at all. Each manifest lists
+  *    (data dir, partition binding) entries; [[replacePartitions]]
+  *    rebinds values in ONE manifest write, making multi-partition
+  *    replacement atomic as a unit (strictly stronger than rename
+  *    mode's per-partition atomicity). Old manifests double as
+  *    snapshots (time travel = read an older manifest); data dirs
+  *    unreferenced by any retained manifest are garbage-collected only
+  *    AFTER the new manifest is durable. Single writer per table, as in
+  *    rename mode; partition values must be scalar (no commas/tabs/
+  *    newlines — ours are batch ids, bucket ids, centroid ids).
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String,
+    commit: TableStore.Commit = TableStore.RenameCommit) {
   Files.createDirectories(Paths.get(root))
+
+  private val manifestMode: Boolean = commit == TableStore.ManifestCommit
 
   def path(table: String): String = s"$root/$table"
 
-  def exists(table: String): Boolean = {
-    recoverSwap(table)
-    recoverPartitions(table)
-    Files.exists(Paths.get(path(table)))
-  }
+  def exists(table: String): Boolean =
+    if (manifestMode) currentManifest(table).exists(_.entries.nonEmpty)
+    else {
+      recoverSwap(table)
+      recoverPartitions(table)
+      Files.exists(Paths.get(path(table)))
+    }
 
-  def read(table: String): DataFrame = {
-    recoverSwap(table)
-    recoverPartitions(table)
-    spark.read.parquet(path(table))
-  }
+  def read(table: String): DataFrame =
+    if (manifestMode) {
+      val m = currentManifest(table).getOrElse(
+        throw new IllegalArgumentException(s"table $table does not exist"))
+      readManifest(table, m)
+    } else {
+      recoverSwap(table)
+      recoverPartitions(table)
+      spark.read.parquet(path(table))
+    }
 
   /** Recover from a crash inside [[overwrite]] / [[overwriteVersioned]] /
     * [[rollback]]'s swap window. Each of those moves the live directory
@@ -81,6 +113,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * compacted (log tables, staging) hit exactly this window.
     */
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    if (manifestMode) {
+      val dir = writeDataDir(table, df, partitionBy)
+      val prev = currentManifest(table)
+      publishManifest(table, prev.map(_.id + 1).getOrElse(1L),
+        prev.map(_.keep).getOrElse(0),
+        prev.map(_.entries).getOrElse(Nil) :+ MEntry(dir, None, None, Nil))
+      return
+    }
     recoverSwap(table)
     recoverPartitions(table)
     val w = df.write.mode(SaveMode.Append)
@@ -90,6 +130,13 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Atomic full overwrite: write temp, swap, drop old. */
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    if (manifestMode) {
+      val dir = writeDataDir(table, df, partitionBy)
+      val prev = currentManifest(table)
+      publishManifest(table, prev.map(_.id + 1).getOrElse(1L),
+        prev.map(_.keep).getOrElse(0), Seq(MEntry(dir, None, None, Nil)))
+      return
+    }
     recoverSwap(table)
     // settle parked partitions BEFORE replacing the table: a leftover
     // .old_part/ park from a crashed replacePartitions would otherwise
@@ -125,6 +172,15 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwriteVersioned(table: String, df: DataFrame, keep: Int = 3,
       partitionBy: Seq[String] = Nil): Long = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
+    if (manifestMode) {
+      // the displaced current manifest IS the snapshot: nothing moves,
+      // retention just stops pruning the last `keep` manifests
+      val dir = writeDataDir(table, df, partitionBy)
+      val prev = currentManifest(table)
+      publishManifest(table, prev.map(_.id + 1).getOrElse(1L), keep,
+        Seq(MEntry(dir, None, None, Nil)))
+      return prev.map(_.id).getOrElse(0L)
+    }
     recoverSwap(table)
     recoverPartitions(table)
     val tmp = Paths.get(s"$root/.tmp_$table")
@@ -148,6 +204,10 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Retained snapshot ids of `table`, ascending (oldest first). */
   def versions(table: String): Seq[Long] = {
+    if (manifestMode) return {
+      val cur = manifestIds(table).lastOption.getOrElse(0L)
+      manifestIds(table).filter(_ < cur)
+    }
     val d = snapDir(table)
     if (!Files.exists(d)) Seq.empty
     else {
@@ -163,6 +223,11 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Time-travel read of snapshot `v` (an id from [[versions]]). */
   def readVersion(table: String, v: Long): DataFrame = {
+    if (manifestMode) {
+      require(manifestIds(table).contains(v),
+        s"$table has no snapshot v$v; have ${versions(table)}")
+      return readManifest(table, parseManifest(table, v))
+    }
     val p = snapDir(table).resolve(s"v$v")
     require(Files.exists(p), s"$table has no snapshot v$v; have ${versions(table)}")
     spark.read.parquet(p.toString)
@@ -175,6 +240,18 @@ final class TableStore(spark: SparkSession, root: String) {
     * current version received.
     */
   def rollback(table: String, v: Long): Long = {
+    if (manifestMode) {
+      // undoing is one more manifest whose entries are the target's —
+      // no data moves, and the displaced current stays readable as its
+      // own manifest id
+      val ids = manifestIds(table)
+      require(ids.contains(v),
+        s"$table has no snapshot v$v; have ${versions(table)}")
+      val target = parseManifest(table, v)
+      val cur = currentManifest(table).get
+      publishManifest(table, cur.id + 1, cur.keep, target.entries)
+      return cur.id
+    }
     // settle any interrupted swap first (else a mid-swap table reads as
     // "never existed" and its recoverable current version is lost), and
     // clear a stale partial temp from a crashed write: rollback itself
@@ -258,6 +335,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * a full overwrite.
     */
   def recoverPartitions(table: String): Unit = {
+    if (manifestMode) return // no rename windows exist to recover
     // parks live under a PER-TABLE side directory (`.old_part/<table>/
     // <sub>`), matched exactly by name — a shared prefix scheme
     // (`.old_part_<t>_...`) let table `t` adopt `t_log`'s parked
@@ -293,6 +371,37 @@ final class TableStore(spark: SparkSession, root: String) {
     */
   def replacePartitions(table: String, df: DataFrame, partitionCol: String,
       subPartitionCols: Seq[String] = Nil): Unit = {
+    if (manifestMode) {
+      // write once, then rebind every replaced partition value in ONE
+      // manifest publish: existing Include entries drop the values,
+      // whole-dir/Exclude entries add them to their exclusion list, and
+      // the new dir binds exactly the written values — so readers flip
+      // from none of the new partitions to all of them atomically
+      val dir = writeDataDir(table, df, partitionCol +: subPartitionCols)
+      val dirPath = Paths.get(s"$root/${dataDirName(table)}/$dir")
+      val walk = Files.list(dirPath)
+      val vals =
+        try walk.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+          .filter(_.startsWith(s"$partitionCol=")).toSeq
+          .map(_.drop(partitionCol.length + 1))
+        finally walk.close()
+      if (vals.isEmpty) { deleteRecursively(dirPath); return }
+      val prev = currentManifest(table)
+      val rebound = prev.map(_.entries).getOrElse(Nil).flatMap { e =>
+        e.partCol match {
+          case Some(pc) if pc == partitionCol && e.only.isDefined =>
+            val left = e.only.get.filterNot(vals.contains)
+            if (left.isEmpty) None else Some(e.copy(only = Some(left)))
+          case _ =>
+            Some(e.copy(partCol = Some(partitionCol),
+              except = (e.except ++ vals).distinct))
+        }
+      }
+      publishManifest(table, prev.map(_.id + 1).getOrElse(1L),
+        prev.map(_.keep).getOrElse(0),
+        rebound :+ MEntry(dir, Some(partitionCol), Some(vals), Nil))
+      return
+    }
     // recover from a crash inside a previous call BEFORE planning this
     // replacement, or the new df would be computed from (and then
     // permanently bake in) the truncated table
@@ -349,13 +458,157 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Number of parquet data files currently backing a table. */
   def dataFileCount(table: String): Long = {
-    val walk = Files.walk(Paths.get(path(table)))
-    try walk.filter(p => p.toString.endsWith(".parquet")).count()
-    finally walk.close()
+    val roots =
+      if (manifestMode)
+        currentManifest(table).map(_.entries.map(e =>
+          Paths.get(s"$root/${dataDirName(table)}/${e.dir}"))).getOrElse(Nil)
+      else Seq(Paths.get(path(table)))
+    roots.map { r =>
+      val walk = Files.walk(r)
+      try walk.filter(p => p.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }.sum
+  }
+
+  // --- Manifest commit protocol -------------------------------------------
+
+  /** One data-dir reference in a manifest. `partCol`+`only` = Include
+    * binding (the dir contributes exactly those top-level partition
+    * values); `partCol`+`except` = the dir contributes everything BUT
+    * those values (a whole-dir write whose partitions were later
+    * replaced); neither = the whole dir.
+    */
+  private case class MEntry(dir: String, partCol: Option[String],
+      only: Option[Seq[String]], except: Seq[String])
+
+  private case class Manifest(id: Long, keep: Int, entries: Seq[MEntry])
+
+  private def manifestDirName(table: String) = s".manifests/$table"
+  private def dataDirName(table: String) = s".data/$table"
+
+  /** Write `df` into a fresh, never-again-touched uuid'd dir; invisible
+    * to readers until a manifest references it.
+    */
+  private def writeDataDir(table: String, df: DataFrame,
+      partitionBy: Seq[String]): String = {
+    val dir = s"w_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$root/${dataDirName(table)}/$dir")
+    dir
+  }
+
+  private def manifestIds(table: String): Seq[Long] = {
+    val d = Paths.get(s"$root/${manifestDirName(table)}")
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val ls = Files.list(d)
+      try ls.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(n => n.startsWith("m") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("m").stripSuffix(".manifest").toLong)
+        .toSeq.sorted
+      finally ls.close()
+    }
+  }
+
+  private def currentManifest(table: String): Option[Manifest] =
+    manifestIds(table).lastOption.map(parseManifest(table, _))
+
+  private def parseManifest(table: String, id: Long): Manifest = {
+    val p = Paths.get(s"$root/${manifestDirName(table)}/m$id.manifest")
+    val lines = Files.readAllLines(p)
+    val keep = lines.get(0).stripPrefix("keep=").toInt
+    val entries = (1 until lines.size).map(lines.get).filter(_.nonEmpty).map { l =>
+      // dir \t partCol|- \t only-csv|* \t except-csv
+      val f = l.split("\t", -1)
+      MEntry(f(0),
+        if (f(1) == "-") None else Some(f(1)),
+        if (f(2) == "*") None
+        else Some(f(2).split(",", -1).toSeq.filter(_.nonEmpty)),
+        f(3).split(",", -1).toSeq.filter(_.nonEmpty))
+    }
+    Manifest(id, keep, entries.toSeq)
+  }
+
+  /** The commit point: write the manifest to a temp file, move it into
+    * place as ONE atomic file op (the pointer swap an object store
+    * offers), then garbage-collect manifests/data dirs outside the
+    * retention window — deletes strictly after the publish, so a crash
+    * anywhere leaves either the old or the new manifest current and all
+    * its data intact.
+    */
+  private def publishManifest(table: String, id: Long, keep: Int,
+      entries: Seq[MEntry]): Unit = {
+    val mdir = Paths.get(s"$root/${manifestDirName(table)}")
+    Files.createDirectories(mdir)
+    entries.foreach { e =>
+      require((e.dir + e.partCol.getOrElse("") +
+        (e.only.getOrElse(Nil) ++ e.except).mkString)
+        .forall(c => c != '\t' && c != '\n' && c != '\r'),
+        s"manifest fields must not contain tabs/newlines: $e")
+      require((e.only.getOrElse(Nil) ++ e.except).forall(!_.contains(",")),
+        s"partition values must not contain commas: $e")
+    }
+    val body = (s"keep=$keep" +: entries.map(e =>
+      s"${e.dir}\t${e.partCol.getOrElse("-")}\t${
+        e.only.map(_.mkString(",")).getOrElse("*")}\t${e.except.mkString(",")}"))
+      .mkString("\n")
+    val tmp = mdir.resolve(s".tmp_m$id")
+    Files.writeString(tmp, body)
+    Files.move(tmp, mdir.resolve(s"m$id.manifest"), StandardCopyOption.ATOMIC_MOVE)
+    // GC: retain the last keep+1 manifests (current + keep snapshots),
+    // drop every data dir none of them references — crashed writes'
+    // orphan dirs included
+    val ids = manifestIds(table)
+    val retained = ids.filter(_ > id - (keep + 1))
+    ids.filterNot(retained.contains).foreach(v =>
+      Files.deleteIfExists(mdir.resolve(s"m$v.manifest")))
+    val referenced = retained.map(parseManifest(table, _))
+      .flatMap(_.entries.map(_.dir)).toSet
+    val ddir = Paths.get(s"$root/${dataDirName(table)}")
+    if (Files.exists(ddir)) {
+      val ls = Files.list(ddir)
+      val all = try ls.toArray.map(_.asInstanceOf[Path]).toSeq finally ls.close()
+      all.filterNot(p => referenced.contains(p.getFileName.toString))
+        .foreach(deleteRecursively)
+    }
+  }
+
+  /** Assemble the DataFrame a manifest describes: per entry, a parquet
+    * read of its uuid dir (partition columns discovered natively by
+    * Spark relative to the dir), filtered by its Include/Exclude
+    * binding — string literals coerce against the discovered partition
+    * column type, and both filter shapes prune partition directories at
+    * planning time.
+    */
+  private def readManifest(table: String, m: Manifest): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(m.entries.nonEmpty, s"table $table does not exist")
+    m.entries.map { e =>
+      val df = spark.read.parquet(s"$root/${dataDirName(table)}/${e.dir}")
+      val bound = e.only match {
+        case Some(vs) => df.filter(col(e.partCol.get).isInCollection(vs))
+        case None if e.except.nonEmpty =>
+          df.filter(!col(e.partCol.get).isInCollection(e.except))
+        case None => df
+      }
+      bound
+    }.reduce(_.unionByName(_))
   }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     }
+}
+
+object TableStore {
+  /** Commit protocol — see the class doc. */
+  sealed trait Commit
+  /** Atomic directory renames; local-FS fast path (the default). */
+  case object RenameCommit extends Commit
+  /** Immutable data dirs + atomic single-file manifest publish; the
+    * protocol an S3/GCS-class store (no atomic directory rename) needs.
+    */
+  case object ManifestCommit extends Commit
 }

@@ -253,5 +253,128 @@ class TableStoreSpec extends SparkSpec {
       s"row-group skip ineffective: clustered=$clustered plain=$plain")
   }
 
+  // --- Manifest commit mode -----------------------------------------------
+
+  private def manifestStore(): (TableStore, String) = {
+    val root = Files.createTempDirectory("graft_manifest").toString
+    (new TableStore(spark, root, TableStore.ManifestCommit), root)
+  }
+
+  test("manifest mode: overwrite/append/partitioned read behave as rename mode") {
+    val (store, root) = manifestStore()
+    assert(!store.exists("t"))
+    store.overwrite("t", Seq(1, 2, 3).toDF("v"))
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    store.overwrite("t", Seq(10, 20).toDF("v"))
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(10, 20))
+    store.append("t", Seq(30).toDF("v"))
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(10, 20, 30))
+    // partition columns are discovered natively relative to each data dir
+    store.append("p", Seq((1, 2020), (2, 2021)).toDF("v", "yr"), Seq("yr"))
+    store.append("p", Seq((3, 2021)).toDF("v", "yr"), Seq("yr"))
+    assert(store.read("p").filter(col("yr") === 2021)
+      .select("v").as[Int].collect().toSet == Set(2, 3))
+    // no live directory ever exists — data only under .data/, pointer
+    // only under .manifests/
+    assert(!Files.exists(Paths.get(s"$root/t")))
+    assert(Files.exists(Paths.get(s"$root/.manifests/t")))
+  }
+
+  test("manifest mode: versioned overwrite time-travels, prunes, rolls back") {
+    val (store, _) = manifestStore()
+    assert(store.overwriteVersioned("t", Seq(1).toDF("v")) == 0L)
+    assert(store.overwriteVersioned("t", Seq(2).toDF("v")) == 1L)
+    assert(store.overwriteVersioned("t", Seq(3).toDF("v")) == 2L)
+    assert(store.versions("t") == Seq(1L, 2L))
+    assert(store.read("t").as[Int].head() == 3)
+    assert(store.readVersion("t", 1).as[Int].head() == 1)
+    assert(store.readVersion("t", 2).as[Int].head() == 2)
+    // rollback publishes one more manifest pointing at v1's entries; the
+    // displaced current stays readable as its own id
+    val displaced = store.rollback("t", 1)
+    assert(store.read("t").as[Int].head() == 1)
+    assert(store.readVersion("t", displaced).as[Int].head() == 3)
+    // retention: keep=2 prunes older manifests AND their orphaned data
+    store.overwriteVersioned("t", Seq(4).toDF("v"), keep = 2)
+    assert(store.versions("t").size == 2)
+    intercept[IllegalArgumentException](store.readVersion("t", 1))
+  }
+
+  test("manifest mode: replacePartitions rebinds atomically in one manifest") {
+    val (store, root) = manifestStore()
+    store.replacePartitions("t",
+      Seq((1, 1L), (2, 1L), (3, 2L)).toDF("v", "p"), "p")
+    assert(store.read("t").select("v").as[Int].collect().toSet == Set(1, 2, 3))
+    // replacing two partitions = ONE new manifest (atomic as a unit),
+    // Include entries rebound
+    val before = Files.list(Paths.get(s"$root/.manifests/t")).count()
+    store.replacePartitions("t",
+      Seq((10, 1L), (30, 2L), (40, 4L)).toDF("v", "p"), "p")
+    val after = Files.list(Paths.get(s"$root/.manifests/t")).count()
+    assert(store.read("t").select("v").as[Int].collect().toSet == Set(10, 30, 40))
+    assert(after - before <= 1, "multi-partition replace must publish once")
+    // replacement over a WHOLE-DIR entry (from append) takes the
+    // exclusion path: untouched partitions keep reading the appended dir
+    store.append("u", Seq((1, 1L), (2, 2L)).toDF("v", "p"), Seq("p"))
+    store.replacePartitions("u", Seq((20, 2L)).toDF("v", "p"), "p")
+    assert(store.read("u").select("v").as[Int].collect().toSet == Set(1, 20))
+    assert(store.lastAppliedBatch("u", "p") == 2L)
+  }
+
+  test("manifest mode chaos: a crash before the pointer lands publishes nothing") {
+    val (store, root) = manifestStore()
+    store.overwrite("t", Seq(1, 2).toDF("v"))
+    // a writer that died after finishing its data dir but before moving
+    // the manifest file: data present, pointer absent
+    Seq(99).toDF("v").write.parquet(s"$root/.data/t/w_orphan_crashed")
+    Files.writeString(Paths.get(s"$root/.manifests/t/.tmp_m2"), "keep=0\nw_orphan_crashed\t-\t*\t")
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(1, 2),
+      "readers must keep resolving the old manifest")
+    // the next committed write garbage-collects the orphan dir
+    store.overwrite("t", Seq(7).toDF("v"))
+    assert(!Files.exists(Paths.get(s"$root/.data/t/w_orphan_crashed")))
+    assert(store.read("t").as[Int].head() == 7)
+  }
+
+  test("manifest mode chaos: a crash after the pointer lands loses nothing to GC") {
+    val (store, root) = manifestStore()
+    store.overwrite("t", Seq(1).toDF("v"))
+    store.overwrite("t", Seq(2).toDF("v"))
+    // GC runs strictly after the publish, so the worst crash leaves
+    // stale manifests + their dirs — readers already see the new state,
+    // and any later write re-runs the sweep. Simulate the leftovers:
+    Seq(0).toDF("v").write.parquet(s"$root/.data/t/w_stale_dir")
+    assert(store.read("t").as[Int].head() == 2)
+    store.append("t", Seq(3).toDF("v"))
+    assert(!Files.exists(Paths.get(s"$root/.data/t/w_stale_dir")))
+    assert(store.read("t").as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("manifest mode: streaming-fold shape (replacePartitions + lastAppliedBatch + filtered reads)") {
+    // the exact access pattern every streaming maintainer uses, driven
+    // against the object-store-safe protocol: per-batch __applied
+    // partition appends with replay guards and history-filtered reads
+    val (store, _) = manifestStore()
+    def fold(rows: Seq[(Long, Long)], batch: Long): Unit = {
+      if (batch > store.lastAppliedBatch("log")) {
+        val history =
+          if (store.exists("log"))
+            store.read("log").filter(col("__applied") < batch).count()
+          else 0L
+        assert(history == rows.head._2, "fold must see exactly prior batches")
+        store.replacePartitions("log",
+          rows.toDF("k", "n").withColumn("__applied", lit(batch)), "__applied")
+      }
+    }
+    fold(Seq((1L, 0L), (2L, 0L)), 0L)
+    fold(Seq((3L, 2L)), 1L)
+    fold(Seq((3L, 2L)), 1L) // replay: replaces its own partition, no dup
+    fold(Seq((4L, 3L)), 2L)
+    assert(store.lastAppliedBatch("log") == 2L)
+    assert(store.read("log").select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
+  private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)
 }
