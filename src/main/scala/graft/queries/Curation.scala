@@ -398,7 +398,8 @@ object Curation {
        |         WHERE coalesce(cl.cluster, d.doc_id) = d.doc_id),
        |$pipelineTail""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val clusters = Dedup.dupClusters(LlmText.corpusPairs(s, d))
+    // consumes the published label store, same as split_by_cluster
+    val clusters = LlmText.corpusClusters(s, d)
     docs
       .join(clusters, Seq("doc_id"), "left")
       .filter(coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
@@ -411,6 +412,87 @@ object Curation {
         lcount().as("n_docs"),
         sum(col("n_toks")).cast(LongType).as("total_tokens"),
         sum(col("n_chars")).cast(LongType).as("total_chars"))
+  }
+
+  /** MULTIMODAL curation readout — the image/audio validity gate the
+    * text-only [[pipeline]] lacks: every document carries a synthetic PNG
+    * and WAV payload ([[graft.operators.Multimodal.synthImages]]/
+    * [[graft.operators.Multimodal.synthWavs]] — every byte a pure
+    * function of the id), a deterministic slice of each is CORRUPTED
+    * (truncated to 8 bytes, killing the container header), and the kept
+    * set is the docs that pass the text-quality gate AND decode on both
+    * modalities with in-range geometry/duration. The real codecs run on
+    * every payload ([[graft.operators.Multimodal.decodeImage]]/
+    * [[graft.operators.Multimodal.decodeAudio]]); corrupt containers are
+    * quarantined inside the decode seam, so the inner joins implement
+    * "must decode" with no error handling in the query. The oracle
+    * replays corruption, geometry, pixel and sample checksums
+    * arithmetically (PNG and WAV PCM are lossless) — a hash match
+    * certifies decode, quarantine, gating, split and accounting as ONE
+    * composition. Scale shape: two map-side codec passes, two equi-joins
+    * on the id, one report aggregate — no shuffle grows faster than the
+    * corpus.
+    */
+  private val multimodalPipeline = Q(
+    "curation_multimodal",
+    s"""WITH t AS (SELECT doc_id,
+       |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+       |             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS dt
+       |           FROM documents),
+       |q AS (SELECT doc_id, n_toks FROM t
+       |      WHERE n_toks >= 20 AND n_toks <= 2000
+       |        AND CAST(dt AS DOUBLE) / CAST(n_toks AS DOUBLE) > 0.15),
+       |ids AS (SELECT doc_id,
+       |          CAST(16 + doc_id % 32 AS BIGINT) AS w,
+       |          CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS h,
+       |          CAST(400 + doc_id % 800 AS BIGINT) AS n
+       |        FROM documents),
+       |img AS (SELECT i.doc_id,
+       |          CAST(SUM((i.doc_id + x.x) % 256 + (i.doc_id + y.y) % 256 +
+       |                   (i.doc_id + x.x + y.y) % 256) AS BIGINT) AS px_sum
+       |        FROM ids i
+       |        JOIN (SELECT unnest(range(48)) AS x) x ON x.x < i.w
+       |        JOIN (SELECT unnest(range(48)) AS y) y ON y.y < i.h
+       |        WHERE i.doc_id % 17 <> 0 AND i.w * i.h >= 700
+       |        GROUP BY 1),
+       |aud AS (SELECT i.doc_id,
+       |          CAST(SUM((i.doc_id * 31 + t.t * 17) % 65536 - 32768) AS BIGINT) AS amp_sum
+       |        FROM ids i JOIN (SELECT unnest(range(1200)) AS t) t ON t.t < i.n
+       |        WHERE i.doc_id % 23 <> 0 AND i.n >= 600
+       |        GROUP BY 1)
+       |SELECT ${Q.splitCase("q.doc_id")} AS split, $C AS n_docs,
+       |       CAST(SUM(q.n_toks) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(img.px_sum) AS BIGINT) AS px_total,
+       |       CAST(SUM(aud.amp_sum) AS BIGINT) AS amp_total
+       |FROM q JOIN img USING (doc_id) JOIN aud USING (doc_id)
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    val docs = Tables.documents(s, d)
+    // deterministic corruption: every 17th image and every 23rd wav loses
+    // all but its first 8 bytes — enough to keep the PNG magic / RIFF tag
+    // but not the container header, so the codecs must quarantine, not
+    // crash, and the oracle's keep-set excludes exactly these ids
+    def corrupt(payloads: DataFrame, everyNth: Int): DataFrame =
+      payloads.select(col("doc_id"),
+        when(col("doc_id") % everyNth === 0,
+          expr("substring(payload, 1, 8)"))
+          .otherwise(col("payload")).as("payload"))
+    val img = Multimodal.decodeImage(corrupt(Multimodal.synthImages(docs, "doc_id"), 17))
+      .filter(col("width").cast(LongType) * col("height") >= 700L)
+      .select(col("doc_id"), col("px_sum"))
+    val aud = Multimodal.decodeAudio(corrupt(Multimodal.synthWavs(docs, "doc_id"), 23))
+      .filter(col("sample_rate") === 8000 && col("n_samples") >= 600L)
+      .select(col("doc_id"), col("amp_sum"))
+    docs.filter(TextAnalysis.qualityFlag(col("text")) === 1)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      .join(img, Seq("doc_id"))
+      .join(aud, Seq("doc_id"))
+      .groupBy(Sampling.hashSplit(col("doc_id")).as("split"))
+      .agg(
+        lcount().as("n_docs"),
+        sum(col("n_toks")).cast(LongType).as("total_tokens"),
+        sum(col("px_sum")).cast(LongType).as("px_total"),
+        sum(col("amp_sum")).cast(LongType).as("amp_total"))
   }
 
   /** Temperature-style source rebalancing — the data-MIXING stage: each
@@ -533,7 +615,9 @@ object Curation {
        |       ${Q.splitCase("rep")} AS split
        |FROM a""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val clusters = Dedup.dupClusters(LlmText.corpusPairs(s, d))
+    // the label store the clustering job published (LlmText.corpusClusters)
+    // — the split consumes labels, it doesn't re-run the clustering
+    val clusters = LlmText.corpusClusters(s, d)
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep"))
@@ -1011,7 +1095,8 @@ object Curation {
 
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
     stratSample, prioritySamp, qualityCut, lengthOutliers, winsorized,
-    pipeline, dedupPipeline, tempSample, packSeq, packManifest, clusterSplit,
+    pipeline, dedupPipeline, multimodalPipeline, tempSample, packSeq,
+    packManifest, clusterSplit,
     hllDistinct, hllIncremental, kPerGroup, epochOrder, kmvOverlap, kmvMatrix,
     negatives, waterfill, shardAssign)
 }

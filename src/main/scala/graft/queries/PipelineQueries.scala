@@ -759,7 +759,10 @@ object PipelineQueries {
     store.replacePartitions("fact",
       base.filter(col("p") === 2)
         .withColumn("o_totalprice", col("o_totalprice") + 200), "p")
-    store.read("fact").select(col("o_orderkey"), col("o_totalprice"),
+    // C1 guard: an all-empty feed publishes no manifest at all (every
+    // replacement/append had zero rows) — read out the frame's own shape
+    val fact = if (store.exists("fact")) store.read("fact") else base.limit(0)
+    fact.select(col("o_orderkey"), col("o_totalprice"),
       // partition discovery re-infers the narrowest integral type from
       // the path strings; pin the declared width for the readout
       col("p").cast(LongType).as("p"))

@@ -74,7 +74,12 @@ object StreamingQueries {
     val fold = StreamCdc.applyBatch(store, "mirror", Seq("o_orderkey"),
       "seq", "op", nBuckets = 16) _
     (0 to 1).foreach(i => fold(feed.filter(col("__b") === i).drop("__b"), i.toLong))
-    StreamCdc.present(store.read("mirror"), "seq", "op")
+    // C1 guard: an all-empty feed never materializes the mirror (partition
+    // replacement writes nothing) — present an empty frame of its shape
+    val mirror =
+      if (store.exists("mirror")) store.read("mirror")
+      else feed.drop("__b").limit(0)
+    StreamCdc.present(mirror, "seq", "op")
   }
 
   /** Streaming aggregate-view maintenance ([[ViewMaintain.applyBatch]]):
@@ -96,8 +101,12 @@ object StreamingQueries {
     val sums = Seq("l_quantity", "l_extendedprice")
     val fold = ViewMaintain.applyBatch(store, "vagg", keys, sums, nBuckets = 16) _
     (0 to 2).foreach(i => fold(li.filter(col("l_orderkey") % 3 === i), i.toLong))
-    IncrementalAgg.present(
-      store.read("vagg").drop("__bucket", "__applied"), keys, sums)
+    // C1 guard: empty feed → no stored state; fromBatch over zero rows
+    // reproduces the state schema exactly
+    val state =
+      if (store.exists("vagg")) store.read("vagg").drop("__bucket", "__applied")
+      else IncrementalAgg.fromBatch(li.limit(0), keys, sums)
+    IncrementalAgg.present(state, keys, sums)
   }
 
   /** Streaming near-dup maintenance ([[StreamDedup.applyBatch]]): the
@@ -126,7 +135,12 @@ object StreamingQueries {
       numHashes = 16, rowsPerBand = 4, shingleN = 3) _
     fold(docs.filter(col("doc_id") < 250), 0L)
     fold(docs.filter(col("doc_id") >= 250), 1L)
-    store.read("pairs").select(col("doc_a"), col("doc_b")).distinct()
+    // C1 guard: empty feed → no pair-log partitions ever land
+    val pairs =
+      if (store.exists("pairs")) store.read("pairs")
+      else docs.limit(0)
+        .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+    pairs.select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** Streaming substring-dedup maintenance ([[StreamDedup
@@ -156,13 +170,24 @@ object StreamingQueries {
       "doc_id", "text", l = 8) _
     fold(docs.filter(col("doc_id") < 250), 0L)
     fold(docs.filter(col("doc_id") >= 250), 1L)
-    store.read("spans")
+    // C1 guard: empty feed → neither store lands; rebuild both shapes
+    // from the fold's own constructors over zero rows
+    def emptyOcc = graft.operators.Dedup.spanOccurrences(
+      docs.limit(0), "doc_id", "text", l = 8)
+    val spans =
+      if (store.exists("spans")) store.read("spans")
+      else graft.operators.Dedup.spanCountStoreFromOcc(emptyOcc)
+    val dups =
+      if (store.exists("dups")) store.read("dups").filter(col("__batch") === 1)
+      else graft.operators.Dedup.incrementalDuplicatedSpans(
+        graft.operators.Dedup.spanCountStoreFromOcc(emptyOcc), emptyOcc)
+    spans
       .groupBy(col("span_h"))
       .agg(sum(col("n_old")).cast(LongType).as("n_occ"))
       .filter(col("n_occ") > 1)
       .select(lit("store").as("src"), col("span_h"), col("n_occ"),
         lit(null).cast(LongType).as("n_new"))
-      .unionByName(store.read("dups").filter(col("__batch") === 1)
+      .unionByName(dups
         .select(lit("batch1").as("src"), col("span_h"), col("n_occ"), col("n_new")))
   }
 
@@ -229,8 +254,12 @@ object StreamingQueries {
       probe = 4, k = 3) _
     fold(hist, 0L)
     fold(newb, 1L)
-    store.read("nbrs").filter(col("__batch") === 1)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+    // C1 guard: empty feed → no neighbor-log partitions ever land
+    val nbrs =
+      if (store.exists("nbrs")) store.read("nbrs").filter(col("__batch") === 1)
+      else embD.limit(0).select(col("vec_id").as("qid"),
+        col("vec_id").as("nid"), lit(0.0).as("cosine"), lit(0L).as("rnk"))
+    nbrs.select(col("qid"), col("nid"), col("cosine"), col("rnk"))
   }
 
   /** Streaming HLL register maintenance ([[StreamSketch
@@ -261,7 +290,12 @@ object StreamingQueries {
     val fold = StreamSketch.applyDailyRegisters(store, "hllregs", b = 4) _
     (0 to 1).foreach(i =>
       fold(ev.filter(pmod(col("user_id"), lit(2)) === i), i.toLong))
-    StreamSketch.mergedDailyRegisters(store, "hllregs")
+    // C1 guard: empty feed → no register partitions ever land
+    val merged =
+      if (store.exists("hllregs")) StreamSketch.mergedDailyRegisters(store, "hllregs")
+      else ev.limit(0).select(col("ts").as("day"),
+        lit(0L).as("register"), lit(0L).as("m_rho"))
+    merged
       .select(col("day").cast("timestamp_ntz").as("day"),
         col("register"), col("m_rho"))
   }
@@ -291,7 +325,15 @@ object StreamingQueries {
     val dir = Files.createTempDirectory("graft_c19").toString
     val evCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     val ev = Tables.events(s, d).select(evCols.map(col): _*)
-    val mid = ev.agg(expr("percentile(CAST(ts AS DOUBLE), 0.5)")).head().getDouble(0)
+    val midRow = ev.agg(expr("percentile(CAST(ts AS DOUBLE), 0.5)")).head()
+    // C1 guard: an empty feed has no median/max event time — nothing to
+    // stream, present the attribution's (empty) shape directly
+    if (midRow.isNullAt(0)) {
+      ev.limit(0).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("ts")).as("click_us"))
+    } else {
+    val mid = midRow.getDouble(0)
     ev.filter(col("ts").cast("double") <= mid)
       .coalesce(1).write.mode("append").parquet(dir)
     ev.filter(col("ts").cast("double") > mid)
@@ -317,6 +359,7 @@ object StreamingQueries {
     q.awaitTermination()
     s.table(sink).filter(col("user_id") >= 0)
       .select(col("user_id"), col("event_id"), col("ts_us"), col("click_us"))
+    }
   }
 
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,

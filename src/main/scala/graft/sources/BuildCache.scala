@@ -46,43 +46,57 @@ object BuildCache {
     * classes directory (forked test JVMs) and a packaged jar (sbt
     * `runMain` ships a bg-jobs jar). None when neither resolves.
     */
-  lazy val codeDigest: Option[String] =
-    try {
-      val root = Paths.get(
-        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-      val md = MessageDigest.getInstance("SHA-256")
-      if (Files.isDirectory(root)) {
-        val walk = Files.walk(root)
-        val classes =
-          try walk.iterator().asScala
-            .filter(p => Files.isRegularFile(p))
-            .map(p => root.relativize(p).toString.replace('\\', '/') -> p)
-            .filter { case (rel, _) =>
-              rel.endsWith(".class") && digestPrefixes.exists(rel.startsWith)
-            }
-            .toSeq.sortBy(_._1)
-          finally walk.close()
-        classes.foreach { case (rel, p) =>
-          md.update(rel.getBytes("UTF-8"))
-          md.update(Files.readAllBytes(p))
-        }
-        Some(md.digest().take(8).map(b => f"$b%02x").mkString)
-      } else if (Files.isRegularFile(root) && root.toString.endsWith(".jar")) {
-        val jar = new java.util.jar.JarFile(root.toFile)
-        try {
-          val entries = jar.entries().asScala
-            .filter(e => !e.isDirectory && e.getName.endsWith(".class") &&
-              digestPrefixes.exists(e.getName.startsWith))
-            .toSeq.sortBy(_.getName)
-          entries.foreach { e =>
-            md.update(e.getName.getBytes("UTF-8"))
-            val in = jar.getInputStream(e)
-            try md.update(in.readAllBytes()) finally in.close()
+  lazy val codeDigest: Option[String] = digestFor(Nil)
+
+  private val digestMemo =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Option[String]]()
+
+  /** Digest over the baseline [[digestPrefixes]] PLUS caller-supplied
+    * class-file prefixes — for artifacts whose content depends on classes
+    * outside the warehouse set (e.g. a cached clustering keyed on
+    * `graft/operators/Dedup`). Memoized per prefix set: class bytes are
+    * immutable for the JVM's lifetime.
+    */
+  def digestFor(extraPrefixes: Seq[String]): Option[String] =
+    digestMemo.computeIfAbsent(extraPrefixes.sorted.distinct, { prefixes =>
+      val all = digestPrefixes ++ prefixes
+      try {
+        val root = Paths.get(
+          getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        val md = MessageDigest.getInstance("SHA-256")
+        if (Files.isDirectory(root)) {
+          val walk = Files.walk(root)
+          val classes =
+            try walk.iterator().asScala
+              .filter(p => Files.isRegularFile(p))
+              .map(p => root.relativize(p).toString.replace('\\', '/') -> p)
+              .filter { case (rel, _) =>
+                rel.endsWith(".class") && all.exists(rel.startsWith)
+              }
+              .toSeq.sortBy(_._1)
+            finally walk.close()
+          classes.foreach { case (rel, p) =>
+            md.update(rel.getBytes("UTF-8"))
+            md.update(Files.readAllBytes(p))
           }
           Some(md.digest().take(8).map(b => f"$b%02x").mkString)
-        } finally jar.close()
-      } else None
-    } catch { case _: Throwable => None }
+        } else if (Files.isRegularFile(root) && root.toString.endsWith(".jar")) {
+          val jar = new java.util.jar.JarFile(root.toFile)
+          try {
+            val entries = jar.entries().asScala
+              .filter(e => !e.isDirectory && e.getName.endsWith(".class") &&
+                all.exists(e.getName.startsWith))
+              .toSeq.sortBy(_.getName)
+            entries.foreach { e =>
+              md.update(e.getName.getBytes("UTF-8"))
+              val in = jar.getInputStream(e)
+              try md.update(in.readAllBytes()) finally in.close()
+            }
+            Some(md.digest().take(8).map(b => f"$b%02x").mkString)
+          } finally jar.close()
+        } else None
+      } catch { case _: Throwable => None }
+    })
 
   private def san(s: String): String =
     s.map(c => if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
@@ -98,10 +112,14 @@ object BuildCache {
   /** Return the directory holding the `kind` artifact for `dataDir` +
     * `spec`, building it with `build(targetDir)` on a miss. `build`
     * receives a non-existent path and must leave the finished artifact
-    * there; publication is one atomic rename.
+    * there; publication is one atomic rename. `extraPrefixes` adds
+    * class-file prefixes beyond the warehouse baseline to the digest —
+    * REQUIRED when the artifact's content is computed by classes outside
+    * [[digestPrefixes]], or a code change there would serve stale data.
     */
-  def dir(kind: String, dataDir: String, spec: String)(
-      build: String => Unit): String = codeDigest match {
+  def dir(kind: String, dataDir: String, spec: String,
+      extraPrefixes: Seq[String] = Nil)(
+      build: String => Unit): String = digestFor(extraPrefixes) match {
     case None =>
       val tmp = Files.createTempDirectory(s"graft_$kind").resolve("artifact")
       build(tmp.toString)

@@ -115,6 +115,9 @@ final class TableStore(spark: SparkSession, root: String,
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     if (manifestMode) {
       val dir = writeDataDir(table, df, partitionBy)
+      // C1 convention: a zero-row append lands nothing — binding a
+      // data-file-less dir would crash every reader on schema inference
+      if (!dirHasData(table, dir)) { dropDataDir(table, dir); return }
       val prev = currentManifest(table)
       publishManifest(table, prev.map(_.id + 1).getOrElse(1L),
         prev.map(_.keep).getOrElse(0),
@@ -133,8 +136,13 @@ final class TableStore(spark: SparkSession, root: String,
     if (manifestMode) {
       val dir = writeDataDir(table, df, partitionBy)
       val prev = currentManifest(table)
+      // an empty overwrite publishes ZERO entries: the table reads as
+      // nonexistent (exists() false), never as an uninferable-schema dir
+      val entries =
+        if (dirHasData(table, dir)) Seq(MEntry(dir, None, None, Nil))
+        else { dropDataDir(table, dir); Nil }
       publishManifest(table, prev.map(_.id + 1).getOrElse(1L),
-        prev.map(_.keep).getOrElse(0), Seq(MEntry(dir, None, None, Nil)))
+        prev.map(_.keep).getOrElse(0), entries)
       return
     }
     recoverSwap(table)
@@ -177,8 +185,10 @@ final class TableStore(spark: SparkSession, root: String,
       // retention just stops pruning the last `keep` manifests
       val dir = writeDataDir(table, df, partitionBy)
       val prev = currentManifest(table)
-      publishManifest(table, prev.map(_.id + 1).getOrElse(1L), keep,
-        Seq(MEntry(dir, None, None, Nil)))
+      val entries =
+        if (dirHasData(table, dir)) Seq(MEntry(dir, None, None, Nil))
+        else { dropDataDir(table, dir); Nil }
+      publishManifest(table, prev.map(_.id + 1).getOrElse(1L), keep, entries)
       return prev.map(_.id).getOrElse(0L)
     }
     recoverSwap(table)
@@ -489,6 +499,30 @@ final class TableStore(spark: SparkSession, root: String,
   /** Write `df` into a fresh, never-again-touched uuid'd dir; invisible
     * to readers until a manifest references it.
     */
+  /** True when the freshly-written uuid data dir holds at least one
+    * parquet data file. A zero-row write emits only `_SUCCESS`; a
+    * manifest entry binding such a dir would crash every reader on
+    * schema inference, so empty writes must land nothing (the C1
+    * convention the rename-mode partition replace already follows).
+    */
+  private def dirHasData(table: String, dir: String): Boolean = {
+    val p = Paths.get(s"$root/${dataDirName(table)}/$dir")
+    val walk = Files.walk(p)
+    try {
+      val it = walk.iterator()
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")
+      }
+      found
+    } finally walk.close()
+  }
+
+  private def dropDataDir(table: String, dir: String): Unit =
+    deleteRecursively(Paths.get(s"$root/${dataDirName(table)}/$dir"))
+
   private def writeDataDir(table: String, df: DataFrame,
       partitionBy: Seq[String]): String = {
     val dir = s"w_${java.util.UUID.randomUUID().toString.replace("-", "")}"

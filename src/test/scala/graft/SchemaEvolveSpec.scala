@@ -73,4 +73,67 @@ class SchemaEvolveSpec extends SparkSpec {
     val physical = merged.queryExecution.executedPlan.toString
     assert(!physical.contains("Exchange"), s"alignment must not shuffle:\n$physical")
   }
+
+  test("property: decimal widening is representable-or-throw, never lossy") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // The exact decimal a numeric type encloses: its own shape for
+    // decimals, the full-range decimal for integrals (the same table
+    // SchemaEvolve uses — asserting against an independent statement of
+    // the contract, not the implementation's private helper).
+    def shape(t: DataType): (Int, Int) = t match {
+      case d: DecimalType => (d.precision - d.scale, d.scale)
+      case ByteType => (3, 0)
+      case ShortType => (5, 0)
+      case IntegerType => (10, 0)
+      case LongType => (20, 0)
+      case other => fail(s"unexpected generator output $other")
+    }
+    val decGen: Gen[DataType] = for {
+      p <- Gen.chooseNum(1, DecimalType.MAX_PRECISION)
+      s <- Gen.chooseNum(0, p)
+    } yield DecimalType(p, s)
+    val typeGen: Gen[DataType] = Gen.frequency(
+      4 -> decGen,
+      1 -> Gen.oneOf(ByteType, ShortType, IntegerType, LongType))
+    val pairGen = Gen.zip(typeGen, typeGen)
+    (1 to 400).foreach { i =>
+      val (a, b) = pairGen.pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val (ia, sa) = shape(a)
+      val (ib, sb) = shape(b)
+      val needInt = math.max(ia, ib)
+      val needScale = math.max(sa, sb)
+      val fits = needInt + needScale <= DecimalType.MAX_PRECISION
+      val got = try Some(SchemaEvolve.widen(a, b))
+        catch { case _: IllegalArgumentException => None }
+      got match {
+        case Some(r) =>
+          assert(fits, s"widen($a, $b) = $r returned where only " +
+            s"Decimal(${needInt + needScale}, $needScale) could hold both " +
+            s"— a silently lossy union")
+          // representable: the result's integer digits and scale both
+          // enclose each input's — no value of either type can overflow
+          // or lose fractional digits in the cast
+          val (ir, sr) = shape(r)
+          assert(ir >= needInt && sr >= needScale,
+            s"widen($a, $b) = $r cannot hold both inputs " +
+              s"(needs int digits $needInt, scale $needScale)")
+          // and the result is itself a legal Spark decimal
+          assert(ir + sr <= DecimalType.MAX_PRECISION)
+          // commutativity: column order across generations must not
+          // change the unified schema
+          assert(SchemaEvolve.widen(b, a) == r, s"widen not commutative on ($a, $b)")
+        case None =>
+          // throw is only acceptable when NO legal decimal holds both —
+          // two same-family integrals always widen, so reaching here
+          // means at least one side was a decimal and the union overflows
+          assert(!fits, s"widen($a, $b) threw but Decimal(" +
+            s"${needInt + needScale}, $needScale) is representable")
+          assert(
+            try { SchemaEvolve.widen(b, a); false }
+            catch { case _: IllegalArgumentException => true },
+            s"widen($b, $a) must throw symmetrically")
+      }
+    }
+  }
 }

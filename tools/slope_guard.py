@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Per-round sf1 scale-regression guard.
+
+Reads a fresh full-harness sf1 run (BENCH_FULL.json written with
+SPARK_GRAFT_SF_DIR=target/sf1) plus the matching sf0.1 run, computes the
+per-query 10x-data slope (sf1_s / sf0.1_s), diffs it against the recorded
+baseline slopes (the previous round's BENCH_sf1_rN.json, falling back to
+BENCH_sf1.json), prints a markdown table of the worst slopes, and exits
+non-zero when any query's slope DOUBLED vs its recorded baseline while
+costing >= 1s at sf1 (sub-second queries flap with host weather, not with
+plan shape).
+
+Usage: slope_guard.py <sf1_bench.json> <sf01_bench.json> [baseline.json]
+"""
+import json, sys
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+def queries(doc):
+    return {k: v for k, v in doc.get("queries", {}).items() if v > 0}
+
+sf1 = queries(load(sys.argv[1]))
+sf01 = queries(load(sys.argv[2]))
+base = queries(load(sys.argv[3])) if len(sys.argv) > 3 else {}
+base_sf01 = queries(load(sys.argv[4])) if len(sys.argv) > 4 else sf01
+
+slopes = {q: sf1[q] / sf01[q] for q in sf1 if q in sf01 and sf01[q] > 0.01}
+base_slopes = {q: base[q] / base_sf01[q]
+               for q in base if q in base_sf01 and base_sf01[q] > 0.01}
+
+rows, regressions = [], []
+for q, s in sorted(slopes.items(), key=lambda kv: -kv[1]):
+    b = base_slopes.get(q)
+    flag = ""
+    if b is not None and s >= 2.0 * b and sf1[q] >= 1.0:
+        flag = "REGRESSED"
+        regressions.append(q)
+    rows.append((q, sf01[q], sf1[q], s, b, flag))
+
+print("| Query | sf0.1 (s) | sf1 (s) | slope | baseline slope | flag |")
+print("|---|---|---|---|---|---|")
+for q, t01, t1, s, b, flag in rows[:25]:
+    bs = f"{b:.1f}x" if b is not None else "new"
+    print(f"| {q} | {t01:.2f} | {t1:.2f} | {s:.1f}x | {bs} | {flag} |")
+
+n = len(slopes)
+med = sorted(slopes.values())[n // 2] if n else 0
+tot1, tot01 = sum(sf1[q] for q in slopes), sum(sf01[q] for q in slopes)
+print(f"\n{n} queries with both measurements; total {tot01:.1f}s -> "
+      f"{tot1:.1f}s ({tot1 / tot01 if tot01 else 0:.2f}x on 10x data); "
+      f"median slope {med:.2f}x")
+missing = sorted(set(sf01) - set(sf1))
+if missing:
+    print(f"not measured at sf1 ({len(missing)}): {', '.join(missing[:10])}"
+          + (" ..." if len(missing) > 10 else ""))
+if regressions:
+    print(f"\nSLOPE REGRESSIONS (>=2x baseline slope, >=1s): "
+          f"{', '.join(regressions)}")
+    sys.exit(1)
+print("\nno slope regressions")
