@@ -242,7 +242,8 @@ object Bench {
     // before the per-query warmups so they grab threads immediately.
     val prebuilds = (graft.queries.PipelineQueries.prebuildSteps(spark, sfDir)
       .map { case (n, f) => s"prebuild:$n" -> f } :+
-      ("prebuild:llmtext_signatures" -> (() => graft.queries.LlmText.prewarm(spark, sfDir)))
+      ("prebuild:llmtext_signatures" -> (() => graft.queries.LlmText.prewarm(spark, sfDir))) :+
+      ("prebuild:bucketed_tables" -> (() => graft.queries.Relational.prewarmBucketed(spark, sfDir)))
     ).map { case (label, f) =>
       Future {
         if (elapsedS < warmupDeadline) {

@@ -539,7 +539,7 @@ object PipelineQueries {
     // ΔA⋈B, A⋈ΔB and ΔA⋈ΔB against batch 1's stored state (splits are
     // key-uncorrelated, so partners straddle the batches)
     val fold = StreamJoinView.applyBatch(
-      store, "c11_a", "c11_b", "c11_v", "side", Seq("k"), nBuckets = 16) _
+      store, "c11_a", "c11_b", "c11_v", "side", Seq("k"), nBuckets = 4) _
     (0 to 1).foreach(i =>
       fold(tagged.filter(col("__b") === i).drop("__b"), i.toLong))
     // an all-empty feed never materializes a view partition (C1 guard:

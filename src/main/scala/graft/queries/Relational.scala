@@ -1503,6 +1503,52 @@ object Relational {
       .agg(lcount().as("n"), dsumRound2(revenueExpr).as("revenue"))
   }
 
+  /** Shuffle-free co-located big⋈big join over BUCKETED tables
+    * ([[graft.sources.Bucketed]]): lineitem and orders are standing
+    * bucketed layout (16 hash buckets on the order key, written once per
+    * session/dir — the warehouse shape where the shuffle is paid at
+    * write time and amortized over every join), and the merge-hinted
+    * join consumes both scans' `HashPartitioning` directly — NO exchange
+    * on either side; the only shuffle in the plan is the final 5-row
+    * priority aggregate (PlanSpec pins this). The salted j11 is the
+    * answer when a big join must shuffle; this is the answer when it
+    * runs often enough to not shuffle at all. The oracle is the plain
+    * join — bucketing must be invisible in the result.
+    */
+  private val j15 = Q(
+    "j15_bucketed_join",
+    s"""SELECT o_orderpriority AS priority, $C AS n,
+       |       ${DS2("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    bucketedJoin(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(lcount().as("n"), dsumRound2(revenueExpr).as("revenue"))
+  }
+
+  /** Force-write the standing bucketed layout for `d` (Bench's untimed
+    * warmup calls this for the timed dir — the write-time shuffle is the
+    * layout's one-off cost, not the join's).
+    */
+  def prewarmBucketed(s: SparkSession, d: String): Unit = { bucketedJoin(s, d); () }
+
+  /** The bucketed-scan join itself, exposed so PlanSpec can assert the
+    * exchange-free shape on the JOIN plan.
+    */
+  private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = graft.sources.Bucketed.table(s, s"li16:$d", 16, "l_orderkey") {
+      lF(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    }
+    val ord = graft.sources.Bucketed.table(s, s"ord16:$d", 16, "o_orderkey") {
+      oF(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    }
+    // merge hint: at test SF the orders side fits a broadcast, which
+    // would ALSO be shuffle-free but wouldn't demonstrate the co-located
+    // layout the query exists to pin (at 100 TB neither side broadcasts)
+    s.table(li).hint("merge")
+      .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+  }
+
   /** Gap-based sessionization (batch plan of graft.streaming.Sessionize;
     * the flatMapGroupsWithState variant is equivalence-tested in
     * SessionizeSpec). 30-minute gap.
@@ -2133,7 +2179,7 @@ object Relational {
     m14, m15, a1, a2, a3, a4, a5, a6, a7, a8, q1,
     a9, a10, a12, a13, a14, a2approx, d1, u1, u2, u3, u4, f1, f2, f3, f6, f9, f10,
     f12, f16, w1, w2, w3, w4, w5, w6, w7, a11, ev, evCorr, js, sess, j11,
-    funnel, retention, topUsers, rfm, j12, j13, j14, qaSkew, qaProfile,
+    funnel, retention, topUsers, rfm, j12, j13, j14, j15, qaSkew, qaProfile,
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,

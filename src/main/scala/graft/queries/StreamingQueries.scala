@@ -72,7 +72,7 @@ object StreamingQueries {
       .withColumn("__b",
         pmod(col("o_orderkey") * 7 + col("seq") * 3, lit(2)).cast(IntegerType))
     val fold = StreamCdc.applyBatch(store, "mirror", Seq("o_orderkey"),
-      "seq", "op", nBuckets = 16) _
+      "seq", "op", nBuckets = 4) _
     (0 to 1).foreach(i => fold(feed.filter(col("__b") === i).drop("__b"), i.toLong))
     // C1 guard: an all-empty feed never materializes the mirror (partition
     // replacement writes nothing) — present an empty frame of its shape
@@ -99,7 +99,7 @@ object StreamingQueries {
     val li = Tables.lineitem(s, d)
     val keys = Seq("l_returnflag", "l_linestatus")
     val sums = Seq("l_quantity", "l_extendedprice")
-    val fold = ViewMaintain.applyBatch(store, "vagg", keys, sums, nBuckets = 16) _
+    val fold = ViewMaintain.applyBatch(store, "vagg", keys, sums, nBuckets = 4) _
     (0 to 2).foreach(i => fold(li.filter(col("l_orderkey") % 3 === i), i.toLong))
     // C1 guard: empty feed → no stored state; fromBatch over zero rows
     // reproduces the state schema exactly

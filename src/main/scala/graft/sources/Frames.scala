@@ -31,8 +31,20 @@ object Frames {
     // stopped session throws — removal here is garbage collection, the
     // symmetric release path for a LIVE session is [[drop]]/[[clear]].
     frames.keySet.removeIf(_._1.sparkContext.isStopped)
-    frames.computeIfAbsent((spark, key),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    // get-then-putIfAbsent, NOT computeIfAbsent: shared frames NEST (the
+    // cluster-label frame builds from the signature frame), and a mapping
+    // function that re-enters the same ConcurrentHashMap throws
+    // "Recursive update" whenever the two keys land in one bin. The race
+    // this opens is benign — a losing concurrent builder unpersists its
+    // (lazy, never-materialized) duplicate and adopts the winner's.
+    val k = (spark, key)
+    val existing = frames.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = frames.putIfAbsent(k, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
   }
 
   /** Unpersist and forget one shared frame (a dir's data was replaced, or

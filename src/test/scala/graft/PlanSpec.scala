@@ -166,6 +166,22 @@ class PlanSpec extends SparkSpec {
     assert(respread.count() == docs.count())
   }
 
+  test("bucketed join consumes both scans' bucketing: no exchange on either side") {
+    // Both tables are bucketed on the join key with the same bucket
+    // count, so the sort-merge join must read the on-disk partitioning
+    // directly — a ShuffleExchange hashing on either order key means the
+    // co-located layout was NOT consumed and the join would move both
+    // tables across a real cluster on every run.
+    val df = graft.queries.Relational.bucketedJoin(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$p")
+    // the scans really are bucketed reads, not plain file scans
+    assert(p.contains("Bucketed: true"), s"scan did not select buckets:\n$p")
+  }
+
   test("salted join equals the plain join on skewed data") {
     val probe = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
       .toDF("k", "v") // key 1 is hot

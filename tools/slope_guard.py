@@ -19,7 +19,11 @@ def load(path):
         return json.load(f)
 
 def queries(doc):
-    return {k: v for k, v in doc.get("queries", {}).items() if v > 0}
+    """Accept both a full bench doc ({"queries": {...}}) and a flat
+    {"query": secs} map (BENCH_HISTORY.json); drop error sentinels."""
+    m = doc.get("queries", doc) if isinstance(doc, dict) else {}
+    return {k: v for k, v in m.items()
+            if isinstance(v, (int, float)) and 0 < v < 9000}
 
 sf1 = queries(load(sys.argv[1]))
 sf01 = queries(load(sys.argv[2]))
