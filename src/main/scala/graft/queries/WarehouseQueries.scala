@@ -370,7 +370,52 @@ object WarehouseQueries {
         Seq("custkey"), "deleted")
   }
 
+  /** G-family scale layout: the Morton/Z-order clustering key
+    * ([[graft.operators.ZOrder.zkey]] — branch-free mask-spread bit ops,
+    * inlined by whole-stage codegen; ZOrderSpec measures the actual
+    * file-pruning win of the clustered layout). Every order gets
+    * z = interleave(customer-key low byte, order-day low byte), and rows
+    * group by z's top byte — the 256 "files" a z-ordered write produces.
+    * The readout reports each bucket's row count and BOTH dimensions'
+    * min/max: Z-order's defining property is that a top-byte bucket pins
+    * the top 4 bits of EACH dimension (every bucket spans ≤ 16
+    * consecutive values of x AND of y), the 2-D locality that lets
+    * parquet min/max file statistics prune scans on either column — a
+    * single-column sort clusters only its leading key. The oracle
+    * recomputes the interleave closed-form bit by bit, so the hash match
+    * certifies the operator's bit layout and the locality claim together.
+    */
+  private val g5 = Q(
+    "g5_zorder_stats",
+    s"""WITH o AS (SELECT o_custkey % 256 AS x,
+       |              date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+       |       FROM orders),
+       |d AS (SELECT DISTINCT x, y FROM o),
+       |z AS (SELECT x, y,
+       |             CAST(SUM(((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+       |                    + ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))) AS BIGINT) AS z
+       |      FROM d CROSS JOIN range(0, 8) t(i) GROUP BY 1, 2),
+       |j AS (SELECT o.x, o.y, z.z FROM o JOIN z USING (x, y))
+       |SELECT z // 256 AS bucket, $C AS n,
+       |       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       |       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+       |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        pmod(col("o_custkey"), lit(256)).as("x"),
+        pmod(datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")), lit(256)).as("y"))
+      .select(col("x"), col("y"),
+        graft.operators.ZOrder.zkey(col("x"), col("y")).as("z"))
+      .groupBy(shiftright(col("z"), 8).as("bucket"))
+      .agg(lcount().as("n"),
+        min(col("x")).cast("long").as("min_x"),
+        max(col("x")).cast("long").as("max_x"),
+        min(col("y")).cast("long").as("min_y"),
+        max(col("y")).cast("long").as("max_y"))
+  }
+
   val queries: Seq[Q] =
-    Seq(scd2, scd2TwoSource, g1, g2, g4, pit, diff, purgeAudit, cdcApply,
+    Seq(scd2, scd2TwoSource, g1, g2, g4, g5, pit, diff, purgeAudit, cdcApply,
       cdcMerge)
 }

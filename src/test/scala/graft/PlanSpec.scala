@@ -182,6 +182,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), s"scan did not select buckets:\n$p")
   }
 
+  test("bucketed point lookup prunes to a single bucket's files") {
+    // The other win of the standing bucketed layout: an equality filter
+    // on the bucket column plans a scan of 1 bucket out of 16 — at
+    // 100 TB a key lookup reads 1/16th of the files, no index needed.
+    graft.queries.Relational.bucketedJoin(spark, sfDir) // ensure tables exist
+    val name = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("bkt_"))
+      .find(n => spark.table(n).columns.contains("l_orderkey"))
+      .getOrElse(fail("bucketed lineitem table not registered"))
+    // autoBucketedScan=false: the planner's DisableUnnecessaryBucketedScan
+    // rule turns the bucketed read off for a bare filter (no downstream
+    // join/agg needs the distribution) — which also forfeits the bucket
+    // PRUNING this test pins; a production point-lookup path sets the same
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val p = spark.table(name).filter(col("l_orderkey") === 1L)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 16"),
+        s"point filter must prune to one bucket:\n$p")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("salted join equals the plain join on skewed data") {
     val probe = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
       .toDF("k", "v") // key 1 is hot
