@@ -388,7 +388,8 @@ object WarehouseQueries {
   private val g5 = Q(
     "g5_zorder_stats",
     s"""WITH o AS (SELECT o_custkey % 256 AS x,
-       |              date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+       |              ((date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256)
+       |               + 256) % 256 AS y
        |       FROM orders),
        |d AS (SELECT DISTINCT x, y FROM o),
        |z AS (SELECT x, y,

@@ -114,6 +114,11 @@ final class TableStore(spark: SparkSession, root: String,
     */
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     if (manifestMode) {
+      // Entry-growth note: every manifest-mode append (and partition
+      // replacement) adds ONE entry, and a read plans one scan per entry
+      // — a high-frequency micro-batch table should periodically
+      // [[compact]], which reads through the manifest and overwrites,
+      // folding all entries into one.
       val dir = writeDataDir(table, df, partitionBy)
       // C1 convention: a zero-row append lands nothing — binding a
       // data-file-less dir would crash every reader on schema inference
@@ -234,7 +239,10 @@ final class TableStore(spark: SparkSession, root: String,
   /** Time-travel read of snapshot `v` (an id from [[versions]]). */
   def readVersion(table: String, v: Long): DataFrame = {
     if (manifestMode) {
-      require(manifestIds(table).contains(v),
+      // versions(), not manifestIds(): the CURRENT manifest is the live
+      // table, not a snapshot — accepting it here would diverge from
+      // rename mode (and from this error message's listed set)
+      require(versions(table).contains(v),
         s"$table has no snapshot v$v; have ${versions(table)}")
       return readManifest(table, parseManifest(table, v))
     }
@@ -254,8 +262,7 @@ final class TableStore(spark: SparkSession, root: String,
       // undoing is one more manifest whose entries are the target's —
       // no data moves, and the displaced current stays readable as its
       // own manifest id
-      val ids = manifestIds(table)
-      require(ids.contains(v),
+      require(versions(table).contains(v),
         s"$table has no snapshot v$v; have ${versions(table)}")
       val target = parseManifest(table, v)
       val cur = currentManifest(table).get
@@ -393,10 +400,29 @@ final class TableStore(spark: SparkSession, root: String,
       val vals =
         try walk.toArray.map(_.asInstanceOf[Path].getFileName.toString)
           .filter(_.startsWith(s"$partitionCol=")).toSeq
-          .map(_.drop(partitionCol.length + 1))
+          // directory names are Hive-ESCAPED ("a b" -> "a%20b") but the
+          // manifest binds against the UNESCAPED column values readers
+          // filter on — comparing escaped to unescaped would make every
+          // special-character partition silently invisible
+          .map(v => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(v.drop(partitionCol.length + 1)))
         finally walk.close()
+      require(!vals.contains("__HIVE_DEFAULT_PARTITION__"),
+        s"manifest mode cannot bind NULL partition values of $partitionCol " +
+          "(an Exclude filter never matches null) — filter nulls out or " +
+          "map them to a sentinel before writing")
       if (vals.isEmpty) { deleteRecursively(dirPath); return }
       val prev = currentManifest(table)
+      // ONE partition column per manifest table: an entry already bound
+      // to a different column cannot be rebound (its Include values are
+      // the OLD column's — reinterpreting them against the new column
+      // would silently keep/drop the wrong rows)
+      prev.map(_.entries).getOrElse(Nil).foreach { e =>
+        require(e.partCol.forall(_ == partitionCol),
+          s"manifest-mode table $table is partition-bound to " +
+            s"${e.partCol.get}; replacePartitions($partitionCol) would " +
+            "corrupt its bindings — one partition column per table")
+      }
       val rebound = prev.map(_.entries).getOrElse(Nil).flatMap { e =>
         e.partCol match {
           case Some(pc) if pc == partitionCol && e.only.isDefined =>
@@ -627,7 +653,11 @@ final class TableStore(spark: SparkSession, root: String,
         case None => df
       }
       bound
-    }.reduce(_.unionByName(_))
+      // allowMissingColumns: a schema-evolved append (new column in a new
+      // data dir) must not brick every subsequent read — older dirs read
+      // the missing column as null, the same union-by-name relaxation
+      // SchemaEvolve gives feed generations
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -375,6 +375,57 @@ class TableStoreSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("manifest mode: empty writes land nothing (never an uninferable dir)") {
+    val (store, _) = manifestStore()
+    val empty = Seq.empty[(Int, Long)].toDF("v", "p")
+    store.replacePartitions("e", empty, "p")
+    assert(!store.exists("e"))
+    store.append("e", empty, Seq("p"))
+    assert(!store.exists("e"))
+    store.overwrite("e", empty, Seq("p"))
+    assert(!store.exists("e"))
+    store.replacePartitions("e", Seq((1, 1L)).toDF("v", "p"), "p")
+    store.append("e", empty, Seq("p")) // empty append must not disturb state
+    assert(store.read("e").select("v").as[Int].collect().toSeq == Seq(1))
+    // an overwrite that empties an EXISTING table reads as nonexistent
+    store.overwrite("e", empty, Seq("p"))
+    assert(!store.exists("e"))
+  }
+
+  test("manifest mode: special-char partition values bind; mixed columns refuse") {
+    val (store, _) = manifestStore()
+    // values with ':' and ' ' are Hive-escaped in dir names; the manifest
+    // must bind the UNESCAPED value or the replacement becomes invisible
+    store.replacePartitions("s",
+      Seq(("a", "x y:z"), ("b", "plain")).toDF("v", "p"), "p")
+    assert(store.read("s").select("v").as[String].collect().toSet == Set("a", "b"))
+    store.replacePartitions("s", Seq(("A", "x y:z")).toDF("v", "p"), "p")
+    assert(store.read("s").select("v").as[String].collect().toSet == Set("A", "b"))
+    // a second partition column on the same table: defined refusal, not
+    // silent binding corruption
+    intercept[IllegalArgumentException](
+      store.replacePartitions("s", Seq(("c", "q1")).toDF("v", "q"), "q"))
+    // null partition values cannot be excluded later: defined refusal
+    intercept[IllegalArgumentException](
+      store.replacePartitions("n",
+        Seq((1, Option.empty[String]), (2, Some("ok"))).toDF("v", "p"), "p"))
+  }
+
+  test("manifest mode: schema-evolved append stays readable; current id is no snapshot") {
+    val (store, _) = manifestStore()
+    store.append("t", Seq(1).toDF("v"))
+    store.append("t", Seq((2, "x")).toDF("v", "tag"))
+    val got = store.read("t").orderBy("v").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(got(0).isNullAt(1) && got(1).getString(1) == "x")
+    // the current manifest is the live table, not a snapshot
+    store.overwriteVersioned("w", Seq(1).toDF("v"))
+    intercept[IllegalArgumentException](store.readVersion("w", 1))
+    store.overwriteVersioned("w", Seq(2).toDF("v"))
+    assert(store.readVersion("w", 1).as[Int].head() == 1)
+    intercept[IllegalArgumentException](store.readVersion("w", 2))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
   private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)
 }

@@ -10,7 +10,9 @@ non-zero when any query's slope DOUBLED vs its recorded baseline while
 costing >= 1s at sf1 (sub-second queries flap with host weather, not with
 plan shape).
 
-Usage: slope_guard.py <sf1_bench.json> <sf01_bench.json> [baseline.json]
+Usage: slope_guard.py <sf1_bench.json> <sf01_bench.json>
+                      [<baseline_sf1.json> <baseline_sf01.json>]
+(the baseline pair must come from the SAME round as each other)
 """
 import json, sys
 
@@ -25,10 +27,18 @@ def queries(doc):
     return {k: v for k, v in m.items()
             if isinstance(v, (int, float)) and 0 < v < 9000}
 
+if len(sys.argv) == 4:
+    # With only 3 inputs the baseline "slope" would divide the OLD sf1
+    # times by THIS round's sf0.1 times — reducing the gate to a raw
+    # wall-time comparison that host weather flips both ways, exactly
+    # what slope normalization exists to avoid.
+    sys.exit("usage: slope_guard.py <sf1.json> <sf0.1.json> "
+             "[<baseline_sf1.json> <baseline_sf0.1.json>] — a baseline "
+             "needs ITS OWN sf0.1 run (4th arg) to form comparable slopes")
 sf1 = queries(load(sys.argv[1]))
 sf01 = queries(load(sys.argv[2]))
 base = queries(load(sys.argv[3])) if len(sys.argv) > 3 else {}
-base_sf01 = queries(load(sys.argv[4])) if len(sys.argv) > 4 else sf01
+base_sf01 = queries(load(sys.argv[4])) if len(sys.argv) > 4 else {}
 
 slopes = {q: sf1[q] / sf01[q] for q in sf1 if q in sf01 and sf01[q] > 0.01}
 base_slopes = {q: base[q] / base_sf01[q]
