@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * Two tiers live here. The REAL pure-JVM codecs (PNG decode + bilinear
   * resample via `javax.imageio`, animated-GIF frame sequences, WAV PCM
-  * via `javax.sound.sampled`) decode genuine container bytes and are
-  * oracle-certified down to per-pixel/per-sample checksums. The
-  * remaining kernels are clearly-marked DETERMINISTIC STUBS (true video
-  * codecs aren't available in a pure JVM) — they derive fake
+  * via `javax.sound.sampled`, and RIFF/AVI video containers with
+  * uncompressed 24-bit DIB frames parsed byte by byte) decode genuine
+  * container bytes and are oracle-certified down to per-pixel/per-sample
+  * checksums. The remaining kernels are clearly-marked DETERMINISTIC
+  * STUBS (entropy-coded codecs — jpeg-in-motion, mp4/h264 — aren't
+  * available in a pure JVM and aren't SQL-replayable) — they derive fake
   * dimensions/features from the payload bytes so the surrounding
   * plumbing (schema, batch shape, partition-parallel execution,
   * downstream joins) stays real and tested; swapping a stub for a
@@ -504,5 +506,198 @@ object Multimodal {
       }
       Some(Row(id, bytes.length.toLong, fmt.getSampleRate.toInt, n.toLong, s))
     }
+  }
+
+  // --- REAL video container codec (RIFF/AVI, uncompressed 24-bit DIB) ----
+  //
+  // A TRUE video container, parsed byte by byte: RIFF('AVI ') with the
+  // standard hdrl (avih + strl{strh 'vids'/'DIB ', strf BITMAPINFOHEADER})
+  // and a movi list of '00db' frames — uncompressed bottom-up BGR rows
+  // padded to 4 bytes, the BI_RGB AVI any media player opens. Unlike
+  // DCT-based codecs, raw DIB frames are LOSSLESS, so an oracle predicts
+  // the all-frame pixel checksum arithmetically — the same certification
+  // the PNG/GIF/WAV codecs carry, now over a real video container. (The
+  // mp4/h264 tier stays behind the documented stub seam: entropy-coded
+  // codecs aren't replayable in SQL and aren't available pure-JVM.)
+
+  private def leInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+  }
+  private def leShort(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+  }
+  private def fourcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes("US-ASCII"))
+
+  /** Deterministic AVI corpus: `1 + id%6` uncompressed 24-bit frames of
+    * `(8 + id%8) × (8 + (id/8)%8)` pixels; pixel (x, y) of frame f has
+    * r = (id+x)%256, g = (id+y)%256, b = (id+x+y+f)%256. Every byte of
+    * the container is a pure function of the id.
+    */
+  def synthAvis(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imagePayloadSchema)
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (((id % 8) + 8) % 8).toInt
+          val h = 8 + (((id / 8 % 8) + 8) % 8).toInt
+          val nf = 1 + (((id % 6) + 6) % 6).toInt
+          val rowBytes = (w * 3 + 3) / 4 * 4
+          val frameBytes = rowBytes * h
+          val frames = (0 until nf).map { f =>
+            val buf = new Array[Byte](frameBytes)
+            var y = 0
+            while (y < h) {
+              val base = (h - 1 - y) * rowBytes // bottom-up rows
+              var x = 0
+              while (x < w) {
+                buf(base + 3 * x) = ((id + x + y + f) % 256).toByte // B
+                buf(base + 3 * x + 1) = ((id + y) % 256).toByte // G
+                buf(base + 3 * x + 2) = ((id + x) % 256).toByte // R
+                x += 1
+              }
+              y += 1
+            }
+            buf
+          }
+          // strf: BITMAPINFOHEADER (40 bytes)
+          val strf = new java.io.ByteArrayOutputStream()
+          leInt(strf, 40); leInt(strf, w); leInt(strf, h)
+          leShort(strf, 1); leShort(strf, 24)
+          leInt(strf, 0) // BI_RGB
+          leInt(strf, frameBytes); leInt(strf, 0); leInt(strf, 0)
+          leInt(strf, 0); leInt(strf, 0)
+          // strh: AVIStreamHeader (56 bytes)
+          val strh = new java.io.ByteArrayOutputStream()
+          fourcc(strh, "vids"); fourcc(strh, "DIB ")
+          leInt(strh, 0); leShort(strh, 0); leShort(strh, 0); leInt(strh, 0)
+          leInt(strh, 1); leInt(strh, 10) // scale/rate: 10 fps
+          leInt(strh, 0); leInt(strh, nf)
+          leInt(strh, frameBytes); leInt(strh, -1); leInt(strh, 0)
+          leShort(strh, 0); leShort(strh, 0); leShort(strh, w.toShort)
+          leShort(strh, h.toShort)
+          // avih: MainAVIHeader (56 bytes)
+          val avih = new java.io.ByteArrayOutputStream()
+          leInt(avih, 100000); leInt(avih, frameBytes * 10)
+          leInt(avih, 0); leInt(avih, 0x10) // AVIF_HASINDEX
+          leInt(avih, nf); leInt(avih, 0); leInt(avih, 1)
+          leInt(avih, frameBytes); leInt(avih, w); leInt(avih, h)
+          (0 until 4).foreach(_ => leInt(avih, 0))
+          def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+            val o = new java.io.ByteArrayOutputStream()
+            fourcc(o, id4); leInt(o, body.length); o.write(body)
+            if (body.length % 2 == 1) o.write(0) // RIFF chunks pad to even
+            o.toByteArray
+          }
+          def list(kind: String, body: Array[Byte]): Array[Byte] = {
+            val o = new java.io.ByteArrayOutputStream()
+            fourcc(o, "LIST"); leInt(o, body.length + 4); fourcc(o, kind)
+            o.write(body)
+            o.toByteArray
+          }
+          val strl = list("strl",
+            chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray))
+          val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++ strl)
+          val moviBody = frames.map(f => chunk("00db", f))
+            .foldLeft(Array.emptyByteArray)(_ ++ _)
+          val movi = list("movi", moviBody)
+          // idx1: one entry per frame (offset relative to movi list body)
+          val idx = new java.io.ByteArrayOutputStream()
+          var off = 4 // past the 'movi' kind fourcc
+          frames.foreach { f =>
+            fourcc(idx, "00db"); leInt(idx, 0x10) // AVIIF_KEYFRAME
+            leInt(idx, off); leInt(idx, f.length)
+            off += 8 + f.length + (f.length % 2)
+          }
+          val riffBody = hdrl ++ movi ++ chunk("idx1", idx.toByteArray)
+          val out = new java.io.ByteArrayOutputStream()
+          fourcc(out, "RIFF"); leInt(out, riffBody.length + 4)
+          fourcc(out, "AVI "); out.write(riffBody)
+          Row(id, "video/avi", out.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** REAL video decode: byte-level RIFF/AVI parsing — container magic,
+    * hdrl→strl→strf BITMAPINFOHEADER (only BI_RGB 24-bit accepted), then
+    * every movi '00db'/'00dc' frame chunk summed pixel by pixel honoring
+    * the DIB 4-byte row padding. Malformed containers (bad magic,
+    * truncated lists, non-DIB streams, frame size ≠ geometry) are
+    * quarantined, mirroring [[decodeImage]]. Output matches
+    * [[framesDecodedSchema]].
+    */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(framesDecodedSchema)
+    media
+      .select(col("doc_id"), col("payload"))
+      .filter(col("payload").isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          try decodeAviBytes(id, b).iterator
+          catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }
+      }(enc)
+  }
+
+  private def decodeAviBytes(id: Long, b: Array[Byte]): Option[Row] = {
+    def str4(at: Int): String =
+      new String(b, at, 4, "US-ASCII")
+    def int4(at: Int): Int =
+      (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
+        ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
+    if (b.length < 12 || str4(0) != "RIFF" || str4(8) != "AVI ") return None
+    var w = -1; var h = -1
+    var nFrames = 0; var pxSum = 0L
+    // walk chunks in [from, until); LIST bodies recurse
+    def walk(from: Int, until: Int): Boolean = {
+      var at = from
+      while (at + 8 <= until) {
+        val cid = str4(at)
+        val size = int4(at + 4)
+        val body = at + 8
+        if (size < 0 || body + size > until) return false
+        cid match {
+          case "LIST" =>
+            if (size < 4) return false
+            if (!walk(body + 4, body + size)) return false
+          case "strf" =>
+            // BITMAPINFOHEADER: only uncompressed 24-bit BI_RGB accepted
+            if (size < 40) return false
+            val bw = int4(body + 4); val bh = int4(body + 8)
+            val planes = (b(body + 12) & 0xFF) | ((b(body + 13) & 0xFF) << 8)
+            val bpp = (b(body + 14) & 0xFF) | ((b(body + 15) & 0xFF) << 8)
+            val comp = int4(body + 16)
+            if (planes != 1 || bpp != 24 || comp != 0 || bw <= 0 || bh <= 0)
+              return false
+            w = bw; h = bh
+          case "00db" | "00dc" =>
+            if (w < 0) return false // frame before the format header
+            val rowBytes = (w * 3 + 3) / 4 * 4
+            if (size != rowBytes * h) return false
+            var y = 0
+            while (y < h) {
+              val base = body + y * rowBytes
+              var x = 0
+              while (x < w * 3) {
+                pxSum += b(base + x) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            nFrames += 1
+          case _ => () // avih/strh/idx1/junk: geometry comes from strf
+        }
+        at = body + size + (size % 2) // RIFF even-byte alignment
+      }
+      true
+    }
+    if (!walk(12, b.length) || w < 0 || nFrames == 0) None
+    else Some(Row(id, b.length.toLong, w, h, nFrames, pxSum))
   }
 }

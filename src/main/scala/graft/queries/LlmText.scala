@@ -1200,6 +1200,45 @@ object LlmText {
     * rate arithmetically — WAV PCM is lossless, so the hash match proves
     * the codec parsed the RIFF header and read back every sample.
     */
+  /** REAL video-container decode ([[graft.operators.Multimodal
+    * .decodeVideo]]): a deterministic RIFF/AVI corpus — `1 + id%6`
+    * uncompressed 24-bit DIB frames per clip, the BI_RGB AVI any player
+    * opens — parsed byte by byte (container magic, BITMAPINFOHEADER,
+    * movi frame chunks, 4-byte DIB row padding). Raw DIB frames are
+    * lossless, so the oracle predicts clip count, frame counts AND the
+    * all-frame pixel checksum arithmetically — the video-container
+    * analog of `multimodal_decode_real` (entropy-coded mp4/h264 stays
+    * behind the documented stub seam).
+    */
+  private val videoReal = Q(
+    "multimodal_video_real",
+    s"""WITH ids AS (SELECT doc_id,
+       |        CAST(8 + doc_id % 8 AS BIGINT) AS w,
+       |        CAST(8 + (doc_id // 8) % 8 AS BIGINT) AS h,
+       |        CAST(1 + doc_id % 6 AS BIGINT) AS nf
+       |      FROM documents),
+       |px AS (SELECT i.doc_id,
+       |         (i.doc_id + x.x) % 256 + (i.doc_id + y.y) % 256 +
+       |         (i.doc_id + x.x + y.y + f.f) % 256 AS v
+       |       FROM ids i
+       |       JOIN (SELECT unnest(range(16)) AS x) x ON x.x < i.w
+       |       JOIN (SELECT unnest(range(16)) AS y) y ON y.y < i.h
+       |       JOIN (SELECT unnest(range(6)) AS f) f ON f.f < i.nf)
+       |SELECT (SELECT $C FROM ids) AS n_clips,
+       |       (SELECT CAST(SUM(nf) AS BIGINT) FROM ids) AS total_frames,
+       |       (SELECT CAST(SUM(v) AS BIGINT) FROM px) AS px_total,
+       |       (SELECT CAST(MAX(nf) AS BIGINT) FROM ids) AS max_frames""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Multimodal
+      Multimodal
+        .decodeVideo(Multimodal.synthAvis(Tables.documents(s, d), "doc_id"))
+        .agg(
+          lcount().as("n_clips"),
+          sum(col("n_frames")).cast(LongType).as("total_frames"),
+          sum(col("px_sum")).cast(LongType).as("px_total"),
+          max(col("n_frames")).cast(LongType).as("max_frames"))
+  }
+
   private val audioReal = Q(
     "multimodal_audio_real",
     s"""WITH ids AS (SELECT doc_id, CAST(400 + doc_id % 800 AS BIGINT) AS n
@@ -1435,6 +1474,6 @@ object LlmText {
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
-      decodeReal, resizeReal, audioReal, gifFramesReal,
+      decodeReal, resizeReal, audioReal, gifFramesReal, videoReal,
       boilerplate, keywordSearch, bm25, collocations)
 }

@@ -127,6 +127,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeFrames(mixed).count() == 6)
   }
 
+  test("decodeVideo reads back exactly the AVI frames synthAvis wrote") {
+    val got = Multimodal.decodeVideo(Multimodal.synthAvis(ids, "doc_id"))
+      .select("doc_id", "width", "height", "n_frames", "px_sum")
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(0L, 1L, 31L, 32L, 1023L, 4096L))
+    got.foreach { case (id, (w, h, nf, s)) =>
+      val (ew, eh, enf) = (8 + (id % 8).toInt, 8 + ((id / 8) % 8).toInt, 1 + (id % 6).toInt)
+      var es = 0L
+      for (f <- 0 until enf; x <- 0 until ew; y <- 0 until eh)
+        es += (id + x) % 256 + (id + y) % 256 + (id + x + y + f) % 256
+      assert((w, h, nf, s) == ((ew, eh, enf, es)), s"doc $id: got ($w,$h,$nf,$s)")
+    }
+    // RIFF/AVI magic really present — genuine containers
+    val payload = Multimodal.synthAvis(ids, "doc_id")
+      .filter(col("doc_id") === 1023L).head().getAs[Array[Byte]]("payload")
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "AVI ")
+    // corrupt containers quarantine instead of failing the stage:
+    // short garbage, a truncated real container, and a frame-size lie
+    // cut mid-chunk (the trailing idx1 loses 3 body bytes): a chunk that
+    // claims more bytes than the container holds must quarantine
+    val truncated = payload.dropRight(3)
+    val frameLie = payload.clone()
+    // break the strf width field: frames no longer match the geometry
+    val strfAt = {
+      var i = 12
+      while (new String(frameLie.slice(i, i + 4), "US-ASCII") != "strf") i += 1
+      i
+    }
+    frameLie(strfAt + 12) = 99.toByte
+    val mixed = Multimodal.synthAvis(ids, "doc_id").unionByName(
+      Seq((900L, "video/avi", Array[Byte](9, 9, 9)),
+        (901L, "video/avi", truncated),
+        (902L, "video/avi", frameLie))
+        .toDF("doc_id", "media_type", "payload"))
+    assert(Multimodal.decodeVideo(mixed).count() == 6)
+  }
+
   test("decodeAudio reads back exactly the PCM samples synthWavs wrote") {
     val got = Multimodal.decodeAudio(Multimodal.synthWavs(ids, "doc_id"))
       .select("doc_id", "sample_rate", "n_samples", "amp_sum")
