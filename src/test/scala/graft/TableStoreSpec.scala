@@ -411,6 +411,18 @@ class TableStoreSpec extends SparkSpec {
         Seq((1, Option.empty[String]), (2, Some("ok"))).toDF("v", "p"), "p"))
   }
 
+  test("manifest mode: compact folds N append entries into one data dir") {
+    val (store, root) = manifestStore()
+    (1 to 5).foreach(i => store.append("t", Seq(i).toDF("v")))
+    def dataDirs = Files.list(Paths.get(s"$root/.data/t")).count()
+    assert(dataDirs == 5, "one uuid dir per append")
+    store.compact("t", targetRowsPerFile = 100)
+    // the compacted manifest references ONE dir; GC (keep=0) drops the
+    // five append dirs it no longer references
+    assert(dataDirs == 1, "compact must fold entries and GC old dirs")
+    assert(store.read("t").as[Int].collect().sorted.toSeq == (1 to 5))
+  }
+
   test("manifest mode: schema-evolved append stays readable; current id is no snapshot") {
     val (store, _) = manifestStore()
     store.append("t", Seq(1).toDF("v"))
