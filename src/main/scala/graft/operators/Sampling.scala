@@ -99,4 +99,41 @@ object Sampling {
       .select(col("p.id").as(idCol))
     df.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** Weight-proportional SYSTEMATIC sampling without randomness — the
+    * data-mixing primitive "draw k examples proportional to token count":
+    * lay every document's weight out on the integer line in id order
+    * (cumulative weights via [[SequencePack.pack]]'s DISTRIBUTED prefix
+    * sum — never a single-task global window), then take the k evenly
+    * spaced selection points p_j = floor(j·W/k); a document is picked
+    * once per point inside its [offset, offset+w) span. Exactly k picks
+    * total, a document's pick count ∈ {floor, ceil} of its proportional
+    * share (classic systematic sampling: zero variance beyond rounding),
+    * every step integer arithmetic — deterministic, partitioning-
+    * independent, and replayable by any SQL engine. Documents with more
+    * than W/k weight are picked multiple times (`n_picks` > 1), which is
+    * the correct with-multiplicity semantics for mixture construction.
+    *
+    * Picks per doc = #{j < k : offset ≤ p_j < offset+w}
+    *              = min(k, ceil((offset+w)·k/W)) − min(k, ceil(offset·k/W)).
+    */
+  def systematicWeighted(df: DataFrame, idCol: String, wCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val laid = SequencePack.pack(df.select(col(idCol), col(wCol)),
+        idCol, wCol, packSize = 1L)
+      .select(col(idCol), col("n_tokens").as("__w"), col("offset"))
+    val total = laid.agg(sum(col("__w")).cast("long").as("__tot"))
+    // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
+    // double ceil drifts off the integer lattice exactly when W·k nears
+    // 2^53 — the 100 TB regime this sampler exists for
+    def pointsBelow(c: String): String =
+      s"least(CAST($k AS BIGINT), ($c * $k + __tot - 1) div __tot)"
+    laid.crossJoin(broadcast(total))
+      .withColumn("__hi", col("offset") + col("__w"))
+      .withColumn("n_picks",
+        expr(s"${pointsBelow("__hi")} - ${pointsBelow("offset")}"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col("__w").as(wCol), col("n_picks"))
+  }
 }
