@@ -123,12 +123,23 @@ object Sampling {
     val laid = SequencePack.pack(df.select(col(idCol), col(wCol)),
         idCol, wCol, packSize = 1L)
       .select(col(idCol), col("n_tokens").as("__w"), col("offset"))
-    val total = laid.agg(sum(col("__w")).cast("long").as("__tot"))
-    // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
-    // double ceil drifts off the integer lattice exactly when W·k nears
-    // 2^53 — the 100 TB regime this sampler exists for
+    // A zero/negative total is a caller error (k points can't be spread
+    // over an empty weight line) — raised lazily per-row so the operator
+    // stays a pure transform; an EMPTY input never evaluates the branch
+    // and correctly yields an empty sample.
+    val total = laid.agg(sum(col("__w")).cast("long").as("__t"))
+      .select(when(col("__t") > 0, col("__t"))
+        .otherwise(raise_error(lit(
+          "systematicWeighted: total weight must be positive"))).as("__tot"))
+    // Ceil on the integer lattice, in DECIMAL(38,0): `div`, not `/`,
+    // because Spark's / on longs is DOUBLE division and a double ceil
+    // drifts off the lattice when W·k nears 2^53 — and the product is
+    // widened to decimal because a BIGINT `offset * k` silently WRAPS
+    // (non-ANSI) once W·k ≥ 2^63, which the 100 TB regime reaches
+    // (W ≈ 10^14 tokens × k in the hundreds of thousands). DECIMAL(38,0)
+    // holds ~10^38; Spark's IntegralDivide on decimals returns BIGINT.
     def pointsBelow(c: String): String =
-      s"least(CAST($k AS BIGINT), ($c * $k + __tot - 1) div __tot)"
+      s"least(CAST($k AS BIGINT), (CAST($c AS DECIMAL(38,0)) * $k + __tot - 1) div __tot)"
     laid.crossJoin(broadcast(total))
       .withColumn("__hi", col("offset") + col("__w"))
       .withColumn("n_picks",

@@ -275,6 +275,39 @@ object Curation {
       weight = col("n_chars"), k = 25, id = col("doc_id"))
   }
 
+  /** Weight-proportional SYSTEMATIC sampling
+    * ([[Sampling.systematicWeighted]]): 100 evenly spaced selection
+    * points on the cumulative token line pick each document once per
+    * point inside its span — exactly 100 picks total, per-doc picks ∈
+    * {floor, ceil} of its proportional share, zero randomness (the
+    * zero-variance counterpart of [[prioritySamp]]'s randomized draw).
+    * The oracle replays the integer lattice closed-form over a window
+    * cumsum (≡ the distributed prefix sum by SequencePack's
+    * partitioning-independence), so the hash match certifies offsets,
+    * the ceil arithmetic, and every pick count.
+    */
+  private val systematicSamp = Q(
+    "sample_systematic",
+    """WITH t AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |             CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |                  AS BIGINT) AS off,
+      |             (SELECT SUM(n_tokens) FROM t) AS tot
+      |      FROM t),
+      |p AS (SELECT doc_id, n_tokens,
+      |             CAST(least(100, ((off + n_tokens) * 100 + tot - 1) // tot)
+      |                - least(100, (off * 100 + tot - 1) // tot) AS BIGINT) AS n_picks
+      |      FROM c)
+      |SELECT doc_id, n_tokens, n_picks FROM p WHERE n_picks > 0""".stripMargin) { (s, d) =>
+    Sampling.systematicWeighted(
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+      "doc_id", "n_tokens", k = 100)
+  }
+
   /** Count–min sketch frequency estimates ([[graft.operators.Sketches]]):
     * a 4×1024 sketch of the token stream, probed with the exact top-20
     * vocabulary so every output row carries (exact_n, cms_n) — cms_n ≥
@@ -1094,7 +1127,7 @@ object Curation {
   }
 
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
-    stratSample, prioritySamp, qualityCut, lengthOutliers, winsorized,
+    stratSample, prioritySamp, systematicSamp, qualityCut, lengthOutliers, winsorized,
     pipeline, dedupPipeline, multimodalPipeline, tempSample, packSeq,
     packManifest, clusterSplit,
     hllDistinct, hllIncremental, kPerGroup, epochOrder, kmvOverlap, kmvMatrix,

@@ -436,21 +436,28 @@ object LlmText {
   private val clustersIncremental = Q(
     "dedup_clusters_incremental", ccOracle) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // Construction parameters, named once: the BuildCache spec string below
+    // is DERIVED from these values, so editing any of them can't serve a
+    // stale cached history (the old convention — a hand-written
+    // "lt250-sh3-mh16b4" literal — silently desynchronized if a parameter
+    // changed without the literal).
+    val histSplit = 250; val shingleN = 3; val nHashes = 16; val bandRows = 4
     def bands(df: org.apache.spark.sql.DataFrame) =
       Dedup.bandKeysFromWide(
         Dedup.minhashWide(
           graft.sources.Tables.spread(df)
-            .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 3)).as("shingle")),
-          "doc_id", 16),
-        "doc_id", 16, 4)
-    // The persisted history store: band keys + labels for doc_id < 250,
+            .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), shingleN)).as("shingle")),
+          "doc_id", nHashes),
+        "doc_id", nHashes, bandRows)
+    // The persisted history store: band keys + labels for doc_id < histSplit,
     // built once per (dir, code digest) and shared across JVMs. The spec
     // pins every parameter outside the digested classes (history split,
     // shingle n, hash count, band width); graft/operators/Dedup joins the
     // digest because the artifact's content is computed there.
     val hist = graft.sources.BuildCache.dir(
-      "deduphist", d, "lt250-sh3-mh16b4", Seq("graft/operators/Dedup")) { p =>
-      val hb = bands(docs.filter(col("doc_id") < 250))
+      "deduphist", d, s"lt$histSplit-sh$shingleN-mh${nHashes}b$bandRows",
+      Seq("graft/operators/Dedup")) { p =>
+      val hb = bands(docs.filter(col("doc_id") < histSplit))
       hb.write.parquet(s"$p/bands")
       Dedup.dupClusters(Dedup.candidatePairs(hb, "doc_id"))
         .write.parquet(s"$p/labels")
@@ -458,7 +465,7 @@ object LlmText {
     val oldBands = s.read.parquet(s"$hist/bands")
     val oldLabels = s.read.parquet(s"$hist/labels")
     // the new batch is the only thing shingled at maintenance time
-    val newBands = bands(docs.filter(col("doc_id") >= 250))
+    val newBands = bands(docs.filter(col("doc_id") >= histSplit))
     val newPairs = Dedup.incrementalCandidatePairs(
       oldBands.unionByName(newBands), newBands, "doc_id")
     Dedup.mergeClusters(oldLabels, newPairs)

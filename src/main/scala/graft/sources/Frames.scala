@@ -23,7 +23,36 @@ import org.apache.spark.storage.StorageLevel
   * stopped session are evicted lazily, same as [[Tables]].
   */
 object Frames {
-  private val frames = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // One memoizing holder per key. The CHM mapping function only ALLOCATES
+  // the holder (trivial, never re-enters the map — safe even though shared
+  // frames nest: the cluster-label frame builds from the signature frame,
+  // which would throw "Recursive update" if the build itself ran inside
+  // computeIfAbsent). The build runs at most once, under the holder's own
+  // monitor (Scala lazy val), outside the CHM bin lock. This closes the
+  // race the previous get-then-putIfAbsent pattern had: two concurrent
+  // builders of the SAME key produced two plan-identical frames, the
+  // loser's persist() was a CacheManager no-op but its unpersist() evicted
+  // the winner's entry — leaving the shared frame silently uncached for
+  // the whole session (and, for eager builds that run actions while
+  // iterating, duplicating the full build). With the holder, the loser
+  // just blocks on the lazy and adopts the winner's frame.
+  private final class Holder(build: () => DataFrame) {
+    @volatile private var persisted: DataFrame = null
+    lazy val frame: DataFrame = {
+      val f = build().persist(StorageLevel.MEMORY_AND_DISK)
+      persisted = f
+      f
+    }
+    /** Unpersist only if the build actually completed (a holder whose
+      * build threw, or is still in flight on another thread, has nothing
+      * cached to release).
+      */
+    def release(): Unit = {
+      val f = persisted
+      if (f != null) f.unpersist()
+    }
+  }
+  private val frames = new ConcurrentHashMap[(SparkSession, String), Holder]()
 
   def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     // Stopped-session entries are only dropped, not unpersist()ed: their
@@ -31,20 +60,7 @@ object Frames {
     // stopped session throws — removal here is garbage collection, the
     // symmetric release path for a LIVE session is [[drop]]/[[clear]].
     frames.keySet.removeIf(_._1.sparkContext.isStopped)
-    // get-then-putIfAbsent, NOT computeIfAbsent: shared frames NEST (the
-    // cluster-label frame builds from the signature frame), and a mapping
-    // function that re-enters the same ConcurrentHashMap throws
-    // "Recursive update" whenever the two keys land in one bin. The race
-    // this opens is benign — a losing concurrent builder unpersists its
-    // (lazy, never-materialized) duplicate and adopts the winner's.
-    val k = (spark, key)
-    val existing = frames.get(k)
-    if (existing != null) existing
-    else {
-      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
-      val prev = frames.putIfAbsent(k, built)
-      if (prev != null) { built.unpersist(); prev } else built
-    }
+    frames.computeIfAbsent((spark, key), _ => new Holder(() => build)).frame
   }
 
   /** Unpersist and forget one shared frame (a dir's data was replaced, or
@@ -54,8 +70,8 @@ object Frames {
     * dirs should release retired ones explicitly.
     */
   def drop(spark: SparkSession, key: String): Unit = {
-    val df = frames.remove((spark, key))
-    if (df != null) df.unpersist()
+    val h = frames.remove((spark, key))
+    if (h != null) h.release()
   }
 
   /** Unpersist and forget every shared frame of one session. */

@@ -80,6 +80,61 @@ class PropertiesSpec extends SparkSpec {
     assert(keptGrown == kept, "a zero-weight append must not perturb the sample")
   }
 
+  test("systematic sampling: exactly k picks, per-doc ∈ {floor,ceil} of share, partition-independent") {
+    import graft.operators.Sampling
+    val s = spark
+    import s.implicits._
+    samples(Gen.listOfN(40, Gen.chooseNum(0L, 500L)), 6).foreach { ws =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val total = ws.sum
+      if (total > 0) {
+        val k = 17
+        val df = rows.toDF("id", "w")
+        val got = Sampling.systematicWeighted(df, "id", "w", k)
+          .select("id", "n_picks").as[(Long, Long)].collect().toMap
+        assert(got.values.sum == k, s"Σ picks must be exactly k for ws=$ws")
+        rows.foreach { case (id, w) =>
+          val share = w.toDouble * k / total
+          val picks = got.getOrElse(id, 0L).toDouble
+          assert(picks >= math.floor(share) - 1e-9 && picks <= math.ceil(share) + 1e-9,
+            s"id=$id w=$w share=$share picks=$picks ws=$ws")
+        }
+        // partitioning independence: the pick multiset is a pure function
+        // of the (id, w) relation, not the physical layout
+        val re = Sampling.systematicWeighted(df.repartition(7), "id", "w", k)
+          .select("id", "n_picks").as[(Long, Long)].collect().toMap
+        assert(re == got, s"repartition changed the sample for ws=$ws")
+      }
+    }
+  }
+
+  test("systematic sampling survives the W·k ≥ 2^63 regime and rejects zero total weight") {
+    import graft.operators.Sampling
+    val s = spark
+    import s.implicits._
+    // 20 rows of 10^15 tokens each, k = 2000: offset·k peaks at 4·10^19,
+    // past Long.MaxValue ≈ 9.2·10^18 — a BIGINT lattice product would
+    // silently wrap (non-ANSI) and emit negative/garbage pick counts; the
+    // DECIMAL(38,0) ceil must still land every count on the exact lattice.
+    val big = (1L to 20L).map(i => (i, 1_000_000_000_000_000L)).toDF("id", "w")
+    val k = 2000
+    val got = Sampling.systematicWeighted(big, "id", "w", k)
+      .select("id", "n_picks").as[(Long, Long)].collect().toMap
+    assert(got.values.sum == k)
+    // equal weights: every row gets exactly k/20 picks, none negative
+    assert(got.values.forall(_ == k / 20), got.toString)
+    // zero total weight on a NON-empty input is a caller error, raised
+    // from the plan; an empty input stays an empty (not failed) sample
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.systematicWeighted(zeros, "id", "w", 5).collect()
+    }
+    assert(e.getMessage != null)
+    val empty = Sampling.systematicWeighted(
+      Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 5)
+    assert(empty.collect().isEmpty)
+  }
+
   test("surrogate keys are dense 1..n for any distinct key set") {
     val setGen = Gen.listOfN(30, word).map(_.distinct)
     samples(setGen, 8).filter(_.nonEmpty).foreach { ks =>
