@@ -131,6 +131,14 @@ object Bench {
     // back of next round's order, as happened to dedup_minhash_pairs in
     // r11. Value = the squeezed cap in seconds.
     val squeezed = scala.collection.concurrent.TrieMap[String, Long]()
+    // Passes that ran to completion (no query budget-skipped). A run
+    // whose every query has a min-of-TWO-passes timing is steady-state;
+    // anything less is stamped `degraded` in the output so a pass-1-only
+    // number (which absorbs first-touch builds and host stalls) can never
+    // be mistaken for one — r15's official artifact was exactly that:
+    // one contended pass, 14 skips, read as a 3.1x regression that the
+    // same-day full run measured at 1.28x.
+    @volatile var passesComplete = 0
     // Per-step warmup durations (prebuilds + per-query warmups), for
     // attributing warmup growth: warmup went 42s -> 127s -> 151s across
     // rounds with identical code and only a scalar on record. Steps run
@@ -158,8 +166,10 @@ object Bench {
       val skippedAll = skipped.distinct
       val total = timings.values.sum
       val passes = passTotals.reverse.map(f3).mkString("[", ",", "]")
+      val degraded =
+        passesComplete < 2 || skippedAll.nonEmpty || realSqueezed.nonEmpty
       val common =
-        s""""unit":"sec","pass_totals":$passes,"n_ok":${timings.size},"n_err":${realErrors.size},"n_skipped":${skippedAll.size},"n_squeezed":${realSqueezed.size},"warmup_s":${f"$warmupS%.1f"},"wall_s":${f"$elapsedS%.1f"},"sf":"$sfDir""""
+        s""""unit":"sec","pass_totals":$passes,"passes_complete":$passesComplete,"degraded":$degraded,"n_ok":${timings.size},"n_err":${realErrors.size},"n_skipped":${skippedAll.size},"n_squeezed":${realSqueezed.size},"warmup_s":${f"$warmupS%.1f"},"wall_s":${f"$elapsedS%.1f"},"sf":"$sfDir""""
       val fullQs = timings.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
       val fullEs = realErrors
@@ -234,7 +244,10 @@ object Bench {
     val warmupCapS = sys.env.getOrElse("SPARK_GRAFT_WARMUP_CAP_S",
       math.min(budgetS * 0.4, 192.0).toLong.toString).toLong
     val warmupDeadline = elapsedS + warmupCapS
-    val pool = Executors.newFixedThreadPool(16)
+    // 20-wide (was 16): warmup is Janino-compile-bound on the driver, and
+    // on this 32-thread box the wider pool shortens the compile wall
+    // without starving the concurrent prebuild jobs.
+    val pool = Executors.newFixedThreadPool(20)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     // First into the queue: force-build the memoized per-dir artifacts at
     // the TIMED dir (warehouses, partitioned fact, shared dedup signature
@@ -261,13 +274,26 @@ object Bench {
     // unwarmed should be the known-sub-second majority (small codegen,
     // small cold penalty), not the heavy tail whose cold-vs-warm delta is
     // 10-100x (sketch_kmv_overlap: 0.8s warm in r10, 38.9s cold in r11).
-    val warmups = queries.sortBy { case (n, _) => -history.getOrElse(n, unknownPriority) }
-      .map { case (name, fn) =>
+    //
+    // STREAMING queries warm at the TIMED dir, and first: their warm step
+    // is the longest in the pool (14-20s each — multi-batch fold
+    // machinery, mostly data-size-independent), and a run at sfDir builds
+    // the very per-dir persisted stores their first timed execution would
+    // otherwise pay for inside pass 1 — the same first-touch amortization
+    // prebuild:llmtext_signatures does for the text frames. Warming them
+    // at sf0.001 spent the same wall time building sf0.001 stores nobody
+    // times. They lead the queue (their timed history, 2.8-4.5s, would
+    // otherwise sort these longest WARM steps mid-pack and leave them as
+    // the straggling tail of the whole phase).
+    val warmups = queries.sortBy { case (n, _) =>
+      (if (n.contains("stream")) 0 else 1, -history.getOrElse(n, unknownPriority))
+    }.map { case (name, fn) =>
+        val dir = if (name.contains("stream")) sfDir else warmupDir
         Future {
           if (elapsedS < warmupDeadline) {
             spark.sparkContext.setJobGroup("warmup", name, interruptOnCancel = true)
             val t0 = System.nanoTime()
-            try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+            try fn(spark, dir).write.format("noop").mode("overwrite").save()
             catch { case _: Throwable => () }
             finally {
               spark.sparkContext.clearJobGroup()
@@ -327,8 +353,10 @@ object Bench {
           anomalies.sortBy { case (n, _) => -ratio(n) } ++
             rest.sortBy { case (n, _) => timings.getOrElse(n, Double.MaxValue) }
         }
+      var budgetStopped = false
       ordered.foreach { case (name, fn) =>
         if (elapsedS > budgetS) {
+          budgetStopped = true
           if (pass == 1 && !timings.contains(name) && !errors.contains(name))
             remaining ::= name
         } else {
@@ -365,6 +393,7 @@ object Bench {
         }
       }
       passTotals ::= passTotal
+      if (!budgetStopped) passesComplete += 1
     }
     qpool.shutdownNow()
     skipped = remaining
