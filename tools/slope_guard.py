@@ -44,13 +44,34 @@ slopes = {q: sf1[q] / sf01[q] for q in sf1 if q in sf01 and sf01[q] > 0.01}
 base_slopes = {q: base[q] / base_sf01[q]
                for q in base if q in base_sf01 and base_sf01[q] > 0.01}
 
-rows, regressions = [], []
+# Additive-vs-multiplicative adjudication. A busy host adds a BOUNDED
+# absolute per-query overhead (scheduler stalls, JIT contention): r15's 8
+# flags were all +0.8-1.2s shifts on queries whose baseline sf1 time was
+# 0.3-1.4s — each hand-adjudicated as noise by warm re-measure. A genuine
+# plan regression is MULTIPLICATIVE: the work itself grows, so the sf1
+# time delta vs baseline is large both absolutely AND relative to the
+# baseline. A slope-doubling therefore only counts as REGRESSED when the
+# sf1 delta clears the host-stall band (SLOPE_GUARD_ALLOWANCE_S, default
+# 1.5s) and at least doubles the baseline sf1 time; anything below that
+# is printed as noise(+Xs) so the adjudication is recorded, not hidden.
+# The residual risk (a real +1.4s regression on a 0.5s query) is the
+# regime SCALE.md already excludes: sub-second queries flap with host
+# weather, and scale-killers show deltas 10-100x this band.
+import os
+ALLOWANCE = float(os.environ.get("SLOPE_GUARD_ALLOWANCE_S", "1.5"))
+
+rows, regressions, noise = [], [], []
 for q, s in sorted(slopes.items(), key=lambda kv: -kv[1]):
     b = base_slopes.get(q)
     flag = ""
     if b is not None and s >= 2.0 * b and sf1[q] >= 1.0:
-        flag = "REGRESSED"
-        regressions.append(q)
+        delta = sf1[q] - base[q]
+        if delta >= max(ALLOWANCE, base[q]):
+            flag = "REGRESSED"
+            regressions.append(q)
+        else:
+            flag = f"noise(+{delta:.1f}s)"
+            noise.append(q)
     rows.append((q, sf01[q], sf1[q], s, b, flag))
 
 print("| Query | sf0.1 (s) | sf1 (s) | slope | baseline slope | flag |")
@@ -69,8 +90,14 @@ missing = sorted(set(sf01) - set(sf1))
 if missing:
     print(f"not measured at sf1 ({len(missing)}): {', '.join(missing[:10])}"
           + (" ..." if len(missing) > 10 else ""))
+if noise:
+    print(f"\nslope flags within the host-stall band "
+          f"(delta < max({ALLOWANCE}s, baseline)) adjudicated as noise: "
+          f"{', '.join(noise)}")
 if regressions:
-    print(f"\nSLOPE REGRESSIONS (>=2x baseline slope, >=1s): "
-          f"{', '.join(regressions)}")
+    print(f"\nSLOPE REGRESSIONS (>=2x baseline slope, >=1s at sf1, delta "
+          f"beyond the stall band): {', '.join(regressions)}")
+    print("re-measure warm before acting: SPARK_GRAFT_SF_DIR=<sf1 dir> "
+          f"sbt 'runMain graft.Debug --repeat=3 {' '.join(regressions)}'")
     sys.exit(1)
 print("\nno slope regressions")
