@@ -1246,6 +1246,45 @@ object LlmText {
           max(col("n_frames")).cast(LongType).as("max_frames"))
   }
 
+  /** REAL entropy-coded video: every frame of every MJPEG-in-AVI clip is
+    * a baseline JPEG decoded through the JDK's Huffman + dequantize +
+    * IDCT path ([[graft.operators.Multimodal.decodeMjpegFrames]]). JPEG
+    * is lossy, so the oracle can't predict pixel checksums the way the
+    * DIB/PNG/GIF oracles do — instead the corpus is solid-color per
+    * frame and the certified, decoder-independent invariant is that EACH
+    * frame decodes to within ±3 of its synthesized color (measured worst
+    * case on this corpus: ±1): a broken container walk, chunk split,
+    * Huffman table, or IDCT makes ok_frames < n_frames and the hash
+    * mismatches. Geometry comes from the DECODED images, not the
+    * container header.
+    */
+  private val mjpegReal = Q(
+    "multimodal_mjpeg_real",
+    """SELECT doc_id,
+      |       CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS w,
+      |       CAST(16 + ((doc_id // 4) % 4) * 8 AS BIGINT) AS h,
+      |       CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+      |       CAST(1 + doc_id % 3 AS BIGINT) AS ok_frames
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    val frames = Multimodal.decodeMjpegFrames(
+      Multimodal.synthMjpegAvis(Tables.documents(s, d), "doc_id"))
+    val er = (col("doc_id") * 5 + col("frame_idx") * 31) % 256
+    val eg = (col("doc_id") * 7 + col("frame_idx") * 37) % 256
+    val eb = (col("doc_id") * 11 + col("frame_idx") * 41) % 256
+    val within = greatest(
+      abs(col("r_min") - er), abs(col("r_max") - er),
+      abs(col("g_min") - eg), abs(col("g_max") - eg),
+      abs(col("b_min") - eb), abs(col("b_max") - eb)) <= 3
+    frames
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("width")).cast(LongType).as("w"),
+        max(col("height")).cast(LongType).as("h"),
+        lcount().as("n_frames"),
+        sum(when(within, 1L).otherwise(0L)).cast(LongType).as("ok_frames"))
+  }
+
   private val audioReal = Q(
     "multimodal_audio_real",
     s"""WITH ids AS (SELECT doc_id, CAST(400 + doc_id % 800 AS BIGINT) AS n
@@ -1481,6 +1520,6 @@ object LlmText {
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
-      decodeReal, resizeReal, audioReal, gifFramesReal, videoReal,
+      decodeReal, resizeReal, audioReal, gifFramesReal, videoReal, mjpegReal,
       boilerplate, keywordSearch, bm25, collocations)
 }

@@ -166,6 +166,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideo(mixed).count() == 6)
   }
 
+  test("decodeMjpegFrames round-trips solid colors through a real JPEG decode within tolerance") {
+    val frames = Multimodal.decodeMjpegFrames(Multimodal.synthMjpegAvis(ids, "doc_id"))
+      .select("doc_id", "frame_idx", "width", "height",
+        "r_min", "r_max", "g_min", "g_max", "b_min", "b_max")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
+    assert(frames.map(_._1).toSet == Set(0L, 1L, 31L, 32L, 1023L, 4096L))
+    var worst = 0
+    frames.foreach { case (id, f, w, h, rMin, rMax, gMin, gMax, bMin, bMax) =>
+      val (ew, eh, enf) =
+        (16 + (id % 4).toInt * 8, 16 + ((id / 4) % 4).toInt * 8, 1 + (id % 3).toInt)
+      assert(w == ew && h == eh && f < enf, s"doc $id frame $f: ${(w, h)}")
+      val er = ((5 * id + 31 * f) % 256).toInt
+      val eg = ((7 * id + 37 * f) % 256).toInt
+      val eb = ((11 * id + 41 * f) % 256).toInt
+      val dev = Seq(rMin - er, rMax - er, gMin - eg, gMax - eg, bMin - eb, bMax - eb)
+        .map(math.abs).max
+      worst = math.max(worst, dev)
+      assert(dev <= 3,
+        s"doc $id frame $f: expected ($er,$eg,$eb), got r[$rMin,$rMax] g[$gMin,$gMax] b[$bMin,$bMax]")
+    }
+    info(s"worst solid-color JPEG round-trip deviation: $worst")
+    // frame count per doc
+    val counts = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    counts.foreach { case (id, n) => assert(n == 1 + (id % 3).toInt, s"doc $id") }
+    // real JPEG bytes inside a real RIFF: SOI marker after the 00dc header
+    val payload = Multimodal.synthMjpegAvis(ids, "doc_id")
+      .filter(col("doc_id") === 1023L).head().getAs[Array[Byte]]("payload")
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    val dcAt = {
+      var i = 12
+      while (new String(payload.slice(i, i + 4), "US-ASCII") != "00dc") i += 1
+      i
+    }
+    assert((payload(dcAt + 8) & 0xFF) == 0xFF && (payload(dcAt + 9) & 0xFF) == 0xD8,
+      "frame chunk must start with the JPEG SOI marker")
+    // corrupt containers and frames quarantine instead of failing the stage
+    val truncated = payload.dropRight(3)
+    val brokenJpeg = payload.clone()
+    brokenJpeg(dcAt + 9) = 0 // SOI gone: the JPEG reader must reject it
+    val mixed = Multimodal.synthMjpegAvis(ids, "doc_id").unionByName(
+      Seq((900L, "video/x-mjpeg-avi", Array[Byte](9, 9, 9)),
+        (901L, "video/x-mjpeg-avi", truncated),
+        (902L, "video/x-mjpeg-avi", brokenJpeg))
+        .toDF("doc_id", "media_type", "payload"))
+    assert(Multimodal.decodeMjpegFrames(mixed).select("doc_id").distinct().count() == 6)
+  }
+
   test("decodeAudio reads back exactly the PCM samples synthWavs wrote") {
     val got = Multimodal.decodeAudio(Multimodal.synthWavs(ids, "doc_id"))
       .select("doc_id", "sample_rate", "n_samples", "amp_sum")
