@@ -748,40 +748,51 @@ object Multimodal {
   def synthMjpegAvis(docs: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(imagePayloadSchema)
-    docs.select(col(idCol).cast(LongType).as("doc_id"))
+    // spread before the codec map: JPEG encode is the one synth whose
+    // per-row cost dwarfs the scan, so a single-row-group corpus must not
+    // serialize it into a handful of tasks (same rationale as the dedup
+    // block's shingle explode)
+    graft.sources.Tables.spread(docs.select(col(idCol).cast(LongType).as("doc_id")))
       .mapPartitions { rows =>
+        // memory-backed imageio streams: the default ImageIO stream cache
+        // writes a TEMP FILE per encoded/decoded image — measured as the
+        // dominant cost of this codec at sf1
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val w = 16 + (((id % 4) + 4) % 4).toInt * 8
           val h = 16 + (((id / 4 % 4) + 4) % 4).toInt * 8
           val nf = 1 + (((id % 3) + 3) % 3).toInt
-          val frames = (0 until nf).map { f =>
-            val rr = (((5 * id + 31 * f) % 256) + 256) % 256
-            val gg = (((7 * id + 37 * f) % 256) + 256) % 256
-            val bb = (((11 * id + 41 * f) % 256) + 256) % 256
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val rgb = (rr.toInt << 16) | (gg.toInt << 8) | bb.toInt
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            val writer = javax.imageio.ImageIO
-              .getImageWritersByFormatName("jpeg").next()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-            try {
-              writer.setOutput(ios)
-              val p = writer.getDefaultWriteParam
-              p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-              p.setCompressionQuality(1.0f)
-              writer.write(null,
-                new javax.imageio.IIOImage(img, null, null), p)
-            } finally { writer.dispose(); ios.close() }
-            bos.toByteArray
-          }
+          // one writer per clip, reused across its frames (registry scan +
+          // writer construction cost a large fraction of a small encode)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          val frames =
+            try (0 until nf).map { f =>
+              val rr = (((5 * id + 31 * f) % 256) + 256) % 256
+              val gg = (((7 * id + 37 * f) % 256) + 256) % 256
+              val bb = (((11 * id + 41 * f) % 256) + 256) % 256
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (rr.toInt << 16) | (gg.toInt << 8) | bb.toInt
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              try {
+                writer.setOutput(ios)
+                val p = writer.getDefaultWriteParam
+                p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+                p.setCompressionQuality(1.0f)
+                writer.write(null,
+                  new javax.imageio.IIOImage(img, null, null), p)
+              } finally ios.close()
+              bos.toByteArray
+            } finally writer.dispose()
           def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
             val o = new java.io.ByteArrayOutputStream()
             fourcc(o, id4); leInt(o, body.length); o.write(body)
@@ -853,6 +864,7 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .filter(col("payload").isNotNull)
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
         rows.flatMap { r =>
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
