@@ -156,6 +156,7 @@ object Multimodal {
       .encoderFor(imagePayloadSchema)
     docs.select(col(idCol).cast(LongType).as("doc_id"))
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
         rows.map { r =>
           val id = r.getLong(0)
           val w = 16 + (((id % 32) + 32) % 32).toInt
@@ -194,6 +195,7 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .filter(col("payload").isNotNull)
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -238,6 +240,7 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .filter(col("payload").isNotNull)
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
