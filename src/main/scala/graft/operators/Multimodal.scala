@@ -154,7 +154,9 @@ object Multimodal {
   def synthImages(docs: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(imagePayloadSchema)
-    docs.select(col(idCol).cast(LongType).as("doc_id"))
+    // spread before the codec map: PNG encode is per-row work a
+    // single-row-group corpus must not serialize into a handful of tasks
+    graft.sources.Tables.spread(docs.select(col(idCol).cast(LongType).as("doc_id")))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
         rows.map { r =>
@@ -303,7 +305,8 @@ object Multimodal {
   def synthGifs(docs: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(imagePayloadSchema)
-    docs.select(col(idCol).cast(LongType).as("doc_id"))
+    // spread before the codec map (see synthImages): per-row encode work
+    graft.sources.Tables.spread(docs.select(col(idCol).cast(LongType).as("doc_id")))
       .mapPartitions { rows =>
         val (rs, gs, bs) = (new Array[Byte](8), new Array[Byte](8), new Array[Byte](8))
         (0 until 8).foreach { k =>
@@ -435,7 +438,8 @@ object Multimodal {
   def synthWavs(docs: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(imagePayloadSchema)
-    docs.select(col(idCol).cast(LongType).as("doc_id"))
+    // spread before the codec map (see synthImages): per-row encode work
+    graft.sources.Tables.spread(docs.select(col(idCol).cast(LongType).as("doc_id")))
       .mapPartitions { rows =>
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
         rows.map { r =>
@@ -544,7 +548,8 @@ object Multimodal {
   def synthAvis(docs: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(imagePayloadSchema)
-    docs.select(col(idCol).cast(LongType).as("doc_id"))
+    // spread before the codec map (see synthImages): per-row encode work
+    graft.sources.Tables.spread(docs.select(col(idCol).cast(LongType).as("doc_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -873,6 +878,94 @@ object Multimodal {
           val b = r.getAs[Array[Byte]](1)
           try decodeMjpegBytes(id, b)
           catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        }
+      }(enc)
+  }
+
+  // --- Perceptual image hash (aHash) for image near-dup dedup -----------
+  //
+  // The standard cheap image-dedup signature: decode, average-pool to an
+  // 8x8 grid, threshold each cell against the global mean, pack 64 bits.
+  // Visually identical images (re-encodes, exact copies) collide on the
+  // hash, so dedup is ONE shuffle on the hash value — the image analog of
+  // the text pipeline's exact-dup groupBy, with the real PNG codec in the
+  // loop. All arithmetic is integer cross-multiplication (cell mean >
+  // global mean ⇔ cell_sum·w·h > total·cell_count — no divisions, no
+  // doubles), so the oracle replays every bit from the painted corpus's
+  // pixel formula. The hash is emitted as two 32-bit halves (ahash_hi =
+  // grid rows 4-7, ahash_lo = rows 0-3): a single 64-bit value would set
+  // the sign bit, which SQL engines overflow-check differently on the
+  // HUGEINT->BIGINT cast; two halves keep every value positive and the
+  // (hi, lo) pair joins exactly like one key. Near-dup (Hamming<=k) over
+  // these halves composes with the pigeonhole machinery the way
+  // dedup_hamming_pairs does; equality is the production fast path.
+
+  /** Output schema of [[imageAHash]]. */
+  val imageAHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("ahash_hi", LongType, nullable = false),
+    StructField("ahash_lo", LongType, nullable = false)))
+
+  /** Decode each payload with the real codec and compute its 8x8 average
+    * aHash over the luminance sum r+g+b. Pixel x maps to grid column
+    * (8·x) div w (the standard cell assignment; cells of a non-multiple
+    * width differ by one pixel). Undecodable payloads are quarantined.
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imageAHashSchema)
+    media
+      .select(col("doc_id"), col("payload"))
+      .filter(col("payload").isNotNull)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val cellSum = Array.ofDim[Long](8, 8)
+            val cellN = Array.ofDim[Long](8, 8)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val cy = (8 * y) / h
+              var x = 0
+              while (x < w) {
+                val cx = (8 * x) / w
+                val px = img.getRGB(x, y)
+                val lum =
+                  (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)).toLong
+                cellSum(cy)(cx) += lum
+                cellN(cy)(cx) += 1
+                total += lum
+                x += 1
+              }
+              y += 1
+            }
+            val area = w.toLong * h
+            var hi = 0L; var lo = 0L
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                // strict >: cell mean above the global mean sets the bit
+                if (cellSum(cy)(cx) * area > total * cellN(cy)(cx)) {
+                  if (cy >= 4) hi |= 1L << ((cy - 4) * 8 + cx)
+                  else lo |= 1L << (cy * 8 + cx)
+                }
+                cx += 1
+              }
+              cy += 1
+            }
+            Some(Row(id, w, h, hi, lo))
+          }
         }
       }(enc)
   }

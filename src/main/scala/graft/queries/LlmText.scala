@@ -1285,6 +1285,65 @@ object LlmText {
         sum(when(within, 1L).otherwise(0L)).cast(LongType).as("ok_frames"))
   }
 
+  /** Image near-dup dedup via the perceptual average hash
+    * ([[graft.operators.Multimodal.imageAHash]]): every PNG decodes
+    * through the real codec, average-pools to the 8×8 aHash grid, and
+    * joins its hash group's representative (min doc id) — the image
+    * analog of `dedup_exact`'s content groupBy, with the codec in the
+    * loop. All pooling/threshold arithmetic is integer
+    * cross-multiplication, so the oracle replays every hash BIT from the
+    * painted corpus's pixel formula and the rep assignment on top: a
+    * decoder or pooling bug flips bits and the hash mismatches. The
+    * painted corpus makes ids 1024 apart pixel-identical (256 | 1024 and
+    * the 32-cycle geometry divides 1024), so real dup groups exist at
+    * sf ≥ 0.1 and the oracle certifies they collide.
+    */
+  private val ahashDedup = Q(
+    "multimodal_ahash_dedup",
+    """WITH ids AS (SELECT doc_id,
+      |        CAST(16 + doc_id % 32 AS BIGINT) AS w,
+      |        CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS h
+      |      FROM documents),
+      |px AS (SELECT i.doc_id, i.w, i.h,
+      |              (8 * x.x) // i.w AS cx, (8 * y.y) // i.h AS cy,
+      |              (i.doc_id + x.x) % 256 + (i.doc_id + y.y) % 256
+      |              + (i.doc_id + x.x + y.y) % 256 AS lum
+      |       FROM ids i
+      |       JOIN (SELECT unnest(range(48)) AS x) x ON x.x < i.w
+      |       JOIN (SELECT unnest(range(48)) AS y) y ON y.y < i.h),
+      |cells AS (SELECT doc_id, w, h, cy, cx,
+      |                 CAST(SUM(lum) AS BIGINT) AS cs,
+      |                 CAST(count(*) AS BIGINT) AS cn
+      |          FROM px GROUP BY 1, 2, 3, 4, 5),
+      |tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS ts FROM cells GROUP BY 1),
+      |bits AS (SELECT c.doc_id, c.w, c.h, c.cy, c.cx,
+      |                CASE WHEN c.cs * c.w * c.h > t.ts * c.cn THEN 1 ELSE 0 END AS b
+      |         FROM cells c JOIN tot t USING (doc_id)),
+      |hs AS (SELECT doc_id, max(w) AS w, max(h) AS h,
+      |              CAST(SUM(CASE WHEN cy >= 4
+      |                            THEN b * (CAST(1 AS BIGINT) << ((cy - 4) * 8 + cx))
+      |                            ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |              CAST(SUM(CASE WHEN cy < 4
+      |                            THEN b * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+      |                            ELSE 0 END) AS BIGINT) AS ahash_lo
+      |       FROM bits GROUP BY 1)
+      |SELECT h1.doc_id, h1.w, h1.h, h1.ahash_hi, h1.ahash_lo,
+      |       CAST(min(h2.doc_id) AS BIGINT) AS rep_id
+      |FROM hs h1 JOIN hs h2
+      |  ON h1.ahash_hi = h2.ahash_hi AND h1.ahash_lo = h2.ahash_lo
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    val hashes = Multimodal.imageAHash(
+      Multimodal.synthImages(Tables.documents(s, d), "doc_id"))
+    val reps = hashes.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    hashes.join(reps, Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"),
+        col("width").cast(LongType).as("w"),
+        col("height").cast(LongType).as("h"),
+        col("ahash_hi"), col("ahash_lo"), col("rep_id"))
+  }
+
   private val audioReal = Q(
     "multimodal_audio_real",
     s"""WITH ids AS (SELECT doc_id, CAST(400 + doc_id % 800 AS BIGINT) AS n
@@ -1521,5 +1580,6 @@ object LlmText {
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
       decodeReal, resizeReal, audioReal, gifFramesReal, videoReal, mjpegReal,
+      ahashDedup,
       boilerplate, keywordSearch, bm25, collocations)
 }

@@ -213,6 +213,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMjpegFrames(mixed).select("doc_id").distinct().count() == 6)
   }
 
+  test("imageAHash collides pixel-identical images and separates distinct ones") {
+    val s = spark
+    import s.implicits._
+    // ids 1024 apart paint IDENTICAL pixels (256 | 1024, and the 32-cycle
+    // geometry divides 1024): their aHashes must collide; neighbors with
+    // different geometry/pattern must not all collapse together
+    val pairIds = Seq(0L, 1024L, 7L, 1031L, 5L, 40L).toDF("doc_id")
+    val got = Multimodal.imageAHash(Multimodal.synthImages(pairIds, "doc_id"))
+      .select("doc_id", "ahash_hi", "ahash_lo")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(0L, 1024L, 7L, 1031L, 5L, 40L))
+    assert(got(0L) == got(1024L), "pixel-identical images must share an aHash")
+    assert(got(7L) == got(1031L))
+    val distinctHashes = got.values.toSet
+    assert(distinctHashes.size >= 3,
+      s"distinct images collapsed to too few hashes: $got")
+    // halves stay non-negative (32 bits each) so any SQL engine's
+    // BIGINT holds them without sign-overflow differences
+    got.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+    // undecodable payloads quarantine
+    val mixed = Multimodal.synthImages(pairIds, "doc_id").unionByName(
+      Seq((900L, "image/png", Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "media_type", "payload"))
+    assert(Multimodal.imageAHash(mixed).count() == 6)
+  }
+
   test("decodeAudio reads back exactly the PCM samples synthWavs wrote") {
     val got = Multimodal.decodeAudio(Multimodal.synthWavs(ids, "doc_id"))
       .select("doc_id", "sample_rate", "n_samples", "amp_sum")
