@@ -960,9 +960,108 @@ object LlmEmbed {
     graft.operators.Pq.encodeNative(corpus, "vec_id", "embedding", cb, 32)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk / CCMatrix): a bounded
+    * batch of "source-language" vectors (label 0, vec_id < 320 — the
+    * batched shape real mining runs, a query chunk against a target
+    * pool) is scored against the full label-1 pool with the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((Σ top-4 cos(x, ·) + Σ top-4 cos(·, y)) / 8)
+    *
+    * which suppresses hub vectors that are near everything — the reason
+    * raw-cosine mining yields junk pairs at scale. Each source keeps its
+    * best-margin target when the margin clears the standard ≈1.05
+    * acceptance ratio. Arithmetic: exact-decimal dots and norms, 12-digit
+    * pinned cosines, EXACT decimal top-4 sums (a double Σ would be
+    * order-sensitive), one pinned double division for the readout — the
+    * oracle replays every step. Scale shape: batch × pool cosine matrix
+    * (bounded rows × linear pool, never pool²) computed once and reused
+    * for both normalization sides; per-q/per-t windows only — the ANN
+    * candidate generators above slot in as the pool-side prefilter at
+    * the 100 TB point.
+    */
+  private val bitextMargin = Q(
+    "embed_bitext_margin",
+    s"""WITH $elCte,
+       |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |        FROM el GROUP BY 1),
+       |q AS (SELECT vec_id AS qid FROM embeddings WHERE label = 0 AND vec_id < 320),
+       |t AS (SELECT vec_id AS tid FROM embeddings WHERE label = 1),
+       |dots AS (SELECT a.vec_id AS qid, b.vec_id AS tid,
+       |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |         FROM el a JOIN q ON a.vec_id = q.qid
+       |         JOIN el b ON a.i = b.i
+       |         JOIN t ON b.vec_id = t.tid
+       |         GROUP BY 1, 2),
+       |cosd AS (SELECT qid, tid, round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS c
+       |         FROM dots
+       |         JOIN nrm na ON na.vec_id = dots.qid
+       |         JOIN nrm nb ON nb.vec_id = dots.tid),
+       |rk AS (SELECT qid, tid, c,
+       |              row_number() OVER (PARTITION BY qid ORDER BY c DESC, tid) AS rq,
+       |              row_number() OVER (PARTITION BY tid ORDER BY c DESC, qid) AS rt
+       |       FROM cosd),
+       |sq AS (SELECT qid, SUM(CAST(c AS DECIMAL(16,12))) AS sq FROM rk WHERE rq <= 4 GROUP BY 1),
+       |st AS (SELECT tid, SUM(CAST(c AS DECIMAL(16,12))) AS st FROM rk WHERE rt <= 4 GROUP BY 1),
+       |m AS (SELECT cosd.qid, cosd.tid, cosd.c,
+       |             round(cosd.c * 8.0 / CAST(sq.sq + st.st AS DOUBLE), 12) AS margin
+       |      FROM cosd JOIN sq ON sq.qid = cosd.qid JOIN st ON st.tid = cosd.tid),
+       |b AS (SELECT qid, tid, c, margin,
+       |             row_number() OVER (PARTITION BY qid ORDER BY margin DESC, tid) AS rb
+       |      FROM m)
+       |SELECT qid AS src_id, tid AS tgt_id, c AS cosine, margin
+       |FROM b WHERE rb = 1 AND margin > 1.05""".stripMargin) { (s, d) =>
+    // filter BEFORE the element explode: only the two mined "languages"
+    // are touched, so the other labels' vectors are never exploded (the
+    // whole-corpus `elements` frame cost three full-corpus explodes here)
+    def elemsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Tables.spread(df)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("i"),
+          col("col").cast(DoubleType).as("x"))
+    val emb = Tables.embeddings(s, d)
+    val srcEl = elemsOf(emb.filter(col("label") === 0 && col("vec_id") < 320))
+    val tgtEl = elemsOf(emb.filter(col("label") === 1))
+    def norms(el: org.apache.spark.sql.DataFrame) = el.groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    val a = srcEl.select(col("vec_id").as("qid"), col("i"), col("x").as("xa"))
+    val b = tgtEl.select(col("vec_id").as("tid"), col("i"), col("x").as("xb"))
+    val dots = a.join(b, Seq("i"))
+      .groupBy(col("qid"), col("tid"))
+      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dot"))
+    // materialize the cosine matrix ONCE: four consumers (both top-4
+    // normalization branches, the margin join, the final ranking) would
+    // otherwise each re-run the element join. The pinned data is
+    // batch × pool rows (bounded × linear), never pool².
+    val cosd = dots
+      .join(norms(srcEl).select(col("vec_id").as("qid"), col("n2").as("na")), Seq("qid"))
+      .join(norms(tgtEl).select(col("vec_id").as("tid"), col("n2").as("nb")), Seq("tid"))
+      .select(col("qid"), col("tid"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("c"))
+      .localCheckpoint()
+    val byQ = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("tid"))
+    val byT = Window.partitionBy(col("tid")).orderBy(col("c").desc, col("qid"))
+    val ranked = cosd
+      .withColumn("rq", row_number().over(byQ))
+      .withColumn("rt", row_number().over(byT))
+    val sq = ranked.filter(col("rq") <= 4).groupBy(col("qid"))
+      .agg(sum(col("c").cast(DecimalType(16, 12))).as("sq"))
+    val st = ranked.filter(col("rt") <= 4).groupBy(col("tid"))
+      .agg(sum(col("c").cast(DecimalType(16, 12))).as("st"))
+    val margins = cosd.join(sq, Seq("qid")).join(st, Seq("tid"))
+      .select(col("qid"), col("tid"), col("c"),
+        round(col("c") * lit(8.0) / (col("sq") + col("st")).cast(DoubleType), 12)
+          .as("margin"))
+    val best = Window.partitionBy(col("qid")).orderBy(col("margin").desc, col("tid"))
+    margins
+      .withColumn("rb", row_number().over(best))
+      .filter(col("rb") === 1 && col("margin") > 1.05)
+      .select(col("qid").as("src_id"), col("tid").as("tgt_id"),
+        col("c").as("cosine"), col("margin"))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
-      annIvfPq, pqCodesNative)
+      annIvfPq, pqCodesNative, bitextMargin)
 }
