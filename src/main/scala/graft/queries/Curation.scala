@@ -308,6 +308,70 @@ object Curation {
       "doc_id", "n_tokens", k = 100)
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.: score
+    * every document by how much it looks like a TARGET domain — here
+    * lang='en' — under hashed-n-gram language models, then sample
+    * proportionally). Per token the importance ratio is the add-1
+    * smoothed rational
+    *
+    *   r(b) = ((cnt_target(b)+1) · (N_corpus+B)) / ((cnt_corpus(b)+1) · (N_target+B))
+    *
+    * over B=1024 md5 hash buckets ([[Sketches.featureBucket]] — no
+    * vocabulary pass, the DSIR trick), and a document's weight is the
+    * SUM of its tokens' scaled ratios — engine-exact integer arithmetic
+    * throughout (the classic log-product form needs libm, whose last-ulp
+    * behavior differs across engines; a sum of 10^12-scaled rationals is
+    * the same ordering signal, hash-replayable bit for bit). The output
+    * weights feed [[Sampling.prioritySample]]/[[Sampling.systematicWeighted]]
+    * directly — selection composes, it isn't re-implemented. Cost: two
+    * token-grain aggregates + a 1024-row broadcast join; linear, one
+    * shuffle per aggregate.
+    */
+  private val dsirWeights = Q(
+    "curation_dsir_weights",
+    """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |             CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT) % 1024 AS bucket
+      |      FROM toks),
+      |cc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_c FROM b GROUP BY 1),
+      |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t FROM b WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_c,
+      |               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      |        FROM b),
+      |rs AS (SELECT cc.bucket,
+      |              CAST((CAST(coalesce(tc.cnt_t, 0) + 1 AS HUGEINT) * (tot.n_c + 1024) * 1000000000000)
+      |                   // (CAST(cc.cnt_c + 1 AS HUGEINT) * (tot.n_t + 1024)) AS BIGINT) AS r_scaled
+      |       FROM cc LEFT JOIN tc ON cc.bucket = tc.bucket CROSS JOIN tot)
+      |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |       CAST(SUM(rs.r_scaled) AS BIGINT) AS imp_sum
+      |FROM b JOIN rs ON b.bucket = rs.bucket
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val toks = graft.sources.Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        Sketches.featureBucket(col("tok"), 1024).as("bucket"))
+    val corpusCnt = toks.groupBy(col("bucket")).agg(lcount().as("cnt_c"))
+    val targetCnt = toks.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(lcount().as("cnt_t"))
+    val totals = toks.agg(
+      lcount().as("n_c"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast(LongType).as("n_t"))
+    val ratios = corpusCnt
+      .join(targetCnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr("""CAST((CAST(cnt_t + 1 AS DECIMAL(38,0)) * (n_c + 1024) * 1000000000000)
+                div (CAST(cnt_c + 1 AS DECIMAL(38,0)) * (n_t + 1024)) AS BIGINT)""")
+          .as("r_scaled"))
+    toks.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(lcount().as("n_toks"),
+        sum(col("r_scaled")).cast(LongType).as("imp_sum"))
+  }
+
   /** Count–min sketch frequency estimates ([[graft.operators.Sketches]]):
     * a 4×1024 sketch of the token stream, probed with the exact top-20
     * vocabulary so every output row carries (exact_n, cms_n) — cms_n ≥
@@ -1127,7 +1191,7 @@ object Curation {
   }
 
   val queries: Seq[Q] = Seq(asof, asofFwd, splitAssign, quota, vocab, vocabCms,
-    stratSample, prioritySamp, systematicSamp, qualityCut, lengthOutliers, winsorized,
+    stratSample, prioritySamp, systematicSamp, dsirWeights, qualityCut, lengthOutliers, winsorized,
     pipeline, dedupPipeline, multimodalPipeline, tempSample, packSeq,
     packManifest, clusterSplit,
     hllDistinct, hllIncremental, kPerGroup, epochOrder, kmvOverlap, kmvMatrix,

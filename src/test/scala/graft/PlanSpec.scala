@@ -86,7 +86,8 @@ class PlanSpec extends SparkSpec {
       "qa_mad", // 1-row median and 1-row MAD frames (the robust thresholds)
       "ml_chi2_select", // 1-row broadcast grand-total frame (the expectation denominator)
       "ml_quantile_bin", // 1-row broadcast decile-boundary array frame
-      "sample_systematic" // 1-row broadcast total-weight frame (the lattice denominator)
+      "sample_systematic", // 1-row broadcast total-weight frame (the lattice denominator)
+      "curation_dsir_weights" // 1-row broadcast token-total frame (the smoothing denominators)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
