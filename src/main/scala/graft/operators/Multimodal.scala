@@ -518,6 +518,90 @@ object Multimodal {
     }
   }
 
+  // --- Audio frame features (energy + zero-crossing rate) ---------------
+  //
+  // The first real signal-processing stage over the decoded PCM: frame
+  // the sample stream (non-overlapping windows) and emit each frame's
+  // energy (Σ s²) and zero-crossing count — the classic cheap features
+  // for voice-activity detection and silence trimming in audio curation
+  // pipelines. Both are INTEGER functions of the samples, so unlike
+  // FFT-based features (whose float last-ulp behavior is
+  // engine-specific) every output value is oracle-replayable from the
+  // synthetic corpus's sample formula.
+
+  /** Output schema of [[audioFrameFeatures]]. */
+  val audioFramesSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("n_samp", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("zcr", LongType, nullable = false)))
+
+  /** Decode each WAV and emit per non-overlapping `frameLen`-sample
+    * frame: sample count (the tail frame may be short), energy Σ s², and
+    * the zero-crossing count (sign flips between CONSECUTIVE samples
+    * inside the frame; sign(s) = s ≥ 0). Undecodable payloads are
+    * quarantined, mirroring [[decodeAudio]].
+    */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int = 256): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioFramesSchema)
+    media
+      .select(col("doc_id"), col("payload"))
+      .filter(col("payload").isNotNull)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val samples: Option[Array[Int]] =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                  fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                  None
+                else {
+                  val pcm = ais.readAllBytes()
+                  val n = pcm.length / 2
+                  val out = new Array[Int](n)
+                  var t = 0
+                  if (fmt.isBigEndian)
+                    while (t < n) {
+                      out(t) = ((pcm(2 * t) << 8) | (pcm(2 * t + 1) & 0xFF)).toShort.toInt
+                      t += 1
+                    }
+                  else
+                    while (t < n) {
+                      out(t) = ((pcm(2 * t + 1) << 8) | (pcm(2 * t) & 0xFF)).toShort.toInt
+                      t += 1
+                    }
+                  Some(out)
+                }
+              } finally ais.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          samples match {
+            case None => Iterator.empty
+            case Some(s) =>
+              (0 until (s.length + frameLen - 1) / frameLen).iterator.map { f =>
+                val from = f * frameLen
+                val until = math.min(from + frameLen, s.length)
+                var energy = 0L; var zcr = 0L
+                var t = from
+                while (t < until) {
+                  energy += s(t).toLong * s(t)
+                  if (t > from && ((s(t) >= 0) != (s(t - 1) >= 0))) zcr += 1
+                  t += 1
+                }
+                Row(id, f.toLong, (until - from).toLong, energy, zcr)
+              }
+          }
+        }
+      }(enc)
+  }
+
   // --- REAL video container codec (RIFF/AVI, uncompressed 24-bit DIB) ----
   //
   // A TRUE video container, parsed byte by byte: RIFF('AVI ') with the

@@ -1344,6 +1344,34 @@ object LlmText {
         col("ahash_hi"), col("ahash_lo"), col("rep_id"))
   }
 
+  /** Per-frame audio features over the REAL WAV decode
+    * ([[graft.operators.Multimodal.audioFrameFeatures]]): 256-sample
+    * frames, energy Σ s² and zero-crossing count — the voice-activity /
+    * silence-trim primitives of audio curation. Both are integer
+    * functions of the decoded samples, so the oracle replays every
+    * frame's values from the synthetic PCM formula: a decode, framing,
+    * or sign bug shifts a sum and the hash mismatches.
+    */
+  private val audioFeatures = Q(
+    "multimodal_audio_features",
+    """WITH ids AS (SELECT doc_id, CAST(400 + doc_id % 800 AS BIGINT) AS n
+      |             FROM documents),
+      |sm AS (SELECT i.doc_id, t.t, t.t // 256 AS frame_idx,
+      |              (i.doc_id * 31 + t.t * 17) % 65536 - 32768 AS v,
+      |              CASE WHEN t.t % 256 > 0
+      |                   THEN (i.doc_id * 31 + (t.t - 1) * 17) % 65536 - 32768 END AS vp
+      |       FROM ids i JOIN (SELECT unnest(range(1200)) AS t) t ON t.t < i.n)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(count(*) AS BIGINT) AS n_samp,
+      |       CAST(SUM(v * v) AS BIGINT) AS energy,
+      |       CAST(SUM(CASE WHEN vp IS NOT NULL AND ((v >= 0) <> (vp >= 0))
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+      |FROM sm GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.audioFrameFeatures(
+      Multimodal.synthWavs(Tables.documents(s, d), "doc_id"), frameLen = 256)
+  }
+
   private val audioReal = Q(
     "multimodal_audio_real",
     s"""WITH ids AS (SELECT doc_id, CAST(400 + doc_id % 800 AS BIGINT) AS n
@@ -1579,7 +1607,7 @@ object LlmText {
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
       lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
-      decodeReal, resizeReal, audioReal, gifFramesReal, videoReal, mjpegReal,
+      decodeReal, resizeReal, audioReal, audioFeatures, gifFramesReal, videoReal, mjpegReal,
       ahashDedup,
       boilerplate, keywordSearch, bm25, collocations)
 }
