@@ -327,8 +327,13 @@ object Curation {
     * token-grain aggregates + a 1024-row broadcast join; linear, one
     * shuffle per aggregate.
     */
-  private val dsirWeights = Q(
-    "curation_dsir_weights",
+  /** The DSIR-weights oracle, shared VERBATIM by `curation_dsir_weights`
+    * (one-shot) and `c20_stream_dsir_store` (weights scored against the
+    * incrementally-maintained LM count store) — two queries certifying
+    * against one oracle string makes "maintained LM ≡ batch LM" true by
+    * construction, the same contract pattern the shingle-HLL pair uses.
+    */
+  private[queries] def dsirOracleSql: String =
     """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
       |              FROM documents),
       |b AS (SELECT doc_id, lang,
@@ -346,7 +351,10 @@ object Curation {
       |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
       |       CAST(SUM(rs.r_scaled) AS BIGINT) AS imp_sum
       |FROM b JOIN rs ON b.bucket = rs.bucket
-      |GROUP BY 1""".stripMargin) { (s, d) =>
+      |GROUP BY 1""".stripMargin
+
+  private val dsirWeights = Q(
+    "curation_dsir_weights", dsirOracleSql) { (s, d) =>
     val toks = graft.sources.Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))

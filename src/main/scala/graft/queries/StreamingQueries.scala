@@ -362,6 +362,52 @@ object StreamingQueries {
     }
   }
 
+  /** Incrementally-maintained DSIR language-model store
+    * ([[ViewMaintain.applyBatch]] over the hashed-unigram counts): the
+    * per-bucket (corpus count, target count) state is folded from THREE
+    * doc-key-split batches — the production shape, where the selection
+    * LM accumulates as crawl batches arrive — and the readout scores the
+    * corpus against the MAINTAINED counts exactly the way
+    * `curation_dsir_weights` scores against its one-shot counts. The two
+    * queries certify against ONE oracle string
+    * ([[Curation.dsirOracleSql]]), so "maintained LM ≡ batch LM" is
+    * driver-hash-checked, not asserted.
+    */
+  private val dsirStore = Q(
+    "c20_stream_dsir_store", Curation.dsirOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c20").toString)
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        graft.operators.Sketches.featureBucket(col("tok"), 1024).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_t"))
+    val fold = ViewMaintain.applyBatch(store, "dsirlm", Seq("bucket"),
+      Seq("is_t"), nBuckets = 4) _
+    // doc-key hash split, uncorrelated with lang and bucket
+    (0 to 2).foreach(i =>
+      fold(toks.filter(pmod(col("doc_id") * 7, lit(3)) === i), i.toLong))
+    // C1 guard: empty feed → no stored state; fromBatch over zero rows
+    // reproduces the state schema exactly
+    val state =
+      if (store.exists("dsirlm")) store.read("dsirlm").drop("__bucket", "__applied")
+      else IncrementalAgg.fromBatch(toks.limit(0), Seq("bucket"), Seq("is_t"))
+    val counts = state.select(col("bucket"),
+      col("n").as("cnt_c"), col("sum_is_t").cast(LongType).as("cnt_t"))
+    val totals = counts.agg(
+      sum(col("cnt_c")).cast(LongType).as("n_c"),
+      sum(col("cnt_t")).cast(LongType).as("n_t"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr("""CAST((CAST(cnt_t + 1 AS DECIMAL(38,0)) * (n_c + 1024) * 1000000000000)
+                div (CAST(cnt_c + 1 AS DECIMAL(38,0)) * (n_t + 1024)) AS BIGINT)""")
+          .as("r_scaled"))
+    toks.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(lcount().as("n_toks"),
+        sum(col("r_scaled")).cast(LongType).as("imp_sum"))
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
-    annLog, hllRegisters, asofStream)
+    annLog, hllRegisters, asofStream, dsirStore)
 }

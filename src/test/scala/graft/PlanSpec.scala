@@ -87,7 +87,8 @@ class PlanSpec extends SparkSpec {
       "ml_chi2_select", // 1-row broadcast grand-total frame (the expectation denominator)
       "ml_quantile_bin", // 1-row broadcast decile-boundary array frame
       "sample_systematic", // 1-row broadcast total-weight frame (the lattice denominator)
-      "curation_dsir_weights" // 1-row broadcast token-total frame (the smoothing denominators)
+      "curation_dsir_weights", // 1-row broadcast token-total frame (the smoothing denominators)
+      "c20_stream_dsir_store" // same 1-row total frame, over the maintained LM counts
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
