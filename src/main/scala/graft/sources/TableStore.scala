@@ -486,10 +486,92 @@ final class TableStore(spark: SparkSession, root: String,
     // exists()/read() settle interrupted swaps AND parked partitions, so
     // a crashed fold can't hide the marker — no extra recovery pass here
     if (!exists(table)) -1L
-    else {
+    else metaPartitionMax(table, markerCol).getOrElse {
       val r = read(table).agg(max(col(markerCol).cast("long"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
+  }
+
+  /** Max long value of `partCol` read from LAYOUT METADATA only —
+    * partition directory names in rename mode, manifest bindings (or
+    * their dirs' partition names) in manifest mode — so the streaming
+    * folds' per-batch watermark probe costs a directory listing, not a
+    * Spark job over the table. Returns None whenever the layout can't
+    * prove the answer (table not partitioned by `partCol`, a non-long
+    * partition value, an entry bound to another column): callers fall
+    * back to the scan, never guess. Call only after [[exists]] has
+    * settled recovery: committed partitions exist exactly as live
+    * `partCol=v/` dirs (parked dirs are restored first, and a partition
+    * dir is only ever published by a completed atomic move).
+    */
+  private def metaPartitionMax(table: String, partCol: String): Option[Long] = {
+    def parse(v: String): Option[Long] = v.toLongOption
+    def dirVals(dir: Path): Option[Seq[Long]] = {
+      if (!Files.exists(dir)) return Some(Nil)
+      val ls = Files.list(dir)
+      val subs = try ls.toArray.map(_.asInstanceOf[Path]).toSeq finally ls.close()
+      val parts = subs.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$partCol="))
+      if (parts.isEmpty) None // not laid out by partCol (or data-only dir)
+      else {
+        val vals = parts.map(p =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(p.getFileName.toString.drop(partCol.length + 1)))
+          .map(parse)
+        if (vals.forall(_.isDefined)) Some(vals.flatten) else None
+      }
+    }
+    val all: Option[Seq[Long]] =
+      if (manifestMode) {
+        currentManifest(table).flatMap { m =>
+          val per = m.entries.map { e =>
+            if (!e.partCol.forall(_ == partCol)) None // bound to another col
+            else {
+              val base = e.only match {
+                case Some(vs) =>
+                  val ls = vs.map(parse)
+                  if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+                case None =>
+                  if (e.partCol.isEmpty) None // unbound whole-dir entry
+                  else dirVals(Paths.get(s"$root/${dataDirName(table)}/${e.dir}"))
+              }
+              val exc = e.except.map(parse)
+              if (exc.forall(_.isDefined))
+                base.map(_.filterNot(exc.flatten.toSet))
+              else None
+            }
+          }
+          if (per.forall(_.isDefined)) Some(per.flatten.flatten) else None
+        }
+      } else dirVals(Paths.get(path(table)))
+    all.map(vs => if (vs.isEmpty) -1L else vs.max)
+  }
+
+  /** Driver-side scalar watermark, crash-safe without a Spark job: the
+    * value lives in ONE small file published by atomic single-file move
+    * — the identical primitive both commit modes already rest on (the
+    * swap marker in rename mode, the manifest publish in manifest mode)
+    * — so a reader sees the old value or the new one, never a torn
+    * write. This is the streaming maintainers' applied-batch marker:
+    * committing it AFTER the batch's data writes keeps the replay rule
+    * ("re-fold anything above the marker") intact at the cost of a file
+    * write, where a 1-row marker TABLE paid a Spark write plus a Spark
+    * read per fold.
+    */
+  def putMarker(name: String, value: Long): Unit = {
+    val dir = Paths.get(s"$root/.markers")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp_$name")
+    Files.writeString(tmp, value.toString)
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The marker's current value, or None if never committed. */
+  def getMarker(name: String): Option[Long] = {
+    val p = Paths.get(s"$root/.markers/$name")
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim.toLongOption
   }
 
   /** Number of parquet data files currently backing a table. */

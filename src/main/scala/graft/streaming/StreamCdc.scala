@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.{col, lit, max, pmod, xxhash64}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.operators.Cdc
@@ -34,8 +34,8 @@ import graft.sources.TableStore
   *
   * Replay safety: foreachBatch is at-least-once, and per-bucket
   * replacement is NOT atomic across buckets, so the applied-batch
-  * watermark lives in its own one-row marker table committed LAST
-  * (atomic overwrite). A crash anywhere before the marker — half the
+  * watermark lives in its own scalar marker committed LAST
+  * ([[TableStore.putMarker]] — one file, atomic single-file move). A crash anywhere before the marker — half the
   * buckets swapped, or a bucket parked mid-swap
   * ([[TableStore.recoverPartitions]] restores it before the next fold
   * reads) — leaves the marker behind, the batch replays, and the fold
@@ -61,9 +61,7 @@ object StreamCdc {
       seqCol: String, opCol: String, nBuckets: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     val marker = s"${table}__batch"
-    val lastApplied =
-      if (!store.exists(marker)) -1L
-      else store.read(marker).agg(max(col("applied"))).head().getLong(0)
+    val lastApplied = store.getMarker(marker).getOrElse(-1L)
     if (batchId > lastApplied) {
       val bucketOf =
         pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
@@ -81,9 +79,7 @@ object StreamCdc {
           Cdc.latestRows(state.unionByName(collapsed), keys, seqCol, opCol)
         }
       store.replacePartitions(table, next, "__bucket")
-      val spark = batch.sparkSession
-      import spark.implicits._
-      store.overwrite(marker, Seq(batchId).toDF("applied"))
+      store.putMarker(marker, batchId)
     }
   }
 

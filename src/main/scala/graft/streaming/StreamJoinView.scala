@@ -67,12 +67,14 @@ object StreamJoinView {
     if (batchId > lastApplied) {
       val bucketOf =
         pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
-      val aDelta = split(batch, sideCol, "a", keys)
-        .withColumn("__bucket", bucketOf).localCheckpoint()
-      val bDelta = split(batch, sideCol, "b", keys)
-        .withColumn("__bucket", bucketOf).localCheckpoint()
-      val touched = (aDelta.select(col("__bucket"))
-        .unionByName(bDelta.select(col("__bucket"))))
+      // ONE materialization of the batch (splits re-filter it in memory):
+      // two per-side checkpoints recomputed the batch lineage twice
+      val pinned = batch.withColumn("__bucket", bucketOf).localCheckpoint()
+      val aDelta = split(pinned, sideCol, "a", keys, extra = Seq("__bucket"))
+      val bDelta = split(pinned, sideCol, "b", keys, extra = Seq("__bucket"))
+      // the touched-bucket list only prunes PRIOR state — with no store
+      // yet (the common first fold) the collect is pure overhead
+      lazy val touched = pinned.select(col("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
       def priorSide(table: String, like: DataFrame): DataFrame =
         if (!store.exists(table)) like.limit(0).drop("__bucket")
@@ -84,13 +86,30 @@ object StreamJoinView {
       val bOld = priorSide(bTable, bDelta)
       val dv = IncrementalJoin.delta(
         aOld, aDelta.drop("__bucket"), bOld, bDelta.drop("__bucket"), keys)
-      store.replacePartitions(aTable,
-        aDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket"))
-      store.replacePartitions(bTable,
-        bDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket"))
+      // the side logs are independent tables — land them concurrently;
+      // the view partition (the applied marker) still lands strictly last
+      sideBySide(
+        () => store.replacePartitions(aTable,
+          aDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket")),
+        () => store.replacePartitions(bTable,
+          bDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket")))
       store.replacePartitions(viewTable,
         dv.withColumn("__applied", lit(batchId)), "__applied")
     }
+  }
+
+  /** Run two independent store writes concurrently (different tables, so
+    * different tmp dirs and manifest streams); rethrows the first
+    * failure after both settle — a half-landed side pair is safe because
+    * the view partition, the fold's applied marker, never landed.
+    */
+  private def sideBySide(a: () => Unit, b: () => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a())
+    b()
+    Await.result(fa, Duration.Inf)
   }
 
   /** CDC form: the tagged stream also carries an op column ('I' insert,
@@ -127,16 +146,14 @@ object StreamJoinView {
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
     val lastApplied = store.lastAppliedBatch(viewTable)
     if (batchId > lastApplied) {
-      val weighted = batch
-        .withColumn("w", when(col(opCol) === "D", lit(-1)).otherwise(lit(1)))
       val bucketOf =
         pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
-      val aDelta = split(weighted, sideCol, "a", keys, extra = Seq("w"))
+      val pinned = batch
+        .withColumn("w", when(col(opCol) === "D", lit(-1)).otherwise(lit(1)))
         .withColumn("__bucket", bucketOf).localCheckpoint()
-      val bDelta = split(weighted, sideCol, "b", keys, extra = Seq("w"))
-        .withColumn("__bucket", bucketOf).localCheckpoint()
-      val touched = (aDelta.select(col("__bucket"))
-        .unionByName(bDelta.select(col("__bucket"))))
+      val aDelta = split(pinned, sideCol, "a", keys, extra = Seq("w", "__bucket"))
+      val bDelta = split(pinned, sideCol, "b", keys, extra = Seq("w", "__bucket"))
+      lazy val touched = pinned.select(col("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
       def priorSide(table: String, like: DataFrame): DataFrame =
         if (!store.exists(table)) like.limit(0).drop("__bucket")
@@ -147,10 +164,11 @@ object StreamJoinView {
       val dv = IncrementalJoin.weightedDelta(
         priorSide(aTable, aDelta), aDelta.drop("__bucket"),
         priorSide(bTable, bDelta), bDelta.drop("__bucket"), keys, "w")
-      store.replacePartitions(aTable,
-        aDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket"))
-      store.replacePartitions(bTable,
-        bDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket"))
+      sideBySide(
+        () => store.replacePartitions(aTable,
+          aDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket")),
+        () => store.replacePartitions(bTable,
+          bDelta.withColumn("__applied", lit(batchId)), "__applied", Seq("__bucket")))
       store.replacePartitions(viewTable,
         dv.withColumn("__applied", lit(batchId)), "__applied")
     }

@@ -33,8 +33,9 @@ object ViewMaintain {
     *
     * Replay-safe: `foreachBatch` is at-least-once, so the fold must be
     * idempotent per batch id. Per-bucket replacement is not atomic
-    * across buckets, so the applied-batch watermark lives in a one-row
-    * marker table committed LAST — a crash before it replays the batch
+    * across buckets, so the applied-batch watermark lives in a scalar
+    * marker ([[TableStore.putMarker]] — one file, atomic single-file
+    * move, no Spark job) committed LAST — a crash before it replays the batch
     * against whatever landed. UNLIKE the CDC mirror's max-based fold,
     * a re-MERGE of an already-folded delta would double counts and sums,
     * so the guard is conservative in the other direction too: groups
@@ -62,11 +63,9 @@ object ViewMaintain {
   def applyBatch(store: TableStore, table: String, keys: Seq[String],
       sumCols: Seq[String], nBuckets: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, max, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val marker = s"${table}__batch"
-    val lastApplied =
-      if (!store.exists(marker)) -1L
-      else store.read(marker).agg(max(col("applied"))).head().getLong(0)
+    val lastApplied = store.getMarker(marker).getOrElse(-1L)
     if (batchId > lastApplied) {
       val bucketOf =
         pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
@@ -94,9 +93,7 @@ object ViewMaintain {
             .unionByName(done)
         }
       store.replacePartitions(table, next, "__bucket")
-      val spark = batch.sparkSession
-      import spark.implicits._
-      store.overwrite(marker, Seq(batchId).toDF("applied"))
+      store.putMarker(marker, batchId)
     }
   }
 }

@@ -92,7 +92,7 @@ class StreamCdcSpec extends SparkSpec {
     // crash before the marker commit: buckets landed, marker didn't —
     // the replayed batch must reconverge, not double or diverge
     val stateAfter1 = store.read("mirror").collect().toSet
-    store.overwrite("mirror__batch", Seq(0L).toDF("applied"))
+    store.putMarker("mirror__batch", 0L)
     fold(Seq((1L, 20L, "U", "a3")).toDF("k", "seq", "op", "v"), 1L)
     assert(store.read("mirror").collect().toSet == stateAfter1)
   }

@@ -77,7 +77,7 @@ class ViewMaintainSpec extends SparkSpec {
       spark.sparkContext.parallelize(preA.toSeq),
       st.read("agg").schema)
     st.replacePartitions("agg", preDf, "__bucket") // bucket ba back to pre-batch
-    st.overwrite("agg__batch", Seq(0L).toDF("applied")) // marker never advanced
+    st.putMarker("agg__batch", 0L) // marker never advanced
 
     fold(batch(1), 1L) // the replay
     val got = IncrementalAgg.present(st.read("agg"), Seq("g"), Seq("v"))
