@@ -56,6 +56,31 @@ object TextAnalysis {
   def stopwordRatio(c: Column, stops: Seq[String] = Stopwords): Column =
     stopwordCount(c, stops).cast(DoubleType) / tokenCount(c).cast(DoubleType)
 
+  /** Non-whitespace character count — the numerator of mean word length,
+    * allocation-free (no token array: strip whitespace runs, measure).
+    */
+  def wordCharCount(c: Column): Column =
+    length(regexp_replace(trim(c), "\\s+", "")).cast(LongType)
+
+  /** Mean word length (Gopher rule: keep 3–10) as the IEEE quotient of
+    * two exact integer counts, so engines agree bit for bit.
+    */
+  def meanWordLength(c: Column): Column =
+    wordCharCount(c).cast(DoubleType) / tokenCount(c).cast(DoubleType)
+
+  /** Tokens containing at least one ASCII letter (Gopher rule: > 80% of
+    * words must — pure numbers/symbols flag tables and machine output).
+    */
+  def alphaWordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.rlike("[a-zA-Z]"))).cast(LongType)
+
+  /** Distinct stopwords present (Gopher rule: >= 2 — their absence flags
+    * keyword lists and non-English text).
+    */
+  def stopwordHits(c: Column, stops: Seq[String] = Stopwords): Column =
+    size(array_intersect(array_distinct(tokens(c)),
+      array(stops.map(lit): _*))).cast(LongType)
+
   /** Number of sentence-punctuation characters. */
   def punctCount(c: Column): Column =
     regexp_count(c, lit("[.,!?;:]")).cast(LongType)
@@ -77,6 +102,15 @@ object TextAnalysis {
     markers.foldRight(lit("und"): Column) { case ((lang, w), acc) =>
       when(hasMarkerWord(c, w), lang).otherwise(acc)
     }
+
+  /** Word n-gram (count, distinct count) in one native pass
+    * ([[graft.plans.NgramStats]] — zero per-gram materialization;
+    * sessions must load `graft.plans.GraftExtensions`). Identical
+    * counts to `shingles` + `array_distinct` + `size`, including
+    * empty-token behavior. Returns struct<n_grams, n_distinct>.
+    */
+  def ngramStats(c: Column, n: Int): Column =
+    call_function("ngram_stats", c, lit(n))
 
   /** Word n-gram shingles (default 3) for MinHash; empty array when the
     * text is shorter than `n` tokens. `element_at` is 1-indexed.
@@ -140,9 +174,12 @@ object TextAnalysis {
     * low-value training data.
     */
   def repetitionRatio(c: Column): Column = {
-    val grams = shingles(c, 2)
-    lit(1.0) - size(array_distinct(grams)).cast("double") /
-      size(grams).cast("double")
+    val st = ngramStats(c, 2)
+    // null (not 0/0 — an ANSI-mode error) below two tokens: a document
+    // with no bigrams has no repetition signal
+    when(st.getField("n_grams") >= 1L,
+      lit(1.0) - st.getField("n_distinct").cast("double") /
+        st.getField("n_grams").cast("double"))
   }
 
   /** Deterministic document fingerprint: md5 of the leading 64 chars. */

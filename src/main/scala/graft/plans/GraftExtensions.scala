@@ -52,6 +52,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "ngram_stats(text, n) takes two arguments")
+        val n = children(1) match {
+          case e if e.foldable && e.dataType ==
+            org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "ngram_stats n must be an integer literal")
+        }
+        NgramStats(children.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (children: Seq[Expression]) => {

@@ -753,6 +753,54 @@ object LlmText {
       TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", appendix A1.1 — the filter set reused by
+    * RedPajama/Dolma): token count in [50, 100k], mean word length in
+    * [3, 10], > 80% of words contain an alphabetic character, and >= 2
+    * distinct stopwords present. The line-shape rules (bullet/ellipsis
+    * line fractions) are identically zero on this single-line corpus and
+    * are omitted. Every signal is an exact integer count; the two ratios
+    * are IEEE quotients of those integers, so the doubles hash-match.
+    * All map-side scan expressions — zero shuffles at any scale.
+    */
+  private val gopherRules = Q(
+    "text_gopher_rules", {
+      val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |       x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+         |  CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+         |       [$stops])) AS BIGINT) AS n_stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+         |       CAST(n_alpha_words AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS alpha_frac,
+         |       n_stop_hits,
+         |       CASE WHEN n_tokens BETWEEN 50 AND 100000
+         |             AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) BETWEEN 3.0 AND 10.0
+         |             AND CAST(n_alpha_words AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.8
+         |             AND n_stop_hits >= 2
+         |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS gopher_pass
+         |FROM t""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+      (TextAnalysis.alphaWordCount(col("text")).cast("double") /
+        TextAnalysis.tokenCount(col("text")).cast("double")).as("alpha_frac"),
+      TextAnalysis.stopwordHits(col("text")).as("n_stop_hits"),
+      (when(
+        TextAnalysis.tokenCount(col("text")).between(50L, 100000L) &&
+          TextAnalysis.meanWordLength(col("text")).between(3.0, 10.0) &&
+          (TextAnalysis.alphaWordCount(col("text")).cast("double") /
+            TextAnalysis.tokenCount(col("text")).cast("double")) > 0.8 &&
+          TextAnalysis.stopwordHits(col("text")) >= 2L, 1L)
+        .otherwise(0L)).as("gopher_pass"))
+  }
+
   /** Marker-word language-ID heuristic vs the labeled lang column. */
   private val langId = Q(
     "text_lang_id",
@@ -872,15 +920,16 @@ object LlmText {
       |         - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_ratio
       |FROM bg GROUP BY 1""".stripMargin) { (s, d) =>
     Tables.spread(Tables.documents(s, d))
-      // project the gram array ONCE: referencing a named column downstream
-      // evaluates the shingle transform a single time per row, where
-      // repeating the expression in filter + both sizes would build the
-      // array three times
-      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("g"))
-      .filter(size(col("g")) >= 1)
+      // ONE native pass per row ([[graft.plans.NgramStats]]): the gram
+      // count and distinct count come from byte-window hashing of the
+      // original text — no token array, no per-gram concat, no
+      // array_distinct materialization. Same counts bit for bit, so the
+      // ratio arithmetic (int→double casts, one division) is unchanged.
+      .select(col("doc_id"), TextAnalysis.ngramStats(col("text"), 2).as("st"))
+      .filter(col("st.n_grams") >= 1)
       .select(col("doc_id"),
-        (lit(1.0) - size(array_distinct(col("g"))).cast("double") /
-          size(col("g")).cast("double")).as("rep_ratio"))
+        (lit(1.0) - col("st.n_distinct").cast("double") /
+          col("st.n_grams").cast("double")).as("rep_ratio"))
   }
 
   /** TF-IDF term ranking: per-doc term frequency × corpus rarity, top 3
@@ -1606,7 +1655,7 @@ object LlmText {
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
       chunks, bpe,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition,
-      lengthQuantiles, stopPunct, tfidf, bytes, decode, resize, frames,
+      lengthQuantiles, stopPunct, gopherRules, tfidf, bytes, decode, resize, frames,
       decodeReal, resizeReal, audioReal, audioFeatures, gifFramesReal, videoReal, mjpegReal,
       ahashDedup,
       boilerplate, keywordSearch, bm25, collocations)
