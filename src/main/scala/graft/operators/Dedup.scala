@@ -711,6 +711,47 @@ object Dedup {
           (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
+  /** [[jaccardForPairs]] restricted to `jaccard >= threshold`, with a
+    * HASH prefilter ahead of the exact string verify: candidate docs'
+    * shingle sets are first collected as xxhash64 values (8-byte longs
+    * vs ~20-byte shingle strings — the verify joins ship 2.5× less
+    * data), pairs are scored on the hash sets, and only survivors reach
+    * [[jaccardForPairs]]' string arrays.
+    *
+    * EXACT despite the hashing: a within-doc collision only SHRINKS a
+    * set (|h(s)| <= |s|) and a cross-doc collision only GROWS the
+    * intersection, so hash-Jaccard >= true Jaccard on every pair — the
+    * prefilter's survivors are a superset of the true >= t pairs, and
+    * the string verify still computes the reported values. (At sf1 the
+    * survivor set is ~1% of candidates, so the second collect touches a
+    * trivial doc population.)
+    */
+  def jaccardForPairsAtLeast(shingles: DataFrame, idCol: String,
+      pairs: DataFrame, threshold: Double): DataFrame = {
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .unionByName(pairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val hashArrays = shingles.join(candDocs, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(xxhash64(col("shingle"))).as("arr"))
+    val survivors = pairs
+      .join(hashArrays.select(col(idCol).as("doc_a"), col("arr").as("__ha")),
+        Seq("doc_a"))
+      .join(hashArrays.select(col(idCol).as("doc_b"), col("arr").as("__hb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__ha"), col("__hb")))
+          .cast(LongType).as("__ni"),
+        size(col("__ha")).cast(LongType).as("__na"),
+        size(col("__hb")).cast(LongType).as("__nb"))
+      .filter(col("__ni") > 0)
+      .filter(col("__ni").cast("double") /
+        (col("__na") + col("__nb") - col("__ni")).cast("double") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    jaccardForPairs(shingles, idCol, survivors)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** All exact-Jaccard pairs above a threshold — brute force, for recall
     * testing at small scale only (O(n²) via the shingle join, not a cross
     * join, but still quadratic in matching docs).
@@ -722,7 +763,7 @@ object Dedup {
       .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    jaccardForPairs(sh, idCol, all).filter(col("jaccard") >= threshold)
+    jaccardForPairsAtLeast(sh, idCol, all, threshold)
   }
 
   /** EXACT Jaccard-similarity join by prefix filtering (the AllPairs /
@@ -798,12 +839,19 @@ object Dedup {
     val byDocAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val byDoc = byDocAll.orderBy(col("df"), col("shingle"))
     val onePlusT = t + lit(1)
+    // only PROBE-PREFIX rows are ever consumed downstream — the index
+    // prefix is a subset (2t/(1+t) >= t for t <= 1 only shortens it) and
+    // the verify stage reads `sh`, not `ranked` — so the probe filter
+    // runs BEFORE the checkpoint: the persisted frame holds the ~30%
+    // prefix rows at t=0.7 instead of every (doc, shingle) row, and the
+    // unused df column is dropped with it
     val ranked = ckpt(sh.join(dfs, Seq("shingle"))
       .withColumn("sz", count(lit(1)).over(byDocAll))
-      .withColumn("rn", row_number().over(byDoc)))
-    // probe prefix: rn <= sz - ceil(t·sz) + 1
-    val probe = ranked
+      .withColumn("rn", row_number().over(byDoc))
+      // probe prefix: rn <= sz - ceil(t·sz) + 1
       .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + lit(1))
+      .select(col(idCol), col("shingle"), col("sz"), col("rn")))
+    val probe = ranked
       .select(col(idCol).as("pid"), col("shingle"),
         col("sz").as("psz"), col("rn").as("prn"))
     // index prefix: rn <= sz - ceil(2t/(1+t)·sz) + 1, division-free as
@@ -823,8 +871,7 @@ object Dedup {
       .select(least(col("pid"), col("iid")).as("doc_a"),
         greatest(col("pid"), col("iid")).as("doc_b"))
       .distinct()
-    jaccardForPairs(sh, idCol, cands)
-      .filter(col("jaccard") >= threshold.toDouble)
+    jaccardForPairsAtLeast(sh, idCol, cands, threshold.toDouble)
   }
 
   /** SimHash (64-bit) per document over its token set: per bit position,
