@@ -112,6 +112,14 @@ object TextAnalysis {
   def ngramStats(c: Column, n: Int): Column =
     call_function("ngram_stats", c, lit(n))
 
+  /** Most frequent word n-gram + its count in one native pass
+    * ([[graft.plans.NgramTop]]; byte-order tie-break) — the histogram
+    * argmax behind the Gopher top-n-gram character-fraction rule.
+    * Returns struct<n_grams, top_count, top_gram>; null below n tokens.
+    */
+  def ngramTop(c: Column, n: Int): Column =
+    call_function("ngram_top", c, lit(n))
+
   /** Word n-gram shingles (default 3) for MinHash; empty array when the
     * text is shorter than `n` tokens. `element_at` is 1-indexed.
     */

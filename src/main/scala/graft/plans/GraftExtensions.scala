@@ -66,6 +66,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramStats(children.head, n)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("ngram_top"),
+      new ExpressionInfo(classOf[NgramTop].getName, "ngram_top"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "ngram_top(text, n) takes two arguments")
+        val n = children(1) match {
+          case e if e.foldable && e.dataType ==
+            org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "ngram_top n must be an integer literal")
+        }
+        NgramTop(children.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (children: Seq[Expression]) => {

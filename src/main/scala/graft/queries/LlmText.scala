@@ -932,6 +932,41 @@ object LlmText {
           col("st.n_grams").cast("double")).as("rep_ratio"))
   }
 
+  /** Gopher top-n-gram repetition rule (Rae et al. 2021, A1.1): the
+    * fraction of a document's characters covered by occurrences of its
+    * most frequent word-2-gram — high values flag looping/boilerplate
+    * generation that the distinct-ratio signal underweights. The
+    * histogram argmax is ONE native byte-scan pass per row
+    * ([[graft.plans.NgramTop]], byte-order tie-break); the fraction is
+    * exact-integer arithmetic (count × gram chars / text chars) with one
+    * IEEE division, so the doubles hash-match the DuckDB replay
+    * (GROUP BY gram → ORDER BY cnt DESC, gram LIMIT 1 per doc).
+    */
+  private val topNgram = Q(
+    "text_top_ngram",
+    """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+      |g AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS gram
+      |      FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS i) t),
+      |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |top AS (SELECT doc_id, gram, c,
+      |               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+      |        FROM cnt)
+      |SELECT t.doc_id, top.gram AS top_gram, CAST(top.c AS BIGINT) AS top_count,
+      |       CAST(top.c * length(top.gram) AS DOUBLE) / CAST(length(t.text) AS DOUBLE)
+      |         AS top_char_frac
+      |FROM top JOIN toks t ON top.doc_id = t.doc_id
+      |WHERE top.rn = 1""".stripMargin) { (s, d) =>
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.ngramTop(col("text"), 2).as("tp"))
+      .filter(col("tp").isNotNull)
+      .select(col("doc_id"),
+        col("tp.top_gram").as("top_gram"),
+        col("tp.top_count").as("top_count"),
+        ((col("tp.top_count") * length(col("tp.top_gram"))).cast("double") /
+          length(col("text")).cast("double")).as("top_char_frac"))
+  }
+
   /** TF-IDF term ranking: per-doc term frequency × corpus rarity, top 3
     * terms per document over a bounded doc sample. The rarity factor is
     * the LINEAR inverse document frequency N/df — same ranking order as
@@ -1654,7 +1689,7 @@ object LlmText {
       substringIncremental, substringApply, simhash,
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
       chunks, bpe,
-      stats, quality, langId, fp, rollingFp, piiScrub, repetition,
+      stats, quality, langId, fp, rollingFp, piiScrub, repetition, topNgram,
       lengthQuantiles, stopPunct, gopherRules, tfidf, bytes, decode, resize, frames,
       decodeReal, resizeReal, audioReal, audioFeatures, gifFramesReal, videoReal, mjpegReal,
       ahashDedup,
