@@ -94,7 +94,9 @@ object Dedup {
     */
   def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 3, minDf: Int = 3): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, n)
+    // sh feeds both the df aggregate and the per-source join leg:
+    // checkpoint so the corpus shingle explode runs once, not twice
+    val sh = ckpt(shingleSet(docs, idCol, textCol, n))
     val boiler = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("shingle"), lit(1).as("hit"))
     sh.join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
@@ -446,6 +448,11 @@ object Dedup {
   def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
       splitCol: String, n: Int = 5, trainSplit: String = "train",
       evalSplit: String = "test"): DataFrame = {
+    // sh feeds both the train-df aggregate and the eval probe side, but
+    // deliberately NOT checkpointed: materializing the distinct 5-gram
+    // strings costs more than re-running the pipelined explode (measured
+    // 7.3 vs 6.2 s at sf1 — the opposite balance from boilerplateStats'
+    // 3-gram frame, which is consumed by two JOIN legs)
     val sh = graft.sources.Tables.spread(docs)
       .select(col(idCol), col(splitCol),
         explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))

@@ -32,11 +32,21 @@ import graft.functions.TextAnalysis
   */
 object LangModel {
 
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Bigram transition model: (prev, cur, n_pair, n_prev) with exact
     * integer counts, from whitespace-tokenized `textCol`.
     */
-  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
-    val pairs = transitions(docs, idCol = null, textCol)
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame =
+    modelFromTransitions(transitions(docs, idCol = null, textCol))
+
+  /** The model aggregates over an existing transition frame — extra
+    * columns (the doc id) ride through the counts unchanged, so scoring
+    * and training can share ONE exploded pass over the corpus.
+    */
+  private def modelFromTransitions(pairs: DataFrame): DataFrame = {
     val cPair = pairs.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).cast(LongType).as("n_pair"))
     val cPrev = cPair.groupBy(col("prev"))
@@ -65,8 +75,12 @@ object LangModel {
     */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val Scale = 1000000000000L // 10^12: probability resolution of the integer score
-    val model = bigramModel(docs, textCol)
-    transitions(docs, idCol, textCol)
+    // ONE exploded pass: training and scoring both read the checkpointed
+    // id-carrying transitions (the explode over the corpus IS the cost —
+    // re-deriving it for the model doubled the query)
+    val trans = ckpt(transitions(docs, idCol, textCol))
+    val model = modelFromTransitions(trans)
+    trans
       .join(model, Seq("prev", "cur"))
       .select(col(idCol),
         expr(s"(cast(n_pair as decimal(38,0)) * ${Scale}L) div n_prev")

@@ -131,7 +131,10 @@ object MlQueries {
       |       CAST(SUM(p_scaled) AS DOUBLE) / CAST(count(*) AS DOUBLE)
       |         / CAST(1000000000000 AS DOUBLE) AS avg_prob
       |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
-    LangModel.bigramScore(Tables.documents(s, d), "doc_id", "text")
+    // spread: the corpus arrives as one parquet file — without a
+    // repartition the transition explode (the query's dominant stage)
+    // runs on the scan's 1-2 input partitions
+    LangModel.bigramScore(Tables.spread(Tables.documents(s, d)), "doc_id", "text")
   }
 
   /** Sparse tf-idf cosine top-3 for a bounded query-doc set
