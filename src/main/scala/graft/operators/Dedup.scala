@@ -951,7 +951,17 @@ object Dedup {
     * Output: (doc_a, doc_b, hamming), a < b.
     */
   def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1): DataFrame =
+    simhashHammingPairsFromSig(
+      simhashPortable(docs, idCol, textCol), idCol, maxDist)
+
+  /** [[simhashHammingPairs]] over an existing (possibly persisted /
+    * session-shared) `(id, simhash32)` signature frame — the signature
+    * aggregate is the dominant cost and the production contract keeps it
+    * in a store, so consumers pass it in instead of re-deriving it.
+    */
+  def simhashHammingPairsFromSig(sig: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist < 32,
       s"maxDist must be in [1, 31] so every one of the maxDist+1 chunks holds a bit, got $maxDist")
     val nChunks = maxDist + 1
@@ -971,7 +981,7 @@ object Dedup {
     // pair count even matters. The equi-join emits exactly the same
     // pairs but streams them across tasks, and the singleton-bucket
     // majority never reaches the join.
-    val bands = simhashPortable(docs, idCol, textCol)
+    val bands = sig
       .select(
         col(idCol).as("id"), col("simhash32").as("h"),
         posexplode(array(chunks: _*)))

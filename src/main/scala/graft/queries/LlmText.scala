@@ -521,11 +521,22 @@ object LlmText {
   /** Portable 32-bit SimHash — md5-derived bits, so the full hash value is
     * oracle-checked end to end (token split, per-bit sign sums, assembly).
     */
+  /** The session-shared portable SimHash signature frame: one row per
+    * doc (id + one long), persisted once per (session, dir) — the
+    * signature aggregate is the dominant cost of BOTH simhash queries,
+    * and the production contract keeps signatures in a store rather than
+    * re-deriving them per consumer (same rationale as [[corpusWide]]).
+    */
+  private def s32Shared(s: org.apache.spark.sql.SparkSession, d: String) =
+    Frames.shared(s, s"simhash32:$d") {
+      Dedup.simhashPortable(Tables.documents(s, d), "doc_id", "text")
+    }
+
   private val simhashPortable = Q(
     "dedup_simhash_portable",
     s"""WITH $s32Cte
        |SELECT doc_id, simhash32 FROM s32""".stripMargin) { (s, d) =>
-    Dedup.simhashPortable(Tables.documents(s, d), "doc_id", "text")
+    s32Shared(s, d)
   }
 
   /** Exact Hamming-≤1 SimHash near-dup pairs: the Spark side buckets by
@@ -541,7 +552,7 @@ object LlmText {
        |       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INT) AS hamming
        |FROM s32 a JOIN s32 b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 1""".stripMargin) { (s, d) =>
-    Dedup.simhashHammingPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 1)
+    Dedup.simhashHammingPairsFromSig(s32Shared(s, d), "doc_id", maxDist = 1)
   }
 
   /** Exact n-gram Jaccard near-dup pairs over a bounded doc sample — the
