@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.Cleaning.lcount
 import graft.operators.Similarity
-import graft.sources.Tables
+import graft.sources.{Frames, Tables}
 import graft.queries.Q.C
 
 /** Embedding similarity-search queries over the `embeddings` table.
@@ -1059,9 +1059,208 @@ object LlmEmbed {
         col("c").as("cosine"), col("margin"))
   }
 
+  // ---- SemDeDup: k-means-cluster-local semantic dedup (Abbas et al.
+  // 2023, "SemDeDup: Data-efficient learning at web-scale through
+  // semantic deduplication") ------------------------------------------
+
+  /** Target cluster population for the SemDeDup quantizer: seeds are
+    * every `SemStride`-th vec_id, so k grows with the corpus and the
+    * per-cluster pairwise work stays O(SemStride) per row — the paper's
+    * own scaling rule (k ∝ n keeps within-cluster comparisons linear in
+    * corpus size; their LAION run used k = 50 000 for the same reason).
+    * The driver-side materialization is the standard k-means k×dim
+    * centroid table, never the corpus.
+    */
+  private val SemStride = 125L
+
+  /** SemDeDup near-duplicate threshold — the same 0.35 tail that
+    * `embed_cosine_dups` pins as this corpus's closest-pair band.
+    */
+  private val SemTau = 0.35
+
+  /** Final stride-seeded k-means assignment (vec_id, cid, v): the same
+    * two-round exact-arithmetic Lloyd loop `embed_ann_ivf_kmeans` uses
+    * (native-dot assignment cosines, DECIMAL(38,18) centroid means,
+    * empty clusters keep their previous centroid), but seeded on a FIXED
+    * stride instead of a fixed k, so cluster population — and with it the
+    * within-cluster pairwise cost both consumers pay — is constant as the
+    * corpus grows. Shared: both SemDeDup and the kNN-density score
+    * consume the identical frame.
+    */
+  private def semAssign(s: org.apache.spark.sql.SparkSession, d: String) =
+    Frames.shared(s, s"semdedup-assign:$d") {
+      import s.implicits._
+      val embD = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val seedIds = Tables.embeddings(s, d).select(col("vec_id"))
+        .filter(pmod(col("vec_id"), lit(SemStride)) === 0)
+        .collect().map(_.getLong(0)).sorted.zipWithIndex
+        .map { case (v, c) => (v, c.toLong) }
+      var cents: Map[Long, IndexedSeq[Double]] = embD
+        .join(broadcast(seedIds.toSeq.toDF("vec_id", "cid")), Seq("vec_id"))
+        .select(col("cid"), col("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      def centsDf = cents.toSeq.sortBy(_._1).toDF("cid", "cv")
+        .withColumn("nc", Similarity.dotNative(col("cv"), col("cv")))
+      def assignCs = embD
+        .withColumn("n2", Similarity.dotNative(col("v"), col("v")))
+        .crossJoin(broadcast(centsDf))
+        .select(col("vec_id"), col("cid"), col("v"),
+          round(Similarity.dotNative(col("v"), col("cv")) /
+            (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      for (_ <- 0 until 2) {
+        val assigned = assignCs
+          .withColumn("r", row_number().over(wA))
+          .filter(col("r") === 1).select(col("vec_id"), col("cid"))
+        val means = embD.join(assigned, Seq("vec_id"))
+          .select(col("cid"), posexplode(col("v")))
+          .groupBy(col("cid"), (col("pos") + 1).cast(LongType).as("i"))
+          .agg((sum(col("col").cast(dec)).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mx"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        cents = cents.map { case (cid, prev) =>
+          cid -> prev.indices.map(j => means.getOrElse((cid, j + 1L), prev(j)))
+        }
+      }
+      assignCs.withColumn("r", row_number().over(wA))
+        .filter(col("r") === 1).select(col("vec_id"), col("cid"), col("v"))
+    }
+
+  /** All within-cluster cosine pairs (cid, va < vb, c): an equi-join on
+    * the cluster id, never corpus × corpus — the bound SemDeDup buys by
+    * clustering first. Native-dot cosines, rounded to the certified 12
+    * digits. Shared by `embed_semdedup` (τ filter) and
+    * `embed_knn_density` (top-k mean).
+    */
+  private def semPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Frames.shared(s, s"semdedup-pairs:$d") {
+      val asg = semAssign(s, d)
+      val a = asg.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
+      val b = asg.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
+      a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+        .select(col("cid"), col("va"), col("vb"),
+          round(Similarity.dotNative(col("xa"), col("xb")) /
+            (sqrt(Similarity.dotNative(col("xa"), col("xa"))) *
+              sqrt(Similarity.dotNative(col("xb"), col("xb")))), 12).as("c"))
+    }
+
+  /** One Lloyd round as oracle CTEs — textually the same block the
+    * `embed_ann_ivf_kmeans_portable` oracle replays (assignment cosines
+    * via `list_dot_product`, DECIMAL(38,18) element means, empty-cluster
+    * carry-forward), lifted so the stride-seeded SemDeDup oracle can
+    * reuse it.
+    */
+  private def semIterCte(i: Int): String =
+    s"""n$i AS (SELECT cid, CAST(list_dot_product(cv, cv) AS DOUBLE) AS nc FROM c$i),
+       |s$i AS (SELECT emb.vec_id, c.cid,
+       |               round(CAST(list_dot_product(emb.v, c.cv) AS DOUBLE)
+       |                     / (sqrt(CAST(list_dot_product(emb.v, emb.v) AS DOUBLE)) * sqrt(n$i.nc)), 12) AS cs
+       |        FROM emb CROSS JOIN c$i c JOIN n$i ON n$i.cid = c.cid),
+       |a$i AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+       |          FROM s$i) WHERE r = 1),
+       |m$i AS (SELECT a$i.cid, t.i,
+       |               CAST(SUM(CAST(emb.v[i] AS DECIMAL(38,18))) AS DOUBLE)
+       |                 / CAST(count(*) AS DOUBLE) AS mx
+       |        FROM emb JOIN a$i USING (vec_id)
+       |        CROSS JOIN LATERAL (SELECT unnest(range(1, len(emb.v) + 1)) AS i) t
+       |        GROUP BY 1, 2),
+       |ce$i AS (SELECT cid, t.i, cv[i] AS cx
+       |         FROM c$i CROSS JOIN LATERAL (SELECT unnest(range(1, len(cv) + 1)) AS i) t),
+       |c${i + 1} AS (SELECT cid, list(coalesce(m$i.mx, ce$i.cx) ORDER BY i) AS cv
+       |       FROM ce$i LEFT JOIN m$i USING (cid, i) GROUP BY 1)""".stripMargin
+
+  /** Shared oracle prefix: stride-seeded two-round Lloyd → final
+    * assignment `asg` → within-cluster cosine pairs `pairs`.
+    */
+  private def semdedupCtes: String =
+    s"""emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |             FROM embeddings),
+       |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |          FROM emb WHERE vec_id % $SemStride = 0),
+       |c0 AS (SELECT cid, v AS cv FROM emb JOIN seeds USING (vec_id)),
+       |${semIterCte(0)},
+       |${semIterCte(1)},
+       |ncf AS (SELECT cid, CAST(list_dot_product(cv, cv) AS DOUBLE) AS nc FROM c2),
+       |scf AS (SELECT emb.vec_id, c.cid,
+       |               round(CAST(list_dot_product(emb.v, c.cv) AS DOUBLE)
+       |                     / (sqrt(CAST(list_dot_product(emb.v, emb.v) AS DOUBLE)) * sqrt(ncf.nc)), 12) AS cs
+       |        FROM emb CROSS JOIN c2 c JOIN ncf ON ncf.cid = c.cid),
+       |asg AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+       |          FROM scf) WHERE r = 1),
+       |pairs AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+       |                 round(CAST(list_dot_product(ea.v, eb.v) AS DOUBLE)
+       |                       / (sqrt(CAST(list_dot_product(ea.v, ea.v) AS DOUBLE))
+       |                          * sqrt(CAST(list_dot_product(eb.v, eb.v) AS DOUBLE))), 12) AS c
+       |          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |          JOIN emb ea ON ea.vec_id = a.vec_id
+       |          JOIN emb eb ON eb.vec_id = b.vec_id)""".stripMargin
+
+  /** SemDeDup: within each k-means cluster, drop every vector that has a
+    * LOWER-id within-cluster neighbor at cosine ≥ τ (the deterministic
+    * keep-lowest-id instance of the paper's keep-one-per-duplicate-group
+    * rule — the greedy the released implementation applies modulo its
+    * arbitrary ordering). Output is the full corpus with its cluster id
+    * and kept flag, so the curation layer can gate on `kept = 1`.
+    * Everything — seeds, both Lloyd rounds, the final assignment, every
+    * pairwise cosine — is replayed by the oracle.
+    */
+  private val semDedup = Q(
+    "embed_semdedup",
+    s"""WITH $semdedupCtes,
+       |drp AS (SELECT DISTINCT vb FROM pairs WHERE c >= $SemTau)
+       |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
+       |       CAST(CASE WHEN drp.vb IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM asg LEFT JOIN drp ON drp.vb = asg.vec_id""".stripMargin) { (s, d) =>
+    val drp = semPairs(s, d).filter(col("c") >= SemTau)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("d", lit(0L))
+    semAssign(s, d).select(col("vec_id"), col("cid"))
+      .join(drp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("d"), lit(1L)).as("kept"))
+  }
+
+  /** kNN-density score (the DataComp/SemDeDup-family pruning signal):
+    * each vector's mean cosine to its 8 nearest WITHIN-CLUSTER neighbors
+    * — high density marks semantically redundant regions, low density
+    * marks outliers; curation prunes from either end. Decimal-exact mean:
+    * the DECIMAL(16,12) sum of the already-rounded cosines is exact and
+    * order-independent, and the final value is ONE double division of
+    * identical operands — no trailing round(), whose half-boundary at the
+    * 12th digit the two engines resolve differently.
+    */
+  private val knnDensity = Q(
+    "embed_knn_density",
+    s"""WITH $semdedupCtes,
+       |e AS (SELECT va AS q, vb AS n, c FROM pairs
+       |      UNION ALL SELECT vb, va, c FROM pairs),
+       |rk AS (SELECT q, n, c, row_number() OVER (PARTITION BY q ORDER BY c DESC, n) AS r
+       |       FROM e)
+       |SELECT q AS vec_id,
+       |       CAST(SUM(CAST(c AS DECIMAL(16,12))) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS density
+       |FROM rk WHERE r <= 8 GROUP BY 1""".stripMargin) { (s, d) =>
+    val p = semPairs(s, d)
+    val e = p.select(col("va").as("q"), col("vb").as("n"), col("c"))
+      .unionAll(p.select(col("vb").as("q"), col("va").as("n"), col("c")))
+    val w = Window.partitionBy(col("q")).orderBy(col("c").desc, col("n"))
+    e.withColumn("r", row_number().over(w)).filter(col("r") <= 8)
+      .groupBy(col("q"))
+      .agg((sum(col("c").cast(DecimalType(16, 12))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("density"))
+      .select(col("q").as("vec_id"), col("density"))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
-      annIvfPq, pqCodesNative, bitextMargin)
+      annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity)
 }

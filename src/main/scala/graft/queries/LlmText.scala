@@ -1694,12 +1694,40 @@ object LlmText {
       .agg(count(lit(1)).cast(LongType).as("n_chunk_pairs"))
   }
 
+  /** Tokenizer fertility (chars per BPE token, the tokenizer-efficiency
+    * signal of Ali et al. 2024 / the Gopher data audits): junk bytes —
+    * hex dumps, minified markup, alphabet soup — tokenize at abnormally
+    * LOW chars/token, natural prose at ~4–5, so curation gates on the
+    * band. Integer counts, one double division each, so the doubles
+    * hash-match; a zero-token doc reads fertility 0 rather than ∞.
+    */
+  private val fertility = Q(
+    "text_fertility", {
+      val pat = graft.functions.TextAnalysis.BpePattern.replace("'", "''")
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS bpe_tokens
+         |  FROM documents)
+         |SELECT doc_id, bpe_tokens, n_chars,
+         |       CASE WHEN bpe_tokens = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) END
+         |         AS fertility
+         |FROM t""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+        col("n_chars"))
+      .withColumn("fertility",
+        when(col("bpe_tokens") === 0, lit(0.0))
+          .otherwise(col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
+  }
+
   val queries: Seq[Q] =
     Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs, chunkPairs,
       clusters, clustersIncremental, substringIndex, substringCoverage,
       substringIncremental, substringApply, simhash,
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
-      chunks, bpe,
+      chunks, bpe, fertility,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition, topNgram,
       lengthQuantiles, stopPunct, gopherRules, tfidf, bytes, decode, resize, frames,
       decodeReal, resizeReal, audioReal, audioFeatures, gifFramesReal, videoReal, mjpegReal,
