@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.functions.Cleaning.{dsum, lcount}
 import graft.operators.IncrementalAgg
 import graft.sources.{TableStore, Tables}
-import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamCdc, StreamDedup, StreamSketch, ViewMaintain}
+import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamCdc, StreamDedup, StreamSemDedup, StreamSketch, ViewMaintain}
 import graft.queries.Q.{C, DS}
 
 /** Oracle-registered readouts for every persisted streaming maintainer —
@@ -262,6 +262,66 @@ object StreamingQueries {
     nbrs.select(col("qid"), col("nid"), col("cosine"), col("rnk"))
   }
 
+  /** Streaming SemDeDup maintenance ([[StreamSemDedup.applyBatch]]): the
+    * embedding corpus arrives as three `vec_id % 3` batches and folds
+    * into a persisted cluster-partitioned member store carrying kept
+    * flags — frozen stride-seeded coarse centroids (every 125th batch-0
+    * vec_id, so k grows with the corpus and cluster population stays
+    * ~constant: per-fold pairwise work is linear), duplicates decided by
+    * arrival precedence (earlier batch, or lower vec_id within a batch)
+    * at cosine ≥ 0.35. The readout is the full maintained store; the
+    * oracle replays the whole thing one-shot in SQL — assignment against
+    * the same frozen centroids plus an EXISTS over precedence-ordered
+    * within-cluster pairs — so "maintained kept flags ≡ batch replay" is
+    * driver-hash-checked.
+    */
+  private val semDedupStore = Q(
+    "c21_stream_semdedup",
+    """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |             FROM embeddings),
+      |b AS (SELECT vec_id, v, vec_id % 3 AS bt FROM emb),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM b
+      |          WHERE bt = 0 AND vec_id % 125 = 0),
+      |nc AS (SELECT cid, CAST(list_dot_product(cv, cv) AS DOUBLE) AS n2 FROM cents),
+      |sim AS (SELECT b.vec_id, cents.cid,
+      |               round(CAST(list_dot_product(b.v, cents.cv) AS DOUBLE)
+      |                     / (sqrt(CAST(list_dot_product(b.v, b.v) AS DOUBLE)) * sqrt(nc.n2)), 12) AS cs
+      |        FROM b CROSS JOIN cents JOIN nc ON nc.cid = cents.cid),
+      |asg AS (SELECT vec_id, cid FROM (
+      |          SELECT vec_id, cid,
+      |                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |          FROM sim) WHERE r = 1),
+      |drp AS (SELECT DISTINCT av.vec_id
+      |        FROM asg av JOIN asg au ON au.cid = av.cid AND au.vec_id <> av.vec_id
+      |        JOIN b bv ON bv.vec_id = av.vec_id
+      |        JOIN b bu ON bu.vec_id = au.vec_id
+      |        WHERE (bu.bt < bv.bt OR (bu.bt = bv.bt AND bu.vec_id < bv.vec_id))
+      |          AND round(CAST(list_dot_product(bu.v, bv.v) AS DOUBLE)
+      |                    / (sqrt(CAST(list_dot_product(bu.v, bu.v) AS DOUBLE))
+      |                       * sqrt(CAST(list_dot_product(bv.v, bv.v) AS DOUBLE))), 12) >= 0.35)
+      |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
+      |       CAST(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM asg LEFT JOIN drp ON drp.vec_id = asg.vec_id""".stripMargin) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c21").toString)
+    val embD = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val cents = embD
+      .filter(pmod(col("vec_id"), lit(3)) === 0 &&
+        pmod(col("vec_id"), lit(125)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val fold = StreamSemDedup.applyBatch(store, "members", cents, 0.35) _
+    (0 to 2).foreach(i =>
+      fold(embD.filter(pmod(col("vec_id"), lit(3)) === i), i.toLong))
+    // C1 guard: empty feed → no member partitions ever land
+    val members =
+      if (store.exists("members")) store.read("members")
+      else embD.limit(0)
+        .select(col("vec_id"), lit(0L).as("cid"), lit(0L).as("kept"))
+    // cid is a partition directory column on the store: read back int32
+    members.select(col("vec_id"), col("cid").cast(LongType).as("cid"), col("kept"))
+  }
+
   /** Streaming HLL register maintenance ([[StreamSketch
     * .applyDailyRegisters]]): per-day distinct-user registers folded over
     * two user-parity batches into the persisted register store, read back
@@ -423,5 +483,5 @@ object StreamingQueries {
   }
 
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
-    annLog, hllRegisters, asofStream, dsirStore)
+    annLog, hllRegisters, asofStream, dsirStore, semDedupStore)
 }
