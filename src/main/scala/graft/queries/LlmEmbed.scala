@@ -1258,9 +1258,50 @@ object LlmEmbed {
       .select(col("q").as("vec_id"), col("density"))
   }
 
+  /** Semantic decontamination (the embedding-space twin of
+    * `dedup_contamination`'s n-gram rule — the eval-leakage cut the
+    * Phi/LLaMA data reports run): every corpus vector scored by its MAX
+    * cosine against a FIXED small benchmark set (vec_id < 20 — benchmark
+    * suites are constant-size, so the broadcast side never grows with
+    * the corpus), flagged at the certified 0.35 near-dup band. One
+    * corpus scan × a 20-row broadcast, map-side partial max — no
+    * shuffle of the corpus beyond the final per-vector aggregate.
+    */
+  private val decontam = Q(
+    "embed_decontamination",
+    """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |             FROM embeddings),
+      |bench AS (SELECT vec_id AS bid, v AS bv FROM emb WHERE vec_id < 20),
+      |corp AS (SELECT vec_id, v FROM emb WHERE vec_id >= 20),
+      |sims AS (SELECT corp.vec_id,
+      |                round(CAST(list_dot_product(corp.v, bench.bv) AS DOUBLE)
+      |                      / (sqrt(CAST(list_dot_product(corp.v, corp.v) AS DOUBLE))
+      |                         * sqrt(CAST(list_dot_product(bench.bv, bench.bv) AS DOUBLE))), 12) AS c
+      |         FROM corp CROSS JOIN bench)
+      |SELECT vec_id, max(c) AS max_bench_cosine,
+      |       CAST(CASE WHEN max(c) >= 0.35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM sims GROUP BY 1""".stripMargin) { (s, d) =>
+    val embD = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val bench = embD.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("bid"), col("v").as("bv"))
+    embD.filter(col("vec_id") >= 20)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(Similarity.dotNative(col("v"), col("bv")) /
+          (sqrt(Similarity.dotNative(col("v"), col("v"))) *
+            sqrt(Similarity.dotNative(col("bv"), col("bv")))), 12).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("c")).as("max_bench_cosine"))
+      .select(col("vec_id"), col("max_bench_cosine"),
+        when(col("max_bench_cosine") >= 0.35, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
-      annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity)
+      annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity, decontam)
 }
