@@ -318,7 +318,6 @@ object StreamingQueries {
       if (store.exists("members")) store.read("members")
       else embD.limit(0)
         .select(col("vec_id"), lit(0L).as("cid"), lit(0L).as("kept"))
-    // cid is a partition directory column on the store: read back int32
     members.select(col("vec_id"), col("cid").cast(LongType).as("cid"), col("kept"))
   }
 

@@ -17,10 +17,14 @@ import graft.sources.TableStore
   * Coarse centroids are a FROZEN broadcast k-row frame (trained once,
   * versioned separately — re-clustering is a batch rebuild, the same
   * contract [[StreamAnn]] pins for its quantizer). The member store is
-  * partitioned `__applied=batch/cid=centroid/`, so a fold's duplicate
-  * probe reads prune at the directory level to the clusters the batch
-  * actually touches: per-batch READ volume is O(touched-cluster state),
-  * write volume O(batch).
+  * partitioned `__applied=batch/__cbucket=cid%32/` — a BOUNDED bucket of
+  * the cluster id, not the raw cid: SemDeDup's k grows with the corpus
+  * (that is what keeps cluster population constant), so raw `cid=` dirs
+  * would mean an unbounded, ever-smaller-file partition tree at scale.
+  * A fold's duplicate probe prunes at the directory level to the ≤32
+  * buckets the batch touches and row-group-filters the exact cids inside
+  * them: per-batch READ volume is O(touched-cluster state), write volume
+  * O(batch), directory cardinality O(batches × 32) regardless of k.
   *
   * Duplicate rule (arrival-order greedy, the streaming instance of the
   * batch twin's keep-lowest-id rule): a vector is dropped iff some
@@ -39,6 +43,12 @@ import graft.sources.TableStore
   * batchId` state only (the [[StreamJoinView]] rule).
   */
 object StreamSemDedup {
+
+  /** Fixed directory-cardinality bound for the cluster-bucket partition
+    * column (`__cbucket = cid % CidBuckets`): k scales with the corpus,
+    * the partition tree must not.
+    */
+  val CidBuckets = 32L
 
   def maintainer(stream: DataFrame, store: TableStore, checkpointDir: String,
       table: String, centroids: DataFrame, tau: Double): DataStreamWriter[Row] =
@@ -61,25 +71,37 @@ object StreamSemDedup {
       // home assignment: one map-side projection against the broadcast
       // centroid frame; zero-norm vectors have no cosine direction
       // (their NaN would sort above every real centroid) — dropped, as
-      // at the ANN maintainer's door
-      val home = batch
+      // at the ANN maintainer's door. The vector is projected AWAY
+      // before the per-vector argmax (k rows per vector would otherwise
+      // drag dim doubles each through the aggregate's exchange — k grows
+      // with the corpus here) and joined back batch-sized after.
+      val keep = batch
         .withColumn("n2", Similarity.dotNative(col("v"), col("v")))
         .filter(col("n2") > 0d)
+      val homeIds = keep
         .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cid"),
+        .select(col("vec_id"), col("cid"),
           round(Similarity.dotNative(col("v"), col("cv")) /
             (sqrt(col("n2")) * sqrt(col("n2c"))), 12).as("cs"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
+        // argmax with the family's tie rule (max cs, then LOWER cid):
+        // cid is unique per candidate row, so the struct order is total
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
+          .as("cid"))
+      val home = homeIds
+        .join(keep.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .select(col("vec_id"), col("cid"), col("v"),
+          pmod(col("cid"), lit(CidBuckets)).as("__cbucket"))
         .localCheckpoint() // consumed 4× below (witness joins + the write)
       val touched = home.select(col("cid")).distinct()
         .collect().map(_.getLong(0)).toSeq
+      val touchedBuckets = touched.map(_ % CidBuckets).distinct
       val hist =
         if (!store.exists(table))
           home.select(col("vec_id").as("uid"), col("cid"), col("v").as("vu")).limit(0)
         else store.read(table)
+          // directory prune on the bounded bucket, row-group prune on cid
+          .filter(col("__cbucket").isInCollection(touchedBuckets))
           .filter(col("cid").isInCollection(touched))
           .filter(col("__applied").cast("long") < batchId)
           .select(col("vec_id").as("uid"), col("cid"), col("v").as("vu"))
@@ -99,9 +121,9 @@ object StreamSemDedup {
         .withColumn("d", lit(0L))
       val out = home.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid"),
-          coalesce(col("d"), lit(1L)).as("kept"), col("v"))
+          coalesce(col("d"), lit(1L)).as("kept"), col("v"), col("__cbucket"))
       store.replacePartitions(table,
-        out.withColumn("__applied", lit(batchId)), "__applied", Seq("cid"))
+        out.withColumn("__applied", lit(batchId)), "__applied", Seq("__cbucket"))
     }
   }
 }

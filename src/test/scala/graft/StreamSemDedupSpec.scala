@@ -91,15 +91,18 @@ class StreamSemDedupSpec extends SparkSpec {
     assert(kept == Map(0L -> 1L, 1L -> 0L, 2L -> 0L), kept.toString)
   }
 
-  test("member store lays out as cluster partitions and prunes on cid") {
+  test("member store lays out as bounded cluster-bucket partitions and prunes on them") {
     val store = new TableStore(s, Files.createTempDirectory("graft_ssd_l").toString)
     (0 to 2).foreach(b => fold(store)(batchDf(b), b.toLong))
+    // bucketed dirs (cid % 32), never raw cid= dirs — k grows with the
+    // corpus, the partition tree must not
     assert(Files.list(Path.of(store.path("members"), "__applied=0"))
-      .anyMatch(p => p.getFileName.toString.startsWith("cid=")))
-    val plan = store.read("members").filter(col("cid") === 0L)
+      .anyMatch(p => p.getFileName.toString.startsWith("__cbucket=")))
+    val plan = store.read("members")
+      .filter(col("__cbucket") === 0L && col("cid") === 0L)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
-      s"touched-cluster reads must prune partitions:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("__cbucket"),
+      s"touched-bucket reads must prune partitions:\n$plan")
     assert(store.read("members").count() == corpus.size)
   }
 
