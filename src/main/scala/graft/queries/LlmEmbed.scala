@@ -1299,9 +1299,57 @@ object LlmEmbed {
           .as("contaminated"))
   }
 
+  /** Int8 scalar quantization (the faiss-SQ8 storage path — 4× smaller
+    * than float32, the standard disk format for trillion-vector stores;
+    * complements PQ, which compresses further but lossier): per-DIMENSION
+    * global min/max train the quantizer (one partial aggregate down to
+    * dim rows), each element maps to round((x−min)·255/(max−min)), and
+    * the readout certifies both the codes (an exact position-weighted
+    * BIGINT checksum) and the per-vector reconstruction quality as the
+    * MAX absolute element error — a max over bit-identical doubles needs
+    * no accumulation, where an MSE's ~1e-14 error-square terms would die
+    * in the engines' differing double→decimal cast ulps. Constant dims
+    * quantize to 0 and reconstruct exactly.
+    */
+  private val sq8 = Q(
+    "embed_sq8",
+    s"""WITH $elCte,
+       |rng AS (SELECT i, min(x) AS mn, max(x) AS mx FROM el GROUP BY 1),
+       |q AS (SELECT vec_id, el.i, x, mn, mx,
+       |             CASE WHEN mx = mn THEN 0
+       |                  ELSE round((x - mn) * 255 / (mx - mn)) END AS qc
+       |      FROM el JOIN rng USING (i)),
+       |r AS (SELECT vec_id, i, qc,
+       |             CASE WHEN mx = mn THEN mn
+       |                  ELSE mn + qc * (mx - mn) / 255 END - x AS err
+       |      FROM q)
+       |SELECT vec_id,
+       |       CAST(SUM(CAST(qc AS BIGINT) * i) AS BIGINT) AS code_sum,
+       |       max(abs(err)) AS max_abs_err
+       |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+    val el = elements(s, d)
+    val rng = el.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val q = el.join(rng, Seq("i"))
+      .select(col("vec_id"), col("i"), col("x"), col("mn"), col("mx"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(round((col("x") - col("mn")) * 255 / (col("mx") - col("mn")), 0))
+          .as("qc"))
+    q.select(col("vec_id"), col("i"), col("qc"),
+        (when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") + col("qc") * (col("mx") - col("mn")) / 255)
+          - col("x")).as("err"))
+      .groupBy(col("vec_id"))
+      .agg(
+        // elements() is 0-based, the oracle's el CTE 1-based: weight by i+1
+        sum(col("qc").cast(LongType) * (col("i") + 1)).cast(LongType).as("code_sum"),
+        max(abs(col("err"))).as("max_abs_err"))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
-      annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity, decontam)
+      annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity, decontam,
+      sq8)
 }

@@ -279,6 +279,34 @@ object LlmText {
     Dedup.dupClusters(corpusPairs(s, d))
   }
 
+  /** Dedup source-attribution matrix — the governance readout a corpus
+    * pipeline publishes next to its dedup pass: for every clustered doc
+    * that is NOT its cluster's kept representative (min doc id), count
+    * the loss by (source that keeps, source that loses). Consumes the
+    * published label store; cost beyond the clustering is two
+    * broadcast-sized joins against (doc_id, source) and one small
+    * aggregate.
+    */
+  private val attribution = Q(
+    "dedup_attribution",
+    s"""WITH RECURSIVE $sigCte,
+       |$ccCte,
+       |dr AS (SELECT doc_id, cluster FROM cl WHERE doc_id <> cluster)
+       |SELECT k.source AS src_keep, d.source AS src_drop, $C AS n_dropped
+       |FROM dr JOIN documents d ON d.doc_id = dr.doc_id
+       |        JOIN documents k ON k.doc_id = dr.cluster
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    corpusClusters(s, d)
+      .filter(col("doc_id") =!= col("cluster"))
+      .join(src, Seq("doc_id"))
+      .withColumnRenamed("source", "src_drop")
+      .join(src.select(col("doc_id").as("cluster"), col("source").as("src_keep")),
+        Seq("cluster"))
+      .groupBy(col("src_keep"), col("src_drop"))
+      .agg(lcount().as("n_dropped"))
+  }
+
   /** Shared oracle CTE body: one row per 8-token window position, keyed by
     * the md5 of the window text — relation occ(doc_id, pos, span_h), pos
     * 0-based. The SQL re-derivation of [[Dedup.spanOccurrences]].
@@ -1724,7 +1752,7 @@ object LlmText {
 
   val queries: Seq[Q] =
     Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs, chunkPairs,
-      clusters, clustersIncremental, substringIndex, substringCoverage,
+      clusters, clustersIncremental, attribution, substringIndex, substringCoverage,
       substringIncremental, substringApply, simhash,
       simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
       chunks, bpe, fertility,
