@@ -1346,10 +1346,102 @@ object LlmEmbed {
         max(abs(col("err"))).as("max_abs_err"))
   }
 
+  /** End-to-end embedding-side curation (the DataComp recipe: SemDeDup ∧
+    * decontaminate ∧ density-prune, accounted per label): every
+    * non-benchmark vector is gated by its SemDeDup kept flag, its max
+    * benchmark cosine, and its kNN-density band, and the readout is the
+    * per-label funnel — total, dropped-by-each-gate, surviving pool.
+    * Composition-certified: the oracle replays all three gates from
+    * scratch, so a hash match proves the gates COMPOSE correctly, not
+    * just that each works alone. Spark-side cost beyond the shared
+    * SemDeDup frames: the 20-row benchmark cross and three small joins.
+    */
+  private val curationPipeline = Q(
+    "embed_curation_pipeline",
+    s"""WITH $semdedupCtes,
+       |drp AS (SELECT DISTINCT vb AS vec_id FROM pairs WHERE c >= $SemTau),
+       |e AS (SELECT va AS q, vb AS n, c FROM pairs
+       |      UNION ALL SELECT vb, va, c FROM pairs),
+       |rk AS (SELECT q, n, c, row_number() OVER (PARTITION BY q ORDER BY c DESC, n) AS r
+       |       FROM e),
+       |dens AS (SELECT q AS vec_id,
+       |                CAST(SUM(CAST(c AS DECIMAL(16,12))) AS DOUBLE)
+       |                  / CAST(count(*) AS DOUBLE) AS density
+       |         FROM rk WHERE r <= 8 GROUP BY 1),
+       |bench AS (SELECT vec_id AS bid, v AS bv FROM emb WHERE vec_id < 20),
+       |cont AS (SELECT corp.vec_id
+       |         FROM (SELECT vec_id, v FROM emb WHERE vec_id >= 20) corp
+       |         CROSS JOIN bench
+       |         GROUP BY 1
+       |         HAVING max(round(CAST(list_dot_product(corp.v, bench.bv) AS DOUBLE)
+       |                    / (sqrt(CAST(list_dot_product(corp.v, corp.v) AS DOUBLE))
+       |                       * sqrt(CAST(list_dot_product(bench.bv, bench.bv) AS DOUBLE))), 12))
+       |                >= $SemTau),
+       |base AS (SELECT e.vec_id, e.label,
+       |                CASE WHEN drp.vec_id IS NULL THEN 0 ELSE 1 END AS f_dup,
+       |                CASE WHEN cont.vec_id IS NULL THEN 0 ELSE 1 END AS f_con,
+       |                CASE WHEN coalesce(dens.density, 0) > 0.5 THEN 1 ELSE 0 END AS f_den
+       |         FROM embeddings e
+       |         LEFT JOIN drp ON drp.vec_id = e.vec_id
+       |         LEFT JOIN cont ON cont.vec_id = e.vec_id
+       |         LEFT JOIN dens ON dens.vec_id = e.vec_id
+       |         WHERE e.vec_id >= 20)
+       |SELECT label, $C AS n_total,
+       |       CAST(SUM(f_dup) AS BIGINT) AS n_semdup,
+       |       CAST(SUM(f_con) AS BIGINT) AS n_contam,
+       |       CAST(SUM(f_den) AS BIGINT) AS n_dense,
+       |       CAST(SUM(CASE WHEN f_dup = 0 AND f_con = 0 AND f_den = 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pool
+       |FROM base GROUP BY 1""".stripMargin) { (s, d) =>
+    val embD = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val p = semPairs(s, d)
+    val drp = p.filter(col("c") >= SemTau)
+      .select(col("vb").as("vec_id")).distinct().withColumn("f_dup", lit(1L))
+    val e = p.select(col("va").as("q"), col("vb").as("n"), col("c"))
+      .unionAll(p.select(col("vb").as("q"), col("va").as("n"), col("c")))
+    val wD = Window.partitionBy(col("q")).orderBy(col("c").desc, col("n"))
+    val dens = e.withColumn("r", row_number().over(wD)).filter(col("r") <= 8)
+      .groupBy(col("q"))
+      .agg((sum(col("c").cast(DecimalType(16, 12))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("density"))
+      .select(col("q").as("vec_id"), col("density"))
+    val bench = embD.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("bid"), col("v").as("bv"))
+    val cont = embD.filter(col("vec_id") >= 20)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(Similarity.dotNative(col("v"), col("bv")) /
+          (sqrt(Similarity.dotNative(col("v"), col("v"))) *
+            sqrt(Similarity.dotNative(col("bv"), col("bv")))), 12).as("c"))
+      .groupBy(col("vec_id")).agg(max(col("c")).as("mc"))
+      .filter(col("mc") >= SemTau)
+      .select(col("vec_id")).withColumn("f_con", lit(1L))
+    embD.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("label"))
+      .join(drp, Seq("vec_id"), "left")
+      .join(cont, Seq("vec_id"), "left")
+      .join(dens, Seq("vec_id"), "left")
+      .select(col("label"),
+        coalesce(col("f_dup"), lit(0L)).as("f_dup"),
+        coalesce(col("f_con"), lit(0L)).as("f_con"),
+        when(coalesce(col("density"), lit(0.0)) > 0.5, lit(1L)).otherwise(lit(0L))
+          .as("f_den"))
+      .groupBy(col("label"))
+      .agg(
+        lcount().as("n_total"),
+        sum(col("f_dup")).cast(LongType).as("n_semdup"),
+        sum(col("f_con")).cast(LongType).as("n_contam"),
+        sum(col("f_den")).cast(LongType).as("n_dense"),
+        sum(when(col("f_dup") === 0 && col("f_con") === 0 && col("f_den") === 0,
+          1L).otherwise(0L)).cast(LongType).as("n_pool"))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
       annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity, decontam,
-      sq8)
+      sq8, curationPipeline)
 }
