@@ -1068,10 +1068,19 @@ object LlmEmbed {
     * per-cluster pairwise work stays O(SemStride) per row — the paper's
     * own scaling rule (k ∝ n keeps within-cluster comparisons linear in
     * corpus size; their LAION run used k = 50 000 for the same reason).
-    * The driver-side materialization is the standard k-means k×dim
-    * centroid table, never the corpus.
+    * k is CAPPED at [[SemMaxK]], so the broadcast centroid frame and the
+    * driver-side k×dim materialization (the standard k-means centroid
+    * table) stay bounded no matter the corpus; past the cap, cluster
+    * population grows instead — the paper's own regime, where the
+    * within-cluster quadratic is accepted and sharded.
     */
   private val SemStride = 125L
+
+  /** Hard ceiling on the SemDeDup quantizer's k: 65 536 × dim doubles is
+    * a ~32 MB broadcast at dim 64 — the bound that keeps `embed_semdedup`
+    * off the unscalable-join list at ANY corpus size.
+    */
+  private val SemMaxK = 65536
 
   /** SemDeDup near-duplicate threshold — the same 0.35 tail that
     * `embed_cosine_dups` pins as this corpus's closest-pair band.
@@ -1095,6 +1104,7 @@ object LlmEmbed {
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       val seedIds = Tables.embeddings(s, d).select(col("vec_id"))
         .filter(pmod(col("vec_id"), lit(SemStride)) === 0)
+        .orderBy(col("vec_id")).limit(SemMaxK)
         .collect().map(_.getLong(0)).sorted.zipWithIndex
         .map { case (v, c) => (v, c.toLong) }
       var cents: Map[Long, IndexedSeq[Double]] = embD
@@ -1107,7 +1117,7 @@ object LlmEmbed {
       def assignCs = embD
         .withColumn("n2", Similarity.dotNative(col("v"), col("v")))
         .crossJoin(broadcast(centsDf))
-        .select(col("vec_id"), col("cid"), col("v"),
+        .select(col("vec_id"), col("cid"), col("v"), col("n2"),
           round(Similarity.dotNative(col("v"), col("cv")) /
             (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
       val wA = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
@@ -1125,8 +1135,12 @@ object LlmEmbed {
           cid -> prev.indices.map(j => means.getOrElse((cid, j + 1L), prev(j)))
         }
       }
+      // n2 rides along: every pair consumer divides by sqrt(na)·sqrt(nb),
+      // and recomputing the self-dots inside the quadratic pair join
+      // would triple its flops
       assignCs.withColumn("r", row_number().over(wA))
-        .filter(col("r") === 1).select(col("vec_id"), col("cid"), col("v"))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("cid"), col("v"), col("n2"))
     }
 
   /** All within-cluster cosine pairs (cid, va < vb, c): an equi-join on
@@ -1138,13 +1152,14 @@ object LlmEmbed {
   private def semPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     Frames.shared(s, s"semdedup-pairs:$d") {
       val asg = semAssign(s, d)
-      val a = asg.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
-      val b = asg.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
+      val a = asg.select(col("cid"), col("vec_id").as("va"),
+        col("v").as("xa"), col("n2").as("na"))
+      val b = asg.select(col("cid"), col("vec_id").as("vb"),
+        col("v").as("xb"), col("n2").as("nb"))
       a.join(b, Seq("cid")).filter(col("va") < col("vb"))
         .select(col("cid"), col("va"), col("vb"),
           round(Similarity.dotNative(col("xa"), col("xb")) /
-            (sqrt(Similarity.dotNative(col("xa"), col("xa"))) *
-              sqrt(Similarity.dotNative(col("xb"), col("xb")))), 12).as("c"))
+            (sqrt(col("na")) * sqrt(col("nb"))), 12).as("c"))
     }
 
   /** One Lloyd round as oracle CTEs — textually the same block the
@@ -1181,7 +1196,8 @@ object LlmEmbed {
     s"""emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |             FROM embeddings),
        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-       |          FROM emb WHERE vec_id % $SemStride = 0),
+       |          FROM (SELECT vec_id FROM emb WHERE vec_id % $SemStride = 0
+       |                ORDER BY vec_id LIMIT $SemMaxK)),
        |c0 AS (SELECT cid, v AS cv FROM emb JOIN seeds USING (vec_id)),
        |${semIterCte(0)},
        |${semIterCte(1)},
@@ -1227,26 +1243,26 @@ object LlmEmbed {
         coalesce(col("d"), lit(1L)).as("kept"))
   }
 
-  /** kNN-density score (the DataComp/SemDeDup-family pruning signal):
-    * each vector's mean cosine to its 8 nearest WITHIN-CLUSTER neighbors
-    * — high density marks semantically redundant regions, low density
-    * marks outliers; curation prunes from either end. Decimal-exact mean:
-    * the DECIMAL(16,12) sum of the already-rounded cosines is exact and
-    * order-independent, and the final value is ONE double division of
-    * identical operands — no trailing round(), whose half-boundary at the
-    * 12th digit the two engines resolve differently.
+  /** Oracle CTEs for the kNN-density score over `pairs` → relation
+    * dens(vec_id, density). ONE definition (the ccCte rule) so the top-8
+    * window and the decimal-exact mean can never drift between
+    * `embed_knn_density` and `embed_curation_pipeline`.
     */
-  private val knnDensity = Q(
-    "embed_knn_density",
-    s"""WITH $semdedupCtes,
-       |e AS (SELECT va AS q, vb AS n, c FROM pairs
-       |      UNION ALL SELECT vb, va, c FROM pairs),
-       |rk AS (SELECT q, n, c, row_number() OVER (PARTITION BY q ORDER BY c DESC, n) AS r
-       |       FROM e)
-       |SELECT q AS vec_id,
-       |       CAST(SUM(CAST(c AS DECIMAL(16,12))) AS DOUBLE)
-       |         / CAST(count(*) AS DOUBLE) AS density
-       |FROM rk WHERE r <= 8 GROUP BY 1""".stripMargin) { (s, d) =>
+  private def densityCtes: String =
+    """e AS (SELECT va AS q, vb AS n, c FROM pairs
+      |      UNION ALL SELECT vb, va, c FROM pairs),
+      |rk AS (SELECT q, n, c, row_number() OVER (PARTITION BY q ORDER BY c DESC, n) AS r
+      |       FROM e),
+      |dens AS (SELECT q AS vec_id,
+      |                CAST(SUM(CAST(c AS DECIMAL(16,12))) AS DOUBLE)
+      |                  / CAST(count(*) AS DOUBLE) AS density
+      |         FROM rk WHERE r <= 8 GROUP BY 1)""".stripMargin
+
+  /** Spark twin of [[densityCtes]]: (vec_id, density) over the shared
+    * pair frame — vectors alone in their cluster have no pairs and no
+    * row here; consumers LEFT-join and treat the density as undefined.
+    */
+  private def densityDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     val p = semPairs(s, d)
     val e = p.select(col("va").as("q"), col("vb").as("n"), col("c"))
       .unionAll(p.select(col("vb").as("q"), col("va").as("n"), col("c")))
@@ -1258,29 +1274,23 @@ object LlmEmbed {
       .select(col("q").as("vec_id"), col("density"))
   }
 
-  /** Semantic decontamination (the embedding-space twin of
-    * `dedup_contamination`'s n-gram rule — the eval-leakage cut the
-    * Phi/LLaMA data reports run): every corpus vector scored by its MAX
-    * cosine against a FIXED small benchmark set (vec_id < 20 — benchmark
-    * suites are constant-size, so the broadcast side never grows with
-    * the corpus), flagged at the certified 0.35 near-dup band. One
-    * corpus scan × a 20-row broadcast, map-side partial max — no
-    * shuffle of the corpus beyond the final per-vector aggregate.
+  /** Oracle CTEs for benchmark contamination over `emb` → relation
+    * bsc(vec_id, max_bench_cosine) for every non-benchmark vector.
+    * Shared by `embed_decontamination` and `embed_curation_pipeline`.
     */
-  private val decontam = Q(
-    "embed_decontamination",
-    """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |             FROM embeddings),
-      |bench AS (SELECT vec_id AS bid, v AS bv FROM emb WHERE vec_id < 20),
-      |corp AS (SELECT vec_id, v FROM emb WHERE vec_id >= 20),
-      |sims AS (SELECT corp.vec_id,
-      |                round(CAST(list_dot_product(corp.v, bench.bv) AS DOUBLE)
-      |                      / (sqrt(CAST(list_dot_product(corp.v, corp.v) AS DOUBLE))
-      |                         * sqrt(CAST(list_dot_product(bench.bv, bench.bv) AS DOUBLE))), 12) AS c
-      |         FROM corp CROSS JOIN bench)
-      |SELECT vec_id, max(c) AS max_bench_cosine,
-      |       CAST(CASE WHEN max(c) >= 0.35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-      |FROM sims GROUP BY 1""".stripMargin) { (s, d) =>
+  private def benchCosineCtes: String =
+    """bench AS (SELECT vec_id AS bid, v AS bv FROM emb WHERE vec_id < 20),
+      |bsc AS (SELECT corp.vec_id,
+      |               max(round(CAST(list_dot_product(corp.v, bench.bv) AS DOUBLE)
+      |                   / (sqrt(CAST(list_dot_product(corp.v, corp.v) AS DOUBLE))
+      |                      * sqrt(CAST(list_dot_product(bench.bv, bench.bv) AS DOUBLE))), 12))
+      |                 AS max_bench_cosine
+      |        FROM (SELECT vec_id, v FROM emb WHERE vec_id >= 20) corp
+      |        CROSS JOIN bench
+      |        GROUP BY 1)""".stripMargin
+
+  /** Spark twin of [[benchCosineCtes]]: (vec_id, max_bench_cosine). */
+  private def benchCosinesDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     val embD = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
@@ -1294,8 +1304,51 @@ object LlmEmbed {
             sqrt(Similarity.dotNative(col("bv"), col("bv")))), 12).as("c"))
       .groupBy(col("vec_id"))
       .agg(max(col("c")).as("max_bench_cosine"))
+  }
+
+  /** kNN-density score (the DataComp/SemDeDup-family pruning signal):
+    * each vector's mean cosine to its 8 nearest WITHIN-CLUSTER neighbors
+    * — high density marks semantically redundant regions, low density
+    * marks outliers; curation prunes from either end. Total over the
+    * corpus: a vector alone in its cluster has no neighbors and reads a
+    * NULL density. Decimal-exact mean: the DECIMAL(16,12) sum of the
+    * already-rounded cosines is exact and order-independent, and the
+    * final value is ONE double division of identical operands — no
+    * trailing round(), whose half-boundary at the 12th digit the two
+    * engines resolve differently.
+    */
+  private val knnDensity = Q(
+    "embed_knn_density",
+    s"""WITH $semdedupCtes,
+       |$densityCtes
+       |SELECT emb.vec_id, dens.density
+       |FROM emb LEFT JOIN dens ON dens.vec_id = emb.vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(densityDf(s, d), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("density"))
+  }
+
+  /** Semantic decontamination (the embedding-space twin of
+    * `dedup_contamination`'s n-gram rule — the eval-leakage cut the
+    * Phi/LLaMA data reports run): every corpus vector scored by its MAX
+    * cosine against a FIXED small benchmark set (vec_id < 20 — benchmark
+    * suites are constant-size, so the broadcast side never grows with
+    * the corpus), flagged at the certified 0.35 near-dup band. One
+    * corpus scan × a 20-row broadcast, map-side partial max — no
+    * shuffle of the corpus beyond the final per-vector aggregate.
+    */
+  private val decontam = Q(
+    "embed_decontamination",
+    s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |             FROM embeddings),
+       |$benchCosineCtes
+       |SELECT vec_id, max_bench_cosine,
+       |       CAST(CASE WHEN max_bench_cosine >= $SemTau THEN 1 ELSE 0 END AS BIGINT)
+       |         AS contaminated
+       |FROM bsc""".stripMargin) { (s, d) =>
+    benchCosinesDf(s, d)
       .select(col("vec_id"), col("max_bench_cosine"),
-        when(col("max_bench_cosine") >= 0.35, lit(1L)).otherwise(lit(0L))
+        when(col("max_bench_cosine") >= SemTau, lit(1L)).otherwise(lit(0L))
           .as("contaminated"))
   }
 
@@ -1360,30 +1413,16 @@ object LlmEmbed {
     "embed_curation_pipeline",
     s"""WITH $semdedupCtes,
        |drp AS (SELECT DISTINCT vb AS vec_id FROM pairs WHERE c >= $SemTau),
-       |e AS (SELECT va AS q, vb AS n, c FROM pairs
-       |      UNION ALL SELECT vb, va, c FROM pairs),
-       |rk AS (SELECT q, n, c, row_number() OVER (PARTITION BY q ORDER BY c DESC, n) AS r
-       |       FROM e),
-       |dens AS (SELECT q AS vec_id,
-       |                CAST(SUM(CAST(c AS DECIMAL(16,12))) AS DOUBLE)
-       |                  / CAST(count(*) AS DOUBLE) AS density
-       |         FROM rk WHERE r <= 8 GROUP BY 1),
-       |bench AS (SELECT vec_id AS bid, v AS bv FROM emb WHERE vec_id < 20),
-       |cont AS (SELECT corp.vec_id
-       |         FROM (SELECT vec_id, v FROM emb WHERE vec_id >= 20) corp
-       |         CROSS JOIN bench
-       |         GROUP BY 1
-       |         HAVING max(round(CAST(list_dot_product(corp.v, bench.bv) AS DOUBLE)
-       |                    / (sqrt(CAST(list_dot_product(corp.v, corp.v) AS DOUBLE))
-       |                       * sqrt(CAST(list_dot_product(bench.bv, bench.bv) AS DOUBLE))), 12))
-       |                >= $SemTau),
+       |$densityCtes,
+       |$benchCosineCtes,
        |base AS (SELECT e.vec_id, e.label,
        |                CASE WHEN drp.vec_id IS NULL THEN 0 ELSE 1 END AS f_dup,
-       |                CASE WHEN cont.vec_id IS NULL THEN 0 ELSE 1 END AS f_con,
+       |                CASE WHEN coalesce(bsc.max_bench_cosine, 0) >= $SemTau
+       |                     THEN 1 ELSE 0 END AS f_con,
        |                CASE WHEN coalesce(dens.density, 0) > 0.5 THEN 1 ELSE 0 END AS f_den
        |         FROM embeddings e
        |         LEFT JOIN drp ON drp.vec_id = e.vec_id
-       |         LEFT JOIN cont ON cont.vec_id = e.vec_id
+       |         LEFT JOIN bsc ON bsc.vec_id = e.vec_id
        |         LEFT JOIN dens ON dens.vec_id = e.vec_id
        |         WHERE e.vec_id >= 20)
        |SELECT label, $C AS n_total,
@@ -1393,36 +1432,17 @@ object LlmEmbed {
        |       CAST(SUM(CASE WHEN f_dup = 0 AND f_con = 0 AND f_den = 0
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pool
        |FROM base GROUP BY 1""".stripMargin) { (s, d) =>
-    val embD = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-    val p = semPairs(s, d)
-    val drp = p.filter(col("c") >= SemTau)
+    val drp = semPairs(s, d).filter(col("c") >= SemTau)
       .select(col("vb").as("vec_id")).distinct().withColumn("f_dup", lit(1L))
-    val e = p.select(col("va").as("q"), col("vb").as("n"), col("c"))
-      .unionAll(p.select(col("vb").as("q"), col("va").as("n"), col("c")))
-    val wD = Window.partitionBy(col("q")).orderBy(col("c").desc, col("n"))
-    val dens = e.withColumn("r", row_number().over(wD)).filter(col("r") <= 8)
-      .groupBy(col("q"))
-      .agg((sum(col("c").cast(DecimalType(16, 12))).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).as("density"))
-      .select(col("q").as("vec_id"), col("density"))
-    val bench = embD.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("bid"), col("v").as("bv"))
-    val cont = embD.filter(col("vec_id") >= 20)
-      .crossJoin(broadcast(bench))
-      .select(col("vec_id"),
-        round(Similarity.dotNative(col("v"), col("bv")) /
-          (sqrt(Similarity.dotNative(col("v"), col("v"))) *
-            sqrt(Similarity.dotNative(col("bv"), col("bv")))), 12).as("c"))
-      .groupBy(col("vec_id")).agg(max(col("c")).as("mc"))
-      .filter(col("mc") >= SemTau)
+    val cont = benchCosinesDf(s, d)
+      .filter(col("max_bench_cosine") >= SemTau)
       .select(col("vec_id")).withColumn("f_con", lit(1L))
-    embD.filter(col("vec_id") >= 20)
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") >= 20)
       .select(col("vec_id"), col("label"))
       .join(drp, Seq("vec_id"), "left")
       .join(cont, Seq("vec_id"), "left")
-      .join(dens, Seq("vec_id"), "left")
+      .join(densityDf(s, d), Seq("vec_id"), "left")
       .select(col("label"),
         coalesce(col("f_dup"), lit(0L)).as("f_dup"),
         coalesce(col("f_con"), lit(0L)).as("f_con"),

@@ -279,9 +279,11 @@ object StreamingQueries {
     "c21_stream_semdedup",
     """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |             FROM embeddings),
-      |b AS (SELECT vec_id, v, vec_id % 3 AS bt FROM emb),
-      |cents AS (SELECT vec_id AS cid, v AS cv FROM b
-      |          WHERE bt = 0 AND vec_id % 125 = 0),
+      |b AS (SELECT vec_id, v, vec_id % 3 AS bt FROM emb
+      |      WHERE CAST(list_dot_product(v, v) AS DOUBLE) > 0),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM
+      |            (SELECT vec_id, v FROM b WHERE bt = 0 AND vec_id % 125 = 0
+      |             ORDER BY vec_id LIMIT 65536)),
       |nc AS (SELECT cid, CAST(list_dot_product(cv, cv) AS DOUBLE) AS n2 FROM cents),
       |sim AS (SELECT b.vec_id, cents.cid,
       |               round(CAST(list_dot_product(b.v, cents.cv) AS DOUBLE)
@@ -306,9 +308,14 @@ object StreamingQueries {
     val embD = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    // zero-norm seeds are excluded exactly as the maintainer excludes
+    // zero-norm members (engine parity with the oracle's b CTE); the
+    // 65536 cap bounds the broadcast frame at any corpus size
     val cents = embD
       .filter(pmod(col("vec_id"), lit(3)) === 0 &&
         pmod(col("vec_id"), lit(125)) === 0)
+      .filter(graft.operators.Similarity.dotNative(col("v"), col("v")) > 0d)
+      .orderBy(col("vec_id")).limit(65536)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val fold = StreamSemDedup.applyBatch(store, "members", cents, 0.35) _
     (0 to 2).foreach(i =>

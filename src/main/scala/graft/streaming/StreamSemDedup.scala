@@ -89,39 +89,48 @@ object StreamSemDedup {
         .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
           .as("cid"))
       val home = homeIds
-        .join(keep.select(col("vec_id"), col("v")), Seq("vec_id"))
-        .select(col("vec_id"), col("cid"), col("v"),
+        .join(keep.select(col("vec_id"), col("v"), col("n2")), Seq("vec_id"))
+        .select(col("vec_id"), col("cid"), col("v"), col("n2"),
           pmod(col("cid"), lit(CidBuckets)).as("__cbucket"))
         .localCheckpoint() // consumed 4× below (witness joins + the write)
       val touched = home.select(col("cid")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      val touchedBuckets = touched.map(_ % CidBuckets).distinct
+      // floorMod, NOT %: the store's __cbucket is written with pmod, and
+      // Scala % of a negative cid would probe a bucket that can't exist
+      val touchedBuckets = touched.map(c => java.lang.Math.floorMod(c, CidBuckets))
+        .distinct
       val hist =
         if (!store.exists(table))
-          home.select(col("vec_id").as("uid"), col("cid"), col("v").as("vu")).limit(0)
+          home.select(col("vec_id").as("uid"), col("cid"),
+            col("v").as("vu"), col("n2").as("nu")).limit(0)
         else store.read(table)
           // directory prune on the bounded bucket, row-group prune on cid
           .filter(col("__cbucket").isInCollection(touchedBuckets))
           .filter(col("cid").isInCollection(touched))
           .filter(col("__applied").cast("long") < batchId)
-          .select(col("vec_id").as("uid"), col("cid"), col("v").as("vu"))
-      def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        round(Similarity.dotNative(a, b) /
-          (sqrt(Similarity.dotNative(a, a)) * sqrt(Similarity.dotNative(b, b))), 12)
+          .select(col("vec_id").as("uid"), col("cid"),
+            col("v").as("vu"), col("n2").as("nu"))
       // witnesses with precedence: any earlier-batch member in the same
-      // cluster, or a lower-id vector of this batch
+      // cluster, or a lower-id vector of this batch. Norms ride along —
+      // recomputing the self-dots inside the quadratic pair joins would
+      // triple their flops.
       val histDup = home.join(hist, Seq("cid"))
-        .filter(cos(col("v"), col("vu")) >= tau)
+        .filter(round(Similarity.dotNative(col("v"), col("vu")) /
+          (sqrt(col("n2")) * sqrt(col("nu"))), 12) >= tau)
         .select(col("vec_id"))
-      val a = home.select(col("cid"), col("vec_id").as("ua"), col("v").as("xa"))
+      val a = home.select(col("cid"), col("vec_id").as("ua"),
+        col("v").as("xa"), col("n2").as("na"))
       val batchDup = home.join(a, Seq("cid"))
-        .filter(col("ua") < col("vec_id") && cos(col("xa"), col("v")) >= tau)
+        .filter(col("ua") < col("vec_id") &&
+          round(Similarity.dotNative(col("xa"), col("v")) /
+            (sqrt(col("na")) * sqrt(col("n2"))), 12) >= tau)
         .select(col("vec_id"))
       val dropped = histDup.unionByName(batchDup).distinct()
         .withColumn("d", lit(0L))
       val out = home.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid"),
-          coalesce(col("d"), lit(1L)).as("kept"), col("v"), col("__cbucket"))
+          coalesce(col("d"), lit(1L)).as("kept"), col("v"), col("n2"),
+          col("__cbucket"))
       store.replacePartitions(table,
         out.withColumn("__applied", lit(batchId)), "__applied", Seq("__cbucket"))
     }

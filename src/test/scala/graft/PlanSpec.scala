@@ -89,11 +89,11 @@ class PlanSpec extends SparkSpec {
       "sample_systematic", // 1-row broadcast total-weight frame (the lattice denominator)
       "curation_dsir_weights", // 1-row broadcast token-total frame (the smoothing denominators)
       "c20_stream_dsir_store", // same 1-row total frame, over the maintained LM counts
-      "embed_semdedup", // corpus × k-row broadcast centroid frame (stride-seeded assignment)
-      "embed_knn_density", // same shared assignment frame (k-row broadcast centroids)
+      "embed_semdedup", // corpus × ≤65536-row broadcast centroid frame (capped stride seeding)
+      "embed_knn_density", // same shared assignment frame (capped centroid broadcast)
       "embed_decontamination", // corpus × fixed 20-row broadcast benchmark frame
-      "embed_curation_pipeline", // the same centroid + benchmark broadcasts, composed
-      "c21_stream_semdedup" // batch × k-row broadcast frozen-centroid frame per fold
+      "embed_curation_pipeline", // the same capped-centroid + benchmark broadcasts, composed
+      "c21_stream_semdedup" // batch × ≤65536-row broadcast frozen-centroid frame per fold
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)

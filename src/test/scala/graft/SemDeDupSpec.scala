@@ -61,18 +61,23 @@ class SemDeDupSpec extends SparkSpec {
   }
 
   test("knn density == brute-force mean of top-8 within-cluster cosines") {
+    // total over the corpus: a vector alone in its cluster reads NULL
     val density = SparkEntry.queries("embed_knn_density")(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     val byCluster = semOut.groupBy(_._2)
     assert(density.keySet == vecs.keySet)
     for ((_, members) <- byCluster; (v, _, _) <- members) {
       val nbrs = members.collect { case (u, _, _) if u != v =>
         (cos(vecs(u), vecs(v)), u)
       }.sortBy { case (c, u) => (-c, u) }.take(8)
-      val expect = nbrs.map(_._1).sum / nbrs.size
-      assert(math.abs(density(v) - expect) < 1e-9,
-        s"vec $v: got ${density(v)}, brute $expect")
-      assert(density(v) >= -1.0 - 1e-9 && density(v) <= 1.0 + 1e-9)
+      if (nbrs.isEmpty) assert(density(v).isEmpty, s"vec $v: singleton must be NULL")
+      else {
+        val expect = nbrs.map(_._1).sum / nbrs.size
+        val got = density(v).getOrElse(fail(s"vec $v: unexpected NULL density"))
+        assert(math.abs(got - expect) < 1e-9, s"vec $v: got $got, brute $expect")
+        assert(got >= -1.0 - 1e-9 && got <= 1.0 + 1e-9)
+      }
     }
   }
 }
