@@ -236,30 +236,50 @@ object Similarity {
     ivfTopKWith(corpus, queries, idCol, vecCol, k, nProbe, centroids)
   }
 
-  /** The IVF probe stage against a given (cid, centvec) quantizer. */
+  /** The IVF probe stage against a given (cid, centvec) quantizer.
+    *
+    * Centroid assignment is the [[nearestCentroidIds]] aggregate shape —
+    * NOT a `row_number` window over the id×k cross rows: the window
+    * formulation exchanges all n×k rows (each dragging the dim-double
+    * vector) keyed on the id before any reduction, which at a
+    * corpus-scale n with a large quantizer shuffles k× the corpus. The
+    * bounded-heap aggregate partial-reduces map-side, so one row per id
+    * crosses the exchange and the vector is joined back batch-sized
+    * after (the `StreamSemDedup` assignment contract).
+    */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int, centroids: DataFrame): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
-
-    def nearestCentroids(df: DataFrame, vec: String, id: String, top: Int) = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine(col(vec), col("centvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= top)
-        .drop("centvec", "csim", "crank")
-    }
-
-    val lists = nearestCentroids(c, "cvec", "nid", 1)
+    val lists = nearestCentroidIds(c, "cvec", "nid", 1, centroids)
+      .join(c, Seq("nid"))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
-    val probes = nearestCentroids(q, "qvec", "qid", nProbe)
+    val probes = nearestCentroidIds(q, "qvec", "qid", nProbe, centroids)
+      .join(q, Seq("qid"))
     val scored = lists
       .join(probes, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("cvec")).as("cosine"))
     heapTopK(scored, k)
   }
+
+  /** Per-id `top` nearest centroid ids — (id, cid) rows, membership-equal
+    * to `row_number().over(partitionBy(id).orderBy(csim desc, cid)) <=
+    * top` but window-free: the vector is projected AWAY before a
+    * `topk_pairs` bounded-heap aggregate, so the exchange carries one
+    * partial heap per id instead of id×k scored rows. Tie/NaN parity
+    * with the window ordering is exact: [[graft.plans.TopKPairs]] orders
+    * by `java.lang.Double.compare` (NaN greatest — Spark's sort order
+    * for double desc puts NaN first) then lower id.
+    */
+  def nearestCentroidIds(df: DataFrame, vecCol: String, idCol: String,
+      top: Int, centroids: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"),
+        cosine(col(vecCol), col("centvec")).as("csim"))
+      .groupBy(col(idCol))
+      .agg(call_function("topk_pairs", col("csim"), col("cid"), lit(top)).as("t"))
+      .select(col(idCol), explode(col("t")).as("e"))
+      .select(col(idCol), col("e.id").as("cid"))
 
   /** Lloyd's k-means over the embedding column, for IVF centroid
     * refinement. Scale shape per iteration: assignment is map-side

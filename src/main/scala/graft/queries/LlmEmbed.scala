@@ -376,13 +376,17 @@ object LlmEmbed {
       .join(nrm.select(col("vec_id").as("cid"), col("n2").as("nc")), Seq("cid"))
       .select(col("vec_id"), col("cid"),
         round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 12).as("cs"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("cid"))
-    val ranked = csim.withColumn("cr", row_number().over(wAssign))
-    val lists = ranked.filter(col("cr") === 1)
+    // per-vector argmax / top-4 as map-side-partial aggregates, not a
+    // row_number window over the n×k scored rows (see semAssign)
+    val lists = csim.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
+        .as("cid"))
       .select(col("vec_id").as("nid"), col("cid"))
-    val probes = ranked.filter(col("cr") <= 4 && col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("cid"))
+    val probes = csim.filter(col("vec_id") < 5)
+      .groupBy(col("vec_id"))
+      .agg(call_function("topk_pairs", col("cs"), col("cid"), lit(4)).as("t"))
+      .select(col("vec_id").as("qid"), explode(col("t")).as("e"))
+      .select(col("qid"), col("e.id").as("cid"))
     val cand = probes.join(lists, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
@@ -504,21 +508,25 @@ object LlmEmbed {
       .toDF("cid", "cv")
       .withColumn("nc", Similarity.dotNative(col("cv"), col("cv")))
     // ONE projection per corpus row × k broadcast centroids: native dot,
-    // inline norms, no element explode on the assignment path
+    // inline norms, no element explode — and no vector past this select:
+    // the per-vector argmax below is a map-side-partial aggregate over
+    // (vec_id, cid, cs) rows, not a row_number window that would
+    // exchange all n×k cross rows (see semAssign for the full rationale;
+    // tie and NaN parity with the window/oracle ordering is identical).
     def assignCs = embD
       .withColumn("n2", Similarity.dotNative(col("v"), col("v")))
       .crossJoin(broadcast(centsDf))
-      .select(col("vec_id"), col("cid"), col("v"),
+      .select(col("vec_id"), col("cid"),
         round(Similarity.dotNative(col("v"), col("cv")) /
           (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+    def assignIds = assignCs
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
+        .as("cid"))
     for (_ <- 0 until 2) {
-      val assigned = assignCs
-        .withColumn("r", row_number().over(wA))
-        .filter(col("r") === 1).select(col("vec_id"), col("cid"))
       // decimal-exact element means; empty clusters keep the previous
       // centroid (no row for that (cid, i) -> driver-side fallback)
-      val means = embD.join(assigned, Seq("vec_id"))
+      val means = embD.join(assignIds, Seq("vec_id"))
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), (col("pos") + 1).cast(LongType).as("i"))
         .agg((sum(col("col").cast(dec)).cast(DoubleType) /
@@ -528,11 +536,16 @@ object LlmEmbed {
         cid -> prev.indices.map(j => means.getOrElse((cid, j + 1L), prev(j)))
       }
     }
-    val ranked = assignCs.withColumn("cr", row_number().over(wA))
-    val lists = ranked.filter(col("cr") === 1)
-      .select(col("vec_id").as("nid"), col("cid"))
-    val probes = ranked.filter(col("cr") <= 4 && col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("cid"))
+    val lists = assignIds.select(col("vec_id").as("nid"), col("cid"))
+    // top-4 probe centroids for the 5 probe vectors: the bounded-heap
+    // topk_pairs aggregate ([[graft.plans.TopKPairs]]) replays the
+    // window's (cs desc, cid asc) order — Double.compare then lower id —
+    // without a WindowExec anywhere in the plan
+    val probes = assignCs.filter(col("vec_id") < 5)
+      .groupBy(col("vec_id"))
+      .agg(call_function("topk_pairs", col("cs"), col("cid"), lit(4)).as("t"))
+      .select(col("vec_id").as("qid"), explode(col("t")).as("e"))
+      .select(col("qid"), col("e.id").as("cid"))
     val cand = probes.join(lists, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
@@ -622,11 +635,16 @@ object LlmEmbed {
       .select(col("vec_id"), col("cid"),
         round(Similarity.dotNative(col("v"), col("cv")) /
           (sqrt(col("n2")) * sqrt(col("n2c"))), 12).as("cs"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
-    val lists = assign(hist).withColumn("r", row_number().over(w))
-      .filter(col("r") === 1).select(col("vec_id").as("nid"), col("cid"))
-    val probes = assign(newb).withColumn("r", row_number().over(w))
-      .filter(col("r") <= 4).select(col("vec_id").as("qid"), col("cid"))
+    // history argmax / arrival top-4 as map-side-partial aggregates, not
+    // row_number windows over the n×k scored rows (see semAssign)
+    val lists = assign(hist).groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
+        .as("cid"))
+      .select(col("vec_id").as("nid"), col("cid"))
+    val probes = assign(newb).groupBy(col("vec_id"))
+      .agg(call_function("topk_pairs", col("cs"), col("cid"), lit(4)).as("t"))
+      .select(col("vec_id").as("qid"), explode(col("t")).as("e"))
+      .select(col("qid"), col("e.id").as("cid"))
     val cand = probes.join(lists, Seq("cid"))
       .select(col("qid"), col("nid")).distinct()
     val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
@@ -904,12 +922,21 @@ object LlmEmbed {
       .groupBy(col("vec_id"), col("cid"))
       .agg(round(sum(((col("x") - col("cx")) * (col("x") - col("cx"))).cast(dec))
         .cast(DoubleType), 12).as("d2"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val ranked = cd.withColumn("cr", row_number().over(w))
-    val lists = ranked.filter(col("cr") === 1)
+    // nearest-centroid argmin / top-4 as map-side-partial aggregates,
+    // not a row_number window over the n×k distance rows (see
+    // semAssign). min_by's struct order (lowest d2, then lowest cid)
+    // replays the window's (d2 asc, cid asc); the heap probe negates d2
+    // so topk_pairs' score-desc order is distance-asc, ties lower cid —
+    // d2 is a sum of squares, so no NaN enters either ordering.
+    val lists = cd.groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
       .select(col("vec_id").as("nid"), col("cid"))
-    val probes = ranked.filter(col("cr") <= 4 && col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("cid"))
+    val probes = cd.filter(col("vec_id") < 5)
+      .groupBy(col("vec_id"))
+      .agg(call_function("topk_pairs", (-col("d2")).as("s"), col("cid"),
+        lit(4)).as("t"))
+      .select(col("vec_id").as("qid"), explode(col("t")).as("e"))
+      .select(col("qid"), col("e.id").as("cid"))
     val cand = probes.join(lists, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
@@ -1114,18 +1141,36 @@ object LlmEmbed {
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
       def centsDf = cents.toSeq.sortBy(_._1).toDF("cid", "cv")
         .withColumn("nc", Similarity.dotNative(col("cv"), col("cv")))
-      def assignCs = embD
+      val embN = embD
         .withColumn("n2", Similarity.dotNative(col("v"), col("v")))
+      // Per-vector argmax WITHOUT a window: the row_number formulation
+      // exchanged all n×k cross rows — each dragging the dim-double
+      // vector — keyed on vec_id before any reduction; at the SemMaxK
+      // cap that is a 65 536× corpus shuffle. Here the vector is
+      // projected AWAY before a map-side-partial `max_by` (the
+      // StreamSemDedup.applyBatch assignment shape), so n rows of
+      // (vec_id, cid) cross the exchange and v/n2 join back batch-sized.
+      // Tie rule (max cs, then LOWER cid) matches the old window's
+      // (cs desc, cid asc) exactly — cid is unique per candidate row, so
+      // the struct order is total. NaN parity: a zero-norm vector's
+      // cosines are all NaN, which both the window's desc sort and
+      // max_by's struct ordering treat as GREATEST — both shapes then
+      // fall to the cid tie-break and pick the lowest cid, and DuckDB's
+      // row_number oracle orders NaN the same way (last ORDER BY DESC),
+      // so batch, stream-witness, and oracle stay hash-aligned without a
+      // zero-norm filter (the streaming maintainer filters n2 > 0 only
+      // because a directionless vector must not become a dedup WITNESS
+      // there; the batch contract is assign-everything).
+      def assignIds = embN
         .crossJoin(broadcast(centsDf))
-        .select(col("vec_id"), col("cid"), col("v"), col("n2"),
+        .select(col("vec_id"), col("cid"),
           round(Similarity.dotNative(col("v"), col("cv")) /
             (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
+          .as("cid"))
       for (_ <- 0 until 2) {
-        val assigned = assignCs
-          .withColumn("r", row_number().over(wA))
-          .filter(col("r") === 1).select(col("vec_id"), col("cid"))
-        val means = embD.join(assigned, Seq("vec_id"))
+        val means = embD.join(assignIds, Seq("vec_id"))
           .select(col("cid"), posexplode(col("v")))
           .groupBy(col("cid"), (col("pos") + 1).cast(LongType).as("i"))
           .agg((sum(col("col").cast(dec)).cast(DoubleType) /
@@ -1138,8 +1183,7 @@ object LlmEmbed {
       // n2 rides along: every pair consumer divides by sqrt(na)·sqrt(nb),
       // and recomputing the self-dots inside the quadratic pair join
       // would triple its flops
-      assignCs.withColumn("r", row_number().over(wA))
-        .filter(col("r") === 1)
+      assignIds.join(embN, Seq("vec_id"))
         .select(col("vec_id"), col("cid"), col("v"), col("n2"))
     }
 

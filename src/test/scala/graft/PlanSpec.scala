@@ -133,6 +133,23 @@ class PlanSpec extends SparkSpec {
       s"the diff must touch each snapshot exactly once, found ${joins.size} joins:\n$p")
   }
 
+  test("centroid assignment paths plan no window exec at all") {
+    // The n×k scale guard: assigning each vector its nearest centroid
+    // via row_number().over(partitionBy(vec_id)) exchanges all n×k
+    // cross rows before any reduction — at the SemDeDup k-cap (65 536)
+    // that shuffles 65 536× the corpus. The aggregate shape (max_by /
+    // topk_pairs) partial-reduces map-side, so these plans must contain
+    // NO WindowExec anywhere.
+    for (n <- Seq("embed_semdedup", "embed_ann_ivf", "embed_ann_ivf_kmeans")) {
+      val windows = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(windows.isEmpty,
+        s"$n must assign centroids via aggregates, found ${windows.size} WindowExec")
+    }
+  }
+
   test("sequence packing plans no single-task global window") {
     val df = SparkEntry.queries("pack_sequences")(spark, sfDir)
     val windows = df.queryExecution.sparkPlan.collect {
