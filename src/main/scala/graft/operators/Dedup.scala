@@ -735,13 +735,40 @@ object Dedup {
     */
   def jaccardForPairsAtLeast(shingles: DataFrame, idCol: String,
       pairs: DataFrame, threshold: Double): DataFrame = {
-    val candDocs = pairs.select(col("doc_a").as(idCol))
-      .unionByName(pairs.select(col("doc_b").as(idCol)))
+    // materialize the candidate pairs ONCE, then pick the verify shape
+    // on the real pair count: below ~64k pairs the hash prefilter's
+    // extra collect/join stages cost more than the string verify they
+    // would prune (A/B r17, sf0.1: prefilter 4.8 s vs direct 3.5 s
+    // warm; at sf1's 334k candidates the prefilter wins ~19 → ~13.5 s).
+    // Callers that can tell large-scale from a frame they have already
+    // materialized (the PPJoin's prefix index) branch without this
+    // count — see prefixJaccardPairsFrom.
+    val p = ckpt(pairs)
+    if (p.count() < 65536)
+      jaccardForPairs(shingles, idCol, p)
+        .filter(col("jaccard") >= threshold)
+    else prefilteredVerify(shingles, idCol, p, threshold)
+  }
+
+  /** The hash-prefiltered exact verify of [[jaccardForPairsAtLeast]],
+    * unconditionally: callers must pass a MATERIALIZED pair frame (it is
+    * consumed twice here and its survivors three more times downstream).
+    *
+    * `pairs` is consumed by the candDoc derivation and the survivors
+    * scoring join, and `survivors` feeds [[jaccardForPairs]] which
+    * consumes its pairs three more times — both are checkpointed (the
+    * caller's `pairs` contract + the ckpt below) so the candidate join
+    * never re-runs (~5× re-derivation before r17's fix).
+    */
+  private def prefilteredVerify(shingles: DataFrame, idCol: String,
+      p: DataFrame, threshold: Double): DataFrame = {
+    val candDocs = p.select(col("doc_a").as(idCol))
+      .unionByName(p.select(col("doc_b").as(idCol)))
       .distinct()
     val hashArrays = shingles.join(candDocs, Seq(idCol), "left_semi")
       .groupBy(col(idCol))
       .agg(collect_set(xxhash64(col("shingle"))).as("arr"))
-    val survivors = pairs
+    val survivors = ckpt(p
       .join(hashArrays.select(col(idCol).as("doc_a"), col("arr").as("__ha")),
         Seq("doc_a"))
       .join(hashArrays.select(col(idCol).as("doc_b"), col("arr").as("__hb")),
@@ -754,7 +781,7 @@ object Dedup {
       .filter(col("__ni") > 0)
       .filter(col("__ni").cast("double") /
         (col("__na") + col("__nb") - col("__ni")).cast("double") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")))
     jaccardForPairs(shingles, idCol, survivors)
       .filter(col("jaccard") >= threshold)
   }
@@ -828,6 +855,12 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: BigDecimal, shingleN: Int = 3): DataFrame = {
+    // validate BEFORE the ckpt below: an invalid threshold must fail
+    // fast, not after materializing a full corpus shingle checkpoint
+    // (prefixRanked/prefixJaccardPairsFrom re-check, but only after the
+    // eager ckpt has already run)
+    require(threshold > 0 && threshold <= 1,
+      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
     // the shingle set feeds the df agg, the ranked frame, and the verify
     // join's three legs; the ranked frame feeds both candidate sides.
     // checkpoint each once instead of re-shingling / re-windowing the
@@ -842,9 +875,14 @@ object Dedup {
   /** The probe-prefix index of [[prefixJaccardPairs]] as a standalone
     * plan (no materialization — the caller checkpoints or persists it):
     * rarity-ordered shingle ranks, filtered to each doc's probe prefix.
-    * Exposed so the query layer can keep ONE session-shared persisted
-    * index per corpus dir (the signature-store contract) instead of
-    * re-deriving it on every execution.
+    *
+    * NOTE on sharing: do NOT wire this through `Frames.shared` —
+    * session-sharing the sh/ranked frames across executions was A/B'd
+    * (r16, `Debug --repeat=3` same window) at 2.4× SLOWER than the
+    * operator's per-execution localCheckpoints: cached inputs degrade
+    * the candidate/verify join planning. The split exists for plan
+    * composition (and so an external caller with a genuinely reliable
+    * checkpoint dir CAN persist it), not as a speed lever here.
     */
   def prefixRanked(sh: DataFrame, idCol: String,
       threshold: BigDecimal): DataFrame = {
@@ -873,8 +911,9 @@ object Dedup {
   }
 
   /** [[prefixJaccardPairs]]' candidate + verify stages over an existing
-    * (possibly session-shared / persisted) shingle set and
-    * [[prefixRanked]] frame.
+    * MATERIALIZED (checkpointed/persisted) shingle set and
+    * [[prefixRanked]] frame — `ranked.count()` is taken below to pick
+    * the verify shape, so a lazy frame would compute twice.
     */
   def prefixJaccardPairsFrom(sh: DataFrame, ranked: DataFrame,
       idCol: String, threshold: BigDecimal): DataFrame = {
@@ -902,7 +941,22 @@ object Dedup {
       .select(least(col("pid"), col("iid")).as("doc_a"),
         greatest(col("pid"), col("iid")).as("doc_b"))
       .distinct()
-    jaccardForPairsAtLeast(sh, idCol, cands, threshold.toDouble)
+    // Adaptive verify, branched on the prefix-index row count — free on
+    // the materialized `ranked` frame, and it tracks the candidate
+    // population (~0.41 pairs per prefix row at BOTH measured scales:
+    // 33.4k/80.9k at sf0.1, 334k/809k at sf1). Below ~160k prefix rows
+    // (~64k pairs) the single-job direct verify wins: the hash
+    // prefilter's extra collect/join stages plus the pair-count
+    // materialization cost ~1.3 s against a string verify that is
+    // itself sub-second (A/B r17 sf0.1, warm min-of-3: direct 3.6 s vs
+    // prefilter 4.8 s). Above it the prefilter prunes the string verify
+    // to ~1% of candidates and wins big (sf1: 13.5 s vs 19.1 s). Within
+    // one execution the direct path's three consumers of `cands` share
+    // exchanges (ReusedExchange), so no ckpt is needed on that side.
+    if (ranked.count() < 160000)
+      jaccardForPairs(sh, idCol, cands)
+        .filter(col("jaccard") >= threshold.toDouble)
+    else prefilteredVerify(sh, idCol, ckpt(cands), threshold.toDouble)
   }
 
   /** SimHash (64-bit) per document over its token set: per bit position,
