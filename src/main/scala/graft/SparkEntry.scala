@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Curation, DmQueries, LlmEmbed, LlmText, MlQueries, PipelineQueries, Q, Relational, StreamingQueries, WarehouseQueries}
+import graft.queries.{Curation, DmQueries, LlmEmbed, LlmText, MlQueries, PipelineQueries, Q, QuirkQueries, Relational, StreamingQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
   val catalog: Seq[Q] =
     Relational.queries ++ WarehouseQueries.queries ++
       DmQueries.queries ++ PipelineQueries.queries ++
+      QuirkQueries.queries ++
       StreamingQueries.queries ++
       LlmText.queries ++ LlmEmbed.queries ++ Curation.queries ++
       MlQueries.queries
