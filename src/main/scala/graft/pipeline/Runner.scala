@@ -83,6 +83,30 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
           coalesce(col("region_sk"), lit(Constants.NaKey)).as("region_sk")))
     store.overwrite("dim_nation", dimNation)
 
+    // SCD1 city dim — the THIRD snowflake level (reference
+    // address→country→region, bl_cl.sql:1783-1785 / bl_3nf.sql:101-136):
+    // cities are synthesized from the customer feed at nation×bucket
+    // grain (city_nk = nation_nk·100 + custkey%10, a single
+    // SQL-replayable key) and carry a SURROGATE nation FK, so
+    // city→nation→region crosses two surrogate hops before the region
+    // name resolves. City population is bounded by |nation|×10 — a true
+    // dimension at any corpus scale, broadcast-joined everywhere.
+    val citySrc = store.read("scr_customer")
+      .filter(col("Load_id") === loadId.toString)
+      .select((col("c_nationkey").cast("long") * 100 +
+          col("c_custkey").cast("long") % 10).as("city_nk"),
+        col("c_nationkey").as("nation_nk"))
+      .distinct()
+      .join(broadcast(dimNation.select(col("nation_nk"), col("nation_sk"))),
+        Seq("nation_nk"), "left")
+      .select(col("city_nk"),
+        coalesce(col("nation_sk"), lit(Constants.NaKey)).as("nation_sk"))
+    store.overwrite("dim_city", scd1Dim("dim_city", citySrc,
+      "city_sk", "city_nk",
+      naRow = spark.range(1).select(
+        lit(Constants.NaKey).as("city_sk"), lit(-1L).as("city_nk"),
+        lit(Constants.NaKey).as("nation_sk"))))
+
     // SCD2 customer: batch 1 bootstraps, later batches close+insert (M3/M5).
     val src = store.read("scr_customer")
       .filter(col("Load_id") === loadId.toString)
@@ -396,7 +420,7 @@ final class Runner(spark: SparkSession, sfDir: String, workDir: String) {
 
   /** Stage 5 — QA report (A7/A8/C3 + SCD2 invariants + FK totality). */
   def qaReport(): DataFrame = {
-    val tables = Seq("dim_region", "dim_nation", "dim_customer",
+    val tables = Seq("dim_region", "dim_nation", "dim_city", "dim_customer",
       "dim_supplier", "dim_brand", "dim_product", "dim_employee",
       "dim_segment", "dim_orders", "dim_date", "fct_orders",
       "yearly_sales_profit", "sales_employee_region")

@@ -106,6 +106,9 @@ object PipelineQueries {
     "c5_qa_report",
     s"""SELECT 'dim_customer' AS tbl, $C AS n FROM customer
        |UNION ALL SELECT 'dim_nation', CAST((SELECT count(*) + 1 FROM nation) AS BIGINT)
+       |UNION ALL SELECT 'dim_city',
+       |  CAST((SELECT count(DISTINCT c_nationkey * 100 + c_custkey % 10) + 1
+       |        FROM customer) AS BIGINT)
        |UNION ALL SELECT 'dim_region', CAST((SELECT count(*) + 1 FROM region) AS BIGINT)
        |UNION ALL SELECT 'dim_supplier', CAST((SELECT count(*) + 1 FROM supplier) AS BIGINT)
        |UNION ALL SELECT 'dim_brand', CAST((SELECT count(DISTINCT p_brand) + 1 FROM part) AS BIGINT)
@@ -337,6 +340,57 @@ object PipelineQueries {
        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
     warehouse(s, d).table("sales_region_bugcompat")
       .select(col("customer_nk"), col("region"), col("revenue"))
+  }
+
+  /** J8b — the THREE-level snowflake traversal over the built warehouse
+    * (reference address→country→region, bl_cl.sql:1783–1785): active
+    * customers resolve their city by natural key, then hop city→nation
+    * and nation→region over SURROGATE FKs before the region name
+    * resolves. The oracle rebuilds all three surrogate sequences (dense
+    * row_numbers over the natural keys — exactly what Surrogates.assign
+    * emits) and replays both surrogate hops, so a hash match certifies
+    * the dim chain's FK wiring, not just the final rollup. Every dim is
+    * broadcast (city ≤ |nation|×10 rows by construction) — the fact-
+    * sized side never reshuffles (PlanSpec pins it).
+    */
+  private val snowflake3 = Q(
+    "j8b_snowflake3",
+    s"""WITH regsk AS (SELECT r_regionkey, r_name,
+       |    CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS region_sk
+       |  FROM region),
+       |natsk AS (SELECT n_nationkey, n_regionkey,
+       |    CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS nation_sk
+       |  FROM nation),
+       |natfk AS (SELECT n.n_nationkey, n.nation_sk, r.region_sk
+       |  FROM natsk n JOIN regsk r ON n.n_regionkey = r.r_regionkey),
+       |city AS (SELECT DISTINCT c_nationkey * 100 + c_custkey % 10 AS city_nk,
+       |    c_nationkey AS nation_nk FROM customer),
+       |citysk AS (SELECT city_nk, nation_nk,
+       |    CAST(row_number() OVER (ORDER BY city_nk) AS BIGINT) AS city_sk
+       |  FROM city),
+       |cityfk AS (SELECT c.city_nk, c.city_sk, n.nation_sk
+       |  FROM citysk c JOIN natfk n ON c.nation_nk = n.n_nationkey)
+       |SELECT r.r_name AS region, $C AS n_cust,
+       |       CAST(count(DISTINCT cf.city_sk) AS BIGINT) AS n_cities
+       |FROM customer cu
+       |JOIN cityfk cf ON cu.c_nationkey * 100 + cu.c_custkey % 10 = cf.city_nk
+       |JOIN natfk n ON cf.nation_sk = n.nation_sk
+       |JOIN regsk r ON n.region_sk = r.region_sk
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val wh = warehouse(s, d)
+    wh.table("dim_customer")
+      .filter(col("is_active"))
+      .select((col("nation_nk").cast(LongType) * 100 +
+        col("customer_nk").cast(LongType) % 10).as("city_nk"))
+      .join(broadcast(wh.table("dim_city")
+        .select(col("city_nk"), col("city_sk"), col("nation_sk"))), Seq("city_nk"))
+      .join(broadcast(wh.table("dim_nation")
+        .select(col("nation_sk"), col("region_sk"))), Seq("nation_sk"))
+      .join(broadcast(wh.table("dim_region")
+        .select(col("region_sk"), col("region_name"))), Seq("region_sk"))
+      .groupBy(col("region_name").as("region"))
+      .agg(lcount().as("n_cust"),
+        countDistinct(col("city_sk")).as("n_cities"))
   }
 
   /** C5/S3/M14/M15 — TWO-BATCH incremental build equals the one-shot
@@ -770,7 +824,7 @@ object PipelineQueries {
 
   val queries: Seq[Q] =
     Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
-      deltaAgg, retractAgg, bugCompatView, employeeRegionView, factDateFk,
+      deltaAgg, retractAgg, bugCompatView, snowflake3, employeeRegionView, factDateFk,
       factOrderDim, quarantine, timeTravel, jsonlRoundtrip, schemaEvolution,
       deltaJoinView, retractJoinView, streamJoinView, streamHeavyHitters,
       manifestStore)

@@ -27,6 +27,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("3-level snowflake broadcasts all three dims (customer side never reshuffles)") {
+    val p = plan("j8b_snowflake3")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3 &&
+      !p.contains("SortMergeJoin"),
+      s"city/nation/region must all broadcast:\n$p")
+  }
+
   test("constant filter is pushed down to the parquet scan") {
     val p = plan("p2_filter_agg")
     assert(p.contains("EqualTo(l_returnflag,R)"), s"PushedFilters missing:\n$p")
