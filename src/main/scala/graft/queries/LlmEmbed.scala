@@ -1105,9 +1105,24 @@ object LlmEmbed {
 
   /** Hard ceiling on the SemDeDup quantizer's k: 65 536 × dim doubles is
     * a ~32 MB broadcast at dim 64 — the bound that keeps `embed_semdedup`
-    * off the unscalable-join list at ANY corpus size.
+    * off the unscalable-join list at ANY corpus size. The EFFECTIVE cap
+    * is additionally dim-aware (see [[CentroidBudgetBytes]]): k × dim × 8
+    * bytes must fit the broadcast budget, so at dim 512 the cap tightens
+    * to 32 768 instead of shipping a ~270 MB frame to every executor.
     */
   private val SemMaxK = 65536
+
+  /** Broadcast budget for the SemDeDup centroid frame. Arithmetic: the
+    * frame is k rows × dim doubles = k·dim·8 bytes — 65 536 × 64 × 8 =
+    * 32 MB (fine), but 65 536 × 512 × 8 = 268 MB: under Spark's 8 GB
+    * broadcast hard cap yet far past sane executor memory overhead when
+    * every executor pins a deserialized copy. 128 MB caps the effective
+    * k at `budget / (dim·8)` — past it, cluster population grows instead
+    * (the paper's sharded-quadratic regime, same behavior as the SemMaxK
+    * cap itself). At the harness dims the dim-aware cap never binds, so
+    * oracle parity is untouched.
+    */
+  private val CentroidBudgetBytes = 128L << 20
 
   /** SemDeDup near-duplicate threshold — the same 0.35 tail that
     * `embed_cosine_dups` pins as this corpus's closest-pair band.
@@ -1129,9 +1144,18 @@ object LlmEmbed {
       val embD = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      // dim-aware k cap: one-row dim probe, then k ≤ budget/(dim·8) so
+      // the centroid broadcast never exceeds CentroidBudgetBytes
+      val dim = Tables.embeddings(s, d)
+        .select(size(col("embedding"))).head.getInt(0)
+      val effK = math.min(SemMaxK.toLong,
+        CentroidBudgetBytes / (dim.toLong * 8)).toInt
+      require(effK >= 1,
+        s"embedding dim $dim needs ${dim.toLong * 8} B per centroid — over " +
+          s"the $CentroidBudgetBytes B broadcast budget even at k = 1")
       val seedIds = Tables.embeddings(s, d).select(col("vec_id"))
         .filter(pmod(col("vec_id"), lit(SemStride)) === 0)
-        .orderBy(col("vec_id")).limit(SemMaxK)
+        .orderBy(col("vec_id")).limit(effK)
         .collect().map(_.getLong(0)).sorted.zipWithIndex
         .map { case (v, c) => (v, c.toLong) }
       var cents: Map[Long, IndexedSeq[Double]] = embD

@@ -38,6 +38,7 @@ object Frames {
   // just blocks on the lazy and adopts the winner's frame.
   private final class Holder(build: () => DataFrame) {
     @volatile private var persisted: DataFrame = null
+    @volatile var lastUsed: Long = 0L
     lazy val frame: DataFrame = {
       val f = build().persist(StorageLevel.MEMORY_AND_DISK)
       persisted = f
@@ -51,8 +52,28 @@ object Frames {
       val f = persisted
       if (f != null) f.unpersist()
     }
+    /** Evictable = the build finished (an in-flight holder has no blocks
+      * to free, and removing it would leak the blocks it is about to
+      * persist — its builder thread keeps a reference and nobody would
+      * release it).
+      */
+    def completed: Boolean = persisted != null
   }
   private val frames = new ConcurrentHashMap[(SparkSession, String), Holder]()
+  private val ticks = new java.util.concurrent.atomic.AtomicLong()
+
+  /** LRU cap on shared frames PER SESSION. A long-lived session cycling
+    * through many data dirs (the 100-TB shape: one signature store per
+    * corpus snapshot) must not pin every retired dir's MEMORY_AND_DISK
+    * blocks forever — beyond the cap, the least-recently-USED completed
+    * frame is unpersisted and forgotten. Eviction is safe mid-consumer:
+    * unpersist never breaks a running plan (Spark recomputes evicted
+    * blocks from lineage); it only costs the recompute. The default is
+    * sized for the bench catalog (~20 shared frames per dir, 2 dirs hot);
+    * override via -Dgraft.frames.maxShared=N.
+    */
+  private def maxShared: Int =
+    Integer.getInteger("graft.frames.maxShared", 64).intValue()
 
   def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     // Stopped-session entries are only dropped, not unpersist()ed: their
@@ -60,8 +81,47 @@ object Frames {
     // stopped session throws — removal here is garbage collection, the
     // symmetric release path for a LIVE session is [[drop]]/[[clear]].
     frames.keySet.removeIf(_._1.sparkContext.isStopped)
-    frames.computeIfAbsent((spark, key), _ => new Holder(() => build)).frame
+    val h = frames.computeIfAbsent((spark, key), _ => new Holder(() => build))
+    h.lastUsed = ticks.incrementAndGet()
+    val f = h.frame
+    evictBeyondCap(spark, keep = key)
+    f
   }
+
+  /** Evict least-recently-used COMPLETED frames of `spark` until the
+    * session is back under [[maxShared]]. `keep` (the key just served) is
+    * never evicted. Races with a concurrent `shared` touch are benign:
+    * worst case a just-touched frame is evicted and recomputes once.
+    */
+  private def evictBeyondCap(spark: SparkSession, keep: String): Unit = {
+    val cap = maxShared
+    var done = false
+    while (!done) {
+      val mine = new java.util.ArrayList[(String, Holder)]()
+      frames.forEach { (k, h) =>
+        if ((k._1 eq spark) && k._2 != keep && h.completed)
+          mine.add((k._2, h))
+      }
+      // sessionSize counts every entry (in-flight too) — the cap bounds
+      // the map, evictability only gates WHICH entries can go
+      var sessionSize = 0
+      frames.keySet.forEach(k => if (k._1 eq spark) sessionSize += 1)
+      if (sessionSize <= cap || mine.isEmpty) done = true
+      else {
+        var oldest: (String, Holder) = null
+        mine.forEach { e =>
+          if (oldest == null || e._2.lastUsed < oldest._2.lastUsed) oldest = e
+        }
+        drop(spark, oldest._1)
+      }
+    }
+  }
+
+  /** Whether a shared frame is currently registered (test/introspection
+    * surface for the LRU behavior).
+    */
+  def contains(spark: SparkSession, key: String): Boolean =
+    frames.containsKey((spark, key))
 
   /** Unpersist and forget one shared frame (a dir's data was replaced, or
     * its query family is done). Entries are otherwise held for the
