@@ -41,6 +41,28 @@ object LlmEmbed {
       |       FROM embeddings CROSS JOIN range(1, 4097) t(i)
       |       WHERE i <= len(embedding))""".stripMargin
 
+  /** Final ANN ranking: each query's top-k (nid, cosine, rnk) —
+    * membership-, order-, and value-equal to `row_number().over(
+    * partitionBy(qid).orderBy(cosine desc, nid)) <= k`, but via the
+    * bounded-heap `topk_pairs` aggregate ([[graft.plans.TopKPairs]]):
+    * it partial-reduces map-side, so only k rows per query per map
+    * partition reach the exchange instead of EVERY scored candidate —
+    * and per-query candidate populations grow with the corpus (an IVF
+    * list is ~n/k rows, brute force is n), so the window formulation
+    * funnels a corpus-scale row set into one partition per query.
+    * NaN/tie parity with the window is exact (`java.lang.Double.compare`
+    * — NaN greatest, Spark's desc sort order — then lower nid; the
+    * best-first result array makes `posexplode`'s index the rank).
+    */
+  private def rankTopK(cosd: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    cosd.groupBy(col("qid"))
+      .agg(call_function("topk_pairs", col("cosine"), col("nid"), lit(k)).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), col("col.id").as("nid"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
+
   /** Shared tail of the portable ANN queries: rank bounded (qid, nid)
     * candidate pairs by exact-decimal cosine and keep each query's top 3.
     * `el` is the element stream, `nrm` its per-vector squared norms.
@@ -61,11 +83,7 @@ object LlmEmbed {
       .select(
         col("qid"), col("nid"),
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    cosd
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+    rankTopK(cosd, 3)
   }
 
   /** Per-label corpus stats over L2 norms. n² comes from the fused native
@@ -140,11 +158,7 @@ object LlmEmbed {
         // the last ULP or two (decimal-cast rounding of the inputs);
         // 12 digits is far above the noise and far below any real tie.
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    cosd
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+    rankTopK(cosd, 3)
   }
 
   /** Approximate top-3 via the ENGINE-NATIVE LSH path
@@ -549,17 +563,14 @@ object LlmEmbed {
     val cand = probes.join(lists, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
-    val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    cand
+    rankTopK(cand
       .join(embD.select(col("vec_id").as("qid"), col("v").as("va")), Seq("qid"))
       .join(embD.select(col("vec_id").as("nid"), col("v").as("vb")), Seq("nid"))
       .select(col("qid"), col("nid"),
         round(Similarity.dotNative(col("va"), col("vb")) /
           (sqrt(Similarity.dotNative(col("va"), col("va"))) *
-            sqrt(Similarity.dotNative(col("vb"), col("vb")))), 12).as("cosine"))
-      .withColumn("rnk", row_number().over(wR).cast(LongType))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+            sqrt(Similarity.dotNative(col("vb"), col("vb")))), 12).as("cosine")),
+      3)
   }
 
   /** INCREMENTAL ANN maintenance: a new embedding batch (vec_id % 40 == 7
@@ -647,17 +658,14 @@ object LlmEmbed {
       .select(col("qid"), col("e.id").as("cid"))
     val cand = probes.join(lists, Seq("cid"))
       .select(col("qid"), col("nid")).distinct()
-    val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    cand
+    rankTopK(cand
       .join(embD.select(col("vec_id").as("qid"), col("v").as("va")), Seq("qid"))
       .join(embD.select(col("vec_id").as("nid"), col("v").as("vb")), Seq("nid"))
       .select(col("qid"), col("nid"),
         round(Similarity.dotNative(col("va"), col("vb")) /
           (sqrt(Similarity.dotNative(col("va"), col("va"))) *
-            sqrt(Similarity.dotNative(col("vb"), col("vb")))), 12).as("cosine"))
-      .withColumn("rnk", row_number().over(wR).cast(LongType))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+            sqrt(Similarity.dotNative(col("vb"), col("vb")))), 12).as("cosine")),
+      3)
   }
 
   /** Shared oracle CTEs: exact-decimal cosine near-dup pairs (vec_id < 100,
@@ -1065,25 +1073,33 @@ object LlmEmbed {
       .select(col("qid"), col("tid"),
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("c"))
       .localCheckpoint()
-    val byQ = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("tid"))
-    val byT = Window.partitionBy(col("tid")).orderBy(col("c").desc, col("qid"))
-    val ranked = cosd
-      .withColumn("rq", row_number().over(byQ))
-      .withColumn("rt", row_number().over(byT))
-    val sq = ranked.filter(col("rq") <= 4).groupBy(col("qid"))
-      .agg(sum(col("c").cast(DecimalType(16, 12))).as("sq"))
-    val st = ranked.filter(col("rt") <= 4).groupBy(col("tid"))
-      .agg(sum(col("c").cast(DecimalType(16, 12))).as("st"))
+    // Both top-4 normalization terms and the final argmax are bounded-
+    // heap / max_by aggregates, not row_number windows: cosd is
+    // |src|×|tgt| rows, and partitioning it by qid funnels the whole
+    // target pool through one partition per query (and vice versa for
+    // tid) before any reduction — the aggregates partial-reduce map-side
+    // (see rankTopK). topk_pairs replays each window's (c desc, id asc)
+    // selection exactly, so the decimal sums are over the same 4 rows.
+    def top4Sum(keyCol: String, idCol: String, out: String) = cosd
+      .groupBy(col(keyCol))
+      .agg(call_function("topk_pairs", col("c"), col(idCol), lit(4)).as("t"))
+      .select(col(keyCol), explode(col("t")).as("e4"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("e4.score").cast(DecimalType(16, 12))).as(out))
+    val sq = top4Sum("qid", "tid", "sq")
+    val st = top4Sum("tid", "qid", "st")
     val margins = cosd.join(sq, Seq("qid")).join(st, Seq("tid"))
       .select(col("qid"), col("tid"), col("c"),
         round(col("c") * lit(8.0) / (col("sq") + col("st")).cast(DoubleType), 12)
           .as("margin"))
-    val best = Window.partitionBy(col("qid")).orderBy(col("margin").desc, col("tid"))
-    margins
-      .withColumn("rb", row_number().over(best))
-      .filter(col("rb") === 1 && col("margin") > 1.05)
-      .select(col("qid").as("src_id"), col("tid").as("tgt_id"),
-        col("c").as("cosine"), col("margin"))
+    // per-query argmax margin (ties to lower tid) — max_by's struct
+    // order (margin, -tid) replays the window's (margin desc, tid asc)
+    margins.groupBy(col("qid"))
+      .agg(max_by(struct(col("tid"), col("c"), col("margin")),
+        struct(col("margin"), (-col("tid")).as("nt"))).as("m"))
+      .filter(col("m.margin") > 1.05)
+      .select(col("qid").as("src_id"), col("m.tid").as("tgt_id"),
+        col("m.c").as("cosine"), col("m.margin").as("margin"))
   }
 
   // ---- SemDeDup: k-means-cluster-local semantic dedup (Abbas et al.
@@ -1334,10 +1350,16 @@ object LlmEmbed {
     val p = semPairs(s, d)
     val e = p.select(col("va").as("q"), col("vb").as("n"), col("c"))
       .unionAll(p.select(col("vb").as("q"), col("va").as("n"), col("c")))
-    val w = Window.partitionBy(col("q")).orderBy(col("c").desc, col("n"))
-    e.withColumn("r", row_number().over(w)).filter(col("r") <= 8)
+    // top-8 neighbor selection as a bounded-heap aggregate, not a
+    // row_number window: per-q population is the cluster size, which
+    // grows once the k-cap binds (see rankTopK for the full rationale);
+    // topk_pairs replays the window's (c desc, n asc) selection exactly,
+    // then the 8-row-per-q explode feeds the same decimal mean
+    e.groupBy(col("q"))
+      .agg(call_function("topk_pairs", col("c"), col("n"), lit(8)).as("t"))
+      .select(col("q"), explode(col("t")).as("e8"))
       .groupBy(col("q"))
-      .agg((sum(col("c").cast(DecimalType(16, 12))).cast(DoubleType) /
+      .agg((sum(col("e8.score").cast(DecimalType(16, 12))).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("density"))
       .select(col("q").as("vec_id"), col("density"))
   }

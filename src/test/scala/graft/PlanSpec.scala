@@ -147,7 +147,10 @@ class PlanSpec extends SparkSpec {
     // that shuffles 65 536× the corpus. The aggregate shape (max_by /
     // topk_pairs) partial-reduces map-side, so these plans must contain
     // NO WindowExec anywhere.
-    for (n <- Seq("embed_semdedup", "embed_ann_ivf", "embed_ann_ivf_kmeans")) {
+    for (n <- Seq("embed_semdedup", "embed_ann_ivf", "embed_ann_ivf_kmeans",
+        "embed_brute_topk", "embed_ann_ivf_portable",
+        "embed_ann_ivf_kmeans_portable", "embed_bitext_margin",
+        "embed_knn_density")) {
       val windows = SparkEntry.queries(n)(spark, sfDir)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec => w
