@@ -87,8 +87,12 @@ object StreamAnn {
           .filter(col("cid").isInCollection(touched))
           .filter(col("__applied").cast("long") < batchId)
           .select(col("vec_id").as("nid"), col("cid"), col("v").as("vb"))
-      val wR = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("nid"))
+      // Final ranking as the topk_pairs bounded-heap aggregate, not a
+      // row_number window: per-qid candidates = the probed lists' rows,
+      // which grow with the STORE (~history/k per list) — the window
+      // would funnel them through one partition per query, the aggregate
+      // partial-reduces map-side. Tie/NaN order replays the window's
+      // (cosine desc, nid asc) exactly; posexplode's index is the rank.
       val neighbors = probes
         .join(hist, Seq("cid"))
         .join(batch.select(col("vec_id").as("qid"), col("v").as("va")), Seq("qid"))
@@ -97,8 +101,12 @@ object StreamAnn {
             (sqrt(Similarity.dotNative(col("va"), col("va"))) *
               sqrt(Similarity.dotNative(col("vb"), col("vb")))), 12).as("cosine"))
         .distinct() // a neighbor reachable via several probed lists scores once
-        .withColumn("rnk", row_number().over(wR).cast(LongType))
-        .filter(col("rnk") <= k)
+        .groupBy(col("qid"))
+        .agg(call_function("topk_pairs", col("cosine"), col("nid"), lit(k)).as("t"))
+        .select(col("qid"), posexplode(col("t")))
+        .select(col("qid"), col("col.id").as("nid"),
+          col("col.score").as("cosine"),
+          (col("pos") + 1).cast(LongType).as("rnk"))
       store.replacePartitions(neighborsTable,
         neighbors.withColumn("__batch", lit(batchId)), "__batch")
       store.replacePartitions(listTable,
