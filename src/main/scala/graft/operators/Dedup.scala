@@ -915,23 +915,42 @@ object Dedup {
     * [[prefixRanked]] frame — `ranked.count()` is taken below to pick
     * the verify shape, so a lazy frame would compute twice.
     */
-  def prefixJaccardPairsFrom(sh: DataFrame, ranked: DataFrame,
-      idCol: String, threshold: BigDecimal): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
-    val t = lit(threshold.underlying()) // exact decimal literal
-    val onePlusT = t + lit(1)
-    val probe = ranked
-      .select(col(idCol).as("pid"), col("shingle"),
-        col("sz").as("psz"), col("rn").as("prn"))
-    // index prefix: rn <= sz - ceil(2t/(1+t)·sz) + 1, division-free as
-    // 2t·sz <= (sz - rn + 1)·(1+t) (RHS integer·decimal — exact; the
-    // ceil drops because ceil(x) <= n  ⟺  x <= n for integer n)
-    val index = ranked
-      .filter(col("sz") * t * lit(2) <= (col("sz") - col("rn") + lit(1)) * onePlusT)
+  /** Probe-side projection of a prefix-rank frame (pid/psz/prn). */
+  def ppjoinProbe(ranked: DataFrame, idCol: String): DataFrame =
+    ranked.select(col(idCol).as("pid"), col("shingle"),
+      col("sz").as("psz"), col("rn").as("prn"))
+
+  /** Index-side projection of a prefix-rank frame: the shorter index
+    * prefix `rn <= sz - ceil(2t/(1+t)·sz) + 1`, division-free as
+    * `2t·sz <= (sz - rn + 1)·(1+t)` (RHS integer·decimal — exact; the
+    * ceil drops because ceil(x) <= n ⟺ x <= n for integer n).
+    */
+  def ppjoinIndex(ranked: DataFrame, idCol: String,
+      threshold: BigDecimal): DataFrame = {
+    val t = lit(threshold.underlying())
+    ranked
+      .filter(col("sz") * t * lit(2) <= (col("sz") - col("rn") + lit(1)) * (t + lit(1)))
       .select(col(idCol).as("iid"), col("shingle"),
         col("sz").as("isz"), col("rn").as("irn"))
-    val cands = probe.join(index, Seq("shingle"))
+  }
+
+  /** The PPJoin candidate stage over prepared probe/index prefix frames
+    * ([[ppjoinProbe]]/[[ppjoinIndex]] projections): shingle equi-join +
+    * size/length/positional filters → distinct (doc_a < doc_b) pairs.
+    * Factored out so the one-shot operator and the streaming maintainer
+    * ([[graft.streaming.StreamDedup.applyPrefixBatch]]) share EXACTLY
+    * the same pruning rules. Every rule is a necessary condition of
+    * J >= t on the pair's witness row under the frames' total shingle
+    * order — ANY total order: the witness (the pair's first shared
+    * shingle in that order) provably sits in both prefixes regardless of
+    * how shingles are ranked; rarity ordering only shrinks candidate
+    * counts.
+    */
+  def ppjoinCandidates(probe: DataFrame, index: DataFrame,
+      threshold: BigDecimal): DataFrame = {
+    val t = lit(threshold.underlying())
+    val onePlusT = t + lit(1)
+    probe.join(index, Seq("shingle"))
       .filter(col("pid") =!= col("iid") &&
         col("psz") >= col("isz") && // probe is the >=-sized side
         col("isz").cast("decimal(20,0)") >= col("psz") * t && // length filter
@@ -941,6 +960,38 @@ object Dedup {
       .select(least(col("pid"), col("iid")).as("doc_a"),
         greatest(col("pid"), col("iid")).as("doc_b"))
       .distinct()
+  }
+
+  /** [[prefixRanked]] under the FIXED (xxhash64(shingle), shingle) total
+    * order instead of rarity: document-frequency-free, so a document's
+    * prefix NEVER drifts as the corpus grows — the property the
+    * incremental/streaming PPJoin needs (a df-ordered prefix would have
+    * to re-rank every stored document whenever arrivals shift shingle
+    * frequencies). Exactness is order-independent (see
+    * [[ppjoinCandidates]]); rarity ordering is a candidate-count
+    * optimization the one-shot operator keeps.
+    */
+  def prefixRankedStable(sh: DataFrame, idCol: String,
+      threshold: BigDecimal): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
+    val t = lit(threshold.underlying())
+    val byDocAll = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val byDoc = byDocAll.orderBy(xxhash64(col("shingle")), col("shingle"))
+    sh
+      .withColumn("sz", count(lit(1)).over(byDocAll))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + lit(1))
+      .select(col(idCol), col("shingle"), col("sz"), col("rn"))
+  }
+
+  def prefixJaccardPairsFrom(sh: DataFrame, ranked: DataFrame,
+      idCol: String, threshold: BigDecimal): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
+    val cands = ppjoinCandidates(
+      ppjoinProbe(ranked, idCol),
+      ppjoinIndex(ranked, idCol, threshold), threshold)
     // Adaptive verify, branched on the prefix-index row count — free on
     // the materialized `ranked` frame, and it tracks the candidate
     // population (~0.41 pairs per prefix row at BOTH measured scales:

@@ -640,8 +640,14 @@ object LlmText {
     * NOTHING — same pairs, same similarity values — while the engine
     * side only ever joins prefix rows dominated by rare shingles.
     */
-  private val prefixJaccard = Q(
-    "dedup_prefix_jaccard",
+  /** The brute-force exact-Jaccard-≥0.7 oracle, shared VERBATIM by
+    * `dedup_prefix_jaccard` (one-shot PPJoin) and
+    * `c22_stream_prefix_jaccard` (union of the streaming maintainer's
+    * per-batch pair logs) — one oracle string certifying both faces
+    * makes "maintained pairs ≡ one-shot pairs ≡ brute force" true by
+    * construction, the dsirOracleSql contract pattern.
+    */
+  private[queries] val prefixJaccardOracleSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
        |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
@@ -655,7 +661,10 @@ object LlmText {
        |FROM inter
        |JOIN sz sa ON sa.doc_id = inter.doc_a
        |JOIN sz sb ON sb.doc_id = inter.doc_b
-       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.7""".stripMargin) {
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.7""".stripMargin
+
+  private val prefixJaccard = Q(
+    "dedup_prefix_jaccard", prefixJaccardOracleSql) {
     (s, d) =>
       // NOT a session-shared frame pair: reusing persisted sh/ranked
       // frames across executions measured 2.4x SLOWER than the

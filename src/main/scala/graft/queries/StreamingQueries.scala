@@ -275,6 +275,36 @@ object StreamingQueries {
     * within-cluster pairs — so "maintained kept flags ≡ batch replay" is
     * driver-hash-checked.
     */
+  /** Streaming EXACT prefix-Jaccard maintenance
+    * ([[StreamDedup.applyPrefixBatch]]): the PPJoin shingle + stable-
+    * order prefix stores folded over the corpus in two batches (history
+    * < 250, arrivals ≥ 250). The readout is the UNION of the per-batch
+    * pair logs; the oracle is [[LlmText.prefixJaccardOracleSql]] —
+    * VERBATIM the one-shot `dedup_prefix_jaccard` oracle (brute-force
+    * shingle self-join), so a hash match certifies the full chain:
+    * maintained pairs ≡ one-shot PPJoin ≡ brute force, exact VALUES
+    * included, with history never re-shingled and prefixes never
+    * re-ranked (the df-free (xxhash64, shingle) order is what makes a
+    * stored prefix immutable — see
+    * [[graft.operators.Dedup.prefixRankedStable]]).
+    */
+  private val prefixJaccardStream = Q(
+    "c22_stream_prefix_jaccard", LlmText.prefixJaccardOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c22").toString)
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val fold = StreamDedup.applyPrefixBatch(store, "ppj_sh", "ppj_prefix",
+      "ppj_pairs", "doc_id", "text", BigDecimal("0.7"), 3) _
+    fold(docs.filter(col("doc_id") < 250), 0L)
+    fold(docs.filter(col("doc_id") >= 250), 1L)
+    // C1 guard: empty feed → no pair-log partitions ever land
+    val pairs =
+      if (store.exists("ppj_pairs")) store.read("ppj_pairs")
+      else docs.limit(0).select(col("doc_id").as("doc_a"),
+        col("doc_id").as("doc_b"), lit(0.0).as("jaccard"))
+    pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   private val semDedupStore = Q(
     "c21_stream_semdedup",
     """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -489,5 +519,6 @@ object StreamingQueries {
   }
 
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
-    annLog, hllRegisters, asofStream, dsirStore, semDedupStore)
+    annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
+    prefixJaccardStream)
 }

@@ -122,6 +122,88 @@ object StreamDedup {
     }
   }
 
+  /** Maintain the EXACT prefix-Jaccard (PPJoin) stores from a document
+    * stream — the deterministic-dedup counterpart of
+    * [[nearDupMaintainer]]'s probabilistic LSH: each micro-batch emits
+    * every Jaccard-≥-t pair it completes (new×history and new×new), with
+    * EXACT similarity values, and the union over batches equals the
+    * one-shot [[graft.operators.Dedup.prefixJaccardPairs]] answer.
+    *
+    * The incremental trick is the prefix ORDER: the one-shot operator
+    * ranks shingles by corpus rarity, but document frequencies drift as
+    * the corpus grows — a df-ordered store would re-rank every stored
+    * document per batch. Prefixes here use the FIXED (xxhash64, shingle)
+    * order ([[graft.operators.Dedup.prefixRankedStable]]), under which a
+    * document's prefix is immutable on arrival; PPJoin's pruning is
+    * exact under ANY total order (witness argument — see
+    * [[graft.operators.Dedup.ppjoinCandidates]]).
+    *
+    * Per batch: shingle + prefix-rank ONLY the batch (history is never
+    * re-shingled); candidates = batch-probe ⋈ (store ∪ batch)-index
+    * UNION store-probe ⋈ batch-index (both directions, because the
+    * probe must be the ≥-sized side and a new doc can be smaller than
+    * its historical partner — each direction broadcasts the batch-sized
+    * side); verify exactly against the shingle store semi-joined to
+    * candidate docs. Writes are O(batch): the pair log lands FIRST
+    * (replay replaces, never doubles), the shingle partition next, and
+    * the prefix partition LAST as the applied marker — same replay
+    * contract as [[applyBatch]]. `checkpointDir` REQUIRED for the same
+    * batch-id-durability reason as [[nearDupMaintainer]].
+    */
+  def prefixMaintainer(stream: DataFrame, store: TableStore,
+      checkpointDir: String,
+      shTable: String, prefixTable: String, pairsTable: String,
+      idCol: String, textCol: String, threshold: BigDecimal,
+      shingleN: Int = 3): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyPrefixBatch(store, shTable, prefixTable, pairsTable,
+          idCol, textCol, threshold, shingleN)(batch.toDF(), batchId)
+      }
+
+  /** The per-batch PPJoin fold, exposed for direct testing. */
+  def applyPrefixBatch(store: TableStore, shTable: String,
+      prefixTable: String, pairsTable: String, idCol: String,
+      textCol: String, threshold: BigDecimal, shingleN: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val lastApplied = store.lastAppliedBatch(prefixTable)
+    if (batchId > lastApplied) {
+      // shingle + rank ONCE per batch; both feed joins and the stores
+      val newSh = Dedup.shingleSet(batch, idCol, textCol, shingleN)
+        .localCheckpoint()
+      val newRanked = Dedup.prefixRankedStable(newSh, idCol, threshold)
+        .localCheckpoint()
+      val oldRanked =
+        if (store.exists(prefixTable)) store.read(prefixTable).drop("__applied")
+        else newRanked.limit(0)
+      val oldSh =
+        if (store.exists(shTable)) store.read(shTable).drop("__applied")
+        else newSh.limit(0)
+      // every pair involving a batch doc, exactly once: old×old pairs
+      // were emitted by earlier folds and never regenerate (direction 2's
+      // probe side is history-only, so each candidate there pairs an old
+      // probe with a NEW index doc)
+      val cands = Dedup.ppjoinCandidates(
+          Dedup.ppjoinProbe(newRanked, idCol),
+          Dedup.ppjoinIndex(oldRanked.unionByName(newRanked), idCol, threshold),
+          threshold)
+        .unionByName(Dedup.ppjoinCandidates(
+          Dedup.ppjoinProbe(oldRanked, idCol),
+          Dedup.ppjoinIndex(newRanked, idCol, threshold), threshold))
+        .distinct()
+      val pairs = Dedup.jaccardForPairsAtLeast(
+          oldSh.unionByName(newSh), idCol, cands, threshold.toDouble)
+        .withColumn("__batch", lit(batchId))
+      store.replacePartitions(pairsTable, pairs, "__batch")
+      store.replacePartitions(shTable,
+        newSh.withColumn("__applied", lit(batchId)), "__applied")
+      store.replacePartitions(prefixTable,
+        newRanked.withColumn("__applied", lit(batchId)), "__applied")
+    }
+  }
+
   /** The per-batch fold, exposed for direct testing of replay semantics.
     *
     * Both stores are PARTITION-APPENDED, never rewritten: the band store
