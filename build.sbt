@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Test JVMs get their OWN BuildCache root: specs build artifacts keyed on
+// throwaway temp data dirs (EmptyInputSpec alone mints ~10 per run), and
+// pointing them at the shared target/whcache littered it with entries the
+// stale-prune can never reclaim (the prune only matches superseded digests
+// of a stem it is about to rebuild). The bench/Verify `run` JVMs keep the
+// shared root — cross-JVM reuse is the whole point there.
+Test / envVars += "SPARK_GRAFT_CACHE_DIR" -> "target/whcache-test"
 // The harness parses Bench's one-line JSON from raw stdout; sbt's default
 // LoggedOutput prefixes every forked-process line with "[info] ", which
 // breaks that parse. Inherit the parent's stdout/stderr instead.

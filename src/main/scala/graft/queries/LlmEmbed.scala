@@ -1179,11 +1179,15 @@ object LlmEmbed {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       // dim-aware k cap: one-row dim probe, then k ≤ budget/(dim·8) so
-      // the centroid broadcast never exceeds CentroidBudgetBytes
+      // the centroid broadcast never exceeds CentroidBudgetBytes (an
+      // EMPTY table probes as dim 1 — no seeds exist anyway, the cap is
+      // vacuous there, and .head would throw)
       val dim = Tables.embeddings(s, d)
-        .select(size(col("embedding"))).head.getInt(0)
+        .filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
       val effK = math.min(SemMaxK.toLong,
-        CentroidBudgetBytes / (dim.toLong * 8)).toInt
+        CentroidBudgetBytes / (math.max(1, dim).toLong * 8)).toInt
       require(effK >= 1,
         s"embedding dim $dim needs ${dim.toLong * 8} B per centroid — over " +
           s"the $CentroidBudgetBytes B broadcast budget even at k = 1")
