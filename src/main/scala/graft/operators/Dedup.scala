@@ -1281,37 +1281,53 @@ object Dedup {
     * Package-visible so specs can assert the hot-segment refinement
     * keeps candidate counts sub-quadratic on adversarial corpora.
     */
-  private[graft] def editDistanceValuePairs(docs: DataFrame, idCol: String,
-      strCol: String, maxDist: Int, hotSegDf: Int): DataFrame = {
-    val d = maxDist
-    val k = d + 1
-    require(hotSegDf == 0 || hotSegDf >= 2,
-      s"hotSegDf must be 0 (off) or >= 2, got $hotSegDf")
-    val base = docs.select(col(strCol).as("__s")).distinct()
+  /** (`__s`, `__len`) over DISTINCT values — the grain every PassJoin
+    * stage operates at (`vals` must expose a `__s` string column).
+    */
+  private[graft] def editBase(vals: DataFrame): DataFrame =
+    vals.select(col("__s")).distinct()
       .select(col("__s"), length(col("__s")).as("__len"))
 
-    // balanced segment geometry for a string of length L: segment i
-    // (0-based) is one char longer for i < L mod k, and none is empty
-    // when L >= k — widths differ by at most one. The index is a Column
-    // so the hot-path remainder split can reuse the same geometry with a
-    // runtime segment index.
-    def segStartC(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-      (i * floor(l / k).cast("int") + least(i, l % k) + 1).cast("int")
-    def segLenC(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-      when(i < l % k, floor(l / k).cast("int") + 1)
-        .otherwise(floor(l / k).cast("int")).cast("int")
-    def segStart(l: org.apache.spark.sql.Column, i: Int) = segStartC(l, lit(i))
-    def segLen(l: org.apache.spark.sql.Column, i: Int) = segLenC(l, lit(i))
+  /** Balanced segment geometry for a string of length L: segment i
+    * (0-based) is one char longer for i < L mod k, and none is empty
+    * when L >= k — widths differ by at most one. Column-typed index so
+    * the hot-path remainder split can reuse the geometry with a runtime
+    * segment index.
+    */
+  private[graft] def editSegStart(l: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    (i * floor(l / k).cast("int") + least(i, l % k) + 1).cast("int")
+  private[graft] def editSegLen(l: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    when(i < l % k, floor(l / k).cast("int") + 1)
+      .otherwise(floor(l / k).cast("int")).cast("int")
 
-    val segs = base.filter(col("__len") >= k).select(
+  /** Segment-role emission of the PassJoin pigeonhole: each value of
+    * length ≥ d+1 emits its d+1 balanced segments keyed by
+    * (length, segment index, segment text). Shared by the one-shot
+    * [[editDistancePairs]] and the streaming fold
+    * ([[graft.streaming.StreamDedup.applyEditBatch]]) so stored segment
+    * keys never drift from the probe emission.
+    */
+  private[graft] def editSegs(base: DataFrame, d: Int): DataFrame = {
+    val k = d + 1
+    base.filter(col("__len") >= k).select(
       col("__s"),
       explode(array((0 until k).map { i =>
         struct(
           col("__len").cast("int").as("klen"), lit(i).as("kidx"),
-          col("__s").substr(segStart(col("__len"), i),
-            segLen(col("__len"), i)).as("kstr"))
+          col("__s").substr(editSegStart(col("__len"), lit(i), k),
+            editSegLen(col("__len"), lit(i), k)).as("kstr"))
       }: _*)).as("kk"))
+  }
 
+  /** Probe-role emission with shift pruning: for every admissible
+    * partner length L ∈ [len−d, len+d] and alignment shift δ ∈ [−d, d]
+    * with |δ| + |off+δ| ≤ d, the value's substring at the segment
+    * geometry of L — see [[editDistancePairs]] for the witness argument.
+    */
+  private[graft] def editProbes(base: DataFrame, d: Int): DataFrame = {
+    val k = d + 1
     val probeStructs = for {
       off <- (-d to d).toSeq; i <- 0 until k; delta <- -d to d
       // shift pruning: ≥ |δ| edits must land before the segment and
@@ -1321,16 +1337,37 @@ object Dedup {
       if math.abs(delta) + math.abs(off + delta) <= d
     } yield {
       val tl = col("__len") + off // the partner (segmented-side) length
-      val st = segStart(tl, i) + delta
-      val ln = segLen(tl, i)
+      val st = editSegStart(tl, lit(i), k) + delta
+      val ln = editSegLen(tl, lit(i), k)
       when(tl >= k && st >= 1 && st + ln - 1 <= col("__len"),
         struct(tl.cast("int").as("klen"), lit(i).as("kidx"),
           col("__s").substr(st, ln).as("kstr")))
     }
-    val probes = base.select(
+    base.select(
       col("__s"),
       explode(array_distinct(
         filter(array(probeStructs: _*), _.isNotNull))).as("kk"))
+  }
+
+  private[graft] def editDistanceValuePairs(docs: DataFrame, idCol: String,
+      strCol: String, maxDist: Int, hotSegDf: Int): DataFrame = {
+    val d = maxDist
+    val k = d + 1
+    require(hotSegDf == 0 || hotSegDf >= 2,
+      s"hotSegDf must be 0 (off) or >= 2, got $hotSegDf")
+    val base = editBase(docs.select(col(strCol).as("__s")))
+
+    // local sugar over the shared geometry (the hot-path remainder split
+    // reuses it with a runtime segment index)
+    def segStartC(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      editSegStart(l, i, k)
+    def segLenC(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      editSegLen(l, i, k)
+    def segStart(l: org.apache.spark.sql.Column, i: Int) = segStartC(l, lit(i))
+    def segLen(l: org.apache.spark.sql.Column, i: Int) = segLenC(l, lit(i))
+
+    val segs = editSegs(base, d)
+    val probes = editProbes(base, d)
 
     def hotSplitCandidates(hotKeys: DataFrame): DataFrame = {
         val coldCand = segs.join(hotKeys, Seq("kk"), "left_anti").as("a")

@@ -155,15 +155,20 @@ object LlmText {
     * brute-force oracle is exact because the candidate filter is a
     * necessary condition.
     */
-  private val editPairs = Q(
-    "dedup_edit_pairs",
+  /** Shared with `c23_stream_edit_pairs`: the streaming maintainer's
+    * pair-log union must hash-match the SAME brute-force answer.
+    */
+  private[queries] val editPairsOracleSql: String =
     """WITH n AS (SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
       |           FROM part GROUP BY 1)
       |SELECT a.id AS id_a, b.id AS id_b,
       |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
       |FROM n a JOIN n b
       |  ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 2
-      |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin) { (s, d) =>
+      |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin
+
+  private val editPairs = Q(
+    "dedup_edit_pairs", editPairsOracleSql) { (s, d) =>
     val names = Tables.part(s, d).groupBy(col("p_name"))
       .agg(min(col("p_partkey")).cast(LongType).as("id"))
     Dedup.editDistancePairs(names, "id", "p_name", maxDist = 2)

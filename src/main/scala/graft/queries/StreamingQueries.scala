@@ -305,6 +305,38 @@ object StreamingQueries {
     pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Streaming EXACT edit-distance maintenance
+    * ([[StreamDedup.applyEditBatch]]): the part-name vocabulary arrives
+    * in two batches (even ids, then odd ids) and folds into persisted
+    * doc + value-grain segment stores; each fold emits the ED-≤-2 pairs
+    * it completes via the PassJoin pigeonhole (probe(batch) ⋈
+    * segments(history ∪ batch) — one direction, ED is symmetric) with a
+    * direct levenshtein verify. The readout is the UNION of the
+    * per-batch pair logs; the oracle is [[LlmText.editPairsOracleSql]] —
+    * VERBATIM the one-shot `dedup_edit_pairs` oracle (brute-force
+    * levenshtein self-join), so a hash match certifies maintained pairs
+    * ≡ one-shot PassJoin ≡ brute force, exact distances included, with
+    * history never re-segmented (the (length, index, text) segment key
+    * is value-derived and immutable — no order to freeze, unlike the
+    * PPJoin maintainer's df-free prefix ranks).
+    */
+  private val editPairsStream = Q(
+    "c23_stream_edit_pairs", LlmText.editPairsOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c23").toString)
+    val names = Tables.part(s, d).groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
+    val fold = StreamDedup.applyEditBatch(store, "ed_docs", "ed_segs",
+      "ed_pairs", "id", "p_name", 2) _
+    fold(names.filter(col("id") % 2 === 0), 0L)
+    fold(names.filter(col("id") % 2 === 1), 1L)
+    // C1 guard: empty feed → no pair-log partitions ever land
+    val pairs =
+      if (store.exists("ed_pairs")) store.read("ed_pairs")
+      else names.limit(0).select(col("id").as("id_a"),
+        col("id").as("id_b"), lit(0).cast("int").as("dist"))
+    pairs.select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   private val semDedupStore = Q(
     "c21_stream_semdedup",
     """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -520,5 +552,5 @@ object StreamingQueries {
 
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
-    prefixJaccardStream)
+    prefixJaccardStream, editPairsStream)
 }

@@ -204,6 +204,146 @@ object StreamDedup {
     }
   }
 
+  /** Maintain the EXACT edit-distance (PassJoin) stores from a document
+    * stream — the streaming face of
+    * [[graft.operators.Dedup.editDistancePairs]]: each micro-batch emits
+    * every ED-≤-d pair it completes (new×history and new×new, with exact
+    * distances), and the union over batches equals the one-shot answer.
+    *
+    * Unlike the PPJoin maintainer there is no ordering to freeze: the
+    * PassJoin segment key (length, segment index, segment text) is
+    * derived from the value alone, so a stored segment is immutable by
+    * construction and history is never re-segmented. One candidate
+    * direction also suffices — ED is symmetric, so the pigeonhole
+    * witness exists in BOTH orientations (some segment of b appears
+    * verbatim in a AND vice versa), and probe(batch) ⋈ segments(history
+    * ∪ batch) covers every pair with a batch-side member. (PPJoin needs
+    * both directions only because its prefixes are size-asymmetric.)
+    *
+    * Segments are stored at VALUE grain and only for values never seen
+    * before, so exact-duplicate re-arrivals append nothing; doc pairs
+    * re-expand from the verified value pairs against the doc store with
+    * an at-least-one-new guard, which makes each doc pair land exactly
+    * once — in the batch where its LATER member arrives. Doc ids are
+    * assumed unique across batches (same contract as the near-dup and
+    * PPJoin maintainers); a re-ingested id needs the batch rebuild.
+    *
+    * Writes are O(batch): pair log FIRST (replay replaces, never
+    * doubles), the new-value segment partition next, and the doc
+    * partition LAST as the applied marker. Hot-segment refinement is
+    * intentionally absent at stream grain — per-batch bucket population
+    * is (batch probes) × (stored segments in bucket), linear in the
+    * store per batch; adversarial constant-prefix corpora should use the
+    * one-shot rebuild (same exposure as the LSH band maintainer's hot
+    * bands). `checkpointDir` REQUIRED for the same batch-id-durability
+    * reason as [[nearDupMaintainer]].
+    */
+  def editMaintainer(stream: DataFrame, store: TableStore,
+      checkpointDir: String,
+      strTable: String, segTable: String, pairsTable: String,
+      idCol: String, strCol: String, maxDist: Int): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyEditBatch(store, strTable, segTable, pairsTable,
+          idCol, strCol, maxDist)(batch.toDF(), batchId)
+      }
+
+  /** The per-batch PassJoin fold, exposed for direct testing. */
+  def applyEditBatch(store: TableStore, strTable: String, segTable: String,
+      pairsTable: String, idCol: String, strCol: String, maxDist: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val d = maxDist
+    require(d >= 1, s"maxDist must be >= 1, got $d")
+    val lastApplied = store.lastAppliedBatch(strTable)
+    if (batchId > lastApplied) {
+      val newDocs = batch
+        .select(col(idCol).as("__id"), col(strCol).as("__s"))
+        .localCheckpoint()
+      // the doc store is the marker table (written LAST), so it can
+      // never hold partitions beyond lastApplied — no crash filter here
+      val oldDocs =
+        if (store.exists(strTable)) store.read(strTable).drop("__applied")
+        else newDocs.limit(0)
+      val batchBase = Dedup.editBase(newDocs.select(col("__s")))
+        .localCheckpoint()
+      val oldVals = oldDocs.select(col("__s")).distinct()
+      val oldBase = oldVals.select(col("__s"), length(col("__s")).as("__len"))
+      // segment only the truly-new values: the segment key is value-
+      // derived and immutable, so history is never re-segmented and a
+      // value re-arriving under a new doc id appends nothing
+      val freshBase = batchBase.join(oldVals, Seq("__s"), "left_anti")
+      val newSegs = Dedup.editSegs(freshBase, d).localCheckpoint()
+      // a crashed attempt of THIS batch may have landed its segment
+      // partition (segments commit before the marker): exclude it — the
+      // refold recomputes and replaces that partition
+      val oldSegs =
+        if (store.exists(segTable))
+          store.read(segTable)
+            .filter(col("__applied") <= lastApplied).drop("__applied")
+        else newSegs.limit(0)
+      val allSegs = oldSegs.unionByName(newSegs)
+      val longCand = Dedup.editProbes(batchBase, d).as("p")
+        .join(allSegs.as("g"), col("p.kk") === col("g.kk"))
+        .select(col("p.__s").as("ia"), col("g.__s").as("ib"))
+      // short values (length ≤ d) have no segments; they bucket by
+      // length against partners of length ≤ 2d — both directions,
+      // because THIS join is role-asymmetric (the short side keys on
+      // its own length)
+      val allBase = oldBase.unionByName(freshBase)
+      def shortCand(shortSide: DataFrame, partnerSide: DataFrame) =
+        shortSide.filter(col("__len") <= d)
+          .select(col("__s").as("ia"), col("__len").as("kb"))
+          .join(partnerSide.filter(col("__len") <= 2 * d)
+            .select(col("__s").as("ib"),
+              explode(sequence(greatest(lit(0), col("__len") - d), lit(d)))
+                .as("kb")), Seq("kb"))
+          .select(col("ia"), col("ib"))
+      val cands = longCand
+        .unionByName(shortCand(batchBase, allBase))
+        .unionByName(shortCand(allBase, batchBase))
+        .filter(col("ia") =!= col("ib"))
+        .select(least(col("ia"), col("ib")).as("va"),
+          greatest(col("ia"), col("ib")).as("vb"))
+        .distinct()
+      val vp = cands
+        .withColumn("dist", levenshtein(col("va"), col("vb")))
+        .filter(col("dist") <= d)
+      // doc expansion, exactly once per unordered pair: va ≠ vb makes
+      // each (doc of va, doc of vb) combination appear in exactly one
+      // vp row, and the at-least-one-new guard drops combinations
+      // earlier batches already emitted
+      val allDocs = oldDocs.withColumn("__new", lit(false))
+        .unionByName(newDocs.withColumn("__new", lit(true)))
+      val xa = allDocs.select(col("__id").as("ida"), col("__s").as("va"),
+        col("__new").as("na"))
+      val xb = allDocs.select(col("__id").as("idb"), col("__s").as("vb"),
+        col("__new").as("nb"))
+      val crossPairs = vp.join(xa, Seq("va")).join(xb, Seq("vb"))
+        .filter(col("na") || col("nb"))
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
+      // identical-value doc pairs (dist 0): new×old once by fixing the
+      // new side; new×new once via the id order guard
+      val samePairs = newDocs.select(col("__id").as("ida"), col("__s"))
+        .join(allDocs.select(col("__id").as("idb"), col("__s"),
+          col("__new").as("nb")), Seq("__s"))
+        .filter(col("ida") =!= col("idb"))
+        .filter(!col("nb") || col("ida") < col("idb"))
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"),
+          lit(0).cast("int").as("dist"))
+      val pairs = crossPairs.unionByName(samePairs)
+        .withColumn("__batch", lit(batchId))
+      store.replacePartitions(pairsTable, pairs, "__batch")
+      store.replacePartitions(segTable,
+        newSegs.withColumn("__applied", lit(batchId)), "__applied")
+      store.replacePartitions(strTable,
+        newDocs.withColumn("__applied", lit(batchId)), "__applied")
+    }
+  }
+
   /** The per-batch fold, exposed for direct testing of replay semantics.
     *
     * Both stores are PARTITION-APPENDED, never rewritten: the band store
