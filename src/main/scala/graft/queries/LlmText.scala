@@ -297,7 +297,10 @@ object LlmText {
     * construction) and [[clustersIncremental]] (same fixed point by the
     * star-edge merge argument on Dedup.mergeClusters).
     */
-  private val ccOracle: String =
+  /** Shared with `c24_stream_dup_clusters`: the streaming label store's
+    * latest-delta readout must hash-match the SAME one-shot clustering.
+    */
+  private[queries] val ccOracle: String =
     s"""WITH RECURSIVE $sigCte,
        |$ccCte
        |SELECT doc_id, cluster FROM cl""".stripMargin

@@ -337,6 +337,39 @@ object StreamingQueries {
     pairs.select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Streaming duplicate-CLUSTER maintenance
+    * ([[StreamDedup.applyClusterBatch]]): the corpus arrives in two
+    * batches (even doc ids, then odd) and folds into a persisted band
+    * store plus a label-DELTA store — per batch only the docs newly
+    * labeled or relabeled land (a new edge can merge old components and
+    * relabel history, so labels can't be naively partition-appended;
+    * the delta keeps writes O(Δ)). The readout takes each doc's
+    * latest-batch delta row; the oracle is [[LlmText.ccOracle]] —
+    * VERBATIM the one-shot `dedup_clusters` oracle (recursive-CTE
+    * transitive closure over the full banded-LSH pair set), so a hash
+    * match certifies maintained labels ≡ one-shot connected components,
+    * min-id cluster ids included, with history never re-shingled
+    * (pairs come from [[graft.operators.Dedup.incrementalCandidatePairs]]
+    * and old connectivity rides in as star edges).
+    */
+  private val dupClustersStream = Q(
+    "c24_stream_dup_clusters", LlmText.ccOracle) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c24").toString)
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val fold = StreamDedup.applyClusterBatch(store, "cc_bands", "cc_labels",
+      "doc_id", "text", 16, 4, 3) _
+    fold(docs.filter(col("doc_id") % 2 === 0), 0L)
+    fold(docs.filter(col("doc_id") % 2 === 1), 1L)
+    // C1 guard: empty feed → no delta partitions ever land
+    val labels =
+      if (store.exists("cc_labels")) store.read("cc_labels")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("cluster"), col("__batch")).as("cluster"))
+      else docs.limit(0).select(col("doc_id"), col("doc_id").as("cluster"))
+    labels.select(col("doc_id"), col("cluster"))
+  }
+
   private val semDedupStore = Q(
     "c21_stream_semdedup",
     """WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -552,5 +585,5 @@ object StreamingQueries {
 
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
-    prefixJaccardStream, editPairsStream)
+    prefixJaccardStream, editPairsStream, dupClustersStream)
 }

@@ -344,6 +344,88 @@ object StreamDedup {
     }
   }
 
+  /** Maintain duplicate-CLUSTER labels from a document stream — the
+    * streaming face of the `dedup_clusters_incremental` fold
+    * ([[graft.operators.Dedup.mergeClusters]]): each micro-batch
+    * shingles ONLY its own documents, generates its candidate pairs
+    * against the band store, and folds them into the maintained
+    * labeling. The old labeling is itself a star graph that preserves
+    * old connectivity exactly, so the readout always equals one-shot
+    * clustering of the full corpus — including the min-id cluster ids.
+    *
+    * Labels can't be partition-appended naively: a new edge can merge
+    * two old components and RELABEL history. The store therefore holds
+    * label DELTAS — per batch, only the docs newly labeled or relabeled
+    * land (write volume O(Δ), bounded by the size of the components the
+    * batch touched, not O(state)); a doc's current label is its
+    * latest-batch delta row (`max_by(cluster, __batch)`), and docs in no
+    * pair never appear, matching [[graft.operators.Dedup.dupClusters]].
+    *
+    * Write order: the label delta FIRST (a replayed batch replaces it),
+    * the band partition LAST as the applied marker — same replay
+    * contract as [[applyBatch]]; `checkpointDir` REQUIRED for the same
+    * batch-id-durability reason as [[nearDupMaintainer]].
+    */
+  def clusterMaintainer(stream: DataFrame, store: TableStore,
+      checkpointDir: String, bandTable: String, labelTable: String,
+      idCol: String, textCol: String, numHashes: Int, rowsPerBand: Int,
+      shingleN: Int): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyClusterBatch(store, bandTable, labelTable,
+          idCol, textCol, numHashes, rowsPerBand, shingleN)(
+          batch.toDF(), batchId)
+      }
+
+  /** The per-batch cluster fold, exposed for direct testing. */
+  def applyClusterBatch(store: TableStore, bandTable: String,
+      labelTable: String, idCol: String, textCol: String, numHashes: Int,
+      rowsPerBand: Int, shingleN: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val lastApplied = store.lastAppliedBatch(bandTable)
+    if (batchId > lastApplied) {
+      val batchBands = Dedup.bandKeysFromWide(
+        Dedup.minhashWide(
+          batch.select(col(idCol),
+            explode(graft.functions.TextAnalysis.shingles(col(textCol), shingleN))
+              .as("shingle")),
+          idCol, numHashes),
+        idCol, numHashes, rowsPerBand)
+      val oldBands =
+        if (store.exists(bandTable)) store.read(bandTable).drop("__applied")
+        else batchBands.limit(0)
+      val newBands = batchBands
+        .join(oldBands, Seq(idCol, "band", "band_key"), "left_anti")
+        .localCheckpoint()
+      // current labeling = latest delta per doc; a crashed attempt of
+      // THIS batch may have landed its delta partition (deltas commit
+      // before the marker) — exclude it, the refold replaces it
+      val oldLabels =
+        if (store.exists(labelTable))
+          store.read(labelTable)
+            .filter(col("__batch") <= lastApplied)
+            .groupBy(col(idCol))
+            .agg(max_by(col("cluster"), col("__batch")).as("cluster"))
+            .withColumnRenamed(idCol, "doc_id")
+        else batch.limit(0)
+          .select(col(idCol).as("doc_id"), col(idCol).as("cluster"))
+      val newPairs = Dedup.incrementalCandidatePairs(
+        oldBands.unionByName(newBands), newBands, idCol)
+      val merged = Dedup.mergeClusters(oldLabels, newPairs)
+      // O(Δ) delta: only docs newly labeled or relabeled land — an
+      // unchanged (doc, cluster) row is anti-joined away
+      val delta = merged
+        .join(oldLabels, Seq("doc_id", "cluster"), "left_anti")
+        .withColumnRenamed("doc_id", idCol)
+        .withColumn("__batch", lit(batchId))
+      store.replacePartitions(labelTable, delta, "__batch")
+      store.replacePartitions(bandTable,
+        newBands.withColumn("__applied", lit(batchId)), "__applied")
+    }
+  }
+
   /** The per-batch fold, exposed for direct testing of replay semantics.
     *
     * Both stores are PARTITION-APPENDED, never rewritten: the band store
