@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * the cap):
   *   - a wall budget (SPARK_GRAFT_BENCH_BUDGET_S, default 660s of timed
   *     work measured from JVM start — 480 until the catalog passed ~240
-  *     queries, 600 in r16, 660 at the 255-query catalog: warmup + two
+  *     queries, 600 in r16, 660 at the 255+-query catalog: warmup + two
   *     full passes need ~500–650s on a median window and r16's official
   *     run, 600.6s wall with rc 0, proved the harness cap sits above
   *     600) stops

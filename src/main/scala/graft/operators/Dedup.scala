@@ -1255,10 +1255,14 @@ object Dedup {
     val d = maxDist
     require(d >= 1, s"maxDist must be >= 1, got $d")
     val ids = docs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // threshold'd verify: the banded DP costs O(d·min|s|) per candidate
+    // instead of the full O(|s|²) matrix, and over-threshold pairs abort
+    // early as -1 (values for kept pairs are exact, so oracle parity is
+    // untouched)
     val valuePairs = editDistanceValuePairs(docs, idCol, strCol, maxDist, hotSegDf)
       .select(col("va"), col("vb"),
-        levenshtein(col("va"), col("vb")).as("dist"))
-      .filter(col("dist") <= d)
+        levenshtein(col("va"), col("vb"), d).as("dist"))
+      .filter(col("dist") >= 0)
     // expand to doc pairs: distinct-value pairs cross their id sets;
     // identical-value groups contribute their internal pairs at dist 0.
     // The two branches are disjoint (different vs same value), so no

@@ -307,9 +307,11 @@ object StreamDedup {
         .select(least(col("ia"), col("ib")).as("va"),
           greatest(col("ia"), col("ib")).as("vb"))
         .distinct()
+      // threshold'd verify — banded DP, early abort past d (same shape
+      // as the one-shot's verify; kept values are exact)
       val vp = cands
-        .withColumn("dist", levenshtein(col("va"), col("vb")))
-        .filter(col("dist") <= d)
+        .withColumn("dist", levenshtein(col("va"), col("vb"), d))
+        .filter(col("dist") >= 0)
       // doc expansion, exactly once per unordered pair: va ≠ vb makes
       // each (doc of va, doc of vb) combination appear in exactly one
       // vp row, and the at-least-one-new guard drops combinations
