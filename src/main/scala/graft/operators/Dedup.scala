@@ -1089,7 +1089,16 @@ object Dedup {
     * aggregate is the dominant cost and the production contract keeps it
     * in a store, so consumers pass it in instead of re-deriving it.
     */
-  def simhashHammingPairsFromSig(sig: DataFrame, idCol: String,
+  /** The pigeonhole chunk emission of [[simhashHammingPairsFromSig]] as
+    * a standalone frame — (id, h, chunk, chunk_val), one row per doc per
+    * chunk. Shared with the streaming fold
+    * ([[graft.streaming.StreamDedup.applyHammingBatch]]) so stored
+    * signatures always chunk identically to batch ones (the chunk is
+    * derived from the signature alone — pure map-side shift/mask, so
+    * re-chunking a stored 32-bit signature is free; only the TEXT hash
+    * is expensive and that never re-runs on history).
+    */
+  private[graft] def simhashChunks(sig: DataFrame, idCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist < 32,
       s"maxDist must be in [1, 31] so every one of the maxDist+1 chunks holds a bit, got $maxDist")
@@ -1102,6 +1111,15 @@ object Dedup {
       val width = bounds(c + 1) - bounds(c)
       shiftright(col("simhash32"), bounds(c)).bitwiseAND((1L << width) - 1)
     }
+    sig
+      .select(
+        col(idCol).as("id"), col("simhash32").as("h"),
+        posexplode(array(chunks: _*)))
+      .select(col("id"), col("h"), col("pos").as("chunk"), col("col").as("chunk_val"))
+  }
+
+  def simhashHammingPairsFromSig(sig: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
     // Size-filtered bucket EQUI-JOIN ([[bucketPairs]]), not a per-bucket
     // collect_set: a collect_set would materialize each (chunk,
     // chunk_val) bucket as a single aggregation row, and on an
@@ -1110,11 +1128,7 @@ object Dedup {
     // pair count even matters. The equi-join emits exactly the same
     // pairs but streams them across tasks, and the singleton-bucket
     // majority never reaches the join.
-    val bands = sig
-      .select(
-        col(idCol).as("id"), col("simhash32").as("h"),
-        posexplode(array(chunks: _*)))
-      .select(col("id"), col("h"), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val bands = simhashChunks(sig, idCol, maxDist)
     bucketPairs(bands, Seq("chunk", "chunk_val"), "id", carry = Seq("h"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))

@@ -603,13 +603,18 @@ object LlmText {
     * pairs — the pigeonhole guarantee makes the two answers identical,
     * so the hash-match certifies the LSH shortcut end to end.
     */
-  private val hammingPairs = Q(
-    "dedup_hamming_pairs",
+  /** Shared with `c25_stream_hamming_pairs`: the streaming maintainer's
+    * pair-log union must hash-match the SAME brute-force answer.
+    */
+  private[queries] val hammingOracleSql: String =
     s"""WITH $s32Cte
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INT) AS hamming
        |FROM s32 a JOIN s32 b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 1""".stripMargin) { (s, d) =>
+       |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 1""".stripMargin
+
+  private val hammingPairs = Q(
+    "dedup_hamming_pairs", hammingOracleSql) { (s, d) =>
     Dedup.simhashHammingPairsFromSig(s32Shared(s, d), "doc_id", maxDist = 1)
   }
 

@@ -337,6 +337,35 @@ object StreamingQueries {
     pairs.select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Streaming EXACT Hamming-≤1 SimHash maintenance
+    * ([[StreamDedup.applyHammingBatch]]): the corpus arrives in two
+    * batches (even doc ids, then odd) and folds into a persisted
+    * one-row-per-doc signature store; each fold token-hashes ONLY its
+    * batch, re-chunks stored signatures map-side (free — the chunk is a
+    * shift/mask of the stored 32-bit hash), and emits the Hamming-≤1
+    * pairs it completes via the pigeonhole bucket join. The readout is
+    * the UNION of the per-batch pair logs; the oracle is
+    * [[LlmText.hammingOracleSql]] — VERBATIM the one-shot
+    * `dedup_hamming_pairs` brute-force oracle, so a hash match certifies
+    * maintained pairs ≡ one-shot pigeonhole ≡ brute force, exact
+    * distances included, with history never re-hashed.
+    */
+  private val hammingStream = Q(
+    "c25_stream_hamming_pairs", LlmText.hammingOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c25").toString)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val fold = StreamDedup.applyHammingBatch(store, "sh_sigs", "sh_pairs",
+      "doc_id", "text", 1) _
+    fold(docs.filter(col("doc_id") % 2 === 0), 0L)
+    fold(docs.filter(col("doc_id") % 2 === 1), 1L)
+    // C1 guard: empty feed → no pair-log partitions ever land
+    val pairs =
+      if (store.exists("sh_pairs")) store.read("sh_pairs")
+      else docs.limit(0).select(col("doc_id").as("doc_a"),
+        col("doc_id").as("doc_b"), lit(0).cast(IntegerType).as("hamming"))
+    pairs.select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Streaming duplicate-CLUSTER maintenance
     * ([[StreamDedup.applyClusterBatch]]): the corpus arrives in two
     * batches (even doc ids, then odd) and folds into a persisted band
@@ -585,5 +614,5 @@ object StreamingQueries {
 
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
-    prefixJaccardStream, editPairsStream, dupClustersStream)
+    prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream)
 }

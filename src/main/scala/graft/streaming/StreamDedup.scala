@@ -346,6 +346,72 @@ object StreamDedup {
     }
   }
 
+  /** Maintain the EXACT Hamming-≤d SimHash stores from a document
+    * stream — the streaming face of
+    * [[graft.operators.Dedup.simhashHammingPairs]]: each micro-batch
+    * SimHashes ONLY its own documents (the token-hash aggregate is the
+    * expensive stage; stored 32-bit signatures re-chunk for free,
+    * map-side), joins its pigeonhole chunks against the signature
+    * store's, and emits every Hamming-≤-d pair it completes with exact
+    * distances — the union over batches equals the one-shot answer.
+    *
+    * One candidate direction suffices (simplest of the exact family):
+    * the pigeonhole witness is a chunk BOTH sides carry verbatim, so
+    * probe(batch) ⋈ chunks(history ∪ batch) covers every pair with a
+    * batch-side member. Writes are O(batch): pair log FIRST (replay
+    * replaces, never doubles), the one-row-per-doc signature partition
+    * LAST as the applied marker. Doc ids unique across batches (same
+    * contract as the other maintainers). Hot chunk buckets cost (batch
+    * docs in bucket) × (stored docs in bucket) per batch — linear in
+    * the store, the family's documented adversarial exposure.
+    * `checkpointDir` REQUIRED for the same batch-id-durability reason
+    * as [[nearDupMaintainer]].
+    */
+  def hammingMaintainer(stream: DataFrame, store: TableStore,
+      checkpointDir: String, sigTable: String, pairsTable: String,
+      idCol: String, textCol: String, maxDist: Int): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyHammingBatch(store, sigTable, pairsTable,
+          idCol, textCol, maxDist)(batch.toDF(), batchId)
+      }
+
+  /** The per-batch SimHash fold, exposed for direct testing. */
+  def applyHammingBatch(store: TableStore, sigTable: String,
+      pairsTable: String, idCol: String, textCol: String, maxDist: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val d = maxDist
+    val lastApplied = store.lastAppliedBatch(sigTable)
+    if (batchId > lastApplied) {
+      // only the batch is token-hashed; one row per doc
+      val newSig = Dedup.simhashPortable(batch, idCol, textCol)
+        .localCheckpoint()
+      val oldSig =
+        if (store.exists(sigTable)) store.read(sigTable).drop("__applied")
+        else newSig.limit(0)
+      val probe = Dedup.simhashChunks(newSig, idCol, d)
+        .select(col("chunk"), col("chunk_val"),
+          col("id").as("new_id"), col("h").as("h_new"))
+      val index = Dedup.simhashChunks(oldSig.unionByName(newSig), idCol, d)
+        .select(col("chunk"), col("chunk_val"),
+          col("id").as("other_id"), col("h").as("h_other"))
+      val pairs = probe.join(index, Seq("chunk", "chunk_val"))
+        .filter(col("new_id") =!= col("other_id"))
+        .select(
+          least(col("new_id"), col("other_id")).as("doc_a"),
+          greatest(col("new_id"), col("other_id")).as("doc_b"),
+          bit_count(col("h_new").bitwiseXOR(col("h_other"))).as("hamming"))
+        .filter(col("hamming") <= d)
+        .distinct()
+        .withColumn("__batch", lit(batchId))
+      store.replacePartitions(pairsTable, pairs, "__batch")
+      store.replacePartitions(sigTable,
+        newSig.withColumn("__applied", lit(batchId)), "__applied")
+    }
+  }
+
   /** Maintain duplicate-CLUSTER labels from a document stream — the
     * streaming face of the `dedup_clusters_incremental` fold
     * ([[graft.operators.Dedup.mergeClusters]]): each micro-batch
