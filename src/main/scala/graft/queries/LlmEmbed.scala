@@ -62,6 +62,32 @@ object LlmEmbed {
         col("col.score").as("cosine"),
         (col("pos") + 1).cast(LongType).as("rnk"))
 
+  /** Per-vector centroid argmax over (vec_id, cid, cs) rows as ONE
+    * map-side-partial aggregate — max cs, then LOWER cid (cid is unique
+    * per row, so the struct order is total; NaN sorts GREATEST under
+    * both this and the window/oracle ordering). Every assignment path
+    * uses this shape instead of a row_number window over the n×k scored
+    * rows — see semAssign for the full rationale.
+    */
+  private def argmaxCid(scored: org.apache.spark.sql.DataFrame) =
+    scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
+        .as("cid"))
+
+  /** Top-`k` probe centroids per vector ((vec_id, cid, cs) → (qid, cid))
+    * via the bounded-heap topk_pairs aggregate
+    * ([[graft.plans.TopKPairs]]) — replays the window's (cs desc, cid
+    * asc) order, Double.compare then lower id, without a WindowExec
+    * anywhere in the plan.
+    */
+  private def probeCids(scored: org.apache.spark.sql.DataFrame, k: Int) =
+    scored
+      .groupBy(col("vec_id"))
+      .agg(call_function("topk_pairs", col("cs"), col("cid"), lit(k)).as("t"))
+      .select(col("vec_id").as("qid"), explode(col("t")).as("e"))
+      .select(col("qid"), col("e.id").as("cid"))
+
   /** Shared tail of the portable ANN queries: rank bounded (qid, nid)
     * candidate pairs by exact-decimal cosine and keep each query's top 3.
     * `el` is the element stream, `nrm` its per-vector squared norms.
@@ -389,17 +415,11 @@ object LlmEmbed {
       .join(nrm.select(col("vec_id").as("cid"), col("n2").as("nc")), Seq("cid"))
       .select(col("vec_id"), col("cid"),
         round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 12).as("cs"))
-    // per-vector argmax / top-4 as map-side-partial aggregates, not a
-    // row_number window over the n×k scored rows (see semAssign)
-    val lists = csim.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
-        .as("cid"))
-      .select(col("vec_id").as("nid"), col("cid"))
-    val probes = csim.filter(col("vec_id") < 5)
-      .groupBy(col("vec_id"))
-      .agg(call_function("topk_pairs", col("cs"), col("cid"), lit(4)).as("t"))
-      .select(col("vec_id").as("qid"), explode(col("t")).as("e"))
-      .select(col("qid"), col("e.id").as("cid"))
+    // per-vector argmax / top-4 as map-side-partial aggregates
+    // ([[argmaxCid]]/[[probeCids]]), not row_number windows over the
+    // n×k scored rows (see semAssign)
+    val lists = argmaxCid(csim).select(col("vec_id").as("nid"), col("cid"))
+    val probes = probeCids(csim.filter(col("vec_id") < 5), 4)
     val cand = probes.join(lists, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
@@ -532,10 +552,7 @@ object LlmEmbed {
       .select(col("vec_id"), col("cid"),
         round(Similarity.dotNative(col("v"), col("cv")) /
           (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
-    def assignIds = assignCs
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
-        .as("cid"))
+    def assignIds = argmaxCid(assignCs)
     for (_ <- 0 until 2) {
       // decimal-exact element means; empty clusters keep the previous
       // centroid (no row for that (cid, i) -> driver-side fallback)
@@ -550,15 +567,8 @@ object LlmEmbed {
       }
     }
     val lists = assignIds.select(col("vec_id").as("nid"), col("cid"))
-    // top-4 probe centroids for the 5 probe vectors: the bounded-heap
-    // topk_pairs aggregate ([[graft.plans.TopKPairs]]) replays the
-    // window's (cs desc, cid asc) order — Double.compare then lower id —
-    // without a WindowExec anywhere in the plan
-    val probes = assignCs.filter(col("vec_id") < 5)
-      .groupBy(col("vec_id"))
-      .agg(call_function("topk_pairs", col("cs"), col("cid"), lit(4)).as("t"))
-      .select(col("vec_id").as("qid"), explode(col("t")).as("e"))
-      .select(col("qid"), col("e.id").as("cid"))
+    // top-4 probe centroids for the 5 probe vectors ([[probeCids]])
+    val probes = probeCids(assignCs.filter(col("vec_id") < 5), 4)
     val cand = probes.join(lists, Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
@@ -645,16 +655,11 @@ object LlmEmbed {
       .select(col("vec_id"), col("cid"),
         round(Similarity.dotNative(col("v"), col("cv")) /
           (sqrt(col("n2")) * sqrt(col("n2c"))), 12).as("cs"))
-    // history argmax / arrival top-4 as map-side-partial aggregates, not
-    // row_number windows over the n×k scored rows (see semAssign)
-    val lists = assign(hist).groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
-        .as("cid"))
-      .select(col("vec_id").as("nid"), col("cid"))
-    val probes = assign(newb).groupBy(col("vec_id"))
-      .agg(call_function("topk_pairs", col("cs"), col("cid"), lit(4)).as("t"))
-      .select(col("vec_id").as("qid"), explode(col("t")).as("e"))
-      .select(col("qid"), col("e.id").as("cid"))
+    // history argmax / arrival top-4 as map-side-partial aggregates
+    // ([[argmaxCid]]/[[probeCids]]), not row_number windows over the
+    // n×k scored rows (see semAssign)
+    val lists = argmaxCid(assign(hist)).select(col("vec_id").as("nid"), col("cid"))
+    val probes = probeCids(assign(newb), 4)
     val cand = probes.join(lists, Seq("cid"))
       .select(col("qid"), col("nid")).distinct()
     rankTopK(cand
@@ -1134,8 +1139,9 @@ object LlmEmbed {
     * every executor pins a deserialized copy. 128 MB caps the effective
     * k at `budget / (dim·8)` — past it, cluster population grows instead
     * (the paper's sharded-quadratic regime, same behavior as the SemMaxK
-    * cap itself). At the harness dims the dim-aware cap never binds, so
-    * oracle parity is untouched.
+    * cap itself). The oracle computes the SAME dim-aware LIMIT
+    * (least(SemMaxK, budget // (8·max(len(v))))), so parity holds even
+    * when the cap binds — not just at harness dims.
     */
   private val CentroidBudgetBytes = 128L << 20
 
@@ -1154,23 +1160,16 @@ object LlmEmbed {
     * consume the identical frame.
     */
   /** Shared frame whose bytes also live in [[graft.sources.BuildCache]]
-    * (same contract as LlmText's cachedFrame): the first JVM at a given
-    * (code digest, dir) computes and publishes parquet; later JVMs —
-    * each bench pass and the driver's round run on whatever host window
-    * it lands — persist-READ it. The digest extras cover the classes
-    * that compute these frames, so a code edit rebuilds instead of
-    * serving stale bytes.
+    * ([[Frames.sharedParquet]] — same contract as LlmText's
+    * cachedFrame); the digest extras cover the classes that compute
+    * these frames, so a code edit rebuilds instead of serving stale
+    * bytes.
     */
   private def cachedFrame(s: org.apache.spark.sql.SparkSession, d: String,
       kind: String)(build: => org.apache.spark.sql.DataFrame) =
-    Frames.shared(s, s"$kind:$d") {
-      val dir = graft.sources.BuildCache.dir(kind, d, "v1",
-        extraPrefixes = Seq("graft/queries/LlmEmbed",
-          "graft/operators/Similarity", "graft/plans/")) {
-        p => build.write.parquet(p)
-      }
-      s.read.parquet(dir)
-    }
+    Frames.sharedParquet(s, kind, d, "v1",
+      Seq("graft/queries/LlmEmbed",
+        "graft/operators/Similarity", "graft/plans/"))(build)
 
   private def semAssign(s: org.apache.spark.sql.SparkSession, d: String) =
     cachedFrame(s, d, "semdedup-assign") {
@@ -1178,16 +1177,19 @@ object LlmEmbed {
       val embD = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      // dim-aware k cap: one-row dim probe, then k ≤ budget/(dim·8) so
-      // the centroid broadcast never exceeds CentroidBudgetBytes (an
-      // EMPTY table probes as dim 1 — no seeds exist anyway, the cap is
-      // vacuous there, and .head would throw)
-      val dim = Tables.embeddings(s, d)
-        .filter(col("embedding").isNotNull)
-        .select(size(col("embedding"))).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(1)
+      // dim-aware k cap: k ≤ budget/(dim·8) so the centroid broadcast
+      // never exceeds CentroidBudgetBytes. dim is the MAX embedding size
+      // (a deterministic aggregate — a first-row probe would be
+      // plan-order-dependent), and the ORACLE computes the identical
+      // least(SemMaxK, budget // (8·max(len(v)))) LIMIT, so engine and
+      // certification agree at ANY dim, not just ones where the cap
+      // never binds. An EMPTY/all-null table aggregates to null → dim 1
+      // (no seeds exist anyway, the cap is vacuous there).
+      val dimRow = Tables.embeddings(s, d)
+        .agg(max(size(col("embedding")))).head
+      val dim = if (dimRow.isNullAt(0)) 1 else math.max(1, dimRow.getInt(0))
       val effK = math.min(SemMaxK.toLong,
-        CentroidBudgetBytes / (math.max(1, dim).toLong * 8)).toInt
+        CentroidBudgetBytes / (dim.toLong * 8)).toInt
       require(effK >= 1,
         s"embedding dim $dim needs ${dim.toLong * 8} B per centroid — over " +
           s"the $CentroidBudgetBytes B broadcast budget even at k = 1")
@@ -1223,14 +1225,11 @@ object LlmEmbed {
       // zero-norm filter (the streaming maintainer filters n2 > 0 only
       // because a directionless vector must not become a dedup WITNESS
       // there; the batch contract is assign-everything).
-      def assignIds = embN
+      def assignIds = argmaxCid(embN
         .crossJoin(broadcast(centsDf))
         .select(col("vec_id"), col("cid"),
           round(Similarity.dotNative(col("v"), col("cv")) /
-            (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("cs"), (-col("cid")).as("nc")))
-          .as("cid"))
+            (sqrt(col("n2")) * sqrt(col("nc"))), 12).as("cs")))
       for (_ <- 0 until 2) {
         val means = embD.join(assignIds, Seq("vec_id"))
           .select(col("cid"), posexplode(col("v")))
@@ -1303,7 +1302,8 @@ object LlmEmbed {
        |             FROM embeddings),
        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
        |          FROM (SELECT vec_id FROM emb WHERE vec_id % $SemStride = 0
-       |                ORDER BY vec_id LIMIT $SemMaxK)),
+       |                ORDER BY vec_id
+       |                LIMIT (SELECT CAST(least($SemMaxK, $CentroidBudgetBytes // (8 * coalesce(max(len(v)), 1))) AS BIGINT) FROM emb))),
        |c0 AS (SELECT cid, v AS cv FROM emb JOIN seeds USING (vec_id)),
        |${semIterCte(0)},
        |${semIterCte(1)},

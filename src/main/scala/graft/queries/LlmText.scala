@@ -60,13 +60,8 @@ object LlmText {
     */
   private def cachedFrame(s: org.apache.spark.sql.SparkSession, d: String,
       kind: String)(build: => org.apache.spark.sql.DataFrame) =
-    Frames.shared(s, s"$kind:$d") {
-      val dir = BuildCache.dir(kind, d, "v1",
-        extraPrefixes = Seq("graft/operators/Dedup", "graft/queries/LlmText")) {
-        p => build.write.parquet(p)
-      }
-      s.read.parquet(dir)
-    }
+    Frames.sharedParquet(s, kind, d, "v1",
+      Seq("graft/operators/Dedup", "graft/queries/LlmText"))(build)
 
   private[queries] def corpusWide(s: org.apache.spark.sql.SparkSession, d: String) =
     cachedFrame(s, d, "minhash_wide16") {

@@ -147,12 +147,15 @@ object BuildCache {
         // are also old enough that no still-running JVM can be reading
         // them (the age guard: a reader's JVM and the artifact it built
         // are younger than this bound).
-        // 12 h: the adoption-time mtime touch above keeps ACTIVE readers'
-        // artifacts fresh only at adoption, so the bound must also exceed
-        // the longest plausible single-JVM run (a full bench round is ~6 h
-        // wall) — below it, a newer-code JVM could delete an artifact a
-        // live reader adopted hours earlier
-        val minStaleMs = 12L * 3600 * 1000
+        // 48 h: the adoption-time mtime touch above keeps ACTIVE readers'
+        // artifacts fresh only at adoption, so the bound must exceed the
+        // longest plausible single-JVM run BY A WIDE MARGIN — below it, a
+        // newer-code JVM could delete an artifact a live reader adopted
+        // hours earlier, and the reader's lazy lineage (Frames.sharedParquet
+        // frames point at this dir) would then FileNotFound instead of
+        // recompute. A full bench round is ~6 h wall; 48 h buys 8× that
+        // at the cost of superseded dirs lingering two extra days.
+        val minStaleMs = 48L * 3600 * 1000
         val now = System.currentTimeMillis()
         val ls = Files.list(cacheRoot)
         try ls.iterator().asScala

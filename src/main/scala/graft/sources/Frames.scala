@@ -75,7 +75,16 @@ object Frames {
   private def maxShared: Int =
     Integer.getInteger("graft.frames.maxShared", 64).intValue()
 
-  def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  def shared(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    sharedWithCap(spark, key, maxShared)(build)
+
+  /** [[shared]] with an explicit LRU cap — the test surface: specs
+    * exercise eviction at a tiny cap WITHOUT mutating the global
+    * `graft.frames.maxShared` property (which parallel-running suites
+    * would observe, nondeterministically evicting each other's frames).
+    */
+  private[graft] def sharedWithCap(spark: SparkSession, key: String,
+      cap: Int)(build: => DataFrame): DataFrame = {
     // Stopped-session entries are only dropped, not unpersist()ed: their
     // cached blocks died with the context, and calling unpersist through a
     // stopped session throws — removal here is garbage collection, the
@@ -84,17 +93,37 @@ object Frames {
     val h = frames.computeIfAbsent((spark, key), _ => new Holder(() => build))
     h.lastUsed = ticks.incrementAndGet()
     val f = h.frame
-    evictBeyondCap(spark, keep = key)
+    evictBeyondCap(spark, keep = key, cap = cap)
     f
   }
 
+  /** A shared frame whose BYTES also live in [[BuildCache]] (cross-JVM
+    * reuse): the first JVM at a given (code digest, dir) computes the
+    * frame and publishes parquet; later JVMs — each bench pass and the
+    * driver's round run on whatever host window it lands — persist-READ
+    * it. `extraPrefixes` must cover every class that computes the
+    * frame's CONTENT, so a code edit rebuilds instead of serving stale
+    * bytes. (This helper itself is NOT digest-covered — it only
+    * orchestrates publish/read; do not move content-shaping logic in
+    * here.)
+    */
+  def sharedParquet(spark: SparkSession, kind: String, d: String,
+      spec: String, extraPrefixes: Seq[String])(
+      build: => DataFrame): DataFrame =
+    shared(spark, s"$kind:$d") {
+      val dir = BuildCache.dir(kind, d, spec, extraPrefixes) {
+        p => build.write.parquet(p)
+      }
+      spark.read.parquet(dir)
+    }
+
   /** Evict least-recently-used COMPLETED frames of `spark` until the
-    * session is back under [[maxShared]]. `keep` (the key just served) is
+    * session is back under `cap`. `keep` (the key just served) is
     * never evicted. Races with a concurrent `shared` touch are benign:
     * worst case a just-touched frame is evicted and recomputes once.
     */
-  private def evictBeyondCap(spark: SparkSession, keep: String): Unit = {
-    val cap = maxShared
+  private def evictBeyondCap(spark: SparkSession, keep: String,
+      cap: Int): Unit = {
     var done = false
     while (!done) {
       val mine = new java.util.ArrayList[(String, Holder)]()

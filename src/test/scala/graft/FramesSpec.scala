@@ -15,18 +15,21 @@ class FramesSpec extends SparkSpec {
     // an isolated session: Frames keys on the SparkSession reference, so
     // the shared test session's own frames can't skew the LRU order
     val s = spark.newSession()
-    val prev = System.getProperty("graft.frames.maxShared")
-    System.setProperty("graft.frames.maxShared", "2")
+    // explicit-cap entry point: mutating the global maxShared property
+    // here would nondeterministically evict frames of suites running in
+    // parallel in this JVM
+    def sharedAt2(key: String)(build: => org.apache.spark.sql.DataFrame) =
+      Frames.sharedWithCap(s, key, 2)(build)
     try {
       import s.implicits._
-      val a = Frames.shared(s, "dirA/sig")(s.range(10).toDF)
+      val a = sharedAt2("dirA/sig")(s.range(10).toDF)
       a.count()
-      val b = Frames.shared(s, "dirB/sig")(s.range(20).toDF)
+      val b = sharedAt2("dirB/sig")(s.range(20).toDF)
       b.count()
       // touch A: B becomes the LRU of the two completed frames
-      Frames.shared(s, "dirA/sig")(sys.error("A was evicted and rebuilt"))
+      sharedAt2("dirA/sig")(sys.error("A was evicted and rebuilt"))
       // third dir pushes the session over cap=2 -> B must go
-      val c = Frames.shared(s, "dirC/sig")(s.range(30).toDF)
+      val c = sharedAt2("dirC/sig")(s.range(30).toDF)
       c.count()
       assert(Frames.contains(s, "dirA/sig"), "MRU frame A must survive")
       assert(Frames.contains(s, "dirC/sig"), "just-inserted frame C must survive")
@@ -37,14 +40,10 @@ class FramesSpec extends SparkSpec {
         "surviving frames stay persisted")
       // an evicted frame still COMPUTES correctly (lineage recompute),
       // and re-sharing it re-registers under the cap (evicting the new LRU)
-      val b2 = Frames.shared(s, "dirB/sig")(s.range(20).toDF)
+      val b2 = sharedAt2("dirB/sig")(s.range(20).toDF)
       assert(b2.count() == 20)
       assert(Frames.contains(s, "dirB/sig"))
-    } finally {
-      if (prev == null) System.clearProperty("graft.frames.maxShared")
-      else System.setProperty("graft.frames.maxShared", prev)
-      Frames.clear(s)
-    }
+    } finally Frames.clear(s)
   }
 
   test("frames below the cap are never evicted") {
