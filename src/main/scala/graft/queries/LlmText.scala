@@ -1601,8 +1601,44 @@ object LlmText {
     * never a global sort. df/N/avgdl stay corpus-side aggregates — only
     * 1-row scalar frames broadcast.
     */
-  private val bm25 = {
-    val terms = Seq("spark", "merge", "vector")
+  /** The fixed demo query's terms — shared with `c26_stream_bm25_index`,
+    * whose maintained-index readout must rank the SAME query.
+    */
+  private[queries] val bm25Terms = Seq("spark", "merge", "vector")
+
+  /** The ranking tail shared by `text_bm25_search` and the maintained-
+    * index readout: ONE Column expression → identical IEEE float op
+    * order → identical hashes whichever side produced the tf/df/n/s
+    * frames. `tf` needs (doc_id, dl, tf1..tfK); the other three are
+    * 1-row scalar frames.
+    */
+  private[queries] def bm25Rank(tf: org.apache.spark.sql.DataFrame,
+      dfRow: org.apache.spark.sql.DataFrame,
+      nRow: org.apache.spark.sql.DataFrame,
+      sRow: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tfCols = bm25Terms.indices.map(i => s"tf${i + 1}")
+    val score = bm25Terms.indices.map { i =>
+      val tf_ = col(s"tf${i + 1}").cast("double")
+      col("n_docs").cast("double") / col(s"df${i + 1}").cast("double") *
+        (tf_ * lit(2.2)) /
+        (tf_ + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+          (col("total_toks").cast("double") / col("n_docs").cast("double"))))
+    }.reduceLeft(_ + _)
+    tf.crossJoin(broadcast(dfRow)).crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(sRow))
+      .filter(tfCols.map(c => col(c) > 0).reduceLeft(_ || _))
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .select((col("doc_id") +: tfCols.map(col)) ++
+        Seq(col("dl"), col("score")): _*)
+  }
+
+  /** Shared with `c26_stream_bm25_index`: the maintained inverted-index
+    * readout must hash-match the SAME one-shot ranking.
+    */
+  private[queries] val bm25OracleSql: String = {
+    val terms = bm25Terms
     val tfCols = terms.indices.map(i => s"tf${i + 1}")
     // pinned double expression, identical token-for-token in both engines:
     // (N/df) * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*dl/avgdl)) with
@@ -1614,9 +1650,7 @@ object LlmText {
         s" * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)" +
         s" / (CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
     }.mkString(" + ")
-    Q(
-      "text_bm25_search",
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |tf AS (SELECT doc_id, $C AS dl,
          |${terms.zipWithIndex.map { case (t, i) =>
              s"          CAST(count(*) FILTER (WHERE tok = '$t') AS BIGINT) AS tf${i + 1}"
@@ -1632,7 +1666,12 @@ object LlmText {
          |SELECT doc_id, ${tfCols.mkString(", ")}, dl, $scoreSql AS score
          |FROM tf CROSS JOIN df CROSS JOIN n CROSS JOIN s
          |WHERE ${tfCols.map(c => s"$c > 0").mkString(" OR ")}
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  private val bm25 = {
+    val terms = bm25Terms
+    Q("text_bm25_search", bm25OracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       val toks = Tables.spread(docs)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -1650,21 +1689,7 @@ object LlmText {
         }: _*)
       val nRow = docs.select(lcount().as("n_docs"))
       val sRow = toks.select(lcount().as("total_toks"))
-      val score = terms.indices.map { i =>
-        val tf_ = col(s"tf${i + 1}").cast("double")
-        col("n_docs").cast("double") / col(s"df${i + 1}").cast("double") *
-          (tf_ * lit(2.2)) /
-          (tf_ + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") /
-            (col("total_toks").cast("double") / col("n_docs").cast("double"))))
-      }.reduceLeft(_ + _)
-      tf.crossJoin(broadcast(dfRow)).crossJoin(broadcast(nRow))
-        .crossJoin(broadcast(sRow))
-        .filter(tfCols.map(c => col(c) > 0).reduceLeft(_ || _))
-        .withColumn("score", score)
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(10)
-        .select((col("doc_id") +: tfCols.map(col)) ++
-          Seq(col("dl"), col("score")): _*)
+      bm25Rank(tf, dfRow, nRow, sRow)
     }
   }
 

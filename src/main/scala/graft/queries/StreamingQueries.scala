@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.functions.Cleaning.{dsum, lcount}
 import graft.operators.IncrementalAgg
 import graft.sources.{TableStore, Tables}
-import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamCdc, StreamDedup, StreamSemDedup, StreamSketch, ViewMaintain}
+import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamSemDedup, StreamSketch, ViewMaintain}
 import graft.queries.Q.{C, DS}
 
 /** Oracle-registered readouts for every persisted streaming maintainer —
@@ -366,6 +366,41 @@ object StreamingQueries {
     pairs.select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Streaming inverted-index maintenance ([[StreamBm25.applyBatch]]):
+    * the corpus arrives in two batches (even doc ids, then odd) and
+    * folds into a persisted postings store (doc, token, tf) plus a
+    * one-row-per-doc length store — append-only (postings are
+    * value-derived, doc ids unique), two O(batch) partitions per fold,
+    * the length partition last as the applied marker. The readout runs
+    * the fixed [[LlmText.bm25Terms]] query against the MAINTAINED index:
+    * term-pruned postings read (predicate pushdown on the token column),
+    * corpus statistics aggregated from the stores, and the ranking tail
+    * is [[LlmText.bm25Rank]] — the same Column expression the one-shot
+    * uses — so the oracle is VERBATIM the `text_bm25_search` SQL and a
+    * hash match certifies maintained index ≡ one-shot retrieval,
+    * scores included, with history never re-tokenized.
+    */
+  private val bm25Index = Q(
+    "c26_stream_bm25_index", LlmText.bm25OracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c26").toString)
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val fold = StreamBm25.applyBatch(store, "bm_posts", "bm_dl",
+      "doc_id", "text") _
+    fold(docs.filter(col("doc_id") % 2 === 0), 0L)
+    fold(docs.filter(col("doc_id") % 2 === 1), 1L)
+    // C1 guard: empty feed → no store partitions ever land
+    if (!store.exists("bm_dl"))
+      docs.limit(0).select(col("doc_id"),
+        lit(0L).as("tf1"), lit(0L).as("tf2"), lit(0L).as("tf3"),
+        lit(0L).as("dl"), lit(0.0).as("score"))
+    else {
+      val (tf, dfRow, nRow, sRow) = StreamBm25.searchFrames(
+        store, "bm_posts", "bm_dl", LlmText.bm25Terms)
+      LlmText.bm25Rank(tf, dfRow, nRow, sRow)
+    }
+  }
+
   /** Streaming duplicate-CLUSTER maintenance
     * ([[StreamDedup.applyClusterBatch]]): the corpus arrives in two
     * batches (even doc ids, then odd) and folds into a persisted band
@@ -614,5 +649,6 @@ object StreamingQueries {
 
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
-    prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream)
+    prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
+    bm25Index)
 }
