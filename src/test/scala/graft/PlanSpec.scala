@@ -79,6 +79,7 @@ class PlanSpec extends SparkSpec {
       "curation_winsorized", // 1-row broadcast p05/p95 threshold frame
       "s12_purge_audit", // 1-row × 1-row count frames per audit row (rows_before × rows_removed)
       "text_bm25_search", // 1-row broadcast df/N/avgdl frames (scalar BM25 inputs)
+      "c26_stream_bm25_index", // same bm25Rank tail: 1-row broadcast df/N/avgdl frames over the maintained index
       "text_collocations", // 1-row broadcast token-total frame (the lift numerator scalar)
       "sketch_hll_distinct", // 1-row sketch readout × 1-row exact-count reference
       "sketch_hll_incremental", // 1-row merged-sketch readout × 1-row exact reference
