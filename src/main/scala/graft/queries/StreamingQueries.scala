@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.functions.Cleaning.{dsum, lcount}
-import graft.operators.IncrementalAgg
+import graft.operators.{IncrementalAgg, Sketches}
 import graft.sources.{TableStore, Tables}
 import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamSemDedup, StreamSketch, ViewMaintain}
 import graft.queries.Q.{C, DS}
@@ -647,8 +647,74 @@ object StreamingQueries {
         sum(col("r_scaled")).cast(LongType).as("imp_sum"))
   }
 
+  /** Streaming KMV sketch maintenance ([[StreamSketch.applyKmvSketch]]):
+    * per-language distinct-WORD bottom-128 sketches folded over the
+    * documents corpus in three doc-key-hash batches (uncorrelated with
+    * the language key, so every group's bottom-k straddles batches and
+    * the merge law — not just append — is what's under test). The
+    * readout is the merged store's per-group sketch summarized to
+    * (ku, h_k) plus the textbook KMV cardinality estimate, with the
+    * exact distinct count riding along as the error reference; the
+    * oracle replays bottom-k + estimator one-shot over the whole corpus
+    * from the same md5-derived 52-bit hashes, so the hash match
+    * certifies the per-batch sketches, the bottom-k merge, and the
+    * estimator arithmetic jointly. Small-group exactness: a group with
+    * fewer than k distinct values has ku < k and the estimate IS ku.
+    */
+  private val kmvStore = Q(
+    "c27_stream_kmv",
+    """WITH w AS (SELECT lang,
+      |             CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT) AS h
+      |           FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |                 FROM documents WHERE text IS NOT NULL)),
+      |dd AS (SELECT DISTINCT lang, h FROM w),
+      |r AS (SELECT lang, h,
+      |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      |      FROM dd),
+      |sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS ku,
+      |              CAST(max(h) AS BIGINT) AS h_k
+      |       FROM r WHERE rn <= 128 GROUP BY 1),
+      |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+      |       FROM dd GROUP BY 1)
+      |SELECT sk.lang, ku, h_k,
+      |       CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+      |            ELSE CAST(127 AS DOUBLE) * 4503599627370496.0
+      |                   / CAST(h_k AS DOUBLE) END AS est_distinct,
+      |       exact_distinct
+      |FROM sk JOIN ex ON sk.lang = ex.lang""".stripMargin) { (s, d) =>
+    val k = 128
+    val store = new TableStore(s, Files.createTempDirectory("graft_c27").toString)
+    val toks = Tables.spread(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        Sketches.hash52(col("tok")).as("h"))
+    val fold = StreamSketch.applyKmvSketch(store, "kmv", "lang", "h", k) _
+    (0 to 2).foreach(i =>
+      fold(toks.filter(pmod(col("doc_id") * 7, lit(3)) === i), i.toLong))
+    // C1 guard: empty feed → no sketch partitions ever land
+    val merged =
+      if (store.exists("kmv")) StreamSketch.mergedKmvSketch(store, "kmv", "lang", "h", k)
+      else toks.limit(0).groupBy(col("lang"))
+        .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
+    // exact distinct reference: one shuffle on (lang, h)
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("h")).cast(LongType).as("exact_distinct"))
+    merged
+      .withColumn("ku", size(col("sk")).cast(LongType))
+      .withColumn("h_k", element_at(col("sk"), size(col("sk"))))
+      .withColumn("est_distinct",
+        when(col("ku") < k, col("ku").cast(DoubleType))
+          .otherwise(lit(127.0) * lit(4503599627370496.0)
+            / col("h_k").cast(DoubleType)))
+      .join(exact, Seq("lang"))
+      .select(col("lang"), col("ku"), col("h_k"), col("est_distinct"),
+        col("exact_distinct"))
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
-    bm25Index)
+    bm25Index, kmvStore)
 }

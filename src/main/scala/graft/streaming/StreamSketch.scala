@@ -157,4 +157,62 @@ object StreamSketch {
         batchCms.withColumn("__applied", lit(batchId)), "__applied")
     }
   }
+
+  /** Maintain per-group KMV (k-minimum-values) distinct sketches from a
+    * stream — the bounded-state answer to "distinct keys per group,
+    * forever" when the HLL's register form isn't wanted because the
+    * sketch must also answer SET-OVERLAP questions later (KMV bottom-k
+    * values support union/intersection/Jaccard estimation, registers
+    * don't — see `sketch_kmv_overlap`).
+    *
+    * The fold rests on the bottom-k merge law: the k smallest distinct
+    * values of a union equal the k smallest of the union of each side's
+    * bottom-k (any value in bottomK(A∪B) is ≤ A's k-th minimum, hence
+    * inside bottomK(A), or likewise inside bottomK(B)). So each
+    * micro-batch sketches ONLY its own rows through the native
+    * duplicate-aware bounded-TreeSet aggregate
+    * ([[graft.plans.KmvSketch]] — ≤ k values per map partition reach the
+    * shuffle) and appends ≤ groups×k rows as one `__applied`-keyed
+    * partition; [[mergedKmvSketch]] re-sketches the stored rows, which
+    * IS the corpus bottom-k. Write volume per batch is O(groups×k),
+    * history never rewritten; compact with [[TableStore.compact]] as
+    * partitions accumulate. Replay-safe the [[applyDailyRegisters]] way:
+    * the sketch partition's `__applied` id is the applied marker, and a
+    * replayed partition replaces itself.
+    */
+  def kmvMaintainer(stream: DataFrame, store: TableStore,
+      checkpointDir: String, table: String, grpCol: String, hashCol: String,
+      k: Int = 128): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyKmvSketch(store, table, grpCol, hashCol, k)(batch.toDF(), batchId)
+      }
+
+  /** The per-batch KMV fold, exposed for direct testing. */
+  def applyKmvSketch(store: TableStore, table: String, grpCol: String,
+      hashCol: String, k: Int)(batch: DataFrame, batchId: Long): Unit = {
+    val lastApplied = store.lastAppliedBatch(table)
+    if (batchId > lastApplied) {
+      val sk = batch
+        .groupBy(col(grpCol))
+        .agg(call_function("kmv_sketch", col(hashCol), lit(k)).as("sk"))
+        .select(col(grpCol), explode(col("sk")).as(hashCol))
+      store.replacePartitions(table,
+        sk.withColumn("__applied", lit(batchId)), "__applied")
+    }
+  }
+
+  /** Corpus per-group sketches from the store: re-sketching the stored
+    * per-batch bottom-k rows equals sketching the concatenated batches
+    * (the bottom-k merge law above; the aggregate is duplicate-aware, so
+    * values seen by several batches collapse). One row per group with
+    * the ascending bottom-k value array.
+    */
+  def mergedKmvSketch(store: TableStore, table: String, grpCol: String,
+      hashCol: String, k: Int): DataFrame =
+    store.read(table)
+      .groupBy(col(grpCol))
+      .agg(call_function("kmv_sketch", col(hashCol), lit(k)).as("sk"))
 }
