@@ -1165,6 +1165,50 @@ object Relational {
     * domain), and a row is the argmax iff it matches both. Probabilities
     * are one pinned double division.
     */
+  /** Community detection over the page-transition graph: 3 rounds of
+    * deterministic synchronous label propagation
+    * ([[graft.operators.LabelProp]] — most-frequent neighbor label, ties
+    * to the smallest), each node reported with its community label and
+    * the community's size. The oracle unrolls the rounds as CTEs with
+    * the identical (count DESC, label ASC) argmax, so the hash match
+    * certifies the whole iterative relabeling — the LPA analogue of the
+    * unrolled-PageRank certification. Per round: one adjacency⋈labels
+    * equi-join + two keyed aggregates; nothing global, nothing
+    * collected.
+    */
+  private val labelProp = {
+    val iters = 3
+    def round(i: Int): String =
+      s"""r$i AS (SELECT node, lbl FROM (
+         |  SELECT a.c AS node, l.lbl AS lbl,
+         |         row_number() OVER (PARTITION BY a.c
+         |                            ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM adj a JOIN r${i - 1} l ON l.node = a.n
+         |  GROUP BY a.c, l.lbl) WHERE rn = 1)""".stripMargin
+    Q(
+      "events_labelprop",
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events),
+         |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         |              k AS dst
+         |       FROM ev),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM tr WHERE src IS NOT NULL AND src <> dst),
+         |adj AS (SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und),
+         |r0 AS (SELECT DISTINCT c AS node, c AS lbl FROM adj),
+         |${(1 to iters).map(round).mkString(",\n")},
+         |cs AS (SELECT lbl, $C AS csize FROM r$iters GROUP BY 1)
+         |SELECT node, CAST(r$iters.lbl AS BIGINT) AS label, csize
+         |FROM r$iters JOIN cs ON cs.lbl = r$iters.lbl""".stripMargin) { (s, d) =>
+      val und = graft.operators.Triangles.undirected(pageTransitions(s, d))
+      val lbls = graft.operators.LabelProp.propagate(und, iters)
+      val cs = lbls.groupBy(col("label")).agg(lcount().as("csize"))
+      lbls.join(cs, Seq("label"))
+        .select(col("node"), col("label"), col("csize"))
+    }
+  }
+
   private val markov = Q(
     "events_markov_next",
     s"""WITH ev AS (SELECT user_id, ts, event_id,
@@ -2183,5 +2227,5 @@ object Relational {
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
-    linkPredict, markov, seasonality, abTest)
+    linkPredict, markov, labelProp, seasonality, abTest)
 }
