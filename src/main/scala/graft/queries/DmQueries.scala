@@ -185,5 +185,41 @@ object DmQueries {
       .limit(20)
   }
 
-  val queries: Seq[Q] = Seq(m9, m10, m13, affinity)
+  /** Multi-objective best-customer readout: the Pareto front of
+    * (order count, exact decimal spend) per customer — the customers no
+    * other customer beats on both axes ([[graft.operators.Skyline]]:
+    * per-x max reduction + distributed strict sweep, no quadratic
+    * self-join). The oracle IS the textbook brute-force NOT EXISTS
+    * dominance test, so the hash match proves the sweep plan computes
+    * the definition exactly, ties included (equal points dominate
+    * neither, and every customer ON a front point is returned). Spend
+    * comparisons stay in DECIMAL end to end; the readout casts to
+    * DOUBLE only at the edge.
+    */
+  private val pareto = Q(
+    "dm_pareto_front",
+    s"""WITH pts AS (SELECT o_custkey AS custkey, $C AS n_orders,
+       |                    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+       |             FROM orders GROUP BY 1)
+       |SELECT custkey, n_orders, CAST(spend AS DOUBLE) AS spend
+       |FROM pts p
+       |WHERE NOT EXISTS (SELECT 1 FROM pts q
+       |                  WHERE q.n_orders >= p.n_orders AND q.spend >= p.spend
+       |                    AND (q.n_orders > p.n_orders OR q.spend > p.spend))"""
+      .stripMargin) { (s, d) =>
+    val pts = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(lcount().as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("spend"))
+    val front = graft.operators.Skyline.paretoFront2d(
+      pts.select(col("n_orders"), col("spend")), "n_orders", "spend")
+    // the front is at most distinct-n_orders rows — broadcast the join
+    // back that recovers every customer sitting on a front point
+    pts.join(broadcast(front), Seq("n_orders", "spend"))
+      .select(col("custkey"), col("n_orders"),
+        col("spend").cast("double").as("spend"))
+  }
+
+  val queries: Seq[Q] = Seq(m9, m10, m13, affinity, pareto)
 }
