@@ -190,11 +190,12 @@ object Similarity {
     * Same ±1 sign-pattern geometry as [[planes]]; only the source of
     * randomness differs.
     */
-  private def planesMd5(nPlanes: Int, dim: Int): Seq[Array[Double]] = {
+  private def planesMd5(nPlanes: Int, dim: Int,
+      family: String = ""): Seq[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { i0 =>
-        val b = md.digest(s"$p|${i0 + 1}".getBytes("UTF-8"))(0) & 0xFF
+        val b = md.digest(s"$family$p|${i0 + 1}".getBytes("UTF-8"))(0) & 0xFF
         if (b >= 0x80) 1.0 else -1.0
       }
     }
@@ -370,6 +371,52 @@ object Similarity {
       maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame =
     lshTopKBucketed(corpus, queries, idCol, vecCol, k, maxQueryRows,
       "lshTopKMd5", lshBucketMd5(_, nPlanes, dim))
+
+  /** Random-projection (Johnson–Lindenstrauss) screened top-k: score
+    * every corpus vector against the broadcast query set in an
+    * `nProj`-dim ±1-projected space (the Achlioptas sign matrix, same
+    * md5 plane family as [[lshBucketMd5]] under the "rp" prefix), keep
+    * each query's `nCand` best by projected cosine, then rerank those
+    * exactly in full dimension. A third candidate geometry next to
+    * bucket-equality LSH and list-probing IVF: the screen still touches
+    * the whole corpus but at nProj/dim of the arithmetic, and only
+    * nCand rows/query pay full-dim cost.
+    *
+    * Recall scales with the corpus's signal-to-JL-noise ratio: projected
+    * cosines carry ~1/√nProj noise, so near-duplicate-style neighbors
+    * (cosine ≫ background) survive the screen, while corpora whose
+    * top neighbors sit barely above the background need nCand grown
+    * with the corpus (the registered `embed_ann_rp` documents this on
+    * the harness corpus; SimilaritySpec pins ≥0.8 on clustered data).
+    */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProj: Int, nCand: Int, dim: Int,
+      maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame = {
+    require(nCand >= k, s"screen width nCand=$nCand must be >= k=$k")
+    requireBroadcastable(queries, maxQueryRows, "rpTopK")
+    val planes = planesMd5(nProj, dim, family = "rp")
+    def projected(vec: Column): Column =
+      array(planes.map(p => dotNative(vec, lit(p))): _*)
+    val c = corpus.select(col(idCol).as("nid"), toDouble(col(vecCol)).as("cvec"))
+      .withColumn("pvec", projected(col("cvec")))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
+      .withColumn("pqvec", projected(col("qvec")))
+    val screened = c
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("cvec"), col("qvec"),
+        cosine(col("pqvec"), col("pvec")).as("cosine"))
+    // bounded-heap screen, then exact rerank of the nCand survivors —
+    // vectors ride the candidate rows, so the rerank is map-side
+    val cand = heapTopK(screened.select(
+      col("qid"), col("nid"), col("cosine")), nCand)
+      .select(col("qid"), col("nid"))
+    val rer = cand
+      .join(c.select(col("nid"), col("cvec")), Seq("nid"))
+      .join(broadcast(q.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+    heapTopK(rer, k)
+  }
 
   private def lshTopKBucketed(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, maxQueryRows: Long,

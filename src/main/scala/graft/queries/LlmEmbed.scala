@@ -1570,9 +1570,127 @@ object LlmEmbed {
           1L).otherwise(0L)).cast(LongType).as("n_pool"))
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) ANN: screen in a 16-dim
+    * ±1-projected space (the database-friendly Achlioptas sign matrix,
+    * md5-derived like the LSH planes so any engine rederives it), take
+    * each query's top-20 candidates by PROJECTED cosine, then rerank
+    * those exactly in full dimension and keep the top 3. A third
+    * candidate-generation geometry next to bucket-equality LSH and
+    * list-probing IVF: the screen touches every corpus vector but at
+    * 16/64 of the arithmetic, and only 20 candidates/query pay full-dim
+    * cost — the classic dim-reduction funnel. Every stage is pinned
+    * (DECIMAL accumulation, round-12 doubles), so projections, the
+    * candidate set, and the final ranking all hash-match the from-
+    * scratch oracle; certified surface (qid, nid, rnk). What the hash
+    * match certifies is the FUNNEL's exactness, not a recall claim —
+    * this harness corpus's neighbors sit barely above its background
+    * cosine, the regime where a JL screen needs nCand grown with the
+    * corpus (recall ≥0.8 is pinned on clustered data in SimilaritySpec;
+    * [[graft.operators.Similarity.rpTopK]] is the native-speed form).
+    */
+  private val annRp = Q(
+    "embed_ann_rp", {
+      val nProj = 16
+      def projSum(p: Int) =
+        s"""round(CAST(SUM(CASE WHEN strpos('89abcdef',
+           |      substr(md5('rp$p|' || CAST(i AS VARCHAR)), 1, 1)) > 0
+           |    THEN CAST(x AS DECIMAL(38,18))
+           |    ELSE CAST(-x AS DECIMAL(38,18)) END) AS DOUBLE), 12) AS p$p"""
+          .stripMargin.replaceAll("\n\\s*", " ")
+      s"""WITH $elCte,
+         |pr AS (SELECT vec_id,
+         |       ${(0 until nProj).map(projSum).mkString(",\n       ")}
+         |       FROM el GROUP BY 1),
+         |pel AS (${(0 until nProj)
+          .map(p => s"SELECT vec_id, $p AS j, p$p AS pj FROM pr")
+          .mkString("\n        UNION ALL ")}),
+         |pn AS (SELECT vec_id, CAST(SUM(CAST(pj * pj AS DECIMAL(38,18))) AS DOUBLE) AS n2r
+         |       FROM pel GROUP BY 1),
+         |pd AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |              CAST(SUM(CAST(a.pj * b.pj AS DECIMAL(38,18))) AS DOUBLE) AS dotr
+         |       FROM pel a JOIN pel b ON a.j = b.j AND b.vec_id <> a.vec_id
+         |       WHERE a.vec_id < 5 GROUP BY 1, 2),
+         |pcs AS (SELECT qid, nid, round(dotr / (sqrt(na.n2r) * sqrt(nb.n2r)), 12) AS cs
+         |        FROM pd JOIN pn na ON na.vec_id = pd.qid
+         |                JOIN pn nb ON nb.vec_id = pd.nid),
+         |cand AS (SELECT qid, nid
+         |         FROM (SELECT qid, nid,
+         |                      row_number() OVER (PARTITION BY qid
+         |                                         ORDER BY cs DESC, nid) AS rn
+         |               FROM pcs) WHERE rn <= 20),
+         |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+         |        FROM el GROUP BY 1),
+         |dots AS (SELECT cand.qid, cand.nid,
+         |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |         FROM cand
+         |         JOIN el a ON a.vec_id = cand.qid
+         |         JOIN el b ON b.vec_id = cand.nid AND b.i = a.i
+         |         GROUP BY 1, 2),
+         |cosd AS (SELECT qid, nid,
+         |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+         |         FROM dots
+         |         JOIN nrm na ON na.vec_id = dots.qid
+         |         JOIN nrm nb ON nb.vec_id = dots.nid)
+         |SELECT qid, nid, rnk
+         |FROM (SELECT qid, nid,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |                                     ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+         |      FROM cosd)
+         |WHERE rnk <= 3""".stripMargin
+    }) { (s, d) =>
+    val nProj = 16
+    val nCand = 20
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Int = {
+      val hex = md.digest(s"rp$p|$i".getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+      if ("89abcdef".contains(hex.charAt(0))) 1 else -1
+    }
+    val el = elements(s, d)
+    // projected coordinates: nProj decimal sums in ONE agg pass, each
+    // pinned to a round-12 double (the cross-engine anchor for every
+    // downstream product)
+    val projSums = (0 until nProj).map { p =>
+      val signs = typedLit((1 to 64).map(i => sign(p, i)))
+      round(
+        sum(when(element_at(signs, col("i") + 1) === 1, col("x").cast(dec))
+          .otherwise((-col("x")).cast(dec))).cast(DoubleType), 12).as(s"p$p")
+    }
+    val proj = el.groupBy(col("vec_id")).agg(projSums.head, projSums.tail: _*)
+    val pel = proj.select(col("vec_id"),
+      posexplode(array((0 until nProj).map(p => col(s"p$p")): _*)))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("pj"))
+    val pnrm = pel.groupBy(col("vec_id"))
+      .agg(sum((col("pj") * col("pj")).cast(dec)).cast(DoubleType).as("n2r"))
+    // the screen: every corpus vector scored against the 5 queries in
+    // projected space — 16/64 of the full-dim arithmetic, query side tiny
+    // (broadcastable)
+    val qa = pel.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("j"), col("pj").as("xa"))
+    val cb = pel.select(col("vec_id").as("nid"), col("j"), col("pj").as("xb"))
+    val pdots = broadcast(qa).join(cb, Seq("j"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum((col("xa") * col("xb")).cast(dec)).cast(DoubleType).as("dotr"))
+    val pcs = pdots
+      .join(pnrm.select(col("vec_id").as("qid"), col("n2r").as("na")), Seq("qid"))
+      .join(pnrm.select(col("vec_id").as("nid"), col("n2r").as("nb")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(col("dotr") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("cs"))
+    // top-20 candidates per query via the bounded-heap aggregate (window
+    // tie/NaN parity per rankTopK), then exact full-dim rerank
+    val cand = pcs.groupBy(col("qid"))
+      .agg(call_function("topk_pairs", col("cs"), col("nid"), lit(nCand)).as("t"))
+      .select(col("qid"), explode(col("t")).as("e"))
+      .select(col("qid"), col("e.id").as("nid"))
+    val nrm = el.groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    rankTop3(el, nrm, cand).select(col("qid"), col("nid"), col("rnk"))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
-      annIvfPortable, annIvfKmeansPortable, annIncremental, cosineDups,
+      annIvfPortable, annIvfKmeansPortable, annIncremental, annRp, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
       annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity, decontam,
       sq8, curationPipeline)

@@ -165,4 +165,23 @@ class SimilaritySpec extends SparkSpec {
     val recall = truth.count(approx.contains).toDouble / truth.size
     assert(recall >= 0.8, s"ANN recall $recall (truth=${truth.size})")
   }
+
+  test("rpTopK recall >= 0.8 vs brute force on clustered vectors") {
+    val queries = vectors.filter(col("vec_id") % 10 === 0)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(vectors, queries, "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.rpTopK(vectors, queries, "vec_id", "embedding", k,
+      nProj = 8, nCand = 6, dim = dim)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"RP recall $recall (truth=${truth.size})")
+  }
+
+  test("rpTopK rejects a screen narrower than k") {
+    intercept[IllegalArgumentException] {
+      Similarity.rpTopK(vectors, vectors.limit(1), "vec_id", "embedding",
+        k = 5, nProj = 8, nCand = 3, dim = dim)
+    }
+  }
 }
