@@ -418,6 +418,53 @@ object Similarity {
     heapTopK(rer, k)
   }
 
+  /** Top principal direction of the (uncentered) second moment by
+    * `rounds` power-iteration steps — x ← XᵀXx, max-abs normalized —
+    * over an element stream `el` = (vec_id, i, x double). Never
+    * materializes the d×d Gram matrix: each round is two keyed
+    * aggregates (row-space pass s(doc) = ⟨v_doc, x⟩ against the
+    * broadcast d-row direction frame; dim-space pass
+    * y(i) = Σ_doc s·v_doc[i]), so the plan scales with nnz(X) — the
+    * classic distributed power iteration. Every accumulation is
+    * DECIMAL(38,18) and every normalization a round-12 division, so the
+    * whole iteration is replayable bit-for-bit by an external SQL
+    * engine (the `embed_pca_power` oracle unrolls it as CTEs).
+    *
+    * Convergence is gap-dependent (error ∝ (λ₂/λ₁)^rounds): planted
+    * dominant directions lock in within a few rounds, near-isotropic
+    * corpora converge slowly — pick `rounds` for the spectrum you
+    * expect. Output: (i, v, growth) — the round-12 direction with peak
+    * coordinate ±1 and the final max-abs growth factor (the λ₁
+    * estimate under max-abs normalization) on every row.
+    */
+  def powerIteration(el: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    def ymul(srows: DataFrame) =
+      el.join(srows, Seq("vec_id"))
+        .groupBy(col("i"))
+        .agg(sum((col("s") * col("x")).cast(dec))
+          .cast(org.apache.spark.sql.types.DoubleType).as("y"))
+    // round 1: x0 = all-ones, so the row-space pass is a plain sum
+    var y = ymul(el.groupBy(col("vec_id"))
+      .agg(sum(col("x").cast(dec))
+        .cast(org.apache.spark.sql.types.DoubleType).as("s")))
+    for (_ <- 2 to rounds) {
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      val xv = y.crossJoin(broadcast(m))
+        .select(col("i"), round(col("y") / col("m"), 12).as("v"))
+        .localCheckpoint() // d rows; cuts the per-round lineage growth
+      y = ymul(el.join(broadcast(xv), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("x") * col("v")).cast(dec))
+          .cast(org.apache.spark.sql.types.DoubleType).as("s")))
+    }
+    val m = y.agg(max(abs(col("y"))).as("m"))
+    y.crossJoin(broadcast(m))
+      .select(col("i"), round(col("y") / col("m"), 12).as("v"),
+        round(col("m"), 12).as("growth"))
+  }
+
   private def lshTopKBucketed(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, maxQueryRows: Long,
       caller: String, bucketOf: Column => Column): DataFrame = {

@@ -1688,10 +1688,52 @@ object LlmEmbed {
     rankTop3(el, nrm, cand).select(col("qid"), col("nid"), col("rnk"))
   }
 
+  /** Top principal direction of the (uncentered) embedding second moment
+    * by TWO unrolled power-iteration rounds — x ← XᵀXx, max-abs
+    * normalized — the spectral screen a curation pipeline uses to find
+    * the corpus's dominant axis (anisotropy diagnosis, rank-1 whitening,
+    * spectral outlier cuts). Never materializes the d×d Gram matrix:
+    * each round is two keyed aggregates over the element stream — the
+    * row-space pass s(doc) = ⟨v_doc, x⟩ (join on the 64-row broadcast
+    * direction frame) and the dim-space pass y(i) = Σ_doc s·v_doc[i] —
+    * so the plan scales with nnz(X), the classic distributed power
+    * iteration. Every product is a pinned double, every accumulation
+    * DECIMAL(38,18), normalization a round-12 division by the max-abs
+    * scalar; the oracle unrolls both rounds as CTEs and the hash match
+    * certifies the whole iteration, including the growth factor
+    * (the λ₁ estimate under max-abs normalization) riding on every row.
+    * Convergence to the true eigenvector stays a spec concern
+    * (StatsSpec-style bounds don't survive hash certification; the
+    * oracle certifies the ITERATION, the spec the geometry).
+    */
+  private val pcaPower = Q(
+    "embed_pca_power",
+    s"""WITH $elCte,
+       |s1 AS (SELECT vec_id, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS s
+       |       FROM el GROUP BY 1),
+       |y1 AS (SELECT i, CAST(SUM(CAST(s1.s * el.x AS DECIMAL(38,18))) AS DOUBLE) AS y
+       |       FROM el JOIN s1 ON s1.vec_id = el.vec_id GROUP BY 1),
+       |m1 AS (SELECT max(abs(y)) AS m FROM y1),
+       |x1 AS (SELECT i, round(y / m, 12) AS v FROM y1 CROSS JOIN m1),
+       |s2 AS (SELECT el.vec_id, CAST(SUM(CAST(el.x * x1.v AS DECIMAL(38,18))) AS DOUBLE) AS s
+       |       FROM el JOIN x1 ON x1.i = el.i GROUP BY 1),
+       |y2 AS (SELECT el.i, CAST(SUM(CAST(s2.s * el.x AS DECIMAL(38,18))) AS DOUBLE) AS y
+       |       FROM el JOIN s2 ON s2.vec_id = el.vec_id GROUP BY 1),
+       |m2 AS (SELECT max(abs(y)) AS m FROM y2)
+       |SELECT CAST(i AS BIGINT) AS dim_i, round(y / m, 12) AS comp,
+       |       round(m, 12) AS growth
+       |FROM y2 CROSS JOIN m2""".stripMargin) { (s, d) =>
+    // Spark's element index is 0-based (posexplode), the oracle's el is
+    // 1-based (range(1, …)) — align only at the emitted edge
+    Similarity.powerIteration(elements(s, d), rounds = 2)
+      .select((col("i") + 1).cast(LongType).as("dim_i"),
+        col("v").as("comp"), col("growth"))
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, annRp, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
       annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity, decontam,
-      sq8, curationPipeline)
+      sq8, curationPipeline, pcaPower)
 }
