@@ -328,6 +328,63 @@ object Stats {
           col("n").cast("double")).as("gini"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the UNBINNED
+    * distribution-drift gate (the chi-square form in [[driftChi2]] sees
+    * only 8 bins; KS sees every quantile): D = max over observed values
+    * of |F_a(x) − F_b(x)|, computed as the INTEGER lattice
+    * max |cum_a·n_b − cum_b·n_a| (in DECIMAL(38,0) — two ~1e11-row
+    * samples overflow int64's 9.2e18 at this product) with ONE pinned
+    * double division at the edge, so the statistic is reproducible bit
+    * for bit.
+    *
+    * Scale shape: one keyed aggregate to per-distinct-value counts, then
+    * the distributed prefix sum — range-partition by value, per-range
+    * subtotals turned into exclusive prefixes by a bounded nRanges-row
+    * window, partition-local cumulative windows — the same two-pass
+    * sweep as [[graft.operators.Skyline]]; no single task ever holds
+    * more than its value range. Returns one row
+    * (n_a, n_b, d_scaled, d).
+    */
+  def ksTwoSample(df: DataFrame, value: Column, isA: Column,
+      xType: String = "decimal(18,4)", nRanges: Int = 32): DataFrame = {
+    require(nRanges >= 1, s"need a positive range count, got $nRanges")
+    val dec38 = "decimal(38,0)"
+    val per = df
+      .select(value.cast(xType).as("__x"), isA.cast("boolean").as("__a"))
+      .filter(col("__x").isNotNull && col("__a").isNotNull)
+      .groupBy(col("__x"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).cast(LongType).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).cast(LongType).as("cb"))
+    // pin the range partitioning (sampling-dependent) — subtotals and
+    // the sweep must see the same assignment
+    val parted = per.repartitionByRange(nRanges, col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val byPid = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = parted.groupBy(col("__pid"))
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      .select(col("__pid"),
+        coalesce(sum(col("sa")).over(byPid), lit(0L)).cast(LongType).as("pa"),
+        coalesce(sum(col("sb")).over(byPid), lit(0L)).cast(LongType).as("pb"))
+    val inPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = parted.join(broadcast(prefix), Seq("__pid"))
+      .select(col("__x"),
+        (sum(col("ca")).over(inPart) + col("pa")).cast(LongType).as("cuma"),
+        (sum(col("cb")).over(inPart) + col("pb")).cast(LongType).as("cumb"))
+    val tot = per.agg(sum(col("ca")).cast(LongType).as("n_a"),
+      sum(col("cb")).cast(LongType).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("cuma").cast(dec38) * col("n_b") -
+        col("cumb").cast(dec38) * col("n_a"))).cast(dec38).as("d_scaled"))
+      .select(col("n_a"), col("n_b"), col("d_scaled"),
+        (col("d_scaled").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"))
+  }
+
   /** Robust outlier profile via MEDIAN / MAD — the heavy-tail-safe
     * alternative to σ-thresholds (one corrupt feed day shifts a mean;
     * it barely moves a median). Both medians are EXACT distributed

@@ -467,8 +467,45 @@ object MlQueries {
       .limit(10)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift gate
+    * ([[Stats.ksTwoSample]]): do urgent/high-priority orders draw their
+    * totals from the same distribution as the rest? Unbinned — the
+    * supremum runs over every observed value, not [[Stats.driftChi2]]'s
+    * 8 bins — and exact: the statistic is an integer-lattice max
+    * (DECIMAL(38,0) cross products of cumulative counts) with one
+    * pinned double division, so the oracle's single-window cumulative
+    * replay hash-matches the engine's two-pass distributed prefix sum
+    * bit for bit, certifying the sweep machinery itself.
+    */
+  private val ksTest = Q(
+    "qa_ks_test",
+    """WITH v AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+      |                  (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS a
+      |           FROM orders),
+      |per AS (SELECT x,
+      |               CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |               CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |        FROM v GROUP BY 1),
+      |cum AS (SELECT x, SUM(ca) OVER (ORDER BY x) AS cuma,
+      |               SUM(cb) OVER (ORDER BY x) AS cumb
+      |        FROM per),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+      |               CAST(SUM(cb) AS BIGINT) AS n_b
+      |        FROM per)
+      |SELECT n_a, n_b, d_scaled,
+      |       CAST(d_scaled AS DOUBLE)
+      |         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+      |FROM (SELECT n_a, n_b,
+      |             CAST(max(abs(CAST(cuma AS DECIMAL(38,0)) * n_b
+      |                          - CAST(cumb AS DECIMAL(38,0)) * n_a))
+      |                  AS DECIMAL(38,0)) AS d_scaled
+      |      FROM cum CROSS JOIN tot GROUP BY 1, 2)""".stripMargin) { (s, d) =>
+    Stats.ksTwoSample(Tables.orders(s, d), col("o_totalprice"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+  }
+
   val queries: Seq[Q] = Seq(
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
-    mad, chi2Select, corrMatrix, quantileBin, linearScore)
+    mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest)
 }

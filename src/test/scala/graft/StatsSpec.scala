@@ -100,4 +100,21 @@ class StatsSpec extends SparkSpec {
       .as[(Int, Double, Long)].collect()
     assert(flat.toSeq == Seq((0, 5.0, 3L)), "min=max degenerates to bucket 0")
   }
+
+  test("ksTwoSample matches hand-computed D, exact at every range count") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: F_a - F_b peaks at x=2 (2/4 - 0/4)
+    // and x=4 (4/4 - 2/4) -> D = 1/2, d_scaled = max|cuma*4 - cumb*4| = 8
+    val df = (Seq(1, 2, 3, 4).map((_, true)) ++ Seq(3, 4, 5, 6).map((_, false)))
+      .toDF("v", "a")
+    for (n <- Seq(1, 2, 32)) {
+      val r = Stats.ksTwoSample(df, col("v"), col("a"), nRanges = n).head()
+      assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+      assert(r.getDecimal(2).longValueExact() == 8L, s"nRanges=$n")
+      assert(math.abs(r.getDouble(3) - 0.5) < 1e-15, s"nRanges=$n")
+    }
+    // identical samples -> D = 0
+    val same = (Seq(1, 2, 3).map((_, true)) ++ Seq(1, 2, 3).map((_, false)))
+      .toDF("v", "a")
+    assert(Stats.ksTwoSample(same, col("v"), col("a")).head().getDouble(3) == 0.0)
+  }
 }
