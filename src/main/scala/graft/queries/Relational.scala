@@ -1051,6 +1051,52 @@ object Relational {
     }
   }
 
+  /** HITS hubs & authorities over the page-transition graph
+    * ([[graft.operators.Hits]]): 2 rounds of the mutual update in
+    * fixed-point integer ppm units — raw decimal accumulations,
+    * max-normalize by truncating division — so the oracle unrolls the
+    * rounds as CTEs and the hash match certifies the whole iteration,
+    * exactly like the unrolled PageRank. Authority and hub separate
+    * "is pointed at by good hubs" from "points at good authorities";
+    * both ride on every node row.
+    */
+  private val hits = {
+    val iters = 2
+    // one normalize round: raw mutual sums from the PREVIOUS frame,
+    // every node kept (missing raw = 0), truncating (raw·1e6) // max
+    def step(out: String, prev: String, inKey: String, outKey: String) =
+      s"""${out}r AS (SELECT e.$outKey AS node,
+         |        SUM(CAST($prev.s * e.w AS DECIMAL(38,0))) AS r
+         |  FROM e JOIN $prev ON $prev.node = e.$inKey GROUP BY 1),
+         |$out AS (SELECT n.node,
+         |        CAST(COALESCE((CAST(r AS HUGEINT) * 1000000) // CAST(m AS HUGEINT), 0) AS BIGINT) AS s
+         |  FROM n LEFT JOIN ${out}r ON ${out}r.node = n.node
+         |  CROSS JOIN (SELECT max(r) AS m FROM ${out}r))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      step(s"a$i", s"h${i - 1}", "src", "dst") + ",\n" +
+        step(s"h$i", s"a$i", "dst", "src")
+    }.mkString(",\n")
+    Q(
+      "events_hits",
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events),
+         |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         |              k AS dst
+         |       FROM ev),
+         |e AS (SELECT src, dst, $C AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM n),
+         |$rounds
+         |SELECT a$iters.node, a$iters.s AS auth, h$iters.s AS hub
+         |FROM a$iters JOIN h$iters ON h$iters.node = a$iters.node""".stripMargin) {
+      (s, d) =>
+        val edges = pageTransitions(s, d)
+          .groupBy(col("src"), col("dst")).agg(lcount().as("w"))
+        graft.operators.Hits.scores(edges, iters)
+    }
+  }
+
   /** Community-density readout: per-node triangle counts and local
     * clustering coefficient over the (undirected) page-transition graph —
     * how clique-like each page's neighborhood is. The Spark side uses the
@@ -2227,5 +2273,5 @@ object Relational {
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
-    linkPredict, markov, labelProp, seasonality, abTest)
+    linkPredict, markov, labelProp, hits, seasonality, abTest)
 }

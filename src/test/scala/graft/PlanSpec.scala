@@ -103,7 +103,8 @@ class PlanSpec extends SparkSpec {
       "embed_curation_pipeline", // the same capped-centroid + benchmark broadcasts, composed
       "c21_stream_semdedup", // batch × ≤65536-row broadcast frozen-centroid frame per fold
       "embed_pca_power", // two 1-row broadcast max-abs frames (the normalization scalars)
-      "qa_ks_test" // 1-row broadcast sample-total frame (the lattice scalars)
+      "qa_ks_test", // 1-row broadcast sample-total frame (the lattice scalars)
+      "events_hits" // four 1-row broadcast max frames (the ppm normalizers)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
