@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.functions.Cleaning.{dsum, lcount}
 import graft.operators.{IncrementalAgg, Sketches}
 import graft.sources.{TableStore, Tables}
-import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamSemDedup, StreamSketch, ViewMaintain}
+import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamSemDedup, StreamSketch, StreamSkyline, ViewMaintain}
 import graft.queries.Q.{C, DS}
 
 /** Oracle-registered readouts for every persisted streaming maintainer —
@@ -713,8 +713,46 @@ object StreamingQueries {
         col("exact_distinct"))
   }
 
+  /** Streaming skyline maintenance ([[StreamSkyline.applyBatch]]): the
+    * (order date, exact-decimal total) Pareto front — "the record-
+    * setting orders so far" — folded over three order-key-hash batches
+    * (uncorrelated with both axes, so front points straddle batches and
+    * dominated points arrive both before AND after their dominators).
+    * Each fold sweeps only front(stored front ∪ batch); the readout is
+    * the partition at the applied watermark; the oracle is the textbook
+    * brute-force dominance test over the whole corpus — the hash match
+    * certifies the merge law front(A∪B) = front(front(A)∪front(B))
+    * as executed, not just stated.
+    */
+  private val paretoStream = Q(
+    "c28_stream_pareto",
+    """WITH pts AS (SELECT DISTINCT o_orderdate AS d,
+      |                    CAST(o_totalprice AS DECIMAL(18,4)) AS spend
+      |             FROM orders)
+      |SELECT d, CAST(spend AS DOUBLE) AS spend
+      |FROM pts p
+      |WHERE NOT EXISTS (SELECT 1 FROM pts q
+      |                  WHERE q.d >= p.d AND q.spend >= p.spend
+      |                    AND (q.d > p.d OR q.spend > p.spend))""".stripMargin) {
+    (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c28").toString)
+    val pts = Tables.orders(s, d).select(
+      col("o_orderdate").as("d"),
+      col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("spend"),
+      col("o_orderkey"))
+    val fold = StreamSkyline.applyBatch(store, "front", "d", "spend") _
+    (0 to 2).foreach(i =>
+      fold(pts.filter(pmod(col("o_orderkey"), lit(3)) === i), i.toLong))
+    // C1 guard: empty feed → no front partition ever lands
+    val front =
+      if (store.exists("front")) StreamSkyline.currentFront(store, "front")
+      else pts.select(col("d"), col("spend")).limit(0)
+    front.select(col("d"), col("spend").cast(DoubleType).as("spend"))
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
-    bm25Index, kmvStore)
+    bm25Index, kmvStore, paretoStream)
 }
