@@ -693,7 +693,21 @@ object Dedup {
     * with ZERO shared shingles produces no output row, and a pair
     * naming a doc with no shingles at all likewise vanishes.
     */
-  def jaccardForPairs(shingles: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def jaccardForPairs(shingles: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    pairOverlapCounts(shingles, idCol, pairs)
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+
+  /** The shared verify stage of [[jaccardForPairs]] and
+    * [[overlapCoefficientPairs]]: per-pair exact set sizes and
+    * intersection counts (doc_a, doc_b, n_inter, na, nb), zero-overlap
+    * pairs dropped — the similarity formula is the only thing that
+    * differs between the set-similarity measures.
+    */
+  private def pairOverlapCounts(shingles: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .unionByName(pairs.select(col("doc_b").as(idCol)))
       .distinct()
@@ -712,10 +726,32 @@ object Dedup {
         size(col("__arr_a")).cast(LongType).as("na"),
         size(col("__arr_b")).cast(LongType).as("nb"))
       .filter(col("n_inter") > 0)
-      .select(
-        col("doc_a"), col("doc_b"),
+  }
+
+  /** Exact OVERLAP-COEFFICIENT (Szymkiewicz–Simpson) near-dup pairs:
+    * C(a,b) = |a∩b| / min(|a|,|b|) ≥ threshold — the CONTAINMENT face
+    * symmetric Jaccard misses: a short document quoted wholesale inside
+    * a long one scores C ≈ 1 but J ≈ |short|/|long| ≈ 0, so a Jaccard
+    * gate keeps the quote-duplicate a training pipeline wants gone.
+    * Same brute-force shape as [[bruteForceJaccardPairs]] (bound the doc
+    * sample; the LSH/prefix candidate paths slot in front of the same
+    * verify for the full corpus): shingle equi-join candidates, the
+    * shared map-side array-intersect verify, one pinned double division.
+    */
+  def overlapCoefficientPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"overlap coefficient needs 0 < threshold <= 1, got $threshold")
+    val sh = shingleSet(docs, idCol, textCol, shingleN)
+    val all = sh.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairOverlapCounts(sh, idCol, all)
+      .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+          least(col("na"), col("nb")).cast("double")).as("overlap"))
+      .filter(col("overlap") >= threshold)
   }
 
   /** [[jaccardForPairs]] restricted to `jaccard >= threshold`, with a

@@ -640,6 +640,37 @@ object LlmText {
         Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text", 0.2)
   }
 
+  /** Exact overlap-coefficient (containment) near-dup pairs over the
+    * same bounded doc sample as `dedup_jaccard_pairs`
+    * ([[Dedup.overlapCoefficientPairs]]): C = |a∩b| / min(|a|,|b|) ≥ 0.5
+    * — the quote/near-subset duplication face symmetric Jaccard
+    * under-scores (a short doc contained in a long one has C ≈ 1,
+    * J ≈ |short|/|long|). Oracle-checked end to end: shingle sets,
+    * candidate generation, intersection counts, the min-denominator
+    * arithmetic.
+    */
+  private val overlapPairs = Q(
+    "dedup_overlap_pairs",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |              WHERE doc_id < 200),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) t),
+       |sz AS (SELECT doc_id, $C AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $C AS n_inter
+       |          FROM sh a JOIN sh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS overlap
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = inter.doc_a
+       |JOIN sz sb ON sb.doc_id = inter.doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5""".stripMargin) {
+    (s, d) =>
+      Dedup.overlapCoefficientPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text", 0.5)
+  }
+
   /** EXACT Jaccard-≥0.7 similarity join over the FULL corpus via prefix
     * filtering ([[Dedup.prefixJaccardPairs]], AllPairs/PPJoin family) —
     * the deterministic scale path next to MinHash-LSH's probabilistic
@@ -1823,7 +1854,7 @@ object LlmText {
     Seq(exact, exactLongest, editPairs, editClusters, sigs, pairs, incPairs, chunkPairs,
       clusters, clustersIncremental, attribution, substringIndex, substringCoverage,
       substringIncremental, substringApply, simhash,
-      simhashPortable, hammingPairs, jaccard, prefixJaccard, contamination,
+      simhashPortable, hammingPairs, jaccard, overlapPairs, prefixJaccard, contamination,
       chunks, bpe, fertility,
       stats, quality, langId, fp, rollingFp, piiScrub, repetition, topNgram,
       lengthQuantiles, stopPunct, gopherRules, tfidf, bytes, decode, resize, frames,

@@ -147,6 +147,28 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 0.6) < 1e-12)
   }
 
+  test("overlapCoefficientPairs flags a contained quote that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " zeta eta theta iota kappa lambda mu nu xi " +
+      "omicron pi rho sigma tau upsilon phi chi psi omega one two three"
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val over = Dedup.overlapCoefficientPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every shingle of the short doc appears in the long one -> C = 1
+    assert(over.keySet == Set((1L, 2L)), s"got $over")
+    assert(math.abs(over((1L, 2L)) - 1.0) < 1e-12)
+    // the same pair fails a Jaccard 0.5 gate (3/26 shared of the union)
+    val sh = Dedup.shingleSet(docs, "doc_id", "text")
+    val j = Dedup.jaccardForPairs(sh, "doc_id", Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      .head().getAs[Double]("jaccard")
+    assert(j < 0.5, s"jaccard $j should under-score the containment")
+    // threshold guard
+    intercept[IllegalArgumentException] {
+      Dedup.overlapCoefficientPairs(docs, "doc_id", "text", 0.0)
+    }
+  }
+
   test("simhash: identical texts collide, near-dups become candidates") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
     val h = sh.filter(col("doc_id").isin(0L, 200L, 201L))
