@@ -328,6 +328,66 @@ object Stats {
           col("n").cast("double")).as("gini"))
   }
 
+  /** Cramér's V association between two categorical columns — "are
+    * these two labels related at all" (the categorical analogue of a
+    * correlation coefficient, 0 = independent, 1 = determined), the
+    * audit that catches a leaking feature or a redundant dimension
+    * before training. χ² comes off the contingency table in an EXACT
+    * integer lattice: each cell's term is the rational identity
+    * (n_ij·N − r_i·c_j)² / (N·r_i·c_j) scaled by 1e9 and truncated —
+    * integer arithmetic end to end (DECIMAL(38,0); headroom holds to
+    * N ≈ 2e12 — past that, emit per-cell terms the [[driftChi2]] way) —
+    * so the sum is order-independent and engine-exact; χ² and
+    * V = √(χ²/(N·min(r−1,c−1))) are two pinned double ops at the edge
+    * (IEEE sqrt is correctly rounded everywhere). Degenerate axes
+    * (a single category → 0 degrees of freedom) emit NULL v.
+    *
+    * Scale shape: one grouped count to cells (≤ r·c rows), two
+    * cell-frame rollups for the margins, a 1-row broadcast total —
+    * the raw table is scanned once. Returns one row
+    * (n, df_min, chi2, v).
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("__a"), bCol.as("__b"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("n")).cast(LongType).as("ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("n")).cast(LongType).as("cb"))
+    val tot = cells.agg(
+      sum(col("n")).cast(LongType).as("nn"),
+      countDistinct(col("__a")).cast(LongType).as("nr"),
+      countDistinct(col("__b")).cast(LongType).as("nc"))
+    // zero cells of the full r×c table still carry χ² mass (their term
+    // is the expected count itself): Σ_zero r·c/N = (N² − Σ_observed r·c)/N
+    // — derived from the observed cells alone, no dense table needed
+    cells.join(ra, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(expr(
+          """((CAST(n AS DECIMAL(38,0)) * nn - CAST(ra AS DECIMAL(38,0)) * cb)
+            | * (CAST(n AS DECIMAL(38,0)) * nn - CAST(ra AS DECIMAL(38,0)) * cb)
+            | * 1000000000)
+            | div (CAST(nn AS DECIMAL(38,0)) * ra * cb)""".stripMargin
+          .replaceAll("\n\\s*", " ")))
+          .cast("decimal(38,0)").as("obs"),
+        sum(expr("CAST(ra AS DECIMAL(38,0)) * cb")).cast("decimal(38,0)").as("src"),
+        max(col("nn")).as("n"),
+        max(least(col("nr"), col("nc")) - 1).as("df_min"))
+      .select(col("n"), col("df_min"),
+        (col("obs") + expr(
+          """((CAST(n AS DECIMAL(38,0)) * n - src) * 1000000000)
+            | div CAST(n AS DECIMAL(38,0))""".stripMargin
+          .replaceAll("\n\\s*", " "))).as("chi2s"),
+        col("df_min").as("__df"))
+      .select(col("n"), col("df_min"),
+        (col("chi2s").cast("double") / lit(1000000000.0)).as("chi2"),
+        when(col("df_min") > 0,
+          sqrt((col("chi2s").cast("double") / lit(1000000000.0)) /
+            (col("n").cast("double") * col("df_min").cast("double"))))
+          .as("v"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the UNBINNED
     * distribution-drift gate (the chi-square form in [[driftChi2]] sees
     * only 8 bins; KS sees every quantile): D = max over observed values

@@ -504,8 +504,52 @@ object MlQueries {
       col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
   }
 
+  /** Cramér's V between order priority and order status
+    * ([[Stats.cramersV]]): the categorical-association audit. The χ²
+    * lattice (exact integer per-cell terms, order-independent sum) and
+    * the two pinned edge ops make the whole statistic hash-certifiable;
+    * the oracle replays the contingency table, margins, HUGEINT lattice
+    * and the same sqrt bit for bit.
+    */
+  private val cramers = Q(
+    "qa_cramers_v",
+    """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+      |                      CAST(count(*) AS BIGINT) AS n
+      |               FROM orders
+      |               WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      |               GROUP BY 1, 2),
+      |r AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      |c AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |             CAST(count(DISTINCT a) AS BIGINT) AS nr,
+      |             CAST(count(DISTINCT b) AS BIGINT) AS nc
+      |      FROM cells),
+      |s AS (SELECT CAST(SUM((CAST(cells.n AS HUGEINT) * nn - CAST(ra AS HUGEINT) * cb)
+      |                      * (CAST(cells.n AS HUGEINT) * nn - CAST(ra AS HUGEINT) * cb)
+      |                      * 1000000000
+      |                      // (CAST(nn AS HUGEINT) * ra * cb)) AS DECIMAL(38,0)) AS obs,
+      |             CAST(SUM(CAST(ra AS HUGEINT) * cb) AS DECIMAL(38,0)) AS src,
+      |             max(nn) AS n, max(least(nr, nc) - 1) AS df_min
+      |      FROM cells
+      |      JOIN r ON r.a = cells.a
+      |      JOIN c ON c.b = cells.b
+      |      CROSS JOIN t),
+      |s2 AS (SELECT n, df_min,
+      |              obs + (CAST((CAST(n AS HUGEINT) * n - CAST(src AS HUGEINT)) AS HUGEINT)
+      |                     * 1000000000) // CAST(n AS HUGEINT) AS chi2s
+      |       FROM s)
+      |SELECT n, df_min,
+      |       CAST(chi2s AS DOUBLE) / 1000000000.0 AS chi2,
+      |       CASE WHEN df_min > 0
+      |            THEN sqrt((CAST(chi2s AS DOUBLE) / 1000000000.0)
+      |                      / (CAST(n AS DOUBLE) * CAST(df_min AS DOUBLE))) END AS v
+      |FROM s2""".stripMargin) { (s, d) =>
+    Stats.cramersV(Tables.orders(s, d),
+      col("o_orderpriority"), col("o_orderstatus"))
+  }
+
   val queries: Seq[Q] = Seq(
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
-    mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest)
+    mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest, cramers)
 }

@@ -104,7 +104,8 @@ class PlanSpec extends SparkSpec {
       "c21_stream_semdedup", // batch × ≤65536-row broadcast frozen-centroid frame per fold
       "embed_pca_power", // two 1-row broadcast max-abs frames (the normalization scalars)
       "qa_ks_test", // 1-row broadcast sample-total frame (the lattice scalars)
-      "events_hits" // four 1-row broadcast max frames (the ppm normalizers)
+      "events_hits", // four 1-row broadcast max frames (the ppm normalizers)
+      "qa_cramers_v" // 1-row broadcast margins-total frame (the lattice scalars)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)

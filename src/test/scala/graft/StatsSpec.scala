@@ -117,4 +117,19 @@ class StatsSpec extends SparkSpec {
       .toDF("v", "a")
     assert(Stats.ksTwoSample(same, col("v"), col("a")).head().getDouble(3) == 0.0)
   }
+
+  test("cramersV: 1 on a determined pair, ~0 on independence, NULL on 0 df") {
+    // b = f(a): perfect association, V = 1
+    val det = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"), ("z", "r"))
+      .toDF("a", "b")
+    val r1 = Stats.cramersV(det, col("a"), col("b")).head()
+    assert(math.abs(r1.getDouble(3) - 1.0) < 1e-6, s"determined pair: $r1")
+    // perfectly balanced 2x2: exact independence, V = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val r2 = Stats.cramersV(ind, col("a"), col("b")).head()
+    assert(r2.getDouble(3) == 0.0, s"independent pair: $r2")
+    // single category on one axis: min(r,c)-1 = 0 degrees -> NULL v
+    val degen = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Stats.cramersV(degen, col("a"), col("b")).head().isNullAt(3))
+  }
 }
