@@ -1730,10 +1730,57 @@ object LlmEmbed {
         col("v").as("comp"), col("growth"))
   }
 
+  /** Greedy k-center coreset selection over the embedding corpus
+    * ([[graft.operators.Coreset.kCenters]], Gonzalez farthest-point —
+    * a 2-approximation of the optimal k-center cover): 8 picks in
+    * selection order with their coverage radii — the diverse-subset
+    * primitive (coverage-maximizing data selection, eval seeding,
+    * spread quantizer init). Exact decimal distances make every argmax
+    * deterministic; the oracle unrolls all 8 rounds as CTEs, so the
+    * hash match certifies the full greedy traversal — seed, argmaxes,
+    * running-min updates, tie-breaks and radii.
+    */
+  private val coreset = {
+    val k = 8
+    def d2(out: String, centers: String) =
+      s"""$out AS (SELECT a.vec_id,
+         |        SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(38,18))) AS d2
+         |  FROM el a JOIN el b ON b.i = a.i
+         |  JOIN $centers ON b.vec_id = $centers.id GROUP BY 1)""".stripMargin
+    def chosen(r: Int) = (1 until r).map(j => s"SELECT id FROM r$j").mkString(" UNION ")
+    val rounds = (2 to k).map { r =>
+      val upd =
+        if (r == 2) s"m1 AS (SELECT vec_id, d2 AS mind2 FROM d1)"
+        else s"""m${r - 1} AS (SELECT m${r - 2}.vec_id,
+                |        least(m${r - 2}.mind2, d${r - 1}.d2) AS mind2
+                |  FROM m${r - 2} JOIN d${r - 1} ON d${r - 1}.vec_id = m${r - 2}.vec_id)""".stripMargin
+      s"""${d2(s"d${r - 1}", s"r${r - 1}")},
+         |$upd,
+         |r$r AS (SELECT vec_id AS id, mind2 FROM m${r - 1}
+         |  WHERE vec_id NOT IN (${chosen(r)})
+         |  ORDER BY mind2 DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val emits = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), id, CAST(round(mind2, 12) AS DOUBLE) FROM r$r")
+      .mkString("\n      ")
+    Q(
+      "embed_coreset",
+      s"""WITH $elCte,
+         |r1 AS (SELECT min(vec_id) AS id FROM embeddings),
+         |$rounds
+         |SELECT * FROM (
+         |      SELECT CAST(1 AS BIGINT) AS rnk, id AS vec_id,
+         |             CAST(NULL AS DOUBLE) AS radius FROM r1
+         |      $emits)""".stripMargin) { (s, d) =>
+      graft.operators.Coreset.kCenters(
+        elements(s, d).select(col("vec_id"), col("i"), col("x")), k)
+    }
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, annRp, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
       annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity, decontam,
-      sq8, curationPipeline, pcaPower)
+      sq8, curationPipeline, pcaPower, coreset)
 }
