@@ -388,6 +388,80 @@ object Stats {
           .as("v"))
   }
 
+  /** Distributed prefix sums over distinct-value rows (__x, ca, cb):
+    * range-partition by __x, per-range subtotals become exclusive
+    * prefixes via a bounded nRanges-row window, then partition-local
+    * cumulative windows — the two-pass sweep (same machinery as
+    * [[graft.operators.Skyline]]'s running max) shared by
+    * [[ksTwoSample]] and [[aucExact]]; no single task ever holds more
+    * than its value range. Returns (__x, ca, cb, cuma, cumb) with cum*
+    * INCLUSIVE of the row.
+    */
+  private def cumCounts(per: DataFrame, nRanges: Int): DataFrame = {
+    // pin the range partitioning (sampling-dependent) — subtotals and
+    // the sweep must see the same assignment
+    val parted = per.repartitionByRange(nRanges, col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val byPid = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = parted.groupBy(col("__pid"))
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      .select(col("__pid"),
+        coalesce(sum(col("sa")).over(byPid), lit(0L)).cast(LongType).as("pa"),
+        coalesce(sum(col("sb")).over(byPid), lit(0L)).cast(LongType).as("pb"))
+    val inPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    parted.join(broadcast(prefix), Seq("__pid"))
+      .select(col("__x"), col("ca"), col("cb"),
+        (sum(col("ca")).over(inPart) + col("pa")).cast(LongType).as("cuma"),
+        (sum(col("cb")).over(inPart) + col("pb")).cast(LongType).as("cumb"))
+  }
+
+  /** Exact AUC of a numeric score against a binary label — the
+    * Mann–Whitney identity with tie MIDRANKS, as an integer lattice:
+    *
+    *   AUC·2PN = Σ_values pos_v · (2·negBelow_v + neg_v)
+    *
+    * (a positive beats every lower-scored negative, half-credits each
+    * tied one). All counts are integers (DECIMAL(38,0) products — two
+    * 1e11-row classes overflow int64), so the ranking statistic is
+    * exact and order-independent; AUC itself is one pinned double
+    * division. A score column that can't beat random lands at 0.5
+    * exactly, a perfect ranker at 1.0 exactly — certifiable gates,
+    * which a float rank-sum can't promise at the boundary.
+    *
+    * Scale shape: per-distinct-score (pos, neg) counts, the
+    * [[cumCounts]] sweep, one final aggregate. Degenerate inputs
+    * (a single class) yield NULL auc. Returns one row
+    * (n_pos, n_neg, auc2pn, auc).
+    */
+  def aucExact(df: DataFrame, score: Column, label: Column,
+      xType: String = "decimal(18,4)", nRanges: Int = 32): DataFrame = {
+    require(nRanges >= 1, s"need a positive range count, got $nRanges")
+    val dec38 = "decimal(38,0)"
+    val per = df
+      .select(score.cast(xType).as("__x"), label.cast("boolean").as("__a"))
+      .filter(col("__x").isNotNull && col("__a").isNotNull)
+      .groupBy(col("__x"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).cast(LongType).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).cast(LongType).as("cb"))
+    val cum = cumCounts(per, nRanges)
+    val tot = per.agg(sum(col("ca")).cast(LongType).as("n_pos"),
+      sum(col("cb")).cast(LongType).as("n_neg"))
+    cum
+      .select((col("ca").cast(dec38) *
+        (lit(2) * (col("cumb") - col("cb")) + col("cb"))).as("term"))
+      .agg(sum(col("term")).cast(dec38).as("auc2pn"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_pos"), col("n_neg"), col("auc2pn"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("auc2pn").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the UNBINNED
     * distribution-drift gate (the chi-square form in [[driftChi2]] sees
     * only 8 bins; KS sees every quantile): D = max over observed values
@@ -415,25 +489,8 @@ object Stats {
       .groupBy(col("__x"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).cast(LongType).as("ca"),
         sum(when(!col("__a"), 1L).otherwise(0L)).cast(LongType).as("cb"))
-    // pin the range partitioning (sampling-dependent) — subtotals and
-    // the sweep must see the same assignment
-    val parted = per.repartitionByRange(nRanges, col("__x"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val byPid = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val prefix = parted.groupBy(col("__pid"))
-      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
-      .select(col("__pid"),
-        coalesce(sum(col("sa")).over(byPid), lit(0L)).cast(LongType).as("pa"),
-        coalesce(sum(col("sb")).over(byPid), lit(0L)).cast(LongType).as("pb"))
-    val inPart = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("__x"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = parted.join(broadcast(prefix), Seq("__pid"))
-      .select(col("__x"),
-        (sum(col("ca")).over(inPart) + col("pa")).cast(LongType).as("cuma"),
-        (sum(col("cb")).over(inPart) + col("pb")).cast(LongType).as("cumb"))
+    val cum = cumCounts(per, nRanges)
+      .select(col("__x"), col("cuma"), col("cumb"))
     val tot = per.agg(sum(col("ca")).cast(LongType).as("n_a"),
       sum(col("cb")).cast(LongType).as("n_b"))
     cum.crossJoin(broadcast(tot))

@@ -548,8 +548,44 @@ object MlQueries {
       col("o_orderpriority"), col("o_orderstatus"))
   }
 
+  /** Exact ranking AUC ([[Stats.aucExact]]): does document length
+    * predict English? — the classifier-quality gate as a Mann–Whitney
+    * integer lattice with tie midranks, so the 0.5 = random and
+    * 1.0 = perfect boundaries are certifiable, not float-adjacent. The
+    * oracle replays per-score counts, the cumulative sweep, the HUGEINT
+    * lattice and the single pinned division.
+    */
+  private val auc = Q(
+    "ml_auc",
+    """WITH v AS (SELECT CAST(n_chars AS DECIMAL(18,4)) AS x,
+      |                  (lang = 'en') AS a
+      |           FROM documents
+      |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |per AS (SELECT x,
+      |               CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |               CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |        FROM v GROUP BY 1),
+      |cum AS (SELECT x, ca, cb,
+      |               SUM(cb) OVER (ORDER BY x) AS cumb
+      |        FROM per),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+      |               CAST(SUM(cb) AS BIGINT) AS n_neg
+      |        FROM per),
+      |s AS (SELECT CAST(SUM(CAST(ca AS HUGEINT)
+      |                       * (2 * (cumb - cb) + cb)) AS DECIMAL(38,0)) AS auc2pn
+      |      FROM cum)
+      |SELECT n_pos, n_neg, auc2pn,
+      |       CASE WHEN n_pos > 0 AND n_neg > 0
+      |            THEN CAST(auc2pn AS DOUBLE)
+      |                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+      |       END AS auc
+      |FROM s CROSS JOIN tot""".stripMargin) { (s, d) =>
+    Stats.aucExact(Tables.documents(s, d), col("n_chars"), col("lang") === "en")
+  }
+
   val queries: Seq[Q] = Seq(
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
-    mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest, cramers)
+    mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest, cramers,
+    auc)
 }

@@ -105,7 +105,8 @@ class PlanSpec extends SparkSpec {
       "embed_pca_power", // two 1-row broadcast max-abs frames (the normalization scalars)
       "qa_ks_test", // 1-row broadcast sample-total frame (the lattice scalars)
       "events_hits", // four 1-row broadcast max frames (the ppm normalizers)
-      "qa_cramers_v" // 1-row broadcast margins-total frame (the lattice scalars)
+      "qa_cramers_v", // 1-row broadcast margins-total frame (the lattice scalars)
+      "ml_auc" // 1-row lattice frame × 1-row class-total frame (the AUC edge division)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)

@@ -118,6 +118,28 @@ class StatsSpec extends SparkSpec {
     assert(Stats.ksTwoSample(same, col("v"), col("a")).head().getDouble(3) == 0.0)
   }
 
+  test("aucExact: perfect ranker 1.0, anti-ranker 0.0, ties midrank to 0.5 — exact") {
+    // positives all score above negatives -> AUC = 1 exactly
+    val perfect = (Seq(5, 6, 7).map((_, true)) ++ Seq(1, 2, 3).map((_, false)))
+      .toDF("s", "y")
+    assert(Stats.aucExact(perfect, col("s"), col("y")).head().getDouble(3) == 1.0)
+    assert(Stats.aucExact(perfect, -col("s"), col("y")).head().getDouble(3) == 0.0)
+    // all tied -> midranks give exactly 0.5
+    val tied = (Seq(4, 4).map((_, true)) ++ Seq(4, 4, 4).map((_, false)))
+      .toDF("s", "y")
+    val r = Stats.aucExact(tied, col("s"), col("y")).head()
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDecimal(2).longValueExact() == 2L * 3L) // 2PN·0.5
+    // hand case with a mix: pos {3,1}, neg {2,1}: pairs (3>2)+(3>1)+(1>2=0)+(1=1 half)
+    // AUC = (1+1+0+0.5)/4 = 0.625, lattice = 5
+    val mix = (Seq(3, 1).map((_, true)) ++ Seq(2, 1).map((_, false))).toDF("s", "y")
+    val m = Stats.aucExact(mix, col("s"), col("y")).head()
+    assert(m.getDecimal(2).longValueExact() == 5L && m.getDouble(3) == 0.625)
+    // single class -> NULL
+    assert(Stats.aucExact(Seq((1, true)).toDF("s", "y"), col("s"), col("y"))
+      .head().isNullAt(3))
+  }
+
   test("cramersV: 1 on a determined pair, ~0 on independence, NULL on 0 df") {
     // b = f(a): perfect association, V = 1
     val det = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"), ("z", "r"))
