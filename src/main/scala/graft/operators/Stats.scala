@@ -438,15 +438,26 @@ object Stats {
     * (n_pos, n_neg, auc2pn, auc).
     */
   def aucExact(df: DataFrame, score: Column, label: Column,
-      xType: String = "decimal(18,4)", nRanges: Int = 32): DataFrame = {
-    require(nRanges >= 1, s"need a positive range count, got $nRanges")
-    val dec38 = "decimal(38,0)"
-    val per = df
-      .select(score.cast(xType).as("__x"), label.cast("boolean").as("__a"))
+      xType: String = "decimal(18,4)", nRanges: Int = 32): DataFrame =
+    aucFromCounts(scoreClassCounts(df, score, label, xType), nRanges)
+
+  /** Per-distinct-score two-class counts (__x, ca, cb) — the mergeable
+    * sufficient statistic behind [[aucExact]] (counts are linear, so
+    * per-batch frames fold by per-score SUM — what the streaming AUC
+    * maintainer persists).
+    */
+  def scoreClassCounts(df: DataFrame, score: Column, label: Column,
+      xType: String = "decimal(18,4)"): DataFrame =
+    df.select(score.cast(xType).as("__x"), label.cast("boolean").as("__a"))
       .filter(col("__x").isNotNull && col("__a").isNotNull)
       .groupBy(col("__x"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).cast(LongType).as("ca"),
         sum(when(!col("__a"), 1L).otherwise(0L)).cast(LongType).as("cb"))
+
+  /** The AUC lattice tail over a (__x, ca, cb) counts frame. */
+  def aucFromCounts(per: DataFrame, nRanges: Int = 32): DataFrame = {
+    require(nRanges >= 1, s"need a positive range count, got $nRanges")
+    val dec38 = "decimal(38,0)"
     val cum = cumCounts(per, nRanges)
     val tot = per.agg(sum(col("ca")).cast(LongType).as("n_pos"),
       sum(col("cb")).cast(LongType).as("n_neg"))

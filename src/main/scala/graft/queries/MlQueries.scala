@@ -555,8 +555,11 @@ object MlQueries {
     * oracle replays per-score counts, the cumulative sweep, the HUGEINT
     * lattice and the single pinned division.
     */
-  private val auc = Q(
-    "ml_auc",
+  /** Shared with `c29_stream_auc`: the maintained score-count store's
+    * AUC readout must hash-match this same one-shot lattice — one
+    * oracle string certifying both faces (the bm25OracleSql pattern).
+    */
+  private[queries] val aucOracleSql: String =
     """WITH v AS (SELECT CAST(n_chars AS DECIMAL(18,4)) AS x,
       |                  (lang = 'en') AS a
       |           FROM documents
@@ -579,7 +582,9 @@ object MlQueries {
       |            THEN CAST(auc2pn AS DOUBLE)
       |                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
       |       END AS auc
-      |FROM s CROSS JOIN tot""".stripMargin) { (s, d) =>
+      |FROM s CROSS JOIN tot""".stripMargin
+
+  private val auc = Q("ml_auc", aucOracleSql) { (s, d) =>
     Stats.aucExact(Tables.documents(s, d), col("n_chars"), col("lang") === "en")
   }
 

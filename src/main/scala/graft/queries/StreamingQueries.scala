@@ -751,8 +751,34 @@ object StreamingQueries {
     front.select(col("d"), col("spend").cast(DoubleType).as("spend"))
   }
 
+  /** Streaming AUC monitor ([[StreamSketch.applyScoreCounts]]): the
+    * per-score two-class count store — AUC's mergeable sufficient
+    * statistic — folded over three doc-key-hash batches, read out
+    * through the SAME lattice tail as the one-shot `ml_auc` and
+    * certified by the SAME oracle string, so "maintained monitor ≡
+    * one-shot AUC" is true by construction (the bm25/dsir shared-oracle
+    * pattern). The model-quality gate that runs forever on a stream
+    * with score-domain-bounded state.
+    */
+  private val aucStream = Q(
+    "c29_stream_auc", MlQueries.aucOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c29").toString)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("score"),
+        (col("lang") === "en").as("is_en"))
+    val fold = StreamSketch.applyScoreCounts(store, "auc", "score", "is_en") _
+    (0 to 2).foreach(i =>
+      fold(docs.filter(pmod(col("doc_id") * 7, lit(3)) === i), i.toLong))
+    // C1 guard: empty feed → no count partitions ever land
+    val merged =
+      if (store.exists("auc")) StreamSketch.mergedScoreCounts(store, "auc")
+      else graft.operators.Stats.scoreClassCounts(
+        docs.limit(0), col("score"), col("is_en"))
+    graft.operators.Stats.aucFromCounts(merged)
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
-    bm25Index, kmvStore, paretoStream)
+    bm25Index, kmvStore, paretoStream, aucStream)
 }

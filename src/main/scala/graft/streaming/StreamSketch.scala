@@ -204,6 +204,42 @@ object StreamSketch {
     }
   }
 
+  /** Maintain a streaming MODEL-QUALITY monitor: per-score two-class
+    * counts — the mergeable sufficient statistic of ranking AUC
+    * ([[graft.operators.Stats.scoreClassCounts]]) — folded per
+    * micro-batch. "Is the quality scorer still separating classes, over
+    * all data ever seen" needs state bounded by the score domain, not
+    * the row count: counts are LINEAR, so each batch appends only ITS
+    * per-score (ca, cb) rows as one `__applied`-keyed partition and the
+    * per-score SUM over partitions IS the corpus frame —
+    * [[graft.operators.Stats.aucFromCounts]] (or a KS readout; same
+    * statistic family) runs over the fold at any moment. Write volume
+    * per batch is O(batch's distinct scores); compact with
+    * [[TableStore.compact]] as partitions accumulate. Replay-safe the
+    * [[applyDailyRegisters]] way — the counts partition is its own
+    * applied marker.
+    */
+  def applyScoreCounts(store: TableStore, table: String, scoreCol: String,
+      labelCol: String, xType: String = "decimal(18,4)")(
+      batch: DataFrame, batchId: Long): Unit = {
+    val lastApplied = store.lastAppliedBatch(table)
+    if (batchId > lastApplied) {
+      store.replacePartitions(table,
+        graft.operators.Stats.scoreClassCounts(batch, col(scoreCol),
+          col(labelCol), xType).withColumn("__applied", lit(batchId)),
+        "__applied")
+    }
+  }
+
+  /** Corpus per-score counts from the store: per-score SUM over every
+    * applied batch partition (count linearity).
+    */
+  def mergedScoreCounts(store: TableStore, table: String): DataFrame =
+    store.read(table)
+      .groupBy(col("__x"))
+      .agg(sum(col("ca")).cast(LongType).as("ca"),
+        sum(col("cb")).cast(LongType).as("cb"))
+
   /** Corpus per-group sketches from the store: re-sketching the stored
     * per-batch bottom-k rows equals sketching the concatenated batches
     * (the bottom-k merge law above; the aggregate is duplicate-aware, so

@@ -106,7 +106,8 @@ class PlanSpec extends SparkSpec {
       "qa_ks_test", // 1-row broadcast sample-total frame (the lattice scalars)
       "events_hits", // four 1-row broadcast max frames (the ppm normalizers)
       "qa_cramers_v", // 1-row broadcast margins-total frame (the lattice scalars)
-      "ml_auc" // 1-row lattice frame × 1-row class-total frame (the AUC edge division)
+      "ml_auc", // 1-row lattice frame × 1-row class-total frame (the AUC edge division)
+      "c29_stream_auc" // same AUC tail over the maintained score-count store
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
