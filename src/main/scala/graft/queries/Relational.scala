@@ -1097,6 +1097,43 @@ object Relational {
     }
   }
 
+  /** Bounded-hop BFS from the lowest page id over the page-transition
+    * graph ([[graft.operators.Bfs]]): distance labels for everything
+    * within 3 undirected hops — the blast-radius / graph-local-sampling
+    * readout. The oracle unrolls the min-plus relaxation rounds as
+    * CTEs; integers end to end, so the hash match certifies reachability
+    * AND the exact hop counts.
+    */
+  private val bfsHops = {
+    val hops = 3
+    def round(i: Int): String =
+      s"""b$i AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |  SELECT node, dist FROM b${i - 1}
+         |  UNION ALL
+         |  SELECT adj.c AS node, b${i - 1}.dist + 1
+         |  FROM adj JOIN b${i - 1} ON b${i - 1}.node = adj.n) GROUP BY 1)"""
+        .stripMargin
+    Q(
+      "events_bfs_hops",
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events),
+         |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         |              k AS dst
+         |       FROM ev),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM tr WHERE src IS NOT NULL AND src <> dst),
+         |adj AS (SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und),
+         |b0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM und),
+         |${(1 to hops).map(round).mkString(",\n")}
+         |SELECT node, dist FROM b$hops""".stripMargin) { (s, d) =>
+      val und = graft.operators.Triangles.undirected(pageTransitions(s, d))
+      val seedRow = und.agg(min(col("u"))).head
+      if (seedRow.isNullAt(0)) und.select(col("u").as("node"), col("v").as("dist")).limit(0)
+      else graft.operators.Bfs.hops(und, seedRow.getLong(0), hops)
+    }
+  }
+
   /** Community-density readout: per-node triangle counts and local
     * clustering coefficient over the (undirected) page-transition graph —
     * how clique-like each page's neighborhood is. The Spark side uses the
@@ -2273,5 +2310,5 @@ object Relational {
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
-    linkPredict, markov, labelProp, hits, seasonality, abTest)
+    linkPredict, markov, labelProp, hits, bfsHops, seasonality, abTest)
 }
