@@ -378,8 +378,7 @@ object Stats {
         (col("obs") + expr(
           """((CAST(n AS DECIMAL(38,0)) * n - src) * 1000000000)
             | div CAST(n AS DECIMAL(38,0))""".stripMargin
-          .replaceAll("\n\\s*", " "))).as("chi2s"),
-        col("df_min").as("__df"))
+          .replaceAll("\n\\s*", " "))).as("chi2s"))
       .select(col("n"), col("df_min"),
         (col("chi2s").cast("double") / lit(1000000000.0)).as("chi2"),
         when(col("df_min") > 0,
