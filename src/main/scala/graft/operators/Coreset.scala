@@ -28,7 +28,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * per round, so lineage stays O(1) and each round rescans nothing but
   * the checkpoint.
   *
-  * Input `el`: the element stream (vec_id, i, x double). Output: one
+  * Input `el`: the element stream (vec_id, i, x double) — DENSE
+  * support required: every vector must carry the same index set (true
+  * of exploded fixed-dim embedding arrays), because distances join on
+  * the center's indices; a vector sharing no index with the current
+  * center would silently drop from the coverage frame. Output: one
   * row per pick in selection order — (rnk, vec_id, radius) where
   * radius is the pick's coverage distance (its min d² to the earlier
   * picks, a round-12 DOUBLE from the exact decimal; NULL for the seed).

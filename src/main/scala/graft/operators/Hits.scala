@@ -48,11 +48,11 @@ object Hits {
       auth = normalize(
         e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node"))
-          .agg(sum((col("s") * col("w")).cast("decimal(38,0)")).as("r")))
+          .agg(sum(col("s").cast("decimal(38,0)") * col("w")).as("r")))
       hub = normalize(
         e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src").as("node"))
-          .agg(sum((col("s") * col("w")).cast("decimal(38,0)")).as("r")))
+          .agg(sum(col("s").cast("decimal(38,0)") * col("w")).as("r")))
     }
     auth.withColumnRenamed("s", "auth")
       .join(hub.withColumnRenamed("s", "hub"), Seq("node"))

@@ -401,14 +401,15 @@ object Similarity {
       .withColumn("pvec", projected(col("cvec")))
     val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qvec"))
       .withColumn("pqvec", projected(col("qvec")))
+    // the screen is all-pairs by design (same broadcast shape as
+    // [[bruteForceTopK]], nProj/dim of its arithmetic); the registered
+    // embed_ann_rp plans the equi-join-on-projection-index form instead
     val screened = c
       .join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("cvec"), col("qvec"),
+      .select(col("qid"), col("nid"),
         cosine(col("pqvec"), col("pvec")).as("cosine"))
-    // bounded-heap screen, then exact rerank of the nCand survivors —
-    // vectors ride the candidate rows, so the rerank is map-side
-    val cand = heapTopK(screened.select(
-      col("qid"), col("nid"), col("cosine")), nCand)
+    // bounded-heap screen, then exact rerank of the nCand survivors
+    val cand = heapTopK(screened, nCand)
       .select(col("qid"), col("nid"))
     val rer = cand
       .join(c.select(col("nid"), col("cvec")), Seq("nid"))

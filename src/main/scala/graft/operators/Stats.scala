@@ -364,11 +364,14 @@ object Stats {
     cells.join(ra, Seq("__a")).join(cb, Seq("__b"))
       .crossJoin(broadcast(tot))
       .agg(
+        // each term re-cast to decimal BEFORE the sum: `div` emits
+        // BIGINT and a Long sum would wrap ~200× below the documented
+        // N ≈ 2e12 headroom
         sum(expr(
-          """((CAST(n AS DECIMAL(38,0)) * nn - CAST(ra AS DECIMAL(38,0)) * cb)
+          """CAST(((CAST(n AS DECIMAL(38,0)) * nn - CAST(ra AS DECIMAL(38,0)) * cb)
             | * (CAST(n AS DECIMAL(38,0)) * nn - CAST(ra AS DECIMAL(38,0)) * cb)
             | * 1000000000)
-            | div (CAST(nn AS DECIMAL(38,0)) * ra * cb)""".stripMargin
+            | div (CAST(nn AS DECIMAL(38,0)) * ra * cb) AS DECIMAL(38,0))""".stripMargin
           .replaceAll("\n\\s*", " ")))
           .cast("decimal(38,0)").as("obs"),
         sum(expr("CAST(ra AS DECIMAL(38,0)) * cb")).cast("decimal(38,0)").as("src"),

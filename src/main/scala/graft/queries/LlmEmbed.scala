@@ -1766,7 +1766,8 @@ object LlmEmbed {
     Q(
       "embed_coreset",
       s"""WITH $elCte,
-         |r1 AS (SELECT min(vec_id) AS id FROM embeddings),
+         |r1 AS (SELECT min(vec_id) AS id FROM embeddings
+         |       HAVING min(vec_id) IS NOT NULL),
          |$rounds
          |SELECT * FROM (
          |      SELECT CAST(1 AS BIGINT) AS rnk, id AS vec_id,

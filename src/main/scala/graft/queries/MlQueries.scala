@@ -481,7 +481,9 @@ object MlQueries {
     "qa_ks_test",
     """WITH v AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS x,
       |                  (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS a
-      |           FROM orders),
+      |           FROM orders
+      |           WHERE o_totalprice IS NOT NULL
+      |             AND o_orderpriority IS NOT NULL),
       |per AS (SELECT x,
       |               CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
       |               CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb

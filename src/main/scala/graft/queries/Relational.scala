@@ -1066,7 +1066,7 @@ object Relational {
     // every node kept (missing raw = 0), truncating (raw·1e6) // max
     def step(out: String, prev: String, inKey: String, outKey: String) =
       s"""${out}r AS (SELECT e.$outKey AS node,
-         |        SUM(CAST($prev.s * e.w AS DECIMAL(38,0))) AS r
+         |        SUM(CAST($prev.s AS HUGEINT) * e.w) AS r
          |  FROM e JOIN $prev ON $prev.node = e.$inKey GROUP BY 1),
          |$out AS (SELECT n.node,
          |        CAST(COALESCE((CAST(r AS HUGEINT) * 1000000) // CAST(m AS HUGEINT), 0) AS BIGINT) AS s
@@ -1124,7 +1124,8 @@ object Relational {
          |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |        FROM tr WHERE src IS NOT NULL AND src <> dst),
          |adj AS (SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und),
-         |b0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM und),
+         |b0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM und
+         |       HAVING min(u) IS NOT NULL),
          |${(1 to hops).map(round).mkString(",\n")}
          |SELECT node, dist FROM b$hops""".stripMargin) { (s, d) =>
       val und = graft.operators.Triangles.undirected(pageTransitions(s, d))
@@ -1237,17 +1238,6 @@ object Relational {
       .limit(20)
   }
 
-  /** First-order Markov next-page model: the empirical transition
-    * probability P(dst | src) = c(src,dst)/c(src) over the per-user
-    * event stream, plus each page's argmax next page — the sequence
-    * model a recommender or prefetcher estimates. One grouped count on
-    * (src, dst), the per-src total by a second rollup of THAT (node-
-    * cardinality) frame — the raw stream is touched once; the argmax is
-    * two rollups of the EDGE-cardinality frame (max count per src, then
-    * lowest dst among max-count rows — no assumptions about the dst
-    * domain), and a row is the argmax iff it matches both. Probabilities
-    * are one pinned double division.
-    */
   /** Community detection over the page-transition graph: 3 rounds of
     * deterministic synchronous label propagation
     * ([[graft.operators.LabelProp]] — most-frequent neighbor label, ties
@@ -1292,6 +1282,17 @@ object Relational {
     }
   }
 
+  /** First-order Markov next-page model: the empirical transition
+    * probability P(dst | src) = c(src,dst)/c(src) over the per-user
+    * event stream, plus each page's argmax next page — the sequence
+    * model a recommender or prefetcher estimates. One grouped count on
+    * (src, dst), the per-src total by a second rollup of THAT (node-
+    * cardinality) frame — the raw stream is touched once; the argmax is
+    * two rollups of the EDGE-cardinality frame (max count per src, then
+    * lowest dst among max-count rows — no assumptions about the dst
+    * domain), and a row is the argmax iff it matches both. Probabilities
+    * are one pinned double division.
+    */
   private val markov = Q(
     "events_markov_next",
     s"""WITH ev AS (SELECT user_id, ts, event_id,
