@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -23,6 +23,40 @@ object QualityChecks {
           .select(lit(name).as("tbl"), col("n"))
       }
       .reduce(_ union _)
+
+  /** Functional-dependency audit — the profiling step that DISCOVERS
+    * (or certifies) det → dep rules before they're baked into a schema:
+    * "is customer → priority actually functional, or does the feed
+    * violate it?" For each candidate, one row:
+    * (fd, n_groups, n_viol_groups, n_rows, n_viol_rows, holds) — a
+    * determinant group violates when it maps to > 1 distinct dependent
+    * value (NULL dependents are missing data, not a second value — both
+    * engines' COUNT(DISTINCT) agrees). Exact integers end to end.
+    *
+    * Scale shape: one hash aggregate to determinant groups + one 1-row
+    * rollup per candidate — each candidate costs one shuffle of its
+    * group cardinality; the candidate list is the bounded axis (a real
+    * FD miner sweeps column pairs, which is what the Seq is).
+    */
+  def fdAudit(df: DataFrame, cands: Seq[(String, Column, Column)]): DataFrame = {
+    require(cands.nonEmpty, "need at least one candidate dependency")
+    cands.map { case (name, det, dep) =>
+      df.filter(det.isNotNull)
+        .groupBy(det.as("__det"))
+        .agg(count(lit(1)).cast(LongType).as("__n"),
+          countDistinct(dep).cast(LongType).as("__nd"))
+        .agg(
+          count(lit(1)).cast(LongType).as("n_groups"),
+          coalesce(sum(when(col("__nd") > 1, 1L).otherwise(0L)), lit(0L))
+            .cast(LongType).as("n_viol_groups"),
+          coalesce(sum(col("__n")), lit(0L)).cast(LongType).as("n_rows"),
+          coalesce(sum(when(col("__nd") > 1, col("__n")).otherwise(0L)), lit(0L))
+            .cast(LongType).as("n_viol_rows"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_viol_groups"),
+          col("n_rows"), col("n_viol_rows"),
+          (col("n_viol_groups") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 
   /** SCD2 invariant: at most one active row per natural key. Returns the
     * violating keys (empty == healthy).

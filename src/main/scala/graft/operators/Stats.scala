@@ -475,6 +475,103 @@ object Stats {
           .as("auc"))
   }
 
+  /** Doubled midranks of a single value column: one row per DISTINCT
+    * value with r2 = 2·cum − c + 1, i.e. TWICE the average rank of the
+    * value's tied block (doubling keeps tied ranks integral — .5
+    * midranks would force fractional arithmetic). Pearson correlation is
+    * invariant under the affine rank → 2·rank map, so Spearman's ρ can
+    * consume these directly. Built on the same [[cumCounts]] two-pass
+    * range sweep as the KS/AUC lattices — no global window.
+    */
+  private def midranks2(vals: DataFrame, nRanges: Int): DataFrame = {
+    val per = vals.groupBy(col("__x"))
+      .agg(count(lit(1)).cast(LongType).as("ca"))
+      .withColumn("cb", lit(0L))
+    cumCounts(per, nRanges)
+      .select(col("__x"),
+        (lit(2L) * col("cuma") - col("ca") + lit(1L)).cast(LongType).as("r2"))
+  }
+
+  /** Exact Spearman rank correlation with tie MIDRANKS — the monotone-
+    * association audit ([[pearsonPairs]] sees only linear relations; a
+    * perfect x→x³ dependence scores ρ = 1 here and r < 1 there), the
+    * standard screen for nonlinear-but-ordered feature↔target links.
+    *
+    * Both columns' ranks come from the distributed [[cumCounts]] sweep
+    * (doubled midranks stay integral under ties), the five sufficient
+    * statistics accumulate in DECIMAL(38,0) — order-independent,
+    * engine-exact; headroom: Σ(2r)² ≤ 4n³ holds to n ≈ 10¹¹ — and ρ is
+    * the one pinned double sequence of [[regressionBy]], rounded to 12
+    * decimals (scale-0 decimals convert to double in ONE rounding
+    * everywhere, unlike wide scaled decimals). Returns one row (n, rho);
+    * degenerate inputs (constant column, n < 2) yield NULL rho.
+    *
+    * Scale shape: two keyed aggregates to distinct-value counts, two
+    * range-partitioned prefix sweeps, two value equi-joins back, one
+    * final aggregate — no step holds more than a value range.
+    */
+  def spearman(df: DataFrame, x: Column, y: Column,
+      xType: String = "decimal(18,4)", nRanges: Int = 32): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val rows = df
+      .select(x.cast(xType).as("__vx"), y.cast(xType).as("__vy"))
+      .filter(col("__vx").isNotNull && col("__vy").isNotNull)
+    val rx = midranks2(rows.select(col("__vx").as("__x")), nRanges)
+      .select(col("__x").as("__vx"), col("r2").as("__rx"))
+    val ry = midranks2(rows.select(col("__vy").as("__x")), nRanges)
+      .select(col("__x").as("__vy"), col("r2").as("__ry"))
+    val st = rows.join(rx, Seq("__vx")).join(ry, Seq("__vy"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(col("__rx").cast(dec38)).cast(dec38).as("sx"),
+        sum(col("__ry").cast(dec38)).cast(dec38).as("sy"),
+        sum(col("__rx").cast(dec38) * col("__ry")).cast(dec38).as("sxy"),
+        sum(col("__rx").cast(dec38) * col("__rx")).cast(dec38).as("sxx"),
+        sum(col("__ry").cast(dec38) * col("__ry")).cast(dec38).as("syy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    st.select(col("n"),
+      when(varX > 0 && varY > 0,
+        round(covN / (sqrt(varX) * sqrt(varY)), 12)).as("rho"))
+  }
+
+  /** EXACT precision/recall curve over a per-score two-class counts
+    * frame ([[scoreClassCounts]] — the same mergeable statistic the AUC
+    * lattice and the streaming monitor consume): one row per distinct
+    * threshold x with the confusion counts of the classifier "predict
+    * positive iff score ≥ x" — tp = positives at-or-above x (from the
+    * inclusive ascending sweep: n_pos − cum + c), fp likewise — and
+    * precision / recall / F1 as pinned double divisions from those exact
+    * integers. The operating-point picker behind every threshold choice;
+    * output cardinality is the score DOMAIN (scale-independent for
+    * bounded scores), so the full curve ships, not a sample.
+    *
+    * F1 uses the identity 2tp/(2tp+fp+fn) = 2tp/(tp+fp+n_pos) — one
+    * division from integers, no precision·recall float chaining.
+    */
+  def prCurvePoints(per: DataFrame, nRanges: Int = 32): DataFrame = {
+    val cum = cumCounts(per, nRanges)
+    val tot = per.agg(sum(col("ca")).cast(LongType).as("n_pos"),
+      sum(col("cb")).cast(LongType).as("n_neg"))
+    val tp = (col("n_pos") - col("cuma") + col("ca")).cast(LongType)
+    val fp = (col("n_neg") - col("cumb") + col("cb")).cast(LongType)
+    cum.crossJoin(broadcast(tot))
+      .select(col("__x").cast("double").as("thr"),
+        tp.as("tp"), fp.as("fp"),
+        when(tp + fp > 0,
+          tp.cast("double") / (tp + fp).cast("double")).as("precision"),
+        when(col("n_pos") > 0,
+          tp.cast("double") / col("n_pos").cast("double")).as("recall"),
+        when(tp + fp + col("n_pos") > 0,
+          lit(2.0) * tp.cast("double") /
+            (tp + fp + col("n_pos")).cast("double")).as("f1"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the UNBINNED
     * distribution-drift gate (the chi-square form in [[driftChi2]] sees
     * only 8 bins; KS sees every quantile): D = max over observed values

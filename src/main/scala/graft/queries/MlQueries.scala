@@ -590,9 +590,169 @@ object MlQueries {
     Stats.aucExact(Tables.documents(s, d), col("n_chars"), col("lang") === "en")
   }
 
+  /** Exact Spearman rank correlation of quantity vs line price
+    * ([[Stats.spearman]]): the monotone-association screen —
+    * `qa_corr_matrix`'s Pearson sees only linear relations; a curved
+    * but ordered dependence scores here. Doubled tie midranks from two
+    * distributed range sweeps (integral under ties), DECIMAL(38,0)
+    * sufficient statistics, one pinned ρ rounded to 12 — the oracle
+    * replays both rank sweeps as single-window cumulative sums and the
+    * identical double sequence, certifying the distributed prefix
+    * machinery against the textbook formulation.
+    */
+  private val spearman = Q(
+    "qa_spearman",
+    """WITH v AS (SELECT CAST(l_quantity AS DECIMAL(18,4)) AS vx,
+      |                  CAST(l_extendedprice AS DECIMAL(18,4)) AS vy
+      |           FROM lineitem
+      |           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |px AS (SELECT vx, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+      |cx AS (SELECT vx, 2 * SUM(c) OVER (ORDER BY vx) - c + 1 AS rx FROM px),
+      |py AS (SELECT vy, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+      |cy AS (SELECT vy, 2 * SUM(c) OVER (ORDER BY vy) - c + 1 AS ry FROM py),
+      |rr AS (SELECT cx.rx AS rx, cy.ry AS ry
+      |       FROM v JOIN cx ON v.vx = cx.vx JOIN cy ON v.vy = cy.vy),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(SUM(CAST(rx AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+      |              CAST(SUM(CAST(ry AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+      |              CAST(SUM(CAST(rx AS HUGEINT) * ry) AS DECIMAL(38,0)) AS sxy,
+      |              CAST(SUM(CAST(rx AS HUGEINT) * rx) AS DECIMAL(38,0)) AS sxx,
+      |              CAST(SUM(CAST(ry AS HUGEINT) * ry) AS DECIMAL(38,0)) AS syy
+      |       FROM rr)
+      |SELECT n,
+      |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12)
+      |       END AS rho
+      |FROM st""".stripMargin) { (s, d) =>
+    Stats.spearman(Tables.lineitem(s, d),
+      col("l_quantity"), col("l_extendedprice"))
+  }
+
+  /** Exact precision/recall curve of the length→English classifier
+    * ([[Stats.prCurvePoints]] over the same score-count statistic as
+    * `ml_auc`): one row per distinct threshold with exact confusion
+    * integers and pinned precision/recall/F1 — the operating-point
+    * picker. Output cardinality is the score domain (length values),
+    * scale-independent.
+    */
+  private val prPoints = Q(
+    "ml_pr_points",
+    """WITH v AS (SELECT CAST(n_chars AS DECIMAL(18,4)) AS x,
+      |                  (lang = 'en') AS a
+      |           FROM documents
+      |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |per AS (SELECT x,
+      |               CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |               CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |        FROM v GROUP BY 1),
+      |cum AS (SELECT x, ca, cb,
+      |               SUM(ca) OVER (ORDER BY x) AS cuma,
+      |               SUM(cb) OVER (ORDER BY x) AS cumb
+      |        FROM per),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+      |               CAST(SUM(cb) AS BIGINT) AS n_neg
+      |        FROM per),
+      |k AS (SELECT CAST(x AS DOUBLE) AS thr,
+      |             CAST(n_pos - cuma + ca AS BIGINT) AS tp,
+      |             CAST(n_neg - cumb + cb AS BIGINT) AS fp,
+      |             n_pos
+      |      FROM cum CROSS JOIN tot)
+      |SELECT thr, tp, fp,
+      |       CASE WHEN tp + fp > 0
+      |            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+      |       CASE WHEN n_pos > 0
+      |            THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS recall,
+      |       CASE WHEN tp + fp + n_pos > 0
+      |            THEN 2.0 * CAST(tp AS DOUBLE) / CAST(tp + fp + n_pos AS DOUBLE) END AS f1
+      |FROM k""".stripMargin) { (s, d) =>
+    Stats.prCurvePoints(Stats.scoreClassCounts(
+      Tables.documents(s, d), col("n_chars"), col("lang") === "en"))
+  }
+
+  /** Reliability (calibration) bins of a length-based classifier
+    * probability p = n/(n+500) against the English label: per decile
+    * bucket, exact counts, the mean predicted probability from an
+    * integer-scaled truncating lattice (10¹²·n div (n+500) — no
+    * per-row float accumulates), and the observed positive rate — the
+    * is-the-model-honest diagnostic next to `ml_auc`'s
+    * is-it-discriminative. Bucket = (10n) div (n+500), integer
+    * division, reproducible everywhere; ≤ 10 output rows at any scale.
+    */
+  private val calibration = Q(
+    "ml_calibration",
+    """WITH v AS (SELECT n_chars AS n, (lang = 'en') AS pos
+      |           FROM documents
+      |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |b AS (SELECT CAST((10 * n) // (n + 500) AS BIGINT) AS bucket,
+      |             (1000000000000 * n) // (n + 500) AS s12,
+      |             CASE WHEN pos THEN 1 ELSE 0 END AS p
+      |      FROM v),
+      |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(SUM(p) AS BIGINT) AS n_pos,
+      |             CAST(SUM(CAST(s12 AS HUGEINT)) AS DECIMAL(38,0)) AS ssum
+      |      FROM b GROUP BY 1)
+      |SELECT bucket, n, n_pos,
+      |       CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0 AS mean_score,
+      |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+      |FROM g""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(
+        expr("(10 * n_chars) div (n_chars + 500)").cast(LongType).as("bucket"),
+        expr("(1000000000000 * n_chars) div (n_chars + 500)").as("s12"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("p")).cast(LongType).as("n_pos"),
+        sum(col("s12").cast("decimal(38,0)")).cast("decimal(38,0)").as("ssum"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("ssum").cast("double") / col("n").cast("double") /
+          lit(1000000000000.0)).as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+  }
+
+  /** Functional-dependency audit over the order feed
+    * ([[graft.operators.QualityChecks.fdAudit]]): does customer
+    * determine priority (no — violations counted), does date determine
+    * status (no), does the key determine status (trivially yes — the
+    * unique-determinant pole), does the date determine its own year
+    * (yes — the derived-column pole, a held FD with a NON-unique
+    * determinant)? One grouped count + one 1-row rollup per candidate,
+    * exact integers — the schema-constraint discovery sweep.
+    */
+  private val fdAudit = {
+    def cand(name: String, det: String, dep: String) =
+      s"""(SELECT '$name' AS fd,
+         |        CAST(count(*) AS BIGINT) AS n_groups,
+         |        CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_viol_groups,
+         |        CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+         |        CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS n_viol_rows
+         | FROM (SELECT $det AS det, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(count(DISTINCT $dep) AS BIGINT) AS nd
+         |       FROM orders WHERE $det IS NOT NULL GROUP BY 1))""".stripMargin
+    Q(
+      "qa_fd_audit",
+      s"""SELECT fd, n_groups, n_viol_groups, n_rows, n_viol_rows,
+         |       (n_viol_groups = 0) AS holds
+         |FROM (${cand("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")}
+         |      UNION ALL ${cand("o_orderdate->o_orderstatus", "o_orderdate", "o_orderstatus")}
+         |      UNION ALL ${cand("o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus")}
+         |      UNION ALL ${cand("o_orderdate->year", "o_orderdate", "year(o_orderdate)")})""".stripMargin) {
+      (s, d) =>
+        graft.operators.QualityChecks.fdAudit(Tables.orders(s, d), Seq(
+          ("o_custkey->o_orderpriority", col("o_custkey"), col("o_orderpriority")),
+          ("o_orderdate->o_orderstatus", col("o_orderdate"), col("o_orderstatus")),
+          ("o_orderkey->o_orderstatus", col("o_orderkey"), col("o_orderstatus")),
+          ("o_orderdate->year", col("o_orderdate"), year(col("o_orderdate")))))
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
     mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest, cramers,
-    auc)
+    auc, spearman, prPoints, calibration, fdAudit)
 }

@@ -148,4 +148,32 @@ class MlOpsSpec extends SparkSpec {
     assert(scored(3L) == ((1L, w(by))))
     assert(!scored.contains(2L), "whitespace-only doc has no features to score")
   }
+
+  test("fdAudit counts violating groups and rows exactly; NULL dependents don't violate") {
+    // det=1 -> {a, a, b}: violates with 3 rows; det=2 -> {c}: holds;
+    // det=3 -> {d, NULL}: NULL is missing data, not a second value;
+    // det=NULL rows are excluded from the determinant domain entirely
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), Some("a")), (Some(1), Some("b")),
+      (Some(2), Some("c")),
+      (Some(3), Some("d")), (Some(3), None),
+      (None, Some("e")))
+      .toDF("det", "dep")
+    val r = graft.operators.QualityChecks.fdAudit(df,
+      Seq(("det->dep", col("det"), col("dep")))).head()
+    assert(r.getString(0) == "det->dep")
+    assert(r.getLong(1) == 3L, "n_groups")
+    assert(r.getLong(2) == 1L, "n_viol_groups")
+    assert(r.getLong(3) == 6L, "n_rows excludes the null-determinant row")
+    assert(r.getLong(4) == 3L, "n_viol_rows")
+    assert(!r.getBoolean(5), "holds")
+    // a held dependency reports holds = true with zeroed violation counts
+    val held = graft.operators.QualityChecks.fdAudit(df.filter(col("det") =!= 1),
+      Seq(("det->dep", col("det"), col("dep")))).head()
+    assert(held.getBoolean(5) && held.getLong(2) == 0L && held.getLong(4) == 0L)
+    // empty input: one row per candidate, zero groups, vacuously holds
+    val empty = graft.operators.QualityChecks.fdAudit(df.limit(0),
+      Seq(("det->dep", col("det"), col("dep")))).head()
+    assert(empty.getLong(1) == 0L && empty.getBoolean(5))
+  }
 }

@@ -107,7 +107,8 @@ class PlanSpec extends SparkSpec {
       "events_hits", // four 1-row broadcast max frames (the ppm normalizers)
       "qa_cramers_v", // 1-row broadcast margins-total frame (the lattice scalars)
       "ml_auc", // 1-row lattice frame × 1-row class-total frame (the AUC edge division)
-      "c29_stream_auc" // same AUC tail over the maintained score-count store
+      "c29_stream_auc", // same AUC tail over the maintained score-count store
+      "ml_pr_points" // 1-row broadcast class-total frame (the tp/fp complements)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)

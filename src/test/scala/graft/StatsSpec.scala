@@ -154,4 +154,63 @@ class StatsSpec extends SparkSpec {
     val degen = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
     assert(Stats.cramersV(degen, col("a"), col("b")).head().isNullAt(3))
   }
+
+  test("spearman: monotone ±1 exactly, ties == in-memory midrank reference, NULL poles") {
+    // any strictly monotone map scores exactly 1 (here x -> x³, where
+    // Pearson on the raw values would be < 1)
+    val cubic = Seq(1, 2, 3, 4, 5).map(x => (x, x * x * x)).toDF("x", "y")
+    assert(Stats.spearman(cubic, col("x"), col("y")).head().getDouble(1) == 1.0)
+    assert(Stats.spearman(cubic, col("x"), -col("y")).head().getDouble(1) == -1.0)
+    // tied data vs the textbook midrank formulation computed in memory
+    val data = Seq((1, 7), (2, 7), (2, 3), (3, 3), (3, 9), (4, 1), (4, 1), (5, 8))
+    def midranks(vs: Seq[Int]): Map[Int, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v)
+        val tied = sorted.count(_ == v)
+        v -> (below + (tied + 1) / 2.0)
+      }.toMap
+    }
+    val (xs, ys) = data.unzip
+    val (rx, ry) = (midranks(xs), midranks(ys))
+    val pairs = data.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.size.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    for (nr <- Seq(1, 2, 32)) {
+      val got = Stats.spearman(data.toDF("x", "y"), col("x"), col("y"),
+        nRanges = nr).head()
+      assert(got.getLong(0) == data.size.toLong, s"nRanges=$nr")
+      assert(math.abs(got.getDouble(1) - expected) < 1e-9,
+        s"nRanges=$nr: got ${got.getDouble(1)}, expected $expected")
+    }
+    // a constant column has zero rank variance -> NULL, not NaN
+    val const = Seq((1, 5), (2, 5), (3, 5)).toDF("x", "y")
+    assert(Stats.spearman(const, col("x"), col("y")).head().isNullAt(1))
+    assert(Stats.spearman(const.limit(0), col("x"), col("y")).head().isNullAt(1))
+  }
+
+  test("prCurvePoints: confusion integers exact at every threshold, boundary rates") {
+    // pos scores {3, 1}, neg {2, 1}: thresholds 1/2/3
+    //   thr=1: tp=2 fp=2 -> p=0.5 r=1.0 | thr=2: tp=1 fp=1 -> p=0.5 r=0.5
+    //   thr=3: tp=1 fp=0 -> p=1.0 r=0.5 f1=2/3
+    val df = (Seq(3, 1).map((_, true)) ++ Seq(2, 1).map((_, false))).toDF("s", "y")
+    val per = Stats.scoreClassCounts(df, col("s"), col("y"))
+    val rows = Stats.prCurvePoints(per).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows(1.0) == ((2L, 2L, 0.5, 1.0)))
+    assert(rows(2.0) == ((1L, 1L, 0.5, 0.5)))
+    assert(rows(3.0) == ((1L, 0L, 1.0, 0.5)))
+    // all-negative input: precision defined where fp > 0, recall NULL
+    val neg = Seq((5, false), (7, false)).toDF("s", "y")
+    val nrows = Stats.prCurvePoints(Stats.scoreClassCounts(neg, col("s"), col("y")))
+      .collect()
+    assert(nrows.forall(r => r.getLong(1) == 0L && r.isNullAt(4)))
+    assert(nrows.find(_.getDouble(0) == 5.0).get.getDouble(3) == 0.0)
+  }
 }
