@@ -185,6 +185,72 @@ object DmQueries {
       .limit(20)
   }
 
+  /** Association rules off the basket pair counts — `dm_part_affinity`
+    * upgraded from co-occurrence to DIRECTED rules with the three
+    * classic measures: support n_ab/N, confidence n_ab/n_ante, lift
+    * n_ab·N/(n_ante·n_cons) (> 1 = genuinely associated, not just both
+    * popular — the measure a recommender thresholds on). Each unordered
+    * pair emits both directions (confidence is asymmetric); all
+    * measures are pinned double divisions from exact basket integers,
+    * so the top-20-by-lift cut (ties to the lexicographic pair) is
+    * engine-reproducible. Min support n_ab ≥ 2 drops singleton noise.
+    *
+    * Scale shape: the affinity query's one-shuffle map-side pair
+    * generation, a vocabulary-sized item-count join per side, a 1-row
+    * broadcast basket total, TakeOrderedAndProject.
+    */
+  private val assocRules = Q(
+    "dm_assoc_rules",
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM b),
+      |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+      |p AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+      |             CAST(count(*) AS BIGINT) AS n_ab
+      |      FROM b x JOIN b y
+      |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |      GROUP BY 1, 2),
+      |r AS (SELECT pa AS ante, pb AS cons, n_ab FROM p
+      |      UNION ALL SELECT pb, pa, n_ab FROM p),
+      |j AS (SELECT r.ante, r.cons, r.n_ab,
+      |             ia.n_item AS n_ante, ib.n_item AS n_cons, t.nb
+      |      FROM r JOIN ic ia ON ia.l_partkey = r.ante
+      |             JOIN ic ib ON ib.l_partkey = r.cons
+      |             CROSS JOIN t
+      |      WHERE r.n_ab >= 2)
+      |SELECT ante, cons, n_ab, n_ante, n_cons,
+      |       CAST(n_ab AS DOUBLE) / CAST(nb AS DOUBLE) AS support,
+      |       CAST(n_ab AS DOUBLE) / CAST(n_ante AS DOUBLE) AS confidence,
+      |       CAST(n_ab AS DOUBLE) * CAST(nb AS DOUBLE)
+      |         / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)) AS lift
+      |FROM j
+      |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val t = b.agg(countDistinct(col("l_orderkey")).cast(LongType).as("nb"))
+    val ic = b.groupBy(col("l_partkey")).agg(lcount().as("n_item"))
+    val p = b.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(graft.operators.Dedup.pairsFromSortedArray(col("parts"))).as("pp"))
+      .groupBy(col("pp.doc_a").as("pa"), col("pp.doc_b").as("pb"))
+      .agg(lcount().as("n_ab"))
+    val r = p.select(col("pa").as("ante"), col("pb").as("cons"), col("n_ab"))
+      .unionAll(p.select(col("pb").as("ante"), col("pa").as("cons"), col("n_ab")))
+      .filter(col("n_ab") >= 2)
+    r.join(ic.select(col("l_partkey").as("ante"), col("n_item").as("n_ante")),
+        Seq("ante"))
+      .join(ic.select(col("l_partkey").as("cons"), col("n_item").as("n_cons")),
+        Seq("cons"))
+      .crossJoin(broadcast(t))
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_ante"), col("n_cons"),
+        (col("n_ab").cast("double") / col("nb").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_ante").cast("double")).as("confidence"),
+        (col("n_ab").cast("double") * col("nb").cast("double") /
+          (col("n_ante").cast("double") * col("n_cons").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("ante").asc, col("cons").asc)
+      .limit(20)
+  }
+
   /** Multi-objective best-customer readout: the Pareto front of
     * (order count, exact decimal spend) per customer — the customers no
     * other customer beats on both axes ([[graft.operators.Skyline]]:
@@ -221,5 +287,5 @@ object DmQueries {
         col("spend").cast("double").as("spend"))
   }
 
-  val queries: Seq[Q] = Seq(m9, m10, m13, affinity, pareto)
+  val queries: Seq[Q] = Seq(m9, m10, m13, affinity, assocRules, pareto)
 }

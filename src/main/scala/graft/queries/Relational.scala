@@ -1238,6 +1238,66 @@ object Relational {
       .limit(20)
   }
 
+  /** Resource-Allocation link prediction over the page-transition
+    * graph — the degree-weighted refinement of `events_link_predict`:
+    * RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z), so a shared HUB contributes
+    * almost nothing while a shared rare page is strong evidence (the
+    * common-neighbor count treats both alike; RA is the strongest of
+    * the classic local indices on transition graphs — Zhou, Lü &
+    * Zhang 2009). The weight is the INTEGER lattice 10¹² div deg —
+    * truncating division both engines replay bit for bit, no libm —
+    * summed in DECIMAL(38,0), with one pinned double at the edge.
+    *
+    * Scale shape: the same center-keyed wedge join as the common-
+    * neighbor query (one extra vocabulary-sized degree join on the
+    * center BEFORE the wedge fan-out, so the weight rides each wedge
+    * row instead of joining the quadratic pair set), anti-join to drop
+    * existing edges, TakeOrderedAndProject top-20.
+    */
+  private val linkRa = Q(
+    "events_link_ra",
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |           FROM events),
+       |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |              k AS dst
+       |       FROM ev),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM tr WHERE src IS NOT NULL AND src <> dst),
+       |adj AS (SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT c, $C AS deg FROM adj GROUP BY 1),
+       |w AS (SELECT c, 1000000000000 // deg AS w FROM deg),
+       |wed AS (SELECT a.n AS a, b.n AS b, $C AS cn,
+       |               CAST(SUM(CAST(w.w AS HUGEINT)) AS DECIMAL(38,0)) AS ra_scaled
+       |        FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n
+       |        JOIN w ON w.c = a.c
+       |        GROUP BY 1, 2),
+       |miss AS (SELECT wed.a, wed.b, wed.cn, wed.ra_scaled FROM wed
+       |         WHERE NOT EXISTS (SELECT 1 FROM und
+       |                           WHERE und.u = wed.a AND und.v = wed.b))
+       |SELECT a, b, cn, ra_scaled,
+       |       CAST(ra_scaled AS DOUBLE) / 1000000000000.0 AS ra
+       |FROM miss
+       |ORDER BY ra_scaled DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+    val und = graft.operators.Triangles.undirected(pageTransitions(s, d))
+    val adj = und.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(und.select(col("v").as("c"), col("u").as("n")))
+    val w = adj.groupBy(col("c")).agg(lcount().as("deg"))
+      .select(col("c"), expr("1000000000000 div deg").as("w"))
+    val wed = adj.join(w, Seq("c"))
+      .select(col("c"), col("n").as("a"), col("w"))
+      .join(adj.select(col("c"), col("n").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(lcount().as("cn"),
+        sum(col("w").cast("decimal(38,0)")).cast("decimal(38,0)").as("ra_scaled"))
+    wed.join(und, wed("a") === und("u") && wed("b") === und("v"), "left_anti")
+      .select(col("a"), col("b"), col("cn"), col("ra_scaled"),
+        (col("ra_scaled").cast("double") / lit(1000000000000.0)).as("ra"))
+      .orderBy(col("ra_scaled").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
   /** Community detection over the page-transition graph: 3 rounds of
     * deterministic synchronous label propagation
     * ([[graft.operators.LabelProp]] — most-frequent neighbor label, ties
@@ -2311,5 +2371,5 @@ object Relational {
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
-    linkPredict, markov, labelProp, hits, bfsHops, seasonality, abTest)
+    linkPredict, linkRa, markov, labelProp, hits, bfsHops, seasonality, abTest)
 }

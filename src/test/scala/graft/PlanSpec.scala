@@ -108,7 +108,8 @@ class PlanSpec extends SparkSpec {
       "qa_cramers_v", // 1-row broadcast margins-total frame (the lattice scalars)
       "ml_auc", // 1-row lattice frame × 1-row class-total frame (the AUC edge division)
       "c29_stream_auc", // same AUC tail over the maintained score-count store
-      "ml_pr_points" // 1-row broadcast class-total frame (the tp/fp complements)
+      "ml_pr_points", // 1-row broadcast class-total frame (the tp/fp complements)
+      "dm_assoc_rules" // 1-row broadcast basket-total frame (the support/lift denominator)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(bounded)
