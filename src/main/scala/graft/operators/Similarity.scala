@@ -466,6 +466,46 @@ object Similarity {
         round(col("m"), 12).as("growth"))
   }
 
+  /** Packed sign-bit signatures over an element stream
+    * (vec_id, i 0-based, x double): one row per (vec_id, 32-dim half)
+    * with the BIGINT word whose bit (i mod 32) is set iff x ≥ 0 — the
+    * 1-bit quantization storage form, dim/8 bytes per vector (two words
+    * per 64-dim vector; a single 64-bit word would wrap the signed bit).
+    * Engine-portable: packing is integer shifts + a conditional sum.
+    */
+  def bqSignWords(el: DataFrame): DataFrame =
+    el.groupBy(col("vec_id"), expr("CAST(i div 32 AS BIGINT)").as("half"))
+      .agg(sum(when(col("x") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 32 AS INT))"))
+        .otherwise(0L)).cast(LongType).as("w"))
+
+  /** Binary-quantization candidate screen: each query's `nCand` nearest
+    * corpus vectors by EXACT sign-bit Hamming distance (XOR + popcount
+    * over the packed words, summed across halves), ties to the lower id
+    * — ranked through the bounded heap, no window. `queryPred` selects
+    * the query rows OUT OF the signature frame (they must be corpus
+    * members, the harness convention). Returns (qid, nid) pairs for an
+    * exact rerank stage.
+    */
+  def bqCandidates(el: DataFrame, queryPred: Column, nCand: Int): DataFrame = {
+    val sig = bqSignWords(el)
+    val q = sig.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("half"), col("w").as("wq"))
+    val ham = broadcast(q).join(
+        sig.select(col("vec_id").as("nid"), col("half"), col("w").as("wc")),
+        Seq("half"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(expr("bit_count(wq ^ wc)")).cast(LongType).as("ham"))
+    // exact integer order through the heap: score -ham (integer-valued
+    // doubles are exact), ties to the lower nid — the window parity
+    ham.groupBy(col("qid"))
+      .agg(call_function("topk_pairs",
+        (-col("ham")).cast(DoubleType), col("nid"), lit(nCand)).as("t"))
+      .select(col("qid"), explode(col("t")).as("e"))
+      .select(col("qid"), col("e.id").as("nid"))
+  }
+
   private def lshTopKBucketed(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, maxQueryRows: Long,
       caller: String, bucketOf: Column => Column): DataFrame = {

@@ -1778,10 +1778,130 @@ object LlmEmbed {
     }
   }
 
+  /** Binary (1-bit) quantization ANN — the extreme end of the
+    * quantization ladder next to SQ8 (8 bit/dim) and PQ (4 bit/dim):
+    * ONE SIGN BIT per dimension, packed into 32-bit words (two BIGINT
+    * halves per 64-dim vector, the aHash packing convention — bit 63 of
+    * a single word would wrap signed int64), so the candidate screen
+    * reads dim/8 bytes per vector and scores with XOR + popcount.
+    * Sign-bit Hamming distance is a monotone proxy for angular distance
+    * (Goemans–Williamson / SimHash geometry); the screen takes each
+    * query's 20 lowest-Hamming vectors (EXACT integer ordering, ties to
+    * the lowest id, via the bounded-heap aggregate — no window), and the
+    * exact decimal full-dim rerank keeps the top 3. Every stage —
+    * packing, XOR lattice, heap cut, decimal cosines — replays in the
+    * oracle, values included.
+    *
+    * Scale shape: the packed signature frame is a 2-row/vector word
+    * table (the compressed index an engine would persist); candidate
+    * scoring is a tiny broadcast query-signature join + one keyed
+    * aggregate; only ~nCand·queries vectors are ever read at full
+    * dimension.
+    */
+  private val bqTopK = Q(
+    "embed_bq_topk",
+    s"""WITH $elCte,
+       |sig AS (SELECT vec_id, CAST((i - 1) // 32 AS BIGINT) AS half,
+       |               CAST(SUM(CASE WHEN x >= 0
+       |                    THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INTEGER))
+       |                    ELSE 0 END) AS BIGINT) AS w
+       |        FROM el GROUP BY 1, 2),
+       |hd AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |              CAST(SUM(bit_count(xor(q.w, c.w))) AS BIGINT) AS ham
+       |       FROM sig q JOIN sig c ON c.half = q.half AND c.vec_id <> q.vec_id
+       |       WHERE q.vec_id < 5 GROUP BY 1, 2),
+       |cand AS (SELECT qid, nid
+       |         FROM (SELECT qid, nid,
+       |                      row_number() OVER (PARTITION BY qid
+       |                                         ORDER BY ham, nid) AS rn
+       |               FROM hd) WHERE rn <= 20),
+       |nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+       |        FROM el GROUP BY 1),
+       |dots AS (SELECT cand.qid, cand.nid,
+       |                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |         FROM cand
+       |         JOIN el a ON a.vec_id = cand.qid
+       |         JOIN el b ON b.vec_id = cand.nid AND b.i = a.i
+       |         GROUP BY 1, 2),
+       |cosd AS (SELECT qid, nid,
+       |                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 12) AS cosine
+       |         FROM dots
+       |         JOIN nrm na ON na.vec_id = dots.qid
+       |         JOIN nrm nb ON nb.vec_id = dots.nid)
+       |SELECT qid, nid, cosine, rnk
+       |FROM (SELECT qid, nid, cosine,
+       |             CAST(row_number() OVER (PARTITION BY qid
+       |                                     ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+       |      FROM cosd)
+       |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    val el = elements(s, d)
+    val cand = Similarity.bqCandidates(
+      el.select(col("vec_id"), col("i"), col("x")), col("vec_id") < 5,
+      nCand = 20)
+    val nrm = el.groupBy(col("vec_id"))
+      .agg(sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("n2"))
+    rankTop3(el, nrm, cand)
+  }
+
+  /** Maximal Marginal Relevance diversified rerank
+    * ([[graft.operators.Mmr.rerank]]): from query vector 0's 8 nearest
+    * neighbors (exact decimal L2), greedily keep the 4 that balance
+    * closeness to the query against distance from what's already kept —
+    * the RAG-retrieval diversification step ([[graft.operators.Coreset]]
+    * is the query-free cousin). Exact decimal geometry makes every
+    * greedy pick deterministic; the oracle unrolls the pool cut, the
+    * pairwise matrix and all 4 rounds as CTEs, so the hash match
+    * certifies the full traversal — picks, tie-breaks, and both
+    * distance readouts.
+    */
+  private val mmrRerank = {
+    val (qid, poolSize, k) = (0L, 8, 4)
+    def chosen(r: Int) = (1 until r).map(j => s"SELECT vec_id FROM r$j").mkString(" UNION ")
+    val rounds = (2 to k).map { r =>
+      s"""r$r AS (SELECT p.vec_id, p.d2, m.mind
+         |  FROM pool p
+         |  JOIN (SELECT va AS vec_id, MIN(d2) AS mind FROM sym
+         |        WHERE vb IN (${chosen(r)}) GROUP BY 1) m
+         |    ON m.vec_id = p.vec_id
+         |  WHERE p.vec_id NOT IN (${chosen(r)})
+         |  ORDER BY m.mind - p.d2 DESC, p.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val emits = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, CAST(round(d2, 12) AS DOUBLE), CAST(round(mind, 12) AS DOUBLE) FROM r$r")
+      .mkString("\n      ")
+    Q(
+      "embed_mmr_rerank",
+      s"""WITH $elCte,
+         |qel AS (SELECT i, x FROM el WHERE vec_id = $qid),
+         |d2q AS (SELECT el.vec_id,
+         |               SUM(CAST((el.x - qel.x) * (el.x - qel.x) AS DECIMAL(38,18))) AS d2
+         |        FROM el JOIN qel ON qel.i = el.i
+         |        WHERE el.vec_id <> $qid GROUP BY 1),
+         |pool AS (SELECT vec_id, d2 FROM d2q ORDER BY d2, vec_id LIMIT $poolSize),
+         |pd AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |              SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(38,18))) AS d2
+         |       FROM el a JOIN el b ON b.i = a.i
+         |       JOIN pool pa ON pa.vec_id = a.vec_id
+         |       JOIN pool pb ON pb.vec_id = b.vec_id
+         |       WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+         |sym AS (SELECT va, vb, d2 FROM pd UNION ALL SELECT vb, va, d2 FROM pd),
+         |r1 AS (SELECT vec_id, d2 FROM pool ORDER BY d2, vec_id LIMIT 1),
+         |$rounds
+         |SELECT * FROM (
+         |      SELECT CAST(1 AS BIGINT) AS rnk, vec_id,
+         |             CAST(round(d2, 12) AS DOUBLE) AS rel_d2,
+         |             CAST(NULL AS DOUBLE) AS div_d2 FROM r1
+         |      $emits)""".stripMargin) { (s, d) =>
+      graft.operators.Mmr.rerank(
+        elements(s, d).select(col("vec_id"), col("i"), col("x")),
+        qid, poolSize, k)
+    }
+  }
+
   val queries: Seq[Q] =
     Seq(normStats, bruteTopK, annLsh, annLshPortable, annIvf, annIvfKmeans,
       annIvfPortable, annIvfKmeansPortable, annIncremental, annRp, cosineDups,
       cosineClusters, cosineClustersStar, dotNativeQ, langNorms, pqTopK,
       annIvfPq, pqCodesNative, bitextMargin, semDedup, knnDensity, decontam,
-      sq8, curationPipeline, pcaPower, coreset)
+      sq8, curationPipeline, pcaPower, coreset, bqTopK, mmrRerank)
 }

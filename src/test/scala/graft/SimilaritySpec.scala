@@ -184,4 +184,74 @@ class SimilaritySpec extends SparkSpec {
         k = 5, nProj = 8, nCand = 3, dim = dim)
     }
   }
+
+  /** CENTERED cluster vectors for the sign-bit tests: +1 on the
+    * cluster's block, −1 elsewhere (the all-nonnegative [[vectors]]
+    * corpus packs to one identical signature — sign bits need signed
+    * data); perturbations ≤ 0.3 can never flip a ±1 sign.
+    */
+  private def signedVectors = {
+    val rows = for {
+      c <- 0 until 4
+      m <- 0 until 6
+    } yield {
+      val v = Array.tabulate(dim) { i =>
+        val base = if (i / 5 == c) 1.0f else -1.0f
+        base + (if (i == (c * 7 + m) % dim) 0.05f * (m + 1) else 0.0f)
+      }
+      (c * 10L + m, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def elementsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"), col("col").cast("double").as("x"))
+
+  test("bqSignWords packs sign bits into the documented 32-bit halves") {
+    // 40-dim vector, non-negative exactly at dims 0, 31, 33 (0-based):
+    // half 0 word = 2^0 + 2^31, half 1 word = 2^1. Zero counts as a
+    // set bit (x >= 0), matching the oracle's CASE.
+    val v = Array.tabulate(40)(i => if (i == 0) 0.0 else if (i == 31 || i == 33) 2.5 else -1.0)
+    val el = Seq((7L, v.toSeq)).toDF("vec_id", "embedding")
+    val words = Similarity.bqSignWords(elementsOf(el))
+      .as[(Long, Long, Long)].collect().map { case (_, h, w) => h -> w }.toMap
+    assert(words(0L) == (1L | (1L << 31)), s"half 0: ${words(0L)}")
+    assert(words(1L) == (1L << 1), s"half 1: ${words(1L)}")
+  }
+
+  test("bqCandidates == brute-force Hamming ranking, ties to the lower id") {
+    val el = elementsOf(signedVectors)
+    val sig = Similarity.bqSignWords(el)
+    // brute truth: per query, all corpus vectors ordered by (hamming, nid)
+    val q = sig.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("half"), col("w").as("wq"))
+    val nCand = 6
+    val truth = q.join(
+        sig.select(col("vec_id").as("nid"), col("half"), col("w").as("wc")),
+        Seq("half"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(expr("bit_count(wq ^ wc)")).as("ham"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("ham"), col("nid"))))
+      .filter(col("rn") <= nCand)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val got = Similarity.bqCandidates(el, col("vec_id") % 10 === 0, nCand)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"heap screen diverges from the window ranking")
+  }
+
+  test("bq screen recall: the exact cosine top-3 survives the Hamming cut") {
+    val queries = signedVectors.filter(col("vec_id") % 10 === 0)
+    val truth = Similarity.bruteForceTopK(signedVectors, queries,
+      "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val cand = Similarity.bqCandidates(elementsOf(signedVectors),
+      col("vec_id") % 10 === 0, nCand = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"BQ screen recall $recall (truth=${truth.size})")
+  }
 }
