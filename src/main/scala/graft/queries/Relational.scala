@@ -1549,8 +1549,11 @@ object Relational {
     * survivors — no joins, no windows, one shuffle. NULL stage
     * comparisons fall to the ELSE branch identically in both engines.
     */
-  private val funnel = Q(
-    "events_funnel",
+  /** Shared with `c30_stream_funnel`: the maintained first-touch store's
+    * readout must hash-match this same one-shot aggregate — one oracle
+    * string certifying both faces (the aucOracleSql pattern).
+    */
+  private[queries] val funnelOracleSql: String =
     s"""WITH m AS (SELECT user_id,
        |  min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
        |  min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
@@ -1560,7 +1563,9 @@ object Relational {
        |  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        |  CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
        |  CAST(SUM(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-       |FROM m""".stripMargin) { (s, d) =>
+       |FROM m""".stripMargin
+
+  private val funnel = Q("events_funnel", funnelOracleSql) { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.functions.Cleaning.{dsum, lcount}
 import graft.operators.{IncrementalAgg, Sketches}
 import graft.sources.{TableStore, Tables}
-import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamSemDedup, StreamSketch, StreamSkyline, ViewMaintain}
+import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamFunnel, StreamSemDedup, StreamSketch, StreamSkyline, ViewMaintain}
 import graft.queries.Q.{C, DS}
 
 /** Oracle-registered readouts for every persisted streaming maintainer —
@@ -777,8 +777,36 @@ object StreamingQueries {
     graft.operators.Stats.aucFromCounts(merged)
   }
 
+  /** Streaming first-touch funnel ([[StreamFunnel.applyStageMins]]):
+    * per-(user, stage) first-occurrence timestamps folded over three
+    * user-hash batches (the MIN merge law — the timestamp twin of the
+    * HLL register fold), read out through the SAME ordered-funnel
+    * aggregate as the one-shot `events_funnel` and certified by the
+    * SAME oracle string — maintained store ≡ one-shot funnel by
+    * construction. State is users × stages, not event volume.
+    */
+  private val funnelStream = Q(
+    "c30_stream_funnel", Relational.funnelOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c30").toString)
+    val ev = Tables.events(s, d)
+    val fold = StreamFunnel.applyStageMins(
+      store, "funnel", "user_id", "event_type", "ts") _
+    // split on a user-hash multiple so a user's stages straddle batches
+    // (the cross-batch min is the thing under test); coalesce keeps
+    // null-user rows in a batch — the one-shot counts them in n_users
+    (0 to 2).foreach(i =>
+      fold(ev.filter(pmod(coalesce(col("user_id"), lit(-1L)) * 7, lit(3)) === i),
+        i.toLong))
+    // C1 guard: empty feed → no mins partition ever lands
+    val mins =
+      if (store.exists("funnel"))
+        StreamFunnel.mergedStageMins(store, "funnel", "user_id", "event_type")
+      else StreamFunnel.stageMins(ev.limit(0), "user_id", "event_type", "ts")
+    StreamFunnel.funnelReadout(mins, "user_id", "event_type")
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
-    bm25Index, kmvStore, paretoStream, aucStream)
+    bm25Index, kmvStore, paretoStream, aucStream, funnelStream)
 }
