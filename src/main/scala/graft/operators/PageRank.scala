@@ -59,4 +59,57 @@ object PageRank {
     }
     rank
   }
+
+  /** PERSONALIZED PageRank — the same damped fixed-point-integer
+    * iteration with the teleport mass restricted to a SEED set: rank
+    * flows outward from the seeds along edges and restarts at them, so
+    * the stationary scores read as "proximity to the seeds" — the
+    * graph-similarity retrieval primitive (related-pages / related-
+    * sources expansion; Jeh & Widom 2003). Seeds start at `baseRank`,
+    * everything else at 0; per round, only seeds receive the teleport
+    * term, and the damped inbound sum is the shared truncating lattice
+    * of [[ranks]] — engine-exact, partitioning-independent.
+    *
+    * Scale shape: identical to [[ranks]] (one edge join + one hash
+    * aggregate per round) plus a broadcast seed-flag join on the
+    * node frame; the seed set must be small (it is broadcast).
+    * Unreachable nodes settle at exactly 0 and seeds at ≥ teleport —
+    * certifiable floors, which a float formulation can't promise.
+    *
+    * Input: `edges` (src, dst, w positive integral), `seeds` (node).
+    * Output: (node, rank) BIGINT ppm after `iters` rounds.
+    */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame, iters: Int,
+      baseRank: Long = 1000000L, dampNum: Int = 85, dampDen: Int = 100)
+      : DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampNum >= 0 && dampDen > dampNum,
+      s"damping must satisfy 0 <= num < den, got $dampNum/$dampDen")
+    val teleport = baseRank * (dampDen - dampNum) / dampDen
+    val outW = edges.groupBy(col("src"))
+      .agg(sum(col("w")).cast("long").as("outw"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .join(outW, Seq("src"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seeds.select(col("node")).distinct()
+        .withColumn("__seed", lit(1))), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L))
+          .as("tele"),
+        when(col("__seed").isNotNull, lit(baseRank)).otherwise(lit(0L))
+          .as("r0"))
+    var rank = nodes.select(col("node"), col("r0").as("rank"))
+    for (_ <- 1 to iters) {
+      val inbound = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank * w) div outw").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      rank = nodes.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (col("tele") +
+            expr(s"($dampNum * coalesce(sc, 0L)) div $dampDen")).as("rank"))
+    }
+    rank
+  }
 }

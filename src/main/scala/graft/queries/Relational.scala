@@ -1051,6 +1051,52 @@ object Relational {
     }
   }
 
+  /** Personalized PageRank from a seed set
+    * ([[graft.operators.PageRank.personalizedRanks]]): proximity-to-
+    * seeds scores over the page-transition graph — the graph-similarity
+    * retrieval primitive ("pages related to this page set"), computed
+    * as the same damped fixed-point-integer lattice as
+    * `events_pagerank` with the teleport mass restricted to the seeds
+    * (pages 0–4). The oracle unrolls the rounds as CTEs with the
+    * seed-conditional teleport, so the hash match certifies the full
+    * iteration including the exact 0 floor on unreached nodes.
+    */
+  private val ppr = {
+    val iters = 3
+    def round(i: Int): String =
+      s"""r$i AS (SELECT n.node,
+         |        (CASE WHEN n.node < 5 THEN 150000 ELSE 0 END)
+         |          + (85 * COALESCE(s.sc, 0)) // 100 AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank * e.w) // o.outw) AS sc
+         |    FROM e JOIN o ON e.src = o.src JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    Q(
+      "events_ppr",
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events),
+         |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         |              k AS dst
+         |       FROM ev),
+         |e AS (SELECT src, dst, $C AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+         |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node,
+         |              CAST(CASE WHEN node < 5 THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+         |       FROM n),
+         |${(1 to iters).map(round).mkString(",\n")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters""".stripMargin) {
+      (s, d) =>
+        val edges = pageTransitions(s, d)
+          .groupBy(col("src"), col("dst")).agg(lcount().as("w"))
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .filter(col("node") < 5)
+        graft.operators.PageRank.personalizedRanks(edges, seeds, iters)
+    }
+  }
+
   /** HITS hubs & authorities over the page-transition graph
     * ([[graft.operators.Hits]]): 2 rounds of the mutual update in
     * fixed-point integer ppm units — raw decimal accumulations,
@@ -2376,5 +2422,6 @@ object Relational {
     qaOrphans, anomalies, regression, slidingActive, resample, quantilesExact,
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
-    linkPredict, linkRa, markov, labelProp, hits, bfsHops, seasonality, abTest)
+    linkPredict, linkRa, markov, labelProp, hits, ppr, bfsHops, seasonality,
+    abTest)
 }
