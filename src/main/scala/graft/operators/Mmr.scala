@@ -80,9 +80,15 @@ object Mmr {
         .as("d2"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    // dense contract: every pool pair has a pd row (a SUM of zero terms
+    // still emits the 0 row). A ragged stream whose pair shares NO index
+    // must fail LOUDLY here — the oracle's inner join would instead drop
+    // the candidate, and a silent 0 fallback would diverge from it.
     def pairD2(x: Long, y: Long): java.math.BigDecimal =
       pd.getOrElse((math.min(x, y), math.max(x, y)),
-        java.math.BigDecimal.ZERO) // identical vectors may drop the row
+        throw new IllegalArgumentException(
+          s"pool pair ($x, $y) shares no element rows — Mmr.rerank " +
+            "requires the dense element contract (see Coreset.kCenters)"))
 
     // greedy: pick 1 = pure relevance argmin; pick r = argmax over the
     // remaining pool of (min d² to selected) − (d² to query), ties to

@@ -488,7 +488,13 @@ object Similarity {
     * exact rerank stage.
     */
   def bqCandidates(el: DataFrame, queryPred: Column, nCand: Int): DataFrame = {
-    val sig = bqSignWords(el)
+    // materialize the signature frame once: the broadcast query side and
+    // the corpus probe side both consume it, and a broadcast consumer
+    // does not reuse a shuffle consumer's exchange — without this the
+    // corpus-sized element aggregate (the operator's dominant stage)
+    // runs twice. The frame is 2 rows/vector of BIGINTs — the compressed
+    // index itself, cheap to pin.
+    val sig = bqSignWords(el).localCheckpoint()
     val q = sig.filter(queryPred)
       .select(col("vec_id").as("qid"), col("half"), col("w").as("wq"))
     val ham = broadcast(q).join(

@@ -687,7 +687,7 @@ object MlQueries {
       |           FROM documents
       |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
       |b AS (SELECT CAST((10 * n) // (n + 500) AS BIGINT) AS bucket,
-      |             (1000000000000 * n) // (n + 500) AS s12,
+      |             (1000000000000 * CAST(n AS HUGEINT)) // (n + 500) AS s12,
       |             CASE WHEN pos THEN 1 ELSE 0 END AS p
       |      FROM v),
       |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
@@ -702,7 +702,11 @@ object MlQueries {
       .filter(col("n_chars").isNotNull && col("lang").isNotNull)
       .select(
         expr("(10 * n_chars) div (n_chars + 500)").cast(LongType).as("bucket"),
-        expr("(1000000000000 * n_chars) div (n_chars + 500)").as("s12"),
+        // the scaled numerator goes through DECIMAL(38,0): a plain long
+        // multiply wraps silently past n_chars ≈ 9.2e6 (non-ANSI Spark)
+        // while the oracle's HUGEINT errors — widen BEFORE the product
+        expr("(1000000000000 * CAST(n_chars AS DECIMAL(38,0))) div (n_chars + 500)")
+          .as("s12"),
         when(col("lang") === "en", 1L).otherwise(0L).as("p"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).cast(LongType).as("n"),

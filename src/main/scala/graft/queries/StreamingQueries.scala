@@ -791,11 +791,13 @@ object StreamingQueries {
     val ev = Tables.events(s, d)
     val fold = StreamFunnel.applyStageMins(
       store, "funnel", "user_id", "event_type", "ts") _
-    // split on a user-hash multiple so a user's stages straddle batches
-    // (the cross-batch min is the thing under test); coalesce keeps
-    // null-user rows in a batch — the one-shot counts them in n_users
+    // split on the EVENT id, not the user: a user's stage events land in
+    // different batches, so the oracle match certifies the cross-batch
+    // per-(user, stage) MIN merge, not just per-batch aggregation;
+    // coalesce keeps null-id rows in a batch — the one-shot counts their
+    // users in n_users
     (0 to 2).foreach(i =>
-      fold(ev.filter(pmod(coalesce(col("user_id"), lit(-1L)) * 7, lit(3)) === i),
+      fold(ev.filter(pmod(coalesce(col("event_id"), lit(-1L)), lit(3)) === i),
         i.toLong))
     // C1 guard: empty feed → no mins partition ever lands
     val mins =

@@ -33,7 +33,11 @@ class StreamFunnelSpec extends SparkSpec {
         case 1 => Seq(mk(1, "signup"), mk(3, "click"), mk(2, "purchase"))
         case 2 => Seq(mk(1, "click"), mk(2, "purchase"))
         case _ => Seq(mk(2, "signup"), mk(1, "click"), mk(3, "purchase"))
-      }) ++ Seq(mk(50, "signup"), mk(60, "click")) // late duplicates
+      }) ++
+        // late duplicates exercise the first-touch min — but never a
+        // late SIGNUP for the no-signup cohort, which must keep its
+        // NULL t_signup so n_signup < n_users stays a real assertion
+        (if (u % 4 != 2) Seq(mk(50, "signup")) else Seq()) ++ Seq(mk(60, "click"))
     }
     rows.toDF("user_id", "ts", "event_type")
   }
@@ -68,6 +72,11 @@ class StreamFunnelSpec extends SparkSpec {
       fold(events.filter(pmod(minute(col("ts")) + col("user_id"), lit(3)) === i),
         i.toLong))
     assert(readout(store) == oneShot)
+    // the fixture's cohorts must make every funnel count a strict subset
+    // (all-60 equalities would let a dropped guard pass unnoticed)
+    val (nUsers, nSignup, nClickAfter, nFull) = oneShot
+    assert(nSignup < nUsers && nClickAfter < nSignup && nFull < nClickAfter,
+      s"degenerate fixture: $oneShot")
   }
 
   test("write volume is batch-pair bounded; replay and stale batch ids are no-ops") {
