@@ -572,6 +572,77 @@ object Stats {
             (tp + fp + col("n_pos")).cast("double")).as("f1"))
   }
 
+  /** Best single-threshold decision stump of a numeric score against a
+    * binary label by EXACT weighted Gini impurity — the split-picker at
+    * the root of every tree learner (and the threshold tuner for a
+    * 1-feature classifier), over the same mergeable per-score counts
+    * frame ([[scoreClassCounts]]) as the AUC lattice and the PR curve.
+    *
+    * For the split "left = score ≤ x": with left counts (n_L, pos_L,
+    * neg_L) from the inclusive cumulative sweep and right counts as the
+    * totals' complement, the weighted impurity is
+    *
+    *   G(x)·N = (n_L² − pos_L² − neg_L²)/n_L + (n_R² − pos_R² − neg_R²)/n_R
+    *
+    * Each rational term is evaluated as the truncating integer lattice
+    * `(A·10¹²) div n` in DECIMAL(38,0), DECOMPOSED as
+    * `(A div n)·10¹² + ((A mod n)·10¹²) div n` — Spark's `div` returns
+    * BIGINT, and the undecomposed quotient (≤ n·10¹²) would wrap it past
+    * n ≈ 9.2·10⁶ rows; each decomposed quotient stays ≤ max(n, 10¹²) and
+    * the recombination is exact (a = qn + r ⟹ ⌊aS/n⌋ = qS + ⌊rS/n⌋).
+    * A ≤ N² ≤ 10²² and the ·10¹² products stay under 10³⁸ to N ≈ 10¹¹
+    * rows, so the per-threshold key is exact and the argmin (ties to the
+    * LOWEST threshold) is reproducible bit for bit; G itself is pinned
+    * doubles at the edge. The max score is excluded (its right side is
+    * empty — not a split), so a constant score column yields an EMPTY
+    * result, not a degenerate row.
+    *
+    * Scale shape: the [[cumCounts]] two-pass range sweep over distinct
+    * scores, one 1-row broadcast totals cross, and a TakeOrdered(1) over
+    * score-domain-bounded candidates — no data-sized window, no collect.
+    * Returns ≤ 1 row (thr, n_left, pos_left, n_right, pos_right,
+    * gini_scaled, gini).
+    */
+  def giniStump(per: DataFrame, nRanges: Int = 32): DataFrame = {
+    require(nRanges >= 1, s"need a positive range count, got $nRanges")
+    val dec38 = "decimal(38,0)"
+    val cum = cumCounts(per, nRanges)
+    val tot = per.agg(sum(col("ca")).cast(LongType).as("n_pos"),
+      sum(col("cb")).cast(LongType).as("n_neg"))
+    val nL = (col("cuma") + col("cumb")).cast(LongType)
+    val nR = (col("n_pos") + col("n_neg") - col("cuma") - col("cumb"))
+      .cast(LongType)
+    val pR = (col("n_pos") - col("cuma")).cast(LongType)
+    val qR = (col("n_neg") - col("cumb")).cast(LongType)
+    cum.crossJoin(broadcast(tot))
+      .filter(nL < col("n_pos") + col("n_neg"))
+      .select(col("__x"), nL.as("nl"), col("cuma").as("pl"),
+        col("cumb").as("ql"), nR.as("nr"), pR.as("pr"), qR.as("qr"),
+        (col("n_pos") + col("n_neg")).cast(LongType).as("n"))
+      .withColumn("__al", expr(s"""cast(nl as $dec38) * nl
+          | - cast(pl as $dec38) * pl - cast(ql as $dec38) * ql"""
+        .stripMargin.replaceAll("\n\\s*", " ")))
+      .withColumn("__ar", expr(s"""cast(nr as $dec38) * nr
+          | - cast(pr as $dec38) * pr - cast(qr as $dec38) * qr"""
+        .stripMargin.replaceAll("\n\\s*", " ")))
+      .select(col("__x"), col("nl"), col("pl"), col("nr"), col("pr"), col("n"),
+        (expr(s"""cast(__al div nl as $dec38) * 1000000000000
+                 | + (cast(__al % nl as $dec38) * 1000000000000) div nl"""
+          .stripMargin.replaceAll("\n\\s*", " ")) +
+          expr(s"""cast(__ar div nr as $dec38) * 1000000000000
+                  | + (cast(__ar % nr as $dec38) * 1000000000000) div nr"""
+            .stripMargin.replaceAll("\n\\s*", " ")))
+          .cast(dec38).as("gini_scaled"))
+      .orderBy(col("gini_scaled"), col("__x"))
+      .limit(1)
+      .select(col("__x").cast("double").as("thr"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"),
+        col("gini_scaled"),
+        (col("gini_scaled").cast("double") / lit(1000000000000.0) /
+          col("n").cast("double")).as("gini"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the UNBINNED
     * distribution-drift gate (the chi-square form in [[driftChi2]] sees
     * only 8 bins; KS sees every quantile): D = max over observed values

@@ -718,6 +718,63 @@ object MlQueries {
         (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
   }
 
+  /** Shared with `c31_stream_stump`: the maintained score-count store's
+    * stump readout must hash-match this same one-shot lattice — one
+    * oracle string certifying both faces (the aucOracleSql pattern).
+    */
+  private[queries] val stumpOracleSql: String =
+    """WITH v AS (SELECT CAST(n_chars AS DECIMAL(18,4)) AS x,
+      |                  (lang = 'en') AS a
+      |           FROM documents
+      |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |per AS (SELECT x,
+      |               CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |               CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |        FROM v GROUP BY 1),
+      |cum AS (SELECT x, ca, cb,
+      |               SUM(ca) OVER (ORDER BY x) AS cuma,
+      |               SUM(cb) OVER (ORDER BY x) AS cumb
+      |        FROM per),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+      |               CAST(SUM(cb) AS BIGINT) AS n_neg
+      |        FROM per),
+      |cand AS (SELECT x,
+      |                CAST(cuma + cumb AS BIGINT) AS nl,
+      |                CAST(cuma AS BIGINT) AS pl,
+      |                CAST(cumb AS BIGINT) AS ql,
+      |                CAST(n_pos + n_neg - cuma - cumb AS BIGINT) AS nr,
+      |                CAST(n_pos - cuma AS BIGINT) AS pr,
+      |                CAST(n_neg - cumb AS BIGINT) AS qr,
+      |                CAST(n_pos + n_neg AS BIGINT) AS n
+      |         FROM cum CROSS JOIN tot
+      |         WHERE cuma + cumb < n_pos + n_neg),
+      |g AS (SELECT x, nl, pl, nr, pr, n,
+      |             CAST(((CAST(nl AS HUGEINT) * nl - CAST(pl AS HUGEINT) * pl
+      |                    - CAST(ql AS HUGEINT) * ql) * 1000000000000)
+      |                    // CAST(nl AS HUGEINT)
+      |                  + ((CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
+      |                      - CAST(qr AS HUGEINT) * qr) * 1000000000000)
+      |                    // CAST(nr AS HUGEINT)
+      |                  AS DECIMAL(38,0)) AS gini_scaled
+      |      FROM cand)
+      |SELECT CAST(x AS DOUBLE) AS thr, nl AS n_left, pl AS pos_left,
+      |       nr AS n_right, pr AS pos_right, gini_scaled,
+      |       CAST(gini_scaled AS DOUBLE) / 1000000000000.0
+      |         / CAST(n AS DOUBLE) AS gini
+      |FROM g ORDER BY gini_scaled, x LIMIT 1""".stripMargin
+
+  /** Best Gini-impurity decision stump of the length→English classifier
+    * ([[Stats.giniStump]] over the same mergeable score-count statistic
+    * as `ml_auc` / `ml_pr_points`): the tree-root split picker — one
+    * exact-lattice argmin row (threshold, split confusion counts, pinned
+    * impurity). The oracle replays the cumulative sweep and the
+    * decomposed truncating divisions bit for bit.
+    */
+  private val stump = Q("ml_stump_gini", stumpOracleSql) { (s, d) =>
+    Stats.giniStump(Stats.scoreClassCounts(
+      Tables.documents(s, d), col("n_chars"), col("lang") === "en"))
+  }
+
   /** Functional-dependency audit over the order feed
     * ([[graft.operators.QualityChecks.fdAudit]]): does customer
     * determine priority (no — violations counted), does date determine
@@ -758,5 +815,5 @@ object MlQueries {
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
     mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest, cramers,
-    auc, spearman, prPoints, calibration, fdAudit)
+    auc, spearman, prPoints, calibration, fdAudit, stump)
 }

@@ -807,8 +807,37 @@ object StreamingQueries {
     StreamFunnel.funnelReadout(mins, "user_id", "event_type")
   }
 
+  /** Streaming decision-stump tuner ([[StreamSketch.applyScoreCounts]]):
+    * the SAME per-score two-class count store as `c29_stream_auc` — the
+    * stump's sufficient statistic is identical — folded over three
+    * doc-key-hash batches, read out through the SAME exact-Gini lattice
+    * as the one-shot `ml_stump_gini` and certified by the SAME oracle
+    * string, so "maintained threshold tuner ≡ one-shot split picker" is
+    * true by construction. The always-current operating threshold a
+    * serving pipeline re-reads after every micro-batch, with
+    * score-domain-bounded state.
+    */
+  private val stumpStream = Q(
+    "c31_stream_stump", MlQueries.stumpOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c31").toString)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("score"),
+        (col("lang") === "en").as("is_en"))
+    val fold = StreamSketch.applyScoreCounts(store, "stump", "score", "is_en") _
+    // split on a different doc-key hash than c29 so the two shared-store
+    // maintainers certify distinct batch partitions of the same corpus
+    (0 to 2).foreach(i =>
+      fold(docs.filter(pmod(col("doc_id") * 11, lit(3)) === i), i.toLong))
+    // C1 guard: empty feed → no count partitions ever land
+    val merged =
+      if (store.exists("stump")) StreamSketch.mergedScoreCounts(store, "stump")
+      else graft.operators.Stats.scoreClassCounts(
+        docs.limit(0), col("score"), col("is_en"))
+    graft.operators.Stats.giniStump(merged)
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
-    bm25Index, kmvStore, paretoStream, aucStream, funnelStream)
+    bm25Index, kmvStore, paretoStream, aucStream, funnelStream, stumpStream)
 }

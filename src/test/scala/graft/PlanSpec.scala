@@ -109,6 +109,8 @@ class PlanSpec extends SparkSpec {
       "ml_auc", // 1-row lattice frame × 1-row class-total frame (the AUC edge division)
       "c29_stream_auc", // same AUC tail over the maintained score-count store
       "ml_pr_points", // 1-row broadcast class-total frame (the tp/fp complements)
+      "ml_stump_gini", // 1-row broadcast class-total frame (the split complements)
+      "c31_stream_stump", // same stump tail over the maintained score-count store
       "dm_assoc_rules" // 1-row broadcast basket-total frame (the support/lift denominator)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted

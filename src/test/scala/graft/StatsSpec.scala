@@ -213,4 +213,56 @@ class StatsSpec extends SparkSpec {
     assert(nrows.forall(r => r.getLong(1) == 0L && r.isNullAt(4)))
     assert(nrows.find(_.getDouble(0) == 5.0).get.getDouble(3) == 0.0)
   }
+
+  test("giniStump: hand-checked argmin, pure split preferred, constant score empty") {
+    // pos scores {3, 3, 1}, neg {1, 2}: thresholds 1 and 2 (3 = max is
+    // not a split). thr=1: (2/2 + 4/3)/5; thr=2: (4/3 + 0/2)/5 — the
+    // right side of thr=2 is PURE (both pos), so thr=2 wins.
+    val df = (Seq(3, 3, 1).map((_, true)) ++ Seq(1, 2).map((_, false)))
+      .toDF("s", "y")
+    val got = Stats.giniStump(Stats.scoreClassCounts(df, col("s"), col("y")))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getDouble(0) == 2.0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 1L, 2L, 2L)))
+    assert(r.getDecimal(5).longValueExact == 1333333333333L) // (4*1e12)//3 + 0
+    assert(math.abs(r.getDouble(6) - 1333333333333.0 / 1e12 / 5) < 1e-15)
+    // constant score: no valid split -> EMPTY, not a degenerate row
+    val const = Seq((4, true), (4, false), (4, true)).toDF("s", "y")
+    assert(Stats.giniStump(Stats.scoreClassCounts(const, col("s"), col("y")))
+      .collect().isEmpty)
+  }
+
+  test("giniStump == in-memory brute force at several range counts, ties to lowest thr") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map(_ => (rnd.nextInt(12), rnd.nextBoolean()))
+    val df = rows.toDF("s", "y")
+    // brute force over distinct thresholds, lattice arithmetic replayed
+    val n = rows.size
+    val p = rows.count(_._2)
+    def bf: (Double, BigInt) = {
+      val cands = rows.map(_._1).distinct.sorted.dropRight(1).map { t =>
+        val nl = rows.count(_._1 <= t)
+        val pl = rows.count(r => r._1 <= t && r._2)
+        val ql = nl - pl
+        val (nr, pr) = (n - nl, p - pl)
+        val qr = nr - pr
+        def term(nn: Int, pp: Int, qq: Int): BigInt =
+          (BigInt(nn) * nn - BigInt(pp) * pp - BigInt(qq) * qq) *
+            BigInt("1000000000000") / nn
+        (t.toDouble, term(nl, pl, ql) + term(nr, pr, qr))
+      }
+      cands.minBy { case (t, g) => (g, t) }
+    }
+    val (bthr, bg) = bf
+    for (nr <- Seq(1, 2, 7, 32)) {
+      val got = Stats.giniStump(
+        Stats.scoreClassCounts(df, col("s"), col("y")), nRanges = nr)
+        .collect().head
+      assert(got.getDouble(0) == bthr, s"nRanges=$nr")
+      assert(BigInt(got.getDecimal(5).toBigInteger) == bg, s"nRanges=$nr")
+    }
+  }
 }
