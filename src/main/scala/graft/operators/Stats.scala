@@ -643,6 +643,87 @@ object Stats {
           col("n").cast("double")).as("gini"))
   }
 
+  /** Single mean-shift changepoint of a counting process by the exact
+    * CUSUM lattice — the feed-monitoring question "WHEN did the volume
+    * change", where [[driftChi2]]/[[ksTwoSample]] only answer "did it".
+    * For rows bucketed to distinct time values t = 1..H (ascending), the
+    * CUSUM deviation at t is |Σ_{i≤t}(x_i − x̄)| = |H·prefix_t − t·T|/H;
+    * the scaled numerator is an exact DECIMAL(38,0) integer (prefix
+    * sums and ranks both come from ONE [[cumCounts]] sweep — cb = 1 per
+    * distinct time makes cumb the rank), so the argmax (ties to the
+    * EARLIEST time) is reproducible bit for bit. The last time value is
+    * excluded (a split after it leaves no right side), so a single
+    * distinct time yields an EMPTY result. Returns ≤ 1 row
+    * (cp_time, t, n_times, total, dev_scaled, cusum) with cusum =
+    * dev/(H·T) pinned at the edge — 0 exactly on a flat series.
+    *
+    * Scale shape: one keyed aggregate to per-time counts, the two-pass
+    * range sweep, a 1-row broadcast totals cross, TakeOrdered(1) — no
+    * data-sized window. Headroom: H·prefix ≤ H·T ≤ 10²² at 10¹¹ events
+    * over 10⁶ buckets, far under DECIMAL(38,0).
+    */
+  def cusumChangepoint(df: DataFrame, time: Column,
+      nRanges: Int = 32): DataFrame = {
+    require(nRanges >= 1, s"need a positive range count, got $nRanges")
+    val dec38 = "decimal(38,0)"
+    val per = df.select(time.as("__x")).filter(col("__x").isNotNull)
+      .groupBy(col("__x"))
+      .agg(count(lit(1)).cast(LongType).as("ca"))
+      .withColumn("cb", lit(1L))
+    val cum = cumCounts(per, nRanges)
+    val tot = per.agg(sum(col("ca")).cast(LongType).as("total"),
+      sum(col("cb")).cast(LongType).as("n_times"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cumb") < col("n_times"))
+      .select(col("__x"), col("cumb").as("t"), col("n_times"), col("total"),
+        abs(col("cuma").cast(dec38) * col("n_times") -
+          col("cumb").cast(dec38) * col("total")).cast(dec38).as("dev_scaled"))
+      .orderBy(col("dev_scaled").desc, col("__x"))
+      .limit(1)
+      .select(col("__x").as("cp_time"), col("t"), col("n_times"),
+        col("total"), col("dev_scaled"),
+        (col("dev_scaled").cast("double") /
+          (col("n_times").cast("double") * col("total").cast("double")))
+          .as("cusum"))
+  }
+
+  /** Theil–Sen robust trend slope of a (x, y) series with UNIQUE integer
+    * x — the median of all pairwise slopes, the estimator a single
+    * corrupt day cannot drag the way it drags [[regressionBy]]'s OLS
+    * line (breakdown point ≈ 29 %). Each slope is the exact FLOOR
+    * lattice ⌊Δy·10¹²/Δx⌋, decomposed as
+    * `(Δy fdiv Δx)·10¹² + ((Δy fmod Δx)·10¹²) div Δx` with fdiv/fmod the
+    * floored pair (pmod keeps 0 ≤ r < Δx, so the identity
+    * ⌊aS/b⌋ = qS + ⌊rS/b⌋ holds for NEGATIVE Δy too and each quotient
+    * fits a BIGINT); the recombined key lives in DECIMAL(38,0). The
+    * median is the exact distributed rank-ceil(m/2) selection
+    * ([[exactQuantiles]] — range shuffle, no global window), so the
+    * slope is reproducible bit for bit. Returns ≤ 1 row
+    * (n_pairs, slope_scaled, slope); < 2 distinct x yields EMPTY.
+    *
+    * Scale shape: the pair set is a self-join of the per-x frame —
+    * O(D²) in the DOMAIN size D (days/hours of a feed), independent of
+    * row count; the quadratic is bounded by calendar time, not data.
+    */
+  def theilSen(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val a = df.select(x.cast(LongType).as("xa"), y.cast(LongType).as("ya"))
+      .filter(col("xa").isNotNull && col("ya").isNotNull)
+    val b = a.select(col("xa").as("xb"), col("ya").as("yb"))
+    val slopes = a.join(b, col("xb") > col("xa"))
+      .select((col("yb") - col("ya")).as("dy"), (col("xb") - col("xa")).as("dx"))
+      .select(col("dy"), col("dx"), pmod(col("dy"), col("dx")).as("r"))
+      .select((expr(s"cast((dy - r) div dx as $dec38) * 1000000000000") +
+        expr(s"(cast(r as $dec38) * 1000000000000) div dx"))
+        .cast(dec38).as("slope_scaled"))
+    val m = slopes.agg(count(lit(1)).cast(LongType).as("n_pairs"))
+    exactQuantiles(slopes, "slope_scaled", Seq(BigDecimal("0.5")))
+      .crossJoin(broadcast(m))
+      .select(col("n_pairs"), col("slope_scaled"),
+        (col("slope_scaled").cast("double") / lit(1000000000000.0))
+          .as("slope"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the UNBINNED
     * distribution-drift gate (the chi-square form in [[driftChi2]] sees
     * only 8 bins; KS sees every quantile): D = max over observed values

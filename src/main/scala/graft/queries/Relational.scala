@@ -1540,6 +1540,72 @@ object Relational {
     * double expression (sqrt is correctly-rounded IEEE), mirrored
     * token-for-token in the oracle.
     */
+  /** WHEN did hourly event volume shift ([[graft.operators.Stats
+    * .cusumChangepoint]]): the exact CUSUM mean-shift argmax over the
+    * hourly counting process — prefix sums and ranks from one
+    * distributed sweep, the |H·prefix − t·T| deviation as an exact
+    * integer lattice, ties to the earliest hour, one pinned readout.
+    * `qa_drift`/`qa_ks_test` gate WHETHER the feed moved; this locates
+    * the hour to bisect a deploy against.
+    */
+  private val changepoint = Q(
+    "events_changepoint",
+    """WITH ev AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h
+      |            FROM events),
+      |per AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+      |cum AS (SELECT h, SUM(n) OVER (ORDER BY h) AS pre,
+      |               row_number() OVER (ORDER BY h) AS t
+      |        FROM per),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |               CAST(count(*) AS BIGINT) AS n_times
+      |        FROM per),
+      |dev AS (SELECT h, CAST(t AS BIGINT) AS t, n_times, total,
+      |               CAST(abs(CAST(n_times AS HUGEINT) * pre
+      |                        - CAST(t AS HUGEINT) * total) AS DECIMAL(38,0)) AS dev_scaled
+      |        FROM cum CROSS JOIN tot WHERE t < n_times)
+      |SELECT h AS cp_time, t, n_times, total, dev_scaled,
+      |       CAST(dev_scaled AS DOUBLE)
+      |         / (CAST(n_times AS DOUBLE) * CAST(total AS DOUBLE)) AS cusum
+      |FROM dev ORDER BY dev_scaled DESC, h LIMIT 1""".stripMargin) { (s, d) =>
+    graft.operators.Stats.cusumChangepoint(
+      Tables.events(s, d),
+      date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+  }
+
+  /** Robust daily-volume trend ([[graft.operators.Stats.theilSen]]):
+    * the median of all pairwise day-to-day slopes — a single corrupt
+    * day cannot drag it the way it drags `a15_regression_trend`'s OLS
+    * line. Every slope is the exact floored ⌊Δy·10¹²/Δx⌋ lattice and
+    * the median is the exact distributed rank selection, so the trend
+    * is certifiable bit for bit; the pair set is (days)², bounded by
+    * calendar time, not data volume.
+    */
+  private val theilsen = Q(
+    "events_theilsen",
+    """WITH per AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+      |                   CAST(count(*) AS BIGINT) AS y
+      |            FROM events GROUP BY 1),
+      |p AS (SELECT CAST(b.y - a.y AS BIGINT) AS dy, CAST(b.x - a.x AS BIGINT) AS dx
+      |      FROM per a JOIN per b ON b.x > a.x),
+      |f AS (SELECT dy, dx, ((dy % dx) + dx) % dx AS r FROM p),
+      |sl AS (SELECT CAST(CAST((dy - r) // dx AS HUGEINT) * 1000000000000
+      |                   + (CAST(r AS HUGEINT) * 1000000000000) // dx
+      |                   AS DECIMAL(38,0)) AS slope_scaled
+      |       FROM f),
+      |r AS (SELECT slope_scaled, row_number() OVER (ORDER BY slope_scaled) AS rn,
+      |             count(*) OVER () AS m
+      |      FROM sl)
+      |SELECT CAST(m AS BIGINT) AS n_pairs, slope_scaled,
+      |       CAST(slope_scaled AS DOUBLE) / 1000000000000.0 AS slope
+      |FROM r WHERE rn = GREATEST(1, CAST(ceil(0.5 * m) AS BIGINT))""".stripMargin) {
+    (s, d) =>
+      graft.operators.Stats.theilSen(
+        Tables.events(s, d)
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("x"))
+          .agg(lcount().as("y")),
+        col("x"), col("y"))
+  }
+
   private val abTest = Q(
     "events_ab_test",
     s"""WITH u AS (SELECT user_id,
@@ -2423,5 +2489,5 @@ object Relational {
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
     linkPredict, linkRa, markov, labelProp, hits, ppr, bfsHops, seasonality,
-    abTest)
+    abTest, changepoint, theilsen)
 }

@@ -111,6 +111,8 @@ class PlanSpec extends SparkSpec {
       "ml_pr_points", // 1-row broadcast class-total frame (the tp/fp complements)
       "ml_stump_gini", // 1-row broadcast class-total frame (the split complements)
       "c31_stream_stump", // same stump tail over the maintained score-count store
+      "events_changepoint", // 1-row broadcast totals frame (the CUSUM scalars)
+      "events_theilsen", // (days)² pair join on the calendar-bounded daily frame + 1-row count
       "dm_assoc_rules" // 1-row broadcast basket-total frame (the support/lift denominator)
     )
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -235,6 +235,58 @@ class StatsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("cusumChangepoint locates a planted mean shift; flat and single-bucket poles") {
+    // counts 1,1,1,9,9,9 per time 1..6: true changepoint after t=3.
+    // dev_t = |6*prefix - t*30|: 24, 48, 72, 48, 24 -> argmax t=3.
+    val rows = Seq(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 9, 5 -> 9, 6 -> 9)
+      .flatMap { case (t, n) => Seq.fill(n)(t) }
+    val got = Stats.cusumChangepoint(rows.map(Tuple1(_)).toDF("t"), col("t"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getInt(0) == 3 && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 6L && r.getLong(3) == 30L)
+    assert(r.getDecimal(4).longValueExact == 72L)
+    assert(r.getDouble(5) == 72.0 / (6.0 * 30.0))
+    // flat series: every deviation 0 -> earliest time, cusum exactly 0
+    val flat = Seq(1, 2, 3, 4).flatMap(t => Seq.fill(5)(t))
+    val fr = Stats.cusumChangepoint(flat.map(Tuple1(_)).toDF("t"), col("t")).head()
+    assert(fr.getInt(0) == 1 && fr.getDouble(5) == 0.0)
+    // single distinct time: no split exists -> EMPTY
+    assert(Stats.cusumChangepoint(
+      Seq(7, 7, 7).map(Tuple1(_)).toDF("t"), col("t")).collect().isEmpty)
+    // the argmax is range-count independent (the sweep, not luck)
+    for (nr <- Seq(1, 2, 7)) {
+      val g = Stats.cusumChangepoint(rows.map(Tuple1(_)).toDF("t"), col("t"),
+        nRanges = nr).head()
+      assert(g.getInt(0) == 3 && g.getDecimal(4).longValueExact == 72L,
+        s"nRanges=$nr")
+    }
+  }
+
+  test("theilSen: outlier-immune slope, exact floored lattice on negative slopes") {
+    // y = 3x with one wild outlier: 6 of 10 pairwise slopes are 3,
+    // so the median slope is exactly 3 (OLS would be dragged far off)
+    val pts = Seq((0, 0), (1, 3), (2, 6), (3, 9), (4, 100))
+    val r = Stats.theilSen(pts.toDF("x", "y"), col("x"), col("y")).head()
+    assert(r.getLong(0) == 10L)
+    assert(r.getDecimal(1).longValueExact == 3000000000000L)
+    assert(r.getDouble(2) == 3.0)
+    // negative non-divisible slope floors: (0,0),(2,-3) -> floor(-1.5e12)
+    val neg = Stats.theilSen(Seq((0, 0), (2, -3)).toDF("x", "y"),
+      col("x"), col("y")).head()
+    assert(neg.getDecimal(1).longValueExact == -1500000000000L)
+    // rank-ceil(m/2) selection: slopes (0,1)=1, (1,2)=3, (0,2)=2
+    // -> sorted {1,2,3}, rank ceil(1.5)=2 -> median 2
+    val med = Stats.theilSen(Seq((0, 0), (1, 1), (2, 4)).toDF("x", "y"),
+      col("x"), col("y")).head()
+    assert(med.getLong(0) == 3L)
+    assert(med.getDecimal(1).longValueExact == 2000000000000L)
+    // single point: no pairs -> EMPTY
+    assert(Stats.theilSen(Seq((5, 5)).toDF("x", "y"), col("x"), col("y"))
+      .collect().isEmpty)
+  }
+
   test("giniStump == in-memory brute force at several range counts, ties to lowest thr") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 200).map(_ => (rnd.nextInt(12), rnd.nextBoolean()))
