@@ -73,6 +73,56 @@ object LangModel {
     * (idCol, n_trans, avg_prob). Documents with fewer than two tokens
     * have no transitions and are absent (nothing to score).
     */
+  /** Held-out bigram scoring with add-one (Laplace) smoothing — the
+    * CCNet/KenLM-style quality filter done WITHOUT training on the text
+    * being scored: the model (pair counts, prefix counts, vocabulary
+    * size V) comes only from `train`, and every `test` transition scores
+    *
+    *   p = (c(prev,cur) + 1) / (c(prev) + V)
+    *
+    * as the exact truncating lattice ((c_pair+1)·10¹²) div (c_prev+V) —
+    * unseen pairs and unseen prev tokens (the OOV count reported per
+    * document) get the smoothed floor instead of vanishing from the
+    * average the way [[bigramScore]]'s MLE inner-join drops them. The
+    * denominator is clamped to ≥ 1 so an EMPTY train model degrades to
+    * p = 1 rather than a divide-by-zero (both engines).
+    *
+    * Scale shape: the model is vocab²-bounded; scoring is two left
+    * joins of test transitions against it plus one 1-row broadcast
+    * vocabulary-size cross — at 100 TB the model side is millions of
+    * rows against billions of transitions. Returns
+    * (idCol, n_trans, n_oov, avg_prob) for test docs with ≥ 1
+    * transition.
+    */
+  def bigramScoreHeldout(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val Scale = 1000000000000L
+    val cPair = transitions(train, idCol = null, textCol)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast(LongType).as("n_pair"))
+    val cPrev = cPair.groupBy(col("prev"))
+      .agg(sum(col("n_pair")).cast(LongType).as("n_prev"))
+    val vocab = train
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).cast(LongType).as("vsz"))
+    transitions(test, idCol, textCol)
+      .join(cPair, Seq("prev", "cur"), "left")
+      .join(cPrev, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        when(col("n_prev").isNull, 1L).otherwise(0L).as("oov"),
+        expr(s"""((coalesce(n_pair, 0) + cast(1 as decimal(38,0))) * ${Scale}L)
+                | div greatest(coalesce(n_prev, 0) + vsz, 1)"""
+          .stripMargin.replaceAll("\n\\s*", " ")).as("p_scaled"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_trans"),
+        sum(col("oov")).cast(LongType).as("n_oov"),
+        (sum(col("p_scaled")).cast("double") /
+          count(lit(1)).cast("double") /
+          lit(Scale).cast("double")).as("avg_prob"))
+  }
+
   def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val Scale = 1000000000000L // 10^12: probability resolution of the integer score
     // ONE exploded pass: training and scoring both read the checkpointed

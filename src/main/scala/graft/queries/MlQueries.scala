@@ -137,6 +137,45 @@ object MlQueries {
     LangModel.bigramScore(Tables.spread(Tables.documents(s, d)), "doc_id", "text")
   }
 
+  /** Held-out bigram-LM quality scores ([[LangModel.bigramScoreHeldout]]):
+    * the model (counts + vocabulary) trains on even doc_ids only and
+    * scores the odd ones with add-one smoothing — the leak-free form of
+    * `text_bigram_lm`'s filter (an LM trained on the text it scores
+    * inflates every score), with the per-document OOV-transition count
+    * the gibberish screen reads first.
+    */
+  private val lmHeldout = Q(
+    "text_lm_heldout",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |trtr AS (SELECT l[i] AS prev, l[i+1] AS cur
+      |         FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+      |         WHERE doc_id % 2 = 0),
+      |cp AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_pair FROM trtr GROUP BY 1, 2),
+      |cu AS (SELECT prev, CAST(SUM(n_pair) AS BIGINT) AS n_prev FROM cp GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+      |      FROM (SELECT unnest(l) AS tok FROM toks WHERE doc_id % 2 = 0)),
+      |tetr AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+      |         FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+      |         WHERE doc_id % 2 = 1),
+      |sc AS (SELECT tetr.doc_id,
+      |              CASE WHEN cu.prev IS NULL THEN 1 ELSE 0 END AS oov,
+      |              CAST(((COALESCE(cp.n_pair, 0) + 1) * CAST(1000000000000 AS HUGEINT))
+      |                   // GREATEST(COALESCE(cu.n_prev, 0) + v.vsz, 1) AS BIGINT) AS p_scaled
+      |       FROM tetr LEFT JOIN cp ON tetr.prev = cp.prev AND tetr.cur = cp.cur
+      |                 LEFT JOIN cu ON tetr.prev = cu.prev
+      |                 CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+      |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |       CAST(SUM(p_scaled) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |         / 1000000000000.0 AS avg_prob
+      |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.spread(Tables.documents(s, d))
+    LangModel.bigramScoreHeldout(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text")
+  }
+
   /** Sparse tf-idf cosine top-3 for a bounded query-doc set
     * ([[Similarity.tfidfTopK]]): the inverted-index join — corpus
     * scanned once, only term-sharing docs scored, integer-exact
@@ -815,5 +854,5 @@ object MlQueries {
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
     mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest, cramers,
-    auc, spearman, prPoints, calibration, fdAudit, stump)
+    auc, spearman, prPoints, calibration, fdAudit, stump, lmHeldout)
 }

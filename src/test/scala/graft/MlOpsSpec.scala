@@ -66,6 +66,29 @@ class MlOpsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("bigramScoreHeldout: hand-checked smoothed lattice, OOV count, empty-train pole") {
+    // train "a b a b": c(a,b)=2, c(b,a)=1, c(a)=2, c(b)=1, V={a,b}=2
+    val train = Seq((0L, "a b a b")).toDF("id", "text")
+    val test = Seq((1L, "a b c"), (3L, "z z")).toDF("id", "text")
+    val out = LangModel.bigramScoreHeldout(train, test, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: (a,b) -> (2+1)/(2+2)=0.75; (b,c) unseen pair, seen prev ->
+    // (0+1)/(1+2) -> 333333333333; no OOV prev
+    val (n1, o1, p1) = out(1L)
+    assert(n1 == 2L && o1 == 0L)
+    assert(p1 == (750000000000L + 333333333333L).toDouble / 2 / 1e12)
+    // doc 3: prev 'z' unseen -> OOV, floor p = 1/(0+2)
+    val (n3, o3, p3) = out(3L)
+    assert(n3 == 1L && o3 == 1L && p3 == 0.5)
+    // the model must come ONLY from train: scoring the same test docs
+    // against an empty train degrades to the clamped p = 1 floor
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val deg = LangModel.bigramScoreHeldout(empty, test, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(deg(1L) == 1.0 && deg(3L) == 1.0)
+  }
+
   test("bigramScore skips docs with fewer than two tokens") {
     val docs = Seq((1L, "a b a b"), (2L, "solo"), (3L, "")).toDF("id", "text")
     val out = LangModel.bigramScore(docs, "id", "text").collect()
