@@ -643,6 +643,41 @@ object Stats {
           col("n").cast("double")).as("gini"))
   }
 
+  /** Per-decile calibration-bin sufficient statistics of the
+    * n/(n+prior) probability against a boolean label: (bucket, n,
+    * n_pos, ssum) with bucket = (10n) div (n+prior) by integer division
+    * and ssum the 10¹²-scaled truncating probability lattice — all
+    * three are SUMs, so per-batch frames fold by per-bucket addition
+    * (the mergeable statistic behind the streaming calibration
+    * maintainer, exactly as [[scoreClassCounts]] is behind the AUC
+    * monitor). ≤ 10 + 1 rows at any scale.
+    */
+  def calibrationBins(df: DataFrame, n: Column, pos: Column,
+      prior: Int = 500): DataFrame =
+    df.select(n.cast(LongType).as("__n"), pos.cast("boolean").as("__p"))
+      .filter(col("__n").isNotNull && col("__p").isNotNull)
+      .select(
+        expr(s"(10 * __n) div (__n + $prior)").cast(LongType).as("bucket"),
+        // the scaled numerator goes through DECIMAL(38,0): a plain long
+        // multiply wraps silently past n ≈ 9.2e6 (non-ANSI Spark)
+        expr(s"(1000000000000 * CAST(__n AS DECIMAL(38,0))) div (__n + $prior)")
+          .as("s12"),
+        when(col("__p"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("p")).cast(LongType).as("n_pos"),
+        sum(col("s12").cast("decimal(38,0)")).cast("decimal(38,0)").as("ssum"))
+
+  /** The reliability readout over a [[calibrationBins]] frame: mean
+    * predicted probability (one pinned division off the exact lattice
+    * sum) vs observed positive rate, per bucket.
+    */
+  def calibrationReadout(bins: DataFrame): DataFrame =
+    bins.select(col("bucket"), col("n"), col("n_pos"),
+      (col("ssum").cast("double") / col("n").cast("double") /
+        lit(1000000000000.0)).as("mean_score"),
+      (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+
   /** Single mean-shift changepoint of a counting process by the exact
     * CUSUM lattice — the feed-monitoring question "WHEN did the volume
     * change", where [[driftChi2]]/[[ksTwoSample]] only answer "did it".

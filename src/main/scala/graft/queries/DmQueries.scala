@@ -251,6 +251,78 @@ object DmQueries {
       .limit(20)
   }
 
+  /** Item-item collaborative-filtering top-3 ("customers who bought
+    * this also bought") over the binary basket incidence: cosine
+    * cos(a,b) = n_ab / √(n_a·n_b) — the co-count normalized so ubiquity
+    * doesn't win the way it does in raw co-occurrence. Ranking uses the
+    * EXACT cos² lattice (n_ab²·10¹²) div (n_a·n_b) (cosines are
+    * nonnegative, so cos² preserves the order; ties to the lowest
+    * neighbor id), making every rank reproducible bit for bit; the
+    * cosine itself is one pinned double at the edge. Pairs come from
+    * the one-shuffle per-basket sorted array ([[graft.operators.Dedup
+    * .pairsFromSortedArray]] — Σ basket², never items²), the rank
+    * window partitions by ITEM (key-partitioned, no global window), and
+    * the n_ab ≥ 2 support floor prunes one-off noise before the rank.
+    */
+  private val itemCf = Q(
+    "dm_item_cf_topk",
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+      |p AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+      |             CAST(count(*) AS BIGINT) AS n_ab
+      |      FROM b x JOIN b y
+      |        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |      GROUP BY 1, 2),
+      |r AS (SELECT pa AS item, pb AS rec, n_ab FROM p
+      |      UNION ALL SELECT pb, pa, n_ab FROM p),
+      |j AS (SELECT r.item, r.rec, r.n_ab, ia.n_item, ib.n_item AS n_rec
+      |      FROM r JOIN ic ia ON ia.l_partkey = r.item
+      |             JOIN ic ib ON ib.l_partkey = r.rec
+      |      WHERE r.n_ab >= 2),
+      |s AS (SELECT item, rec, n_ab, n_item, n_rec,
+      |             CAST((CAST(n_ab AS HUGEINT) * n_ab * 1000000000000)
+      |                  // (CAST(n_item AS HUGEINT) * n_rec) AS BIGINT) AS cos2_scaled
+      |      FROM j),
+      |k AS (SELECT *, row_number() OVER (PARTITION BY item
+      |                                   ORDER BY cos2_scaled DESC, rec) AS rnk
+      |      FROM s)
+      |SELECT item, rec, n_ab, n_item, n_rec, cos2_scaled,
+      |       CAST(n_ab AS DOUBLE)
+      |         / sqrt(CAST(n_item AS DOUBLE) * CAST(n_rec AS DOUBLE)) AS cosine,
+      |       CAST(rnk AS BIGINT) AS rnk
+      |FROM k WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val ic = b.groupBy(col("l_partkey")).agg(lcount().as("n_item"))
+    val p = b.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(graft.operators.Dedup.pairsFromSortedArray(col("parts"))).as("pp"))
+      .groupBy(col("pp.doc_a").as("pa"), col("pp.doc_b").as("pb"))
+      .agg(lcount().as("n_ab"))
+    val r = p.select(col("pa").as("item"), col("pb").as("rec"), col("n_ab"))
+      .unionAll(p.select(col("pb").as("item"), col("pa").as("rec"), col("n_ab")))
+      .filter(col("n_ab") >= 2)
+    val rnkWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cos2_scaled").desc, col("rec"))
+    r.join(ic.select(col("l_partkey").as("item"), col("n_item")), Seq("item"))
+      .join(ic.select(col("l_partkey").as("rec"), col("n_item").as("n_rec")),
+        Seq("rec"))
+      .withColumn("cos2_scaled",
+        expr("""(cast(n_ab as decimal(38,0)) * n_ab * 1000000000000)
+               | div (cast(n_item as decimal(38,0)) * n_rec)"""
+          .stripMargin.replaceAll("\n\\s*", " ")))
+      .withColumn("rnk", row_number().over(rnkWin).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("item"), col("rec"), col("n_ab"), col("n_item"),
+        col("n_rec"), col("cos2_scaled"),
+        (col("n_ab").cast("double") /
+          sqrt(col("n_item").cast("double") * col("n_rec").cast("double")))
+          .as("cosine"),
+        col("rnk"))
+  }
+
   /** Multi-objective best-customer readout: the Pareto front of
     * (order count, exact decimal spend) per customer — the customers no
     * other customer beats on both axes ([[graft.operators.Skyline]]:
@@ -287,5 +359,5 @@ object DmQueries {
         col("spend").cast("double").as("spend"))
   }
 
-  val queries: Seq[Q] = Seq(m9, m10, m13, affinity, assocRules, pareto)
+  val queries: Seq[Q] = Seq(m9, m10, m13, affinity, assocRules, itemCf, pareto)
 }

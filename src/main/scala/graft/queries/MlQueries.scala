@@ -718,10 +718,14 @@ object MlQueries {
     * per-row float accumulates), and the observed positive rate — the
     * is-the-model-honest diagnostic next to `ml_auc`'s
     * is-it-discriminative. Bucket = (10n) div (n+500), integer
-    * division, reproducible everywhere; ≤ 10 output rows at any scale.
+    * division, reproducible everywhere; ≤ 10 output rows at any scale
+    * ([[Stats.calibrationBins]] + [[Stats.calibrationReadout]]).
+    *
+    * Shared with `c32_stream_calibration`: the maintained bin store's
+    * readout must hash-match this same one-shot lattice — one oracle
+    * string certifying both faces (the aucOracleSql pattern).
     */
-  private val calibration = Q(
-    "ml_calibration",
+  private[queries] val calibOracleSql: String =
     """WITH v AS (SELECT n_chars AS n, (lang = 'en') AS pos
       |           FROM documents
       |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
@@ -736,25 +740,11 @@ object MlQueries {
       |SELECT bucket, n, n_pos,
       |       CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0 AS mean_score,
       |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
-      |FROM g""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
-      .select(
-        expr("(10 * n_chars) div (n_chars + 500)").cast(LongType).as("bucket"),
-        // the scaled numerator goes through DECIMAL(38,0): a plain long
-        // multiply wraps silently past n_chars ≈ 9.2e6 (non-ANSI Spark)
-        // while the oracle's HUGEINT errors — widen BEFORE the product
-        expr("(1000000000000 * CAST(n_chars AS DECIMAL(38,0))) div (n_chars + 500)")
-          .as("s12"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("p"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).cast(LongType).as("n"),
-        sum(col("p")).cast(LongType).as("n_pos"),
-        sum(col("s12").cast("decimal(38,0)")).cast("decimal(38,0)").as("ssum"))
-      .select(col("bucket"), col("n"), col("n_pos"),
-        (col("ssum").cast("double") / col("n").cast("double") /
-          lit(1000000000000.0)).as("mean_score"),
-        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+      |FROM g""".stripMargin
+
+  private val calibration = Q("ml_calibration", calibOracleSql) { (s, d) =>
+    Stats.calibrationReadout(Stats.calibrationBins(
+      Tables.documents(s, d), col("n_chars"), col("lang") === "en"))
   }
 
   /** Shared with `c31_stream_stump`: the maintained score-count store's

@@ -1011,12 +1011,20 @@ object Relational {
     * event_id) derivation in its `tr` CTE). The window is
     * user-partitioned, never global.
     */
-  private def pageTransitions(s: SparkSession, d: String): DataFrame = {
+  /** (user_id, ts, event_id, k) page-view events — the input both the
+    * one-shot transition window and the streaming Markov maintainer's
+    * batches consume.
+    */
+  private[queries] def pageEvents(s: SparkSession, d: String): DataFrame = {
     val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", LongType)))).getField("k")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), k.as("k"))
+  }
+
+  private def pageTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    pageEvents(s, d)
       .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
       .filter(col("src").isNotNull)
   }
@@ -1398,9 +1406,12 @@ object Relational {
     * lowest dst among max-count rows — no assumptions about the dst
     * domain), and a row is the argmax iff it matches both. Probabilities
     * are one pinned double division.
+    *
+    * Shared with `c33_stream_markov`: the maintained transition-count
+    * store reads out through [[markovFromCounts]] and certifies against
+    * this SAME oracle string — maintained model ≡ one-shot model.
     */
-  private val markov = Q(
-    "events_markov_next",
+  private[queries] val markovOracleSql: String =
     s"""WITH ev AS (SELECT user_id, ts, event_id,
        |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
        |           FROM events),
@@ -1417,9 +1428,12 @@ object Relational {
        |SELECT c.src, c.dst, c.n, t.total,
        |       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS p,
        |       c.n = t.maxn AND c.dst = b.bdst AS is_best
-       |FROM c JOIN t ON t.src = c.src JOIN b ON b.src = c.src""".stripMargin) { (s, d) =>
-    val c = pageTransitions(s, d)
-      .groupBy(col("src"), col("dst")).agg(lcount().as("n"))
+       |FROM c JOIN t ON t.src = c.src JOIN b ON b.src = c.src""".stripMargin
+
+  /** The model tail over a (src, dst, n) transition-count frame —
+    * shared by the one-shot query and the streaming maintainer readout.
+    */
+  private[queries] def markovFromCounts(c: DataFrame): DataFrame = {
     val t = c.groupBy(col("src")).agg(
       sum(col("n")).cast(LongType).as("total"),
       max(col("n")).cast(LongType).as("maxn"))
@@ -1430,6 +1444,11 @@ object Relational {
       .select(col("src"), col("dst"), col("n"), col("total"),
         (col("n").cast("double") / col("total").cast("double")).as("p"),
         (col("n") === col("maxn") && col("dst") === col("bdst")).as("is_best"))
+  }
+
+  private val markov = Q("events_markov_next", markovOracleSql) { (s, d) =>
+    markovFromCounts(pageTransitions(s, d)
+      .groupBy(col("src"), col("dst")).agg(lcount().as("n")))
   }
 
   /** Per-day distinct-user estimation from GROUPED HyperLogLog sketches

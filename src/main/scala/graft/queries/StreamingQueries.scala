@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.functions.Cleaning.{dsum, lcount}
 import graft.operators.{IncrementalAgg, Sketches}
 import graft.sources.{TableStore, Tables}
-import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamFunnel, StreamSemDedup, StreamSketch, StreamSkyline, ViewMaintain}
+import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamFunnel, StreamMarkov, StreamSemDedup, StreamSketch, StreamSkyline, ViewMaintain}
 import graft.queries.Q.{C, DS}
 
 /** Oracle-registered readouts for every persisted streaming maintainer —
@@ -836,8 +836,68 @@ object StreamingQueries {
     graft.operators.Stats.giniStump(merged)
   }
 
+  /** Streaming reliability monitor ([[StreamSketch.applyCalibBins]]):
+    * per-decile (count, positives, scaled-probability-sum) triples —
+    * calibration's SUM-mergeable sufficient statistic, ≤ 11 rows per
+    * batch — folded over three doc-key-hash batches, read out through
+    * the SAME pinned divisions as the one-shot `ml_calibration` and
+    * certified by the SAME oracle string: maintained honesty monitor ≡
+    * one-shot reliability diagram by construction.
+    */
+  private val calibStream = Q(
+    "c32_stream_calibration", MlQueries.calibOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c32").toString)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), (col("lang") === "en").as("is_en"))
+    val fold = StreamSketch.applyCalibBins(store, "calib", "n_chars", "is_en") _
+    (0 to 2).foreach(i =>
+      fold(docs.filter(pmod(col("doc_id") * 13, lit(3)) === i), i.toLong))
+    // C1 guard: empty feed → no bin partitions ever land
+    val merged =
+      if (store.exists("calib")) StreamSketch.mergedCalibBins(store, "calib")
+      else graft.operators.Stats.calibrationBins(
+        docs.limit(0), col("n_chars"), col("is_en"))
+    graft.operators.Stats.calibrationReadout(merged)
+  }
+
+  /** Streaming Markov next-page model ([[StreamMarkov.applyBatch]]):
+    * per-(src, dst) transition counts maintained from time-contiguous
+    * event batches — batch-internal lag pairs plus one STITCH pair per
+    * (user, batch) from the stored per-user last event, the
+    * order-sensitive fold no per-key-hash split can express — read out
+    * through the SAME model tail as the one-shot `events_markov_next`
+    * and certified by the SAME oracle string. Batches split at day
+    * boundaries (the maintainer's in-order contract; equal-(ts,
+    * event_id) rows can never straddle a day edge), so the oracle match
+    * certifies the cross-batch stitching, not just per-batch windows.
+    */
+  private val markovStream = Q(
+    "c33_stream_markov", Relational.markovOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c33").toString)
+    val ev = Relational.pageEvents(s, d)
+    val fold = StreamMarkov.applyBatch(store, "mcnt", "mlast",
+      "user_id", "ts", "event_id", "k") _
+    // driver-side day list is calendar-bounded, not data-sized
+    val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      .orderBy(col("day")).collect().map(_.getDate(0))
+    if (days.nonEmpty) {
+      val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
+      fold(ev.filter(to_date(col("ts")) < lit(d1)), 0L)
+      fold(ev.filter(to_date(col("ts")) >= lit(d1) &&
+        to_date(col("ts")) < lit(d2)), 1L)
+      fold(ev.filter(to_date(col("ts")) >= lit(d2)), 2L)
+    }
+    // C1 guard: empty feed → no count partitions ever land
+    val counts =
+      if (store.exists("mcnt")) StreamMarkov.mergedCounts(store, "mcnt", "mlast")
+      else ev.limit(0)
+        .select(col("k").as("src"), col("k").as("dst"), lit(0L).as("n"))
+    Relational.markovFromCounts(counts)
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
-    bm25Index, kmvStore, paretoStream, aucStream, funnelStream, stumpStream)
+    bm25Index, kmvStore, paretoStream, aucStream, funnelStream, stumpStream,
+    calibStream, markovStream)
 }

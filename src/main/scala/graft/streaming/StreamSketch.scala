@@ -231,6 +231,40 @@ object StreamSketch {
     }
   }
 
+  /** Streaming calibration maintenance: each micro-batch aggregates
+    * ONLY its own rows to the per-decile bin triples
+    * ([[graft.operators.Stats.calibrationBins]] — counts, positives,
+    * and the 10¹²-scaled probability lattice, all SUM-mergeable) and
+    * appends them as one `__applied`-keyed partition; ≤ 11 rows per
+    * batch ever land. [[mergedCalibBins]]' per-bucket SUM is the corpus
+    * statistic, so the maintained store answers the EXACT one-shot
+    * `ml_calibration` readout at any moment.
+    *
+    * Replay safety: the partition's `__applied` id is the applied
+    * marker; a replayed batch replaces itself.
+    */
+  def applyCalibBins(store: TableStore, table: String, nCol: String,
+      labelCol: String, prior: Int = 500)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val lastApplied = store.lastAppliedBatch(table)
+    if (batchId > lastApplied) {
+      store.replacePartitions(table,
+        graft.operators.Stats.calibrationBins(batch, col(nCol),
+          col(labelCol), prior).withColumn("__applied", lit(batchId)),
+        "__applied")
+    }
+  }
+
+  /** Corpus calibration bins from the store: per-bucket SUM of the
+    * three mergeable statistics over every applied batch partition.
+    */
+  def mergedCalibBins(store: TableStore, table: String): DataFrame =
+    store.read(table)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).cast(LongType).as("n"),
+        sum(col("n_pos")).cast(LongType).as("n_pos"),
+        sum(col("ssum")).cast("decimal(38,0)").as("ssum"))
+
   /** Corpus per-score counts from the store: per-score SUM over every
     * applied batch partition (count linearity).
     */
