@@ -698,12 +698,24 @@ object Stats {
     * over 10⁶ buckets, far under DECIMAL(38,0).
     */
   def cusumChangepoint(df: DataFrame, time: Column,
-      nRanges: Int = 32): DataFrame = {
+      nRanges: Int = 32): DataFrame =
+    cusumFromCounts(perTimeCounts(df, time), nRanges)
+
+  /** Per-distinct-time row counts (__x, n) — the mergeable sufficient
+    * statistic behind [[cusumChangepoint]] (counts are linear, so
+    * per-batch frames fold by per-time SUM — what the streaming
+    * feed-shift monitor persists).
+    */
+  def perTimeCounts(df: DataFrame, time: Column): DataFrame =
+    df.select(time.as("__x")).filter(col("__x").isNotNull)
+      .groupBy(col("__x"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+
+  /** The CUSUM lattice tail over a (__x, n) per-time counts frame. */
+  def cusumFromCounts(perTime: DataFrame, nRanges: Int = 32): DataFrame = {
     require(nRanges >= 1, s"need a positive range count, got $nRanges")
     val dec38 = "decimal(38,0)"
-    val per = df.select(time.as("__x")).filter(col("__x").isNotNull)
-      .groupBy(col("__x"))
-      .agg(count(lit(1)).cast(LongType).as("ca"))
+    val per = perTime.select(col("__x"), col("n").cast(LongType).as("ca"))
       .withColumn("cb", lit(1L))
     val cum = cumCounts(per, nRanges)
     val tot = per.agg(sum(col("ca")).cast(LongType).as("total"),
@@ -720,6 +732,53 @@ object Stats {
         (col("dev_scaled").cast("double") /
           (col("n_times").cast("double") * col("total").cast("double")))
           .as("cusum"))
+  }
+
+  /** Pettitt rank-based changepoint — WHEN did a VALUE DISTRIBUTION
+    * shift, the nonparametric twin of [[cusumChangepoint]]'s volume
+    * CUSUM (a fat-tailed feed drags a mean-based statistic; ranks are
+    * immune). Pettitt's U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j) reduces by
+    * the Mann–Whitney identity to the exact integer
+    *
+    *   U_t = Σ_{i≤t} r2_i − t·(n+1)
+    *
+    * where r2 are the DOUBLED tie midranks ([[midranks2]] — the same
+    * distributed sweep as Spearman's ρ, integral under ties). Rank sums
+    * and row ranks over TIME come from one further [[cumCounts]] sweep
+    * (ca = per-bucket Σ r2, cb = per-bucket rows), so the argmax of
+    * |U_t| (ties to the earliest time, last bucket excluded) is
+    * reproducible bit for bit; u_norm = 4|U|/n² is pinned at the edge.
+    * Returns ≤ 1 row (cp_time, t_rows, n, u_abs, u_norm).
+    *
+    * Headroom: the cumulative doubled-rank sum is ≤ 2n² in a BIGINT
+    * lane — exact to n ≈ 2·10⁹ rows; bucket the series first beyond
+    * that (the statistic is bucket-compatible: ranks are over values,
+    * the sweep over buckets).
+    */
+  def pettittChangepoint(df: DataFrame, time: Column, value: Column,
+      xType: String = "decimal(18,4)", nRanges: Int = 32): DataFrame = {
+    require(nRanges >= 1, s"need a positive range count, got $nRanges")
+    val dec38 = "decimal(38,0)"
+    val rows = df.select(time.as("__t"), value.cast(xType).as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+    val r2 = midranks2(rows.select(col("__v").as("__x")), nRanges)
+      .select(col("__x").as("__v"), col("r2"))
+    val per = rows.join(r2, Seq("__v"))
+      .groupBy(col("__t").as("__x"))
+      .agg(sum(col("r2")).cast(LongType).as("ca"),
+        count(lit(1)).cast(LongType).as("cb"))
+    val cum = cumCounts(per, nRanges)
+    val tot = per.agg(sum(col("cb")).cast(LongType).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cumb") < col("n"))
+      .select(col("__x"), col("cumb").as("t_rows"), col("n"),
+        abs(col("cuma").cast(dec38) -
+          col("cumb").cast(dec38) * (col("n") + 1)).cast(dec38).as("u_abs"))
+      .orderBy(col("u_abs").desc, col("__x"))
+      .limit(1)
+      .select(col("__x").as("cp_time"), col("t_rows"), col("n"), col("u_abs"),
+        (col("u_abs").cast("double") * lit(4.0) /
+          (col("n").cast("double") * col("n").cast("double"))).as("u_norm"))
   }
 
   /** Theil–Sen robust trend slope of a (x, y) series with UNIQUE integer

@@ -792,6 +792,43 @@ object MlQueries {
       |         / CAST(n AS DOUBLE) AS gini
       |FROM g ORDER BY gini_scaled, x LIMIT 1""".stripMargin
 
+  /** Pettitt rank changepoint of hourly purchase values
+    * ([[Stats.pettittChangepoint]]): WHEN did the purchase-value
+    * DISTRIBUTION shift — the nonparametric twin of
+    * `events_changepoint`'s volume CUSUM (ranks shrug off the fat tail
+    * that drags a mean statistic). Doubled tie midranks from the
+    * Spearman sweep, the exact U_t = Σr2 − t(n+1) lattice over a second
+    * time sweep, argmax ties to the earliest hour; the oracle replays
+    * both sweeps as cumulative windows.
+    */
+  private val pettitt = Q(
+    "qa_pettitt",
+    """WITH p AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+      |                  CAST(value AS DECIMAL(18,4)) AS v
+      |           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+      |mr AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v) - c + 1 AS r2 FROM pv),
+      |pt AS (SELECT p.h, mr.r2 FROM p JOIN mr ON p.v = mr.v),
+      |per AS (SELECT h, CAST(SUM(r2) AS BIGINT) AS sr,
+      |               CAST(count(*) AS BIGINT) AS c
+      |        FROM pt GROUP BY 1),
+      |cum AS (SELECT h, SUM(sr) OVER (ORDER BY h) AS cuma,
+      |               SUM(c) OVER (ORDER BY h) AS cumb
+      |        FROM per),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per),
+      |u AS (SELECT h, CAST(cumb AS BIGINT) AS t_rows, n,
+      |             CAST(abs(CAST(cuma AS HUGEINT)
+      |                      - CAST(cumb AS HUGEINT) * (n + 1)) AS DECIMAL(38,0)) AS u_abs
+      |      FROM cum CROSS JOIN tot WHERE cumb < n)
+      |SELECT h AS cp_time, t_rows, n, u_abs,
+      |       CAST(u_abs AS DOUBLE) * 4.0
+      |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS u_norm
+      |FROM u ORDER BY u_abs DESC, h LIMIT 1""".stripMargin) { (s, d) =>
+    Stats.pettittChangepoint(
+      Tables.events(s, d).filter(col("event_type") === "purchase"),
+      date_trunc("hour", col("ts")).cast("timestamp_ntz"), col("value"))
+  }
+
   /** Best Gini-impurity decision stump of the length→English classifier
     * ([[Stats.giniStump]] over the same mergeable score-count statistic
     * as `ml_auc` / `ml_pr_points`): the tree-root split picker — one
@@ -844,5 +881,5 @@ object MlQueries {
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
     mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest, cramers,
-    auc, spearman, prPoints, calibration, fdAudit, stump, lmHeldout)
+    auc, spearman, prPoints, calibration, fdAudit, stump, lmHeldout, pettitt)
 }

@@ -1566,9 +1566,13 @@ object Relational {
     * integer lattice, ties to the earliest hour, one pinned readout.
     * `qa_drift`/`qa_ks_test` gate WHETHER the feed moved; this locates
     * the hour to bisect a deploy against.
+    *
+    * Shared with `c34_stream_changepoint`: the maintained per-hour count
+    * store reads out through the same CUSUM lattice and certifies
+    * against this SAME oracle string — maintained shift monitor ≡
+    * one-shot changepoint.
     */
-  private val changepoint = Q(
-    "events_changepoint",
+  private[queries] val changepointOracleSql: String =
     """WITH ev AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h
       |            FROM events),
       |per AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1),
@@ -1585,7 +1589,10 @@ object Relational {
       |SELECT h AS cp_time, t, n_times, total, dev_scaled,
       |       CAST(dev_scaled AS DOUBLE)
       |         / (CAST(n_times AS DOUBLE) * CAST(total AS DOUBLE)) AS cusum
-      |FROM dev ORDER BY dev_scaled DESC, h LIMIT 1""".stripMargin) { (s, d) =>
+      |FROM dev ORDER BY dev_scaled DESC, h LIMIT 1""".stripMargin
+
+  private val changepoint = Q(
+    "events_changepoint", changepointOracleSql) { (s, d) =>
     graft.operators.Stats.cusumChangepoint(
       Tables.events(s, d),
       date_trunc("hour", col("ts")).cast("timestamp_ntz"))

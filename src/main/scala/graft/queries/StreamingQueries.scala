@@ -895,9 +895,34 @@ object StreamingQueries {
     Relational.markovFromCounts(counts)
   }
 
+  /** Streaming feed-shift monitor ([[StreamSketch.applyTimeCounts]]):
+    * per-hour event counts — CUSUM's SUM-mergeable sufficient
+    * statistic — folded over three event-key-hash batches (the count
+    * fold is order-free, unlike `c33`'s lag stitch), read out through
+    * the SAME exact lattice as the one-shot `events_changepoint` and
+    * certified by the SAME oracle string: the always-current "when did
+    * volume shift" answer with time-domain-bounded state.
+    */
+  private val changepointStream = Q(
+    "c34_stream_changepoint", Relational.changepointOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c34").toString)
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
+        col("event_id"))
+    val fold = StreamSketch.applyTimeCounts(store, "cp", "h") _
+    (0 to 2).foreach(i =>
+      fold(ev.filter(pmod(coalesce(col("event_id"), lit(-1L)), lit(3)) === i),
+        i.toLong))
+    // C1 guard: empty feed → no count partitions ever land
+    val merged =
+      if (store.exists("cp")) StreamSketch.mergedTimeCounts(store, "cp")
+      else graft.operators.Stats.perTimeCounts(ev.limit(0), col("h"))
+    graft.operators.Stats.cusumFromCounts(merged)
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
     bm25Index, kmvStore, paretoStream, aucStream, funnelStream, stumpStream,
-    calibStream, markovStream)
+    calibStream, markovStream, changepointStream)
 }

@@ -231,6 +231,37 @@ object StreamSketch {
     }
   }
 
+  /** Streaming feed-shift monitoring: each micro-batch aggregates ONLY
+    * its own rows to per-distinct-time counts ([[graft.operators.Stats
+    * .perTimeCounts]] — the SUM-mergeable statistic behind the CUSUM
+    * changepoint) and appends them as one `__applied`-keyed partition;
+    * writes are bounded by the batch's distinct time buckets.
+    * [[mergedTimeCounts]]' per-time SUM feeds [[graft.operators.Stats
+    * .cusumFromCounts]], so the maintained store answers the EXACT
+    * one-shot `events_changepoint` at any moment.
+    *
+    * Replay safety: the partition's `__applied` id is the applied
+    * marker; a replayed batch replaces itself.
+    */
+  def applyTimeCounts(store: TableStore, table: String, timeCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val lastApplied = store.lastAppliedBatch(table)
+    if (batchId > lastApplied) {
+      store.replacePartitions(table,
+        graft.operators.Stats.perTimeCounts(batch, col(timeCol))
+          .withColumn("__applied", lit(batchId)),
+        "__applied")
+    }
+  }
+
+  /** Corpus per-time counts from the store: per-time SUM over every
+    * applied batch partition (count linearity).
+    */
+  def mergedTimeCounts(store: TableStore, table: String): DataFrame =
+    store.read(table)
+      .groupBy(col("__x"))
+      .agg(sum(col("n")).cast(LongType).as("n"))
+
   /** Streaming calibration maintenance: each micro-batch aggregates
     * ONLY its own rows to the per-decile bin triples
     * ([[graft.operators.Stats.calibrationBins]] — counts, positives,

@@ -264,6 +264,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("pettittChangepoint == brute-force sgn double sum, ties included, at several range counts") {
+    // values shift distribution after t=3; ties across the boundary
+    val rows = Seq((1, 10), (1, 12), (2, 11), (3, 10),
+      (4, 50), (4, 52), (5, 50), (6, 12), (6, 55))
+    def bruteU(t: Int): Long = {
+      val (left, right) = rows.partition(_._1 <= t)
+      left.map(_._2).flatMap(a => right.map(b => math.signum(a - b._2).toLong)).sum
+    }
+    val times = rows.map(_._1).distinct.sorted
+    val best = times.dropRight(1)
+      .map(t => (t, math.abs(bruteU(t))))
+      .maxBy { case (t, u) => (u, -t) }
+    for (nr <- Seq(1, 2, 7, 32)) {
+      val got = Stats.pettittChangepoint(rows.toDF("t", "v"),
+        col("t"), col("v"), nRanges = nr).head()
+      assert(got.getInt(0) == best._1, s"nRanges=$nr")
+      assert(got.getDecimal(3).longValueExact == best._2, s"nRanges=$nr")
+      assert(got.getLong(2) == rows.size)
+      assert(got.getDouble(4) ==
+        best._2.toDouble * 4.0 / (rows.size.toDouble * rows.size), s"nRanges=$nr")
+    }
+    // identical distribution throughout: |U| can still be nonzero, but a
+    // single distinct time has no split -> EMPTY
+    assert(Stats.pettittChangepoint(
+      Seq((1, 5), (1, 7)).toDF("t", "v"), col("t"), col("v"))
+      .collect().isEmpty)
+  }
+
   test("theilSen: outlier-immune slope, exact floored lattice on negative slopes") {
     // y = 3x with one wild outlier: 6 of 10 pairwise slopes are 3,
     // so the median slope is exactly 3 (OLS would be dragged far off)
