@@ -46,6 +46,54 @@ object TextAnalysis {
     */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is")
 
+  /** Soundex-style phonetic blocking key — the entity-resolution
+    * blocker: misspelled/variant name tokens land in the same 4-char
+    * bucket, so fuzzy matching only compares WITHIN buckets instead of
+    * across the corpus. Classic American-Soundex recipe (first letter +
+    * three consonant-class digits; vowels break runs, H/W are
+    * transparent inside them), with two deviations pinned for
+    * cross-engine determinism: input truncates to 64 letters, and a
+    * leading H/W defers to the first coded consonant. Runs collapse by
+    * 6 halving passes of literal `dd → d` replaces (NOT a `(\d)\1+`
+    * regex — DuckDB's RE2 has no backreferences, and 2⁶ ≥ the 64-letter
+    * cap makes the passes provably complete), so the SQL oracle can
+    * replay the key byte for byte. Empty/non-alphabetic input keys to
+    * NULL.
+    */
+  def phoneticKey(c: Column): Column = {
+    // A..Z consonant classes; 9 marks the transparent H/W
+    val letters = substring(upper(regexp_replace(c, "[^A-Za-z]", "")), 1, 64)
+    val coded = translate(letters,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230129022455012623019202")
+    val no9 = replace(coded, lit("9"), lit(""))
+    val collapsed = (1 to 6).foldLeft(no9) { (acc, _) =>
+      "0123456".foldLeft(acc)((a, d) =>
+        replace(a, lit(s"$d$d"), lit(s"$d")))
+    }
+    when(length(letters) > 0,
+      concat(substring(letters, 1, 1),
+        rpad(substring(replace(substring(collapsed, 2, 63), lit("0"),
+          lit("")), 1, 3), 3, "0")))
+  }
+
+  /** The DuckDB replay of [[phoneticKey]] over a column expression —
+    * ONE generator for both engines so the recipe cannot drift.
+    */
+  def phoneticKeySql(expr: String): String = {
+    val letters =
+      s"substr(upper(regexp_replace($expr, '[^A-Za-z]', '', 'g')), 1, 64)"
+    val coded =
+      s"translate($letters, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230129022455012623019202')"
+    val no9 = s"replace($coded, '9', '')"
+    val collapsed = (1 to 6).foldLeft(no9) { (acc, _) =>
+      "0123456".foldLeft(acc)((a, d) => s"replace($a, '$d$d', '$d')")
+    }
+    s"""CASE WHEN length($letters) > 0
+       |THEN substr($letters, 1, 1)
+       |  || rpad(substr(replace(substr($collapsed, 2, 63), '0', ''), 1, 3), 3, '0')
+       |END""".stripMargin.replaceAll("\n\\s*", " ")
+  }
+
   /** Number of whitespace tokens that are stopwords. */
   def stopwordCount(c: Column, stops: Seq[String] = Stopwords): Column =
     size(filter(tokens(c), t => t.isInCollection(stops))).cast(LongType)

@@ -251,6 +251,39 @@ object DmQueries {
       .limit(20)
   }
 
+  /** Phonetic blocking audit over the part-name vocabulary
+    * ([[graft.functions.TextAnalysis.phoneticKey]] — Soundex-style
+    * 4-char keys): which DISTINCT words collide phonetically, with
+    * occurrence mass and the block's word range — the entity-resolution
+    * blocker's candidate map (fuzzy matching then compares only within
+    * a block, never across the corpus). Output is bounded by the key
+    * domain; the oracle regenerates every key byte for byte from the
+    * shared recipe generator.
+    */
+  private val phoneticBlocks = Q(
+    "dedup_phonetic_blocks", {
+      val key = graft.functions.TextAnalysis.phoneticKeySql("word")
+      s"""WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS word FROM part),
+         |k AS (SELECT word, $key AS key FROM w),
+         |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n_occ,
+         |             CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+         |             min(word) AS w_min, max(word) AS w_max
+         |      FROM k WHERE key IS NOT NULL GROUP BY 1)
+         |SELECT key, n_occ, n_words, w_min, w_max
+         |FROM g WHERE n_words >= 2""".stripMargin
+    }) { (s, d) =>
+    Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .select(col("word"),
+        graft.functions.TextAnalysis.phoneticKey(col("word")).as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(lcount().as("n_occ"),
+        countDistinct(col("word")).cast(LongType).as("n_words"),
+        min(col("word")).as("w_min"), max(col("word")).as("w_max"))
+      .filter(col("n_words") >= 2)
+  }
+
   /** Item-item collaborative-filtering top-3 ("customers who bought
     * this also bought") over the binary basket incidence: cosine
     * cos(a,b) = n_ab / √(n_a·n_b) — the co-count normalized so ubiquity
@@ -359,5 +392,6 @@ object DmQueries {
         col("spend").cast("double").as("spend"))
   }
 
-  val queries: Seq[Q] = Seq(m9, m10, m13, affinity, assocRules, itemCf, pareto)
+  val queries: Seq[Q] = Seq(m9, m10, m13, affinity, assocRules, itemCf,
+    phoneticBlocks, pareto)
 }
