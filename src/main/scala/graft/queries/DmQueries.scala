@@ -284,6 +284,41 @@ object DmQueries {
       .filter(col("n_words") >= 2)
   }
 
+  /** Phonetically-blocked fuzzy word pairs — the entity-resolution
+    * BLOCK → VERIFY composition over the part-name vocabulary: candidate
+    * pairs come only from within a shared [[graft.functions.TextAnalysis
+    * .phoneticKey]] block (the quadratic is block-bounded, never
+    * vocabulary²), and the verify stage is the exact edit distance
+    * (≤ 2). The pipeline shape every record-linkage pass runs; both the
+    * key and the distance are engine-exact.
+    */
+  private val phoneticPairs = Q(
+    "dedup_phonetic_pairs", {
+      val key = graft.functions.TextAnalysis.phoneticKeySql("word")
+      s"""WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word
+         |           FROM part),
+         |k AS (SELECT word, key
+         |      FROM (SELECT word, $key AS key FROM w)
+         |      WHERE key IS NOT NULL),
+         |p AS (SELECT a.word AS w_a, b.word AS w_b, a.key AS key,
+         |             levenshtein(a.word, b.word) AS dist
+         |      FROM k a JOIN k b ON a.key = b.key AND a.word < b.word)
+         |SELECT w_a, w_b, key, CAST(dist AS BIGINT) AS dist
+         |FROM p WHERE dist <= 2""".stripMargin
+    }) { (s, d) =>
+    val k = Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("word")).distinct()
+      .select(col("word"),
+        graft.functions.TextAnalysis.phoneticKey(col("word")).as("key"))
+      .filter(col("key").isNotNull)
+    k.select(col("word").as("w_a"), col("key"))
+      .join(k.select(col("word").as("w_b"), col("key")), Seq("key"))
+      .filter(col("w_a") < col("w_b"))
+      .select(col("w_a"), col("w_b"), col("key"),
+        levenshtein(col("w_a"), col("w_b")).cast(LongType).as("dist"))
+      .filter(col("dist") <= 2)
+  }
+
   /** Item-item collaborative-filtering top-3 ("customers who bought
     * this also bought") over the binary basket incidence: cosine
     * cos(a,b) = n_ab / √(n_a·n_b) — the co-count normalized so ubiquity
@@ -393,5 +428,5 @@ object DmQueries {
   }
 
   val queries: Seq[Q] = Seq(m9, m10, m13, affinity, assocRules, itemCf,
-    phoneticBlocks, pareto)
+    phoneticBlocks, phoneticPairs, pareto)
 }

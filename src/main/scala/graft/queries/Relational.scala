@@ -1396,6 +1396,44 @@ object Relational {
     }
   }
 
+  /** Exact connected components of the page-transition graph
+    * ([[graft.operators.Dedup.dupClustersStar]] — the large-star/
+    * small-star alternation, O(log n) rounds, no data-sized window):
+    * which page sets are mutually reachable at all — the coarsest
+    * structure under `events_labelprop`'s density communities, and the
+    * same fixed point the doc-dedup clustering machinery computes, here
+    * certified on a graph the oracle can close transitively with a
+    * recursive CTE. Component id = min page id; isolated/self-loop-only
+    * pages have no edge and are absent by contract (both engines).
+    */
+  private val components = Q(
+    "events_components",
+    s"""WITH RECURSIVE ev AS (SELECT user_id, ts, event_id,
+       |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |           FROM events),
+       |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |              k AS dst
+       |       FROM ev),
+       |p AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM tr
+       |      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       |edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+       |reach AS (SELECT src, dst FROM edges
+       |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cl AS (SELECT src AS node, CAST(least(src, min(dst)) AS BIGINT) AS component
+       |       FROM reach GROUP BY 1),
+       |cs AS (SELECT component, $C AS csize FROM cl GROUP BY 1)
+       |SELECT cl.node, cl.component, cs.csize
+       |FROM cl JOIN cs ON cs.component = cl.component""".stripMargin) { (s, d) =>
+    val und = graft.operators.Triangles.undirected(pageTransitions(s, d))
+    val lbl = graft.operators.Dedup.dupClustersStar(
+      und.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+    val cs = lbl.groupBy(col("component")).agg(lcount().as("csize"))
+    lbl.join(cs, Seq("component"))
+      .select(col("node"), col("component"), col("csize"))
+  }
+
   /** First-order Markov next-page model: the empirical transition
     * probability P(dst | src) = c(src,dst)/c(src) over the per-user
     * event stream, plus each page's argmax next page — the sequence
@@ -2515,5 +2553,5 @@ object Relational {
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
     linkPredict, linkRa, markov, labelProp, hits, ppr, bfsHops, seasonality,
-    abTest, changepoint, theilsen)
+    abTest, changepoint, theilsen, components)
 }
