@@ -41,6 +41,43 @@ object Triangles {
       .distinct()
   }
 
+  /** Bounded-round k-core peeling — the dense-subgraph miner: repeat
+    * `rounds` times "drop every node of undirected degree < k and the
+    * edges touching it", and return the survivors with their residual
+    * degree. The full k-core is this peel iterated to a fixed point;
+    * bounding the rounds keeps the operator oracle-replayable (each
+    * round is one degree aggregate + two semi-joins, CTE-unrollable)
+    * and the round count is an explicit knob — on real graphs the peel
+    * converges in a handful of rounds, and a caller wanting the fixed
+    * point re-runs until the survivor count stops moving.
+    *
+    * Scale shape: per round one keyed degree aggregate over the edge
+    * list and two node-key equi-joins back — no window, no collect;
+    * each round's edge frame is checkpointed so the loop's lineage
+    * stays flat. Returns (node, deg) of nodes with ≥ 1 surviving edge.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    def degrees(und: DataFrame): DataFrame =
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).cast(LongType).as("deg"))
+    var und = ckpt(undirected(edges))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("deg") >= k).select(col("node"))
+      und = ckpt(und
+        .join(keep.select(col("node").as("u")), Seq("u"))
+        .join(keep.select(col("node").as("v")), Seq("v"))
+        .select(col("u"), col("v")))
+    }
+    degrees(und)
+  }
+
   /** (node, deg, tri, coeff) per node of `edges` (raw pair list). */
   def nodeTriangles(edges: DataFrame): DataFrame = {
     val und = undirected(edges)

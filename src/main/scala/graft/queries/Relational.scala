@@ -1434,6 +1434,43 @@ object Relational {
       .select(col("node"), col("component"), col("csize"))
   }
 
+  /** 3-round k-core peel of the page-transition graph at k = 3
+    * ([[graft.operators.Triangles.kcorePeel]]): which pages sit in a
+    * dense mutually-linked core after repeatedly shedding degree-< 3
+    * fringe — the dense-subgraph screen (spam-farm / hub-cluster
+    * detection) next to `events_triangles`' per-node density. The
+    * oracle unrolls the three degree-filter rounds as CTEs, so the hash
+    * match certifies every intermediate edge set.
+    */
+  private val kcore = {
+    val (k, rounds) = (3, 3)
+    def round(i: Int): String =
+      s"""d$i AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |      FROM (SELECT u AS node FROM e${i - 1}
+         |            UNION ALL SELECT v FROM e${i - 1})
+         |      GROUP BY 1),
+         |e$i AS (SELECT u, v FROM e${i - 1}
+         |      JOIN d$i a ON a.node = u JOIN d$i b ON b.node = v
+         |      WHERE a.deg >= $k AND b.deg >= $k)""".stripMargin
+    Q(
+      "events_kcore",
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |           FROM events),
+         |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         |              k AS dst
+         |       FROM ev),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM tr
+         |      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |${(1 to rounds).map(round).mkString(",\n")}
+         |SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.operators.Triangles.kcorePeel(pageTransitions(s, d), k, rounds)
+    }
+  }
+
   /** First-order Markov next-page model: the empirical transition
     * probability P(dst | src) = c(src,dst)/c(src) over the per-user
     * event stream, plus each page's argmax next page — the sequence
@@ -2553,5 +2590,5 @@ object Relational {
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
     linkPredict, linkRa, markov, labelProp, hits, ppr, bfsHops, seasonality,
-    abTest, changepoint, theilsen, components)
+    abTest, changepoint, theilsen, components, kcore)
 }

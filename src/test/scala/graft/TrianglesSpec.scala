@@ -47,6 +47,29 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("kcorePeel keeps a clique, sheds a tail, and peels a path round by round") {
+    // 4-clique {1,2,3,4} (internal degree 3) + tail 4-5-6: node 6
+    // (deg 1) and 5 (deg 2) fall in round 1, the clique is stable
+    val clique = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+    val g = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val got = Triangles.kcorePeel(g, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a 6-path at k=2 peels from both ends: 2 nodes per round, empty
+    // after 3 — the round bound is observable, not a fixed point
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Triangles.kcorePeel(path, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap ==
+      Map(2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    assert(Triangles.kcorePeel(path, k = 2, rounds = 3).collect().isEmpty)
+    // duplicate/self-loop edges canonicalize before peeling
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("a", "b")
+    assert(Triangles.kcorePeel(messy, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("clustering coefficient is 1.0 on a clique, 0.0 on a star") {
     val clique = (for {
       a <- 1L to 5L; b <- 1L to 5L if a < b
