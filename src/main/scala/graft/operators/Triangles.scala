@@ -78,6 +78,50 @@ object Triangles {
     degrees(und)
   }
 
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over every (directed-both-ways) edge: do high-degree nodes link to
+    * high-degree nodes (social graphs, r > 0) or to leaves (hub-spoke /
+    * spam-farm topologies, r < 0)? The one-number mixing profile next to
+    * [[nodeTriangles]]' local density. Sufficient statistics accumulate
+    * exactly (degree products in DECIMAL(38,0) — order-independent,
+    * engine-exact); r is the one pinned double sequence, rounded to 12
+    * (the > 2⁵³ decimal→double convention). A degree-regular graph has
+    * zero variance → NULL r. Returns one row (n, r) with n the directed
+    * edge-end count = 2·|edges|.
+    *
+    * Scale shape: one degree aggregate, two node-key joins back, one
+    * global aggregate — no window, no collect.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val und = undirected(edges)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast(LongType).as("deg"))
+    val j = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val e = j.select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(j.select(col("dv").as("x"), col("du").as("y")))
+    val st = e.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(col("x")).cast(LongType).as("sx"),
+      sum(col("y")).cast(LongType).as("sy"),
+      sum(col("x").cast(dec38) * col("y")).cast(dec38).as("sxy"),
+      sum(col("x").cast(dec38) * col("x")).cast(dec38).as("sxx"),
+      sum(col("y").cast(dec38) * col("y")).cast(dec38).as("syy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    st.select(col("n"),
+      when(varX > 0 && varY > 0,
+        round(covN / (sqrt(varX) * sqrt(varY)), 12)).as("r"))
+  }
+
   /** (node, deg, tri, coeff) per node of `edges` (raw pair list). */
   def nodeTriangles(edges: DataFrame): DataFrame = {
     val und = undirected(edges)

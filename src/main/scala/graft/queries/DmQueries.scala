@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.LongType
 import graft.functions.Cleaning.lcount
 import graft.operators.{Scd1, Surrogates}
 import graft.sources.Tables
+import graft.streaming.StreamItemCf
 import graft.queries.Q.C
 
 /** Data-mart propagation queries (reference M9–M13, bl_cl.sql:1410-2148):
@@ -331,9 +332,12 @@ object DmQueries {
     * .pairsFromSortedArray]] — Σ basket², never items²), the rank
     * window partitions by ITEM (key-partitioned, no global window), and
     * the n_ab ≥ 2 support floor prunes one-off noise before the rank.
+    *
+    * Shared with `c35_stream_itemcf`: the maintained pair/item-count
+    * stores read out through [[itemCfTopK]] and certify against this
+    * SAME oracle string — maintained recommender index ≡ one-shot.
     */
-  private val itemCf = Q(
-    "dm_item_cf_topk",
+  private[queries] val itemCfOracleSql: String =
     """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
       |p AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb,
@@ -358,24 +362,22 @@ object DmQueries {
       |       CAST(n_ab AS DOUBLE)
       |         / sqrt(CAST(n_item AS DOUBLE) * CAST(n_rec AS DOUBLE)) AS cosine,
       |       CAST(rnk AS BIGINT) AS rnk
-      |FROM k WHERE rnk <= 3""".stripMargin) { (s, d) =>
-    val b = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val ic = b.groupBy(col("l_partkey")).agg(lcount().as("n_item"))
-    val p = b.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) > 1)
-      .select(explode(graft.operators.Dedup.pairsFromSortedArray(col("parts"))).as("pp"))
-      .groupBy(col("pp.doc_a").as("pa"), col("pp.doc_b").as("pb"))
-      .agg(lcount().as("n_ab"))
+      |FROM k WHERE rnk <= 3""".stripMargin
+
+  /** The recommender tail over (pa, pb, n_ab) pair counts and
+    * (item, n_item) basket counts — shared by the one-shot query and
+    * the streaming maintainer readout.
+    */
+  private[queries] def itemCfTopK(p: org.apache.spark.sql.DataFrame,
+      ic: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val r = p.select(col("pa").as("item"), col("pb").as("rec"), col("n_ab"))
       .unionAll(p.select(col("pb").as("item"), col("pa").as("rec"), col("n_ab")))
       .filter(col("n_ab") >= 2)
     val rnkWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("item"))
       .orderBy(col("cos2_scaled").desc, col("rec"))
-    r.join(ic.select(col("l_partkey").as("item"), col("n_item")), Seq("item"))
-      .join(ic.select(col("l_partkey").as("rec"), col("n_item").as("n_rec")),
+    r.join(ic, Seq("item"))
+      .join(ic.select(col("item").as("rec"), col("n_item").as("n_rec")),
         Seq("rec"))
       .withColumn("cos2_scaled",
         expr("""(cast(n_ab as decimal(38,0)) * n_ab * 1000000000000)
@@ -389,6 +391,13 @@ object DmQueries {
           sqrt(col("n_item").cast("double") * col("n_rec").cast("double")))
           .as("cosine"),
         col("rnk"))
+  }
+
+  private val itemCf = Q("dm_item_cf_topk", itemCfOracleSql) { (s, d) =>
+    val inc = StreamItemCf.basketIncidence(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+    itemCfTopK(StreamItemCf.basketPairCounts(inc),
+      StreamItemCf.itemBasketCounts(inc))
   }
 
   /** Multi-objective best-customer readout: the Pareto front of

@@ -1471,6 +1471,49 @@ object Relational {
     }
   }
 
+  /** Degree-mixing profile of the page-transition graph
+    * ([[graft.operators.Triangles.degreeAssortativity]]): one pinned
+    * Pearson r over endpoint degrees — positive means hubs link to hubs,
+    * negative means hub-and-spoke (the spam-farm topology signature).
+    * Exact DECIMAL(38,0) sufficient statistics; the oracle replays the
+    * identical double sequence.
+    */
+  private val assortativity = Q(
+    "events_assortativity",
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |           FROM events),
+       |tr AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |              k AS dst
+       |       FROM ev),
+       |p AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM tr
+       |      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+       |        GROUP BY 1),
+       |e AS (SELECT da.deg AS x, db.deg AS y
+       |      FROM p JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b
+       |      UNION ALL
+       |      SELECT db.deg, da.deg
+       |      FROM p JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |              CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+       |              CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+       |              CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+       |       FROM e)
+       |SELECT n,
+       |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       |            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12)
+       |       END AS r
+       |FROM st""".stripMargin) { (s, d) =>
+    graft.operators.Triangles.degreeAssortativity(pageTransitions(s, d))
+  }
+
   /** First-order Markov next-page model: the empirical transition
     * probability P(dst | src) = c(src,dst)/c(src) over the per-user
     * event stream, plus each page's argmax next page — the sequence
@@ -2590,5 +2633,5 @@ object Relational {
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
     linkPredict, linkRa, markov, labelProp, hits, ppr, bfsHops, seasonality,
-    abTest, changepoint, theilsen, components, kcore)
+    abTest, changepoint, theilsen, components, kcore, assortativity)
 }

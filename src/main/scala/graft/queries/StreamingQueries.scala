@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.functions.Cleaning.{dsum, lcount}
 import graft.operators.{IncrementalAgg, Sketches}
 import graft.sources.{TableStore, Tables}
-import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamFunnel, StreamMarkov, StreamSemDedup, StreamSketch, StreamSkyline, ViewMaintain}
+import graft.streaming.{EventStream, StreamAnn, StreamAsOf, StreamBm25, StreamCdc, StreamDedup, StreamFunnel, StreamItemCf, StreamMarkov, StreamSemDedup, StreamSketch, StreamSkyline, ViewMaintain}
 import graft.queries.Q.{C, DS}
 
 /** Oracle-registered readouts for every persisted streaming maintainer —
@@ -920,9 +920,40 @@ object StreamingQueries {
     graft.operators.Stats.cusumFromCounts(merged)
   }
 
+  /** Streaming recommender index ([[StreamItemCf.applyBatch]]):
+    * per-(item, item) basket co-occurrence and per-item basket counts
+    * maintained from basket-whole batches (split on the ORDER key — the
+    * commit grain of an order feed — so a basket's pair set is complete
+    * inside its batch and both statistics fold by SUM), read out through
+    * the SAME cosine-lattice top-3 tail as the one-shot
+    * `dm_item_cf_topk` and certified by the SAME oracle string:
+    * maintained "also bought" index ≡ one-shot by construction.
+    */
+  private val itemCfStream = Q(
+    "c35_stream_itemcf", DmQueries.itemCfOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c35").toString)
+    val li = Tables.lineitem(s, d)
+    val fold = StreamItemCf.applyBatch(store, "cfp", "cfi",
+      "l_orderkey", "l_partkey") _
+    (0 to 2).foreach(i =>
+      fold(li.filter(pmod(coalesce(col("l_orderkey"), lit(-1L)), lit(3)) === i),
+        i.toLong))
+    // C1 guard: empty feed → no store partitions ever land
+    val inc0 = StreamItemCf.basketIncidence(
+      li.limit(0), "l_orderkey", "l_partkey")
+    val (pairs, items) =
+      if (store.exists("cfi"))
+        (StreamItemCf.mergedPairCounts(store, "cfp", "cfi"),
+          StreamItemCf.mergedItemCounts(store, "cfi"))
+      else
+        (StreamItemCf.basketPairCounts(inc0),
+          StreamItemCf.itemBasketCounts(inc0))
+    DmQueries.itemCfTopK(pairs, items)
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
     bm25Index, kmvStore, paretoStream, aucStream, funnelStream, stumpStream,
-    calibStream, markovStream, changepointStream)
+    calibStream, markovStream, changepointStream, itemCfStream)
 }

@@ -70,6 +70,21 @@ class TrianglesSpec extends SparkSpec {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("degreeAssortativity: +1 on degree-sorted cliques, -1 on a star, NULL when regular") {
+    // two disjoint cliques of different size: every edge joins equal
+    // degrees, and degrees vary across edges -> perfectly assortative
+    val tri = (for { a <- 1L to 3L; b <- 1L to 3L if a < b } yield (a, b))
+    val quad = (for { a <- 11L to 14L; b <- 11L to 14L if a < b } yield (a, b))
+    val sorted = Triangles.degreeAssortativity((tri ++ quad).toDF("a", "b")).head()
+    assert(sorted.getLong(0) == 18L && sorted.getDouble(1) == 1.0)
+    // star: every edge joins the hub (deg 5) to a leaf (deg 1) -> -1
+    val star = (2L to 6L).map(b => (1L, b)).toDF("a", "b")
+    val hub = Triangles.degreeAssortativity(star).head()
+    assert(hub.getLong(0) == 10L && hub.getDouble(1) == -1.0)
+    // a single clique is degree-regular: zero variance -> NULL
+    assert(Triangles.degreeAssortativity(tri.toDF("a", "b")).head().isNullAt(1))
+  }
+
   test("clustering coefficient is 1.0 on a clique, 0.0 on a star") {
     val clique = (for {
       a <- 1L to 5L; b <- 1L to 5L if a < b
