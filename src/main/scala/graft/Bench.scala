@@ -16,13 +16,13 @@ import org.apache.spark.sql.SparkSession
   * Robustness against the harness's wall-clock cap (this host's CPU
   * allotment swings >10x between minutes, so a locally-fast run can blow
   * the cap):
-  *   - a wall budget (SPARK_GRAFT_BENCH_BUDGET_S, default 720s of timed
+  *   - a wall budget (SPARK_GRAFT_BENCH_BUDGET_S, default 870s of timed
   *     work measured from JVM start — 480 until the catalog passed ~240
   *     queries, 600 in r16, 660 at the 255+-query catalog, 700 at 274,
-  *     720 at 284: warmup + two
-  *     full passes need ~500–650s on a median window and r16's official
-  *     run, 600.6s wall with rc 0, proved the harness cap sits above
-  *     600) stops
+  *     720 at 284, 870 at 300: warm warmup ≈ 150s + two full passes ≈
+  *     2×340s on a median window; a locally-run 908s wall completed with
+  *     rc 0 (r20), and r16's official 600.6s run proved the harness cap
+  *     sits above 600) stops
   *     issuing new queries once exceeded, recording the remainder as
   *     "skipped" instead of dying mid-run with no output at all;
   *   - a JVM shutdown hook prints the partial JSON line if the process is
@@ -52,7 +52,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "720").toDouble
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "870").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
