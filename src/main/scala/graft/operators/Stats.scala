@@ -678,6 +678,53 @@ object Stats {
         lit(1000000000000.0)).as("mean_score"),
       (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
 
+  /** Isotonic (monotone) calibration over a [[calibrationBins]] frame —
+    * the PAV fit every production probability calibrator applies when
+    * the reliability diagram wiggles: the best monotone-nondecreasing
+    * approximation of the per-bucket positive rate under the bin-count
+    * weights, via the closed MINIMAX form
+    *
+    *   iso(t) = max_{i ≤ t} min_{j ≥ t} pool(i, j),
+    *   pool(i, j) = Σ_{k=i..j} n_pos_k / Σ_{k=i..j} n_k
+    *
+    * (equal to pool-adjacent-violators on exact rationals). Every pooled
+    * rate is evaluated on the 10¹² truncating lattice — the minimax over
+    * those integers is the CONTRACT, deterministic in both engines, and
+    * monotone regardless of truncation (larger t only shrinks the inner
+    * j-set and grows the outer i-set) — so the fitted curve is
+    * reproducible bit for bit; iso_prob is pinned at the edge.
+    *
+    * Scale shape: all joins range over the BUCKET DOMAIN (≤ 11 rows at
+    * any corpus size — the O(D³) segment enumeration is constant work),
+    * after one corpus-wide bin aggregate. Returns one row per bucket
+    * (bucket, n, n_pos, frac_pos, iso_scaled, iso_prob), monotone in
+    * iso_scaled.
+    */
+  def isotonicCalibration(bins: DataFrame): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val b = bins.select(col("bucket"), col("n"), col("n_pos"))
+    val seg = b.select(col("bucket").as("bi"))
+      .join(b.select(col("bucket").as("bj")), col("bi") <= col("bj"))
+      .join(b, col("bucket") >= col("bi") && col("bucket") <= col("bj"))
+      .groupBy(col("bi"), col("bj"))
+      .agg(sum(col("n")).cast(LongType).as("sn"),
+        sum(col("n_pos")).cast(LongType).as("sp"))
+      .withColumn("fl",
+        expr(s"(cast(sp as $dec38) * 1000000000000) div sn"))
+    val iso = b.select(col("bucket").as("bt"))
+      .join(seg, col("bi") <= col("bt") && col("bj") >= col("bt"))
+      .groupBy(col("bt"), col("bi"))
+      .agg(min(col("fl")).as("mn"))
+      .groupBy(col("bt"))
+      .agg(max(col("mn")).cast(dec38).as("iso_scaled"))
+    bins.join(iso, col("bucket") === col("bt"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+        col("iso_scaled"),
+        (col("iso_scaled").cast("double") / lit(1000000000000.0))
+          .as("iso_prob"))
+  }
+
   /** Single mean-shift changepoint of a counting process by the exact
     * CUSUM lattice — the feed-monitoring question "WHEN did the volume
     * change", where [[driftChi2]]/[[ksTwoSample]] only answer "did it".
@@ -779,6 +826,42 @@ object Stats {
       .select(col("__x").as("cp_time"), col("t_rows"), col("n"), col("u_abs"),
         (col("u_abs").cast("double") * lit(4.0) /
           (col("n").cast("double") * col("n").cast("double"))).as("u_norm"))
+  }
+
+  /** Mann–Kendall trend test over the per-time-bucket counting process —
+    * [[theilSen]]'s significance twin: S = Σ_{i<j} sgn(x_j − x_i) over
+    * the time-ordered buckets (an exact integer), the tie-corrected
+    * variance numerator var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) in
+    * DECIMAL(38,0), and the continuity-corrected normal score
+    * z = (S − sgn S)/√(var18/18) as one pinned double sequence. Monotone
+    * drift that a mean-based test dilutes shows up here regardless of
+    * the magnitude profile. Returns one row (n_times, s, var18, z);
+    * z is NULL when the variance vanishes (constant or ≤ 1 bucket).
+    *
+    * Scale shape: the pair set is the time-domain-bounded bucket
+    * self-join (calendar², not data²) after one corpus-wide count
+    * aggregate; tie groups are one further tiny aggregate.
+    */
+  def mannKendall(df: DataFrame, time: Column): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val per = perTimeCounts(df, time)
+    val a = per.select(col("__x").as("ta"), col("n").as("xa"))
+    val b = per.select(col("__x").as("tb"), col("n").as("xb"))
+    val sAgg = a.join(b, col("tb") > col("ta"))
+      .agg(coalesce(sum(signum(col("xb") - col("xa")).cast(LongType)), lit(0L))
+        .cast(LongType).as("s"))
+    val nt = per.agg(count(lit(1)).cast(LongType).as("n_times"))
+    val ties = per.groupBy(col("n")).agg(count(lit(1)).cast(LongType).as("t"))
+      .agg(coalesce(sum(expr(s"cast(t as $dec38) * (t - 1) * (2 * t + 5)")),
+        lit(0).cast(dec38)).cast(dec38).as("tsum"))
+    sAgg.crossJoin(broadcast(nt)).crossJoin(broadcast(ties))
+      .select(col("n_times"), col("s"),
+        (expr(s"cast(n_times as $dec38) * (n_times - 1) * (2 * n_times + 5)") -
+          col("tsum")).cast(dec38).as("var18"))
+      .select(col("n_times"), col("s"), col("var18"),
+        when(col("var18") > 0,
+          (col("s") - signum(col("s"))).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0))).as("z"))
   }
 
   /** Theil–Sen robust trend slope of a (x, y) series with UNIQUE integer

@@ -747,6 +747,49 @@ object MlQueries {
       Tables.documents(s, d), col("n_chars"), col("lang") === "en"))
   }
 
+  /** Isotonic (PAV) calibration of the length→English classifier
+    * ([[Stats.isotonicCalibration]] over the same bins as
+    * `ml_calibration`): the monotone-nondecreasing fit of the per-decile
+    * positive rate — what a serving pipeline applies when the raw
+    * reliability diagram wiggles — via the closed minimax form on the
+    * 10¹² lattice, so the fitted curve is reproducible bit for bit. All
+    * pooling enumeration is bucket-domain work (≤ 11 rows), constant at
+    * any corpus size.
+    */
+  private val isotonic = Q(
+    "ml_isotonic",
+    """WITH v AS (SELECT n_chars AS nc, (lang = 'en') AS pos
+      |           FROM documents
+      |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      |b AS (SELECT CAST((10 * nc) // (nc + 500) AS BIGINT) AS bucket,
+      |             CASE WHEN pos THEN 1 ELSE 0 END AS p
+      |      FROM v),
+      |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(SUM(p) AS BIGINT) AS n_pos
+      |      FROM b GROUP BY 1),
+      |seg AS (SELECT i.bucket AS bi, j.bucket AS bj,
+      |               CAST(SUM(k.n) AS BIGINT) AS sn,
+      |               CAST(SUM(k.n_pos) AS BIGINT) AS sp
+      |        FROM g i JOIN g j ON i.bucket <= j.bucket
+      |               JOIN g k ON k.bucket >= i.bucket AND k.bucket <= j.bucket
+      |        GROUP BY 1, 2),
+      |fl AS (SELECT bi, bj,
+      |              (CAST(sp AS HUGEINT) * 1000000000000) // sn AS fl
+      |       FROM seg),
+      |im AS (SELECT t.bucket AS bt, f.bi, MIN(f.fl) AS mn
+      |       FROM g t JOIN fl f ON f.bi <= t.bucket AND f.bj >= t.bucket
+      |       GROUP BY 1, 2),
+      |iso AS (SELECT bt, CAST(MAX(mn) AS DECIMAL(38,0)) AS iso_scaled
+      |        FROM im GROUP BY 1)
+      |SELECT g.bucket, g.n, g.n_pos,
+      |       CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS frac_pos,
+      |       iso_scaled,
+      |       CAST(iso_scaled AS DOUBLE) / 1000000000000.0 AS iso_prob
+      |FROM g JOIN iso ON iso.bt = g.bucket""".stripMargin) { (s, d) =>
+    Stats.isotonicCalibration(Stats.calibrationBins(
+      Tables.documents(s, d), col("n_chars"), col("lang") === "en"))
+  }
+
   /** Shared with `c31_stream_stump`: the maintained score-count store's
     * stump readout must hash-match this same one-shot lattice — one
     * oracle string certifying both faces (the aucOracleSql pattern).
@@ -881,5 +924,6 @@ object MlQueries {
     benford, drift, featureHash, bigramLm, tfidfKnn, bpeMerges,
     targetEncode, anova, giniQ, bpeVocab,
     mad, chi2Select, corrMatrix, quantileBin, linearScore, ksTest, cramers,
-    auc, spearman, prPoints, calibration, fdAudit, stump, lmHeldout, pettitt)
+    auc, spearman, prPoints, calibration, isotonic, fdAudit, stump, lmHeldout,
+    pettitt)
 }

@@ -1471,15 +1471,50 @@ object Relational {
     }
   }
 
+  /** Mann–Kendall monotone-trend test of hourly event volume
+    * ([[graft.operators.Stats.mannKendall]]): is the feed drifting at
+    * all — the significance twin of `events_theilsen`'s slope (S and
+    * the tie-corrected variance are exact integers; z is one pinned
+    * continuity-corrected sequence). The pair set is calendar-bounded.
+    */
+  private val mannKendallQ = Q(
+    "events_mann_kendall",
+    """WITH per AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+      |                   CAST(count(*) AS BIGINT) AS n
+      |            FROM events GROUP BY 1),
+      |p AS (SELECT CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sg
+      |      FROM per a JOIN per b ON b.h > a.h),
+      |sa AS (SELECT CAST(COALESCE(SUM(sg), 0) AS BIGINT) AS s FROM p),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_times FROM per),
+      |tg AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0) AS HUGEINT) AS tsum
+      |       FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM per GROUP BY n)),
+      |v AS (SELECT n_times, s,
+      |             CAST(CAST(n_times AS HUGEINT) * (n_times - 1) * (2 * n_times + 5)
+      |                  - tsum AS DECIMAL(38,0)) AS var18
+      |      FROM sa CROSS JOIN nt CROSS JOIN tg)
+      |SELECT n_times, s, var18,
+      |       CASE WHEN var18 > 0 THEN
+      |         CAST(s - (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END) AS DOUBLE)
+      |           / sqrt(CAST(var18 AS DOUBLE) / 18.0) END AS z
+      |FROM v""".stripMargin) { (s, d) =>
+    graft.operators.Stats.mannKendall(
+      Tables.events(s, d),
+      date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+  }
+
   /** Degree-mixing profile of the page-transition graph
     * ([[graft.operators.Triangles.degreeAssortativity]]): one pinned
     * Pearson r over endpoint degrees — positive means hubs link to hubs,
     * negative means hub-and-spoke (the spam-farm topology signature).
     * Exact DECIMAL(38,0) sufficient statistics; the oracle replays the
     * identical double sequence.
+    *
+    * Shared with `c36_stream_assortativity`: the stream-maintained
+    * transition-count store's edge set derives the SAME undirected
+    * graph, so its readout certifies against this SAME oracle string —
+    * maintained graph analytics ≡ one-shot.
     */
-  private val assortativity = Q(
-    "events_assortativity",
+  private[queries] val assortativityOracleSql: String =
     s"""WITH ev AS (SELECT user_id, ts, event_id,
        |                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
        |           FROM events),
@@ -1510,7 +1545,10 @@ object Relational {
        |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12)
        |       END AS r
-       |FROM st""".stripMargin) { (s, d) =>
+       |FROM st""".stripMargin
+
+  private val assortativity = Q(
+    "events_assortativity", assortativityOracleSql) { (s, d) =>
     graft.operators.Triangles.degreeAssortativity(pageTransitions(s, d))
   }
 
@@ -2633,5 +2671,6 @@ object Relational {
     quantilesApprox,
     qaHistogram, qaHistogramDepth, qaKAnon, pagerank, triangles, dailyDistinct,
     linkPredict, linkRa, markov, labelProp, hits, ppr, bfsHops, seasonality,
-    abTest, changepoint, theilsen, components, kcore, assortativity)
+    abTest, changepoint, theilsen, components, kcore, assortativity,
+    mannKendallQ)
 }

@@ -951,9 +951,42 @@ object StreamingQueries {
     DmQueries.itemCfTopK(pairs, items)
   }
 
+  /** Stream-maintained graph analytics ([[StreamMarkov]] store →
+    * [[graft.operators.Triangles.degreeAssortativity]]): the maintained
+    * per-(src, dst) transition counts ARE the page graph — any graph
+    * analytic is a pure readout of the store, certified here by the
+    * SAME oracle string as the one-shot `events_assortativity`. The
+    * pattern a 100 TB pipeline wants: fold the stream once, answer
+    * every graph question from the maintained edge multiset without
+    * re-deriving transitions from raw events.
+    */
+  private val assortStream = Q(
+    "c36_stream_assortativity", Relational.assortativityOracleSql) { (s, d) =>
+    val store = new TableStore(s, Files.createTempDirectory("graft_c36").toString)
+    val ev = Relational.pageEvents(s, d)
+    val fold = StreamMarkov.applyBatch(store, "mcnt", "mlast",
+      "user_id", "ts", "event_id", "k") _
+    val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      .orderBy(col("day")).collect().map(_.getDate(0))
+    if (days.nonEmpty) {
+      val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
+      fold(ev.filter(to_date(col("ts")) < lit(d1)), 0L)
+      fold(ev.filter(to_date(col("ts")) >= lit(d1) &&
+        to_date(col("ts")) < lit(d2)), 1L)
+      fold(ev.filter(to_date(col("ts")) >= lit(d2)), 2L)
+    }
+    // C1 guard: empty feed → no count partitions ever land
+    val edges =
+      if (store.exists("mcnt"))
+        StreamMarkov.mergedCounts(store, "mcnt", "mlast")
+          .select(col("src"), col("dst"))
+      else ev.limit(0).select(col("k").as("src"), col("k").as("dst"))
+    graft.operators.Triangles.degreeAssortativity(edges)
+  }
+
   val queries: Seq[Q] = Seq(cdcMirror, viewAgg, nearDupLog, substringStore,
     annLog, hllRegisters, asofStream, dsirStore, semDedupStore,
     prefixJaccardStream, editPairsStream, dupClustersStream, hammingStream,
     bm25Index, kmvStore, paretoStream, aucStream, funnelStream, stumpStream,
-    calibStream, markovStream, changepointStream, itemCfStream)
+    calibStream, markovStream, changepointStream, itemCfStream, assortStream)
 }

@@ -114,6 +114,8 @@ class PlanSpec extends SparkSpec {
       "events_changepoint", // 1-row broadcast totals frame (the CUSUM scalars)
       "c34_stream_changepoint", // same CUSUM tail over the maintained per-hour count store
       "qa_pettitt", // 1-row broadcast row-total frame (the U_t lattice scalar)
+      "ml_isotonic", // ≤11-row bucket-domain self-joins (the PAV segment enumeration)
+      "events_mann_kendall", // calendar-bounded bucket pair join + 1-row S/n/tie frames
       "text_lm_heldout", // 1-row broadcast train-vocabulary-size frame (the Laplace denominator)
       "events_theilsen", // (days)² pair join on the calendar-bounded daily frame + 1-row count
       "dm_assoc_rules" // 1-row broadcast basket-total frame (the support/lift denominator)

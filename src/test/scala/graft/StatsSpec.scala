@@ -264,6 +264,65 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("isotonicCalibration pools violations like in-memory PAV and stays monotone") {
+    // fracs 0.1, 0.5, 0.3, 0.7 with equal weights: PAV pools the
+    // (0.5, 0.3) violation to 0.4 -> iso = 0.1, 0.4, 0.4, 0.7
+    val bins = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 3L), (3L, 10L, 7L))
+      .toDF("bucket", "n", "n_pos")
+      .withColumn("ssum", lit(0).cast("decimal(38,0)"))
+    val got = Stats.isotonicCalibration(bins).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(got == Map(0L -> 0.1, 1L -> 0.4, 2L -> 0.4, 3L -> 0.7))
+    // weighted pooling + lattice minimax == BigInt replay on random bins
+    val rnd = new scala.util.Random(11)
+    val rb = (0L until 9L).map(bkt =>
+      (bkt, 1L + rnd.nextInt(50).toLong, rnd.nextInt(40).toLong))
+      .map { case (b, n, p) => (b, n, math.min(n, p)) }
+    def latticeIso: Map[Long, BigInt] = {
+      val S = BigInt("1000000000000")
+      def pool(i: Int, j: Int): BigInt = {
+        val seg = rb.slice(i, j + 1)
+        S * seg.map(_._3).sum / seg.map(_._2).sum
+      }
+      rb.indices.map { t =>
+        rb(t)._1 -> (0 to t).map(i =>
+          (t until rb.size).map(j => pool(i, j)).min).max
+      }.toMap
+    }
+    val gr = Stats.isotonicCalibration(
+      rb.toDF("bucket", "n", "n_pos")
+        .withColumn("ssum", lit(0).cast("decimal(38,0)")))
+      .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(4).toBigInteger))
+      .toMap
+    assert(gr == latticeIso)
+    // monotone by construction
+    val seq = gr.toSeq.sortBy(_._1).map(_._2)
+    assert(seq.zip(seq.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("mannKendall: exact S and tie-corrected variance, z poles") {
+    // strictly increasing counts per bucket: S = C(4,2) = 6 pairs all +1
+    val up = Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4)
+      .flatMap { case (t, n) => Seq.fill(n)(t) }
+    val r = Stats.mannKendall(up.map(Tuple1(_)).toDF("t"), col("t")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
+    // no ties: var18 = 4*3*13 = 156; z = (6-1)/sqrt(156/18)
+    assert(r.getDecimal(2).longValueExact == 156L)
+    assert(r.getDouble(3) == 5.0 / math.sqrt(156.0 / 18.0))
+    // constant series: every pair ties -> S = 0, var18 = 0 -> z NULL
+    val flat = Seq(1, 2, 3).flatMap(t => Seq.fill(2)(t))
+    val fr = Stats.mannKendall(flat.map(Tuple1(_)).toDF("t"), col("t")).head()
+    assert(fr.getLong(1) == 0L && fr.getDecimal(2).longValueExact == 0L &&
+      fr.isNullAt(3))
+    // mixed ties: buckets with counts 2,1,2,3 -> pairs sgn:
+    // (2,1)-1 (2,2)0 (2,3)+1 (1,2)+1 (1,3)+1 (2,3)+1 -> S=3; tie group
+    // {2,2}: t=2 -> tsum = 2*1*9 = 18; var18 = 4*3*13 - 18 = 138
+    val mixed = Seq(1 -> 2, 2 -> 1, 3 -> 2, 4 -> 3)
+      .flatMap { case (t, n) => Seq.fill(n)(t) }
+    val mr = Stats.mannKendall(mixed.map(Tuple1(_)).toDF("t"), col("t")).head()
+    assert(mr.getLong(1) == 3L && mr.getDecimal(2).longValueExact == 138L)
+  }
+
   test("pettittChangepoint == brute-force sgn double sum, ties included, at several range counts") {
     // values shift distribution after t=3; ties across the boundary
     val rows = Seq((1, 10), (1, 12), (2, 11), (3, 10),
