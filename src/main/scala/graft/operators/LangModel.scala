@@ -118,7 +118,10 @@ object LangModel {
       .agg(
         count(lit(1)).cast(LongType).as("n_trans"),
         sum(col("oov")).cast(LongType).as("n_oov"),
-        (sum(col("p_scaled")).cast("double") /
+        // accumulate through DECIMAL(38,0): each p_scaled term is ~10¹²,
+        // so a LongType sum wraps silently (non-ANSI) past ~9.2M
+        // transitions in one document — the oracle sums in HUGEINT
+        (sum(col("p_scaled").cast("decimal(38,0)")).cast("double") /
           count(lit(1)).cast("double") /
           lit(Scale).cast("double")).as("avg_prob"))
   }
@@ -138,7 +141,9 @@ object LangModel {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast(LongType).as("n_trans"),
-        (sum(col("p_scaled")).cast("double") /
+        // DECIMAL(38,0) accumulator — same silent-wrap guard as
+        // bigramScoreHeldout (terms are ~10¹² each)
+        (sum(col("p_scaled").cast("decimal(38,0)")).cast("double") /
           count(lit(1)).cast("double") /
           lit(Scale).cast("double")).as("avg_prob"))
   }

@@ -437,7 +437,7 @@ object Stats {
     * Scale shape: per-distinct-score (pos, neg) counts, the
     * [[cumCounts]] sweep, one final aggregate. Degenerate inputs
     * (a single class) yield NULL auc. Returns one row
-    * (n_pos, n_neg, auc2pn, auc).
+    * (n_pos, n_neg, auc_e12, auc).
     */
   def aucExact(df: DataFrame, score: Column, label: Column,
       xType: String = "decimal(18,4)", nRanges: Int = 32): DataFrame =
@@ -468,10 +468,21 @@ object Stats {
         (lit(2) * (col("cumb") - col("cb")) + col("cb"))).as("term"))
       .agg(sum(col("term")).cast(dec38).as("auc2pn"))
       .crossJoin(broadcast(tot))
-      .select(col("n_pos"), col("n_neg"), col("auc2pn"),
+      .select(col("n_pos"), col("n_neg"),
+        // the certified surface carries the SCALE-PROOF form of the
+        // lattice: auc_e12 = (auc2pn·10¹²) div (2·p·n) ∈ [0, 10¹²] is
+        // BIGINT at ANY corpus size (the raw auc2pn ≤ 2pn outgrows
+        // int64 past ~2·10⁹ rows per class and wide decimals don't
+        // hash portably across engines); the division is the exact
+        // truncating decimal `div`, reproducible bit for bit
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          col("auc2pn").cast("double") /
-            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          expr("(auc2pn * 1000000000000) div " +
+            "(2 * cast(n_pos as decimal(38,0)) * n_neg)"))
+          .cast(LongType).as("auc_e12"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("auc2pn").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+            12))
           .as("auc"))
   }
 
@@ -601,7 +612,7 @@ object Stats {
     * scores, one 1-row broadcast totals cross, and a TakeOrdered(1) over
     * score-domain-bounded candidates — no data-sized window, no collect.
     * Returns ≤ 1 row (thr, n_left, pos_left, n_right, pos_right,
-    * gini_scaled, gini).
+    * gini_e12, gini).
     */
   def giniStump(per: DataFrame, nRanges: Int = 32): DataFrame = {
     require(nRanges >= 1, s"need a positive range count, got $nRanges")
@@ -635,12 +646,16 @@ object Stats {
           .cast(dec38).as("gini_scaled"))
       .orderBy(col("gini_scaled"), col("__x"))
       .limit(1)
+      // the argmin key stays the full G·N·10¹² decimal lattice; the
+      // certified surface carries gini_e12 = gini_scaled div N ∈
+      // [0, 5·10¹¹] — BIGINT at any scale (wide decimals don't hash
+      // portably) — and the pinned impurity rounded to 12
       .select(col("__x").cast("double").as("thr"),
         col("nl").as("n_left"), col("pl").as("pos_left"),
         col("nr").as("n_right"), col("pr").as("pos_right"),
-        col("gini_scaled"),
-        (col("gini_scaled").cast("double") / lit(1000000000000.0) /
-          col("n").cast("double")).as("gini"))
+        expr("gini_scaled div n").cast(LongType).as("gini_e12"),
+        round(col("gini_scaled").cast("double") / lit(1000000000000.0) /
+          col("n").cast("double"), 12).as("gini"))
   }
 
   /** Per-decile calibration-bin sufficient statistics of the
@@ -697,8 +712,8 @@ object Stats {
     * Scale shape: all joins range over the BUCKET DOMAIN (≤ 11 rows at
     * any corpus size — the O(D³) segment enumeration is constant work),
     * after one corpus-wide bin aggregate. Returns one row per bucket
-    * (bucket, n, n_pos, frac_pos, iso_scaled, iso_prob), monotone in
-    * iso_scaled.
+    * (bucket, n, n_pos, frac_pos, iso_e12, iso_prob), monotone in
+    * iso_e12.
     */
   def isotonicCalibration(bins: DataFrame): DataFrame = {
     val dec38 = "decimal(38,0)"
@@ -718,10 +733,14 @@ object Stats {
       .groupBy(col("bt"))
       .agg(max(col("mn")).cast(dec38).as("iso_scaled"))
     bins.join(iso, col("bucket") === col("bt"))
+      // iso_e12 ∈ [0, 10¹²] by construction (a pooled rate ≤ 1), so the
+      // certified surface carries it as BIGINT at any scale (wide
+      // decimals don't hash portably); both rate doubles pinned at 12
       .select(col("bucket"), col("n"), col("n_pos"),
-        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"),
-        col("iso_scaled"),
-        (col("iso_scaled").cast("double") / lit(1000000000000.0))
+        round(col("n_pos").cast("double") / col("n").cast("double"), 12)
+          .as("frac_pos"),
+        col("iso_scaled").cast(LongType).as("iso_e12"),
+        round(col("iso_scaled").cast("double") / lit(1000000000000.0), 12)
           .as("iso_prob"))
   }
 
@@ -736,7 +755,7 @@ object Stats {
     * EARLIEST time) is reproducible bit for bit. The last time value is
     * excluded (a split after it leaves no right side), so a single
     * distinct time yields an EMPTY result. Returns ≤ 1 row
-    * (cp_time, t, n_times, total, dev_scaled, cusum) with cusum =
+    * (cp_time, t, n_times, total, cusum_e12, cusum) with cusum =
     * dev/(H·T) pinned at the edge — 0 exactly on a flat series.
     *
     * Scale shape: one keyed aggregate to per-time counts, the two-pass
@@ -774,10 +793,17 @@ object Stats {
           col("cumb").cast(dec38) * col("total")).cast(dec38).as("dev_scaled"))
       .orderBy(col("dev_scaled").desc, col("__x"))
       .limit(1)
+      // the argmax key stays the full H·T-sized decimal lattice; the
+      // certified surface carries cusum_e12 = (dev·10¹²) div (H·T) ∈
+      // [0, 10¹²] — BIGINT at any scale (wide decimals don't hash
+      // portably) — plus the pinned statistic rounded to 12
       .select(col("__x").as("cp_time"), col("t"), col("n_times"),
-        col("total"), col("dev_scaled"),
-        (col("dev_scaled").cast("double") /
-          (col("n_times").cast("double") * col("total").cast("double")))
+        col("total"),
+        expr("(dev_scaled * 1000000000000) div " +
+          "(cast(n_times as decimal(38,0)) * total)")
+          .cast(LongType).as("cusum_e12"),
+        round(col("dev_scaled").cast("double") /
+          (col("n_times").cast("double") * col("total").cast("double")), 12)
           .as("cusum"))
   }
 
@@ -823,9 +849,14 @@ object Stats {
           col("cumb").cast(dec38) * (col("n") + 1)).cast(dec38).as("u_abs"))
       .orderBy(col("u_abs").desc, col("__x"))
       .limit(1)
-      .select(col("__x").as("cp_time"), col("t_rows"), col("n"), col("u_abs"),
-        (col("u_abs").cast("double") * lit(4.0) /
-          (col("n").cast("double") * col("n").cast("double"))).as("u_norm"))
+      // u_abs ≤ 2n² sits in the SAME BIGINT lane the cumulative sweep
+      // already requires (headroom note above), so the certified
+      // surface presents it as BIGINT (wide decimals don't hash
+      // portably); u_norm pinned at 12
+      .select(col("__x").as("cp_time"), col("t_rows"), col("n"),
+        col("u_abs").cast(LongType).as("u_abs"),
+        round(col("u_abs").cast("double") * lit(4.0) /
+          (col("n").cast("double") * col("n").cast("double")), 12).as("u_norm"))
   }
 
   /** Mann–Kendall trend test over the per-time-bucket counting process —
@@ -858,10 +889,15 @@ object Stats {
       .select(col("n_times"), col("s"),
         (expr(s"cast(n_times as $dec38) * (n_times - 1) * (2 * n_times + 5)") -
           col("tsum")).cast(dec38).as("var18"))
-      .select(col("n_times"), col("s"), col("var18"),
+      // var18 ≤ 2·H³ over CALENDAR-bounded buckets (H = 10⁶ hours is a
+      // century) fits BIGINT with 10⁶× headroom, so the certified
+      // surface presents it as BIGINT (wide decimals don't hash
+      // portably); z pinned at 12
+      .select(col("n_times"), col("s"),
+        col("var18").cast(LongType).as("var18"),
         when(col("var18") > 0,
-          (col("s") - signum(col("s"))).cast("double") /
-            sqrt(col("var18").cast("double") / lit(18.0))).as("z"))
+          round((col("s") - signum(col("s"))).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)), 12)).as("z"))
   }
 
   /** Theil–Sen robust trend slope of a (x, y) series with UNIQUE integer
@@ -876,7 +912,7 @@ object Stats {
     * median is the exact distributed rank-ceil(m/2) selection
     * ([[exactQuantiles]] — range shuffle, no global window), so the
     * slope is reproducible bit for bit. Returns ≤ 1 row
-    * (n_pairs, slope_scaled, slope); < 2 distinct x yields EMPTY.
+    * (n_pairs, slope); < 2 distinct x yields EMPTY.
     *
     * Scale shape: the pair set is a self-join of the per-x frame —
     * O(D²) in the DOMAIN size D (days/hours of a feed), independent of
@@ -894,10 +930,15 @@ object Stats {
         expr(s"(cast(r as $dec38) * 1000000000000) div dx"))
         .cast(dec38).as("slope_scaled"))
     val m = slopes.agg(count(lit(1)).cast(LongType).as("n_pairs"))
+    // the median selection runs on the full decimal lattice; the
+    // certified surface presents only (n_pairs, slope) — the raw
+    // ⌊slope·10¹²⌋ key is data-magnitude-sized (no BIGINT bound to
+    // promise) and wide decimals don't hash portably. slope pinned
+    // at 12.
     exactQuantiles(slopes, "slope_scaled", Seq(BigDecimal("0.5")))
       .crossJoin(broadcast(m))
-      .select(col("n_pairs"), col("slope_scaled"),
-        (col("slope_scaled").cast("double") / lit(1000000000000.0))
+      .select(col("n_pairs"),
+        round(col("slope_scaled").cast("double") / lit(1000000000000.0), 12)
           .as("slope"))
   }
 
@@ -916,7 +957,7 @@ object Stats {
     * window, partition-local cumulative windows — the same two-pass
     * sweep as [[graft.operators.Skyline]]; no single task ever holds
     * more than its value range. Returns one row
-    * (n_a, n_b, d_scaled, d).
+    * (n_a, n_b, d_e12, d).
     */
   def ksTwoSample(df: DataFrame, value: Column, isA: Column,
       xType: String = "decimal(18,4)", nRanges: Int = 32): DataFrame = {
@@ -936,9 +977,19 @@ object Stats {
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(abs(col("cuma").cast(dec38) * col("n_b") -
         col("cumb").cast(dec38) * col("n_a"))).cast(dec38).as("d_scaled"))
-      .select(col("n_a"), col("n_b"), col("d_scaled"),
-        (col("d_scaled").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"))
+      // certified surface: d_e12 = (d_scaled·10¹²) div (n_a·n_b) ∈
+      // [0, 10¹²] — BIGINT at any scale (the raw lattice is n_a·n_b-
+      // sized and wide decimals don't hash portably); exact truncating
+      // decimal div, plus the pinned D rounded to 12
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(d_scaled * 1000000000000) div " +
+            "(cast(n_a as decimal(38,0)) * n_b)"))
+          .cast(LongType).as("d_e12"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("d_scaled").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 12))
+          .as("d"))
   }
 
   /** Robust outlier profile via MEDIAN / MAD — the heavy-tail-safe

@@ -533,13 +533,19 @@ object MlQueries {
       |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
       |               CAST(SUM(cb) AS BIGINT) AS n_b
       |        FROM per)
-      |SELECT n_a, n_b, d_scaled,
-      |       CAST(d_scaled AS DOUBLE)
-      |         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+      |SELECT n_a, n_b,
+      |       CASE WHEN n_a > 0 AND n_b > 0
+      |            THEN CAST((d_scaled * 1000000000000)
+      |                      // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+      |       END AS d_e12,
+      |       CASE WHEN n_a > 0 AND n_b > 0
+      |            THEN round(CAST(d_scaled AS DOUBLE)
+      |                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 12)
+      |       END AS d
       |FROM (SELECT n_a, n_b,
-      |             CAST(max(abs(CAST(cuma AS DECIMAL(38,0)) * n_b
-      |                          - CAST(cumb AS DECIMAL(38,0)) * n_a))
-      |                  AS DECIMAL(38,0)) AS d_scaled
+      |             CAST(max(abs(CAST(cuma AS HUGEINT) * n_b
+      |                          - CAST(cumb AS HUGEINT) * n_a))
+      |                  AS HUGEINT) AS d_scaled
       |      FROM cum CROSS JOIN tot GROUP BY 1, 2)""".stripMargin) { (s, d) =>
     Stats.ksTwoSample(Tables.orders(s, d), col("o_totalprice"),
       col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -616,12 +622,16 @@ object MlQueries {
       |               CAST(SUM(cb) AS BIGINT) AS n_neg
       |        FROM per),
       |s AS (SELECT CAST(SUM(CAST(ca AS HUGEINT)
-      |                       * (2 * (cumb - cb) + cb)) AS DECIMAL(38,0)) AS auc2pn
+      |                       * (2 * (cumb - cb) + cb)) AS HUGEINT) AS auc2pn
       |      FROM cum)
-      |SELECT n_pos, n_neg, auc2pn,
+      |SELECT n_pos, n_neg,
       |       CASE WHEN n_pos > 0 AND n_neg > 0
-      |            THEN CAST(auc2pn AS DOUBLE)
-      |                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+      |            THEN CAST((auc2pn * 1000000000000)
+      |                      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+      |       END AS auc_e12,
+      |       CASE WHEN n_pos > 0 AND n_neg > 0
+      |            THEN round(CAST(auc2pn AS DOUBLE)
+      |                       / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 12)
       |       END AS auc
       |FROM s CROSS JOIN tot""".stripMargin
 
@@ -779,12 +789,12 @@ object MlQueries {
       |im AS (SELECT t.bucket AS bt, f.bi, MIN(f.fl) AS mn
       |       FROM g t JOIN fl f ON f.bi <= t.bucket AND f.bj >= t.bucket
       |       GROUP BY 1, 2),
-      |iso AS (SELECT bt, CAST(MAX(mn) AS DECIMAL(38,0)) AS iso_scaled
+      |iso AS (SELECT bt, CAST(MAX(mn) AS BIGINT) AS iso_e12
       |        FROM im GROUP BY 1)
       |SELECT g.bucket, g.n, g.n_pos,
-      |       CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS frac_pos,
-      |       iso_scaled,
-      |       CAST(iso_scaled AS DOUBLE) / 1000000000000.0 AS iso_prob
+      |       round(CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE), 12) AS frac_pos,
+      |       iso_e12,
+      |       round(CAST(iso_e12 AS DOUBLE) / 1000000000000.0, 12) AS iso_prob
       |FROM g JOIN iso ON iso.bt = g.bucket""".stripMargin) { (s, d) =>
     Stats.isotonicCalibration(Stats.calibrationBins(
       Tables.documents(s, d), col("n_chars"), col("lang") === "en"))
@@ -827,12 +837,13 @@ object MlQueries {
       |                  + ((CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
       |                      - CAST(qr AS HUGEINT) * qr) * 1000000000000)
       |                    // CAST(nr AS HUGEINT)
-      |                  AS DECIMAL(38,0)) AS gini_scaled
+      |                  AS HUGEINT) AS gini_scaled
       |      FROM cand)
       |SELECT CAST(x AS DOUBLE) AS thr, nl AS n_left, pl AS pos_left,
-      |       nr AS n_right, pr AS pos_right, gini_scaled,
-      |       CAST(gini_scaled AS DOUBLE) / 1000000000000.0
-      |         / CAST(n AS DOUBLE) AS gini
+      |       nr AS n_right, pr AS pos_right,
+      |       CAST(gini_scaled // CAST(n AS HUGEINT) AS BIGINT) AS gini_e12,
+      |       round(CAST(gini_scaled AS DOUBLE) / 1000000000000.0
+      |             / CAST(n AS DOUBLE), 12) AS gini
       |FROM g ORDER BY gini_scaled, x LIMIT 1""".stripMargin
 
   /** Pettitt rank changepoint of hourly purchase values
@@ -848,7 +859,9 @@ object MlQueries {
     "qa_pettitt",
     """WITH p AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
       |                  CAST(value AS DECIMAL(18,4)) AS v
-      |           FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |           FROM events
+      |           WHERE event_type = 'purchase' AND value IS NOT NULL
+      |             AND ts IS NOT NULL),
       |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
       |mr AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v) - c + 1 AS r2 FROM pv),
       |pt AS (SELECT p.h, mr.r2 FROM p JOIN mr ON p.v = mr.v),
@@ -861,11 +874,11 @@ object MlQueries {
       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per),
       |u AS (SELECT h, CAST(cumb AS BIGINT) AS t_rows, n,
       |             CAST(abs(CAST(cuma AS HUGEINT)
-      |                      - CAST(cumb AS HUGEINT) * (n + 1)) AS DECIMAL(38,0)) AS u_abs
+      |                      - CAST(cumb AS HUGEINT) * (n + 1)) AS BIGINT) AS u_abs
       |      FROM cum CROSS JOIN tot WHERE cumb < n)
       |SELECT h AS cp_time, t_rows, n, u_abs,
-      |       CAST(u_abs AS DOUBLE) * 4.0
-      |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS u_norm
+      |       round(CAST(u_abs AS DOUBLE) * 4.0
+      |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 12) AS u_norm
       |FROM u ORDER BY u_abs DESC, h LIMIT 1""".stripMargin) { (s, d) =>
     Stats.pettittChangepoint(
       Tables.events(s, d).filter(col("event_type") === "purchase"),

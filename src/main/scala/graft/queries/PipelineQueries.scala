@@ -169,6 +169,50 @@ object PipelineQueries {
           .count() == staged.count()).as("lineage_ok"))
   }
 
+  /** C1 — the empty-source guard's RAISE path, certified as a readout
+    * (the happy path rides every orchestrated build; RunnerSpec covers
+    * the unit behavior — this registers the negative semantics with the
+    * driver too): a FULL load from a feed whose tables are empty must
+    * abort on the first staged table with nothing written, while an
+    * incremental batch whose per-table slices select zero rows is a
+    * legitimate no-op (guard skipped, zero rows staged). Both probes
+    * run the REAL [[graft.pipeline.Runner.stage]] code path.
+    */
+  private val emptySourceGuard = Q(
+    "s17_empty_source_guard",
+    """SELECT 'empty_full_load' AS probe, true AS guard_fired,
+      |       CAST(0 AS BIGINT) AS staged_rows
+      |UNION ALL
+      |SELECT 'zero_row_incremental' AS probe, false AS guard_fired,
+      |       CAST(0 AS BIGINT) AS staged_rows""".stripMargin) { (s, d) =>
+    val staged = Seq("orders", "lineitem", "customer", "supplier", "part")
+    // raise path: stage a directory of five EMPTY feeds as a full load
+    val emptyDir = Files.createTempDirectory("graft_empty_src").toString
+    staged.foreach(t => Tables(s, d, t).limit(0).write
+      .mode("overwrite").parquet(s"$emptyDir/$t.parquet"))
+    val emptyWork = Files.createTempDirectory("graft_empty_wh").toString
+    val fired =
+      try { new Runner(s, emptyDir, emptyWork).stage(1); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("no data in the source") }
+    val emptyStaged = new TableStore(s, emptyWork)
+    val firedRows = staged.map(t =>
+      if (emptyStaged.exists(s"scr_$t")) emptyStaged.read(s"scr_$t").count()
+      else 0L).sum
+    // no-op path: an incremental batch whose slices all match zero rows
+    val incWork = Files.createTempDirectory("graft_empty_inc").toString
+    val noopFilters = staged.map(t => t -> lit(false)).toMap
+    new Runner(s, d, incWork).stage(1, noopFilters)
+    val incStore = new TableStore(s, incWork)
+    val incRows = staged.map(t =>
+      if (incStore.exists(s"scr_$t")) incStore.read(s"scr_$t").count()
+      else 0L).sum
+    s.createDataFrame(Seq(
+      ("empty_full_load", fired, firedRows),
+      ("zero_row_incremental", false, incRows)))
+      .toDF("probe", "guard_fired", "staged_rows")
+  }
+
   /** G3 — year-partitioned fact write + partition-pruned read: the filter
     * on the partition column prunes to one directory (check `.explain`:
     * PartitionFilters), and the pruned answer matches the raw-table oracle.
@@ -823,7 +867,8 @@ object PipelineQueries {
   }
 
   val queries: Seq[Q] =
-    Seq(pipelineView, qaReport, stageGuard, partitionPrune, incrementalView,
+    Seq(pipelineView, qaReport, stageGuard, emptySourceGuard, partitionPrune,
+      incrementalView,
       deltaAgg, retractAgg, bugCompatView, snowflake3, employeeRegionView, factDateFk,
       factOrderDim, quarantine, timeTravel, jsonlRoundtrip, schemaEvolution,
       deltaJoinView, retractJoinView, streamJoinView, streamHeavyHitters,

@@ -1322,7 +1322,7 @@ object Relational {
        |deg AS (SELECT c, $C AS deg FROM adj GROUP BY 1),
        |w AS (SELECT c, 1000000000000 // deg AS w FROM deg),
        |wed AS (SELECT a.n AS a, b.n AS b, $C AS cn,
-       |               CAST(SUM(CAST(w.w AS HUGEINT)) AS DECIMAL(38,0)) AS ra_scaled
+       |               CAST(SUM(CAST(w.w AS HUGEINT)) AS BIGINT) AS ra_scaled
        |        FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n
        |        JOIN w ON w.c = a.c
        |        GROUP BY 1, 2),
@@ -1330,7 +1330,7 @@ object Relational {
        |         WHERE NOT EXISTS (SELECT 1 FROM und
        |                           WHERE und.u = wed.a AND und.v = wed.b))
        |SELECT a, b, cn, ra_scaled,
-       |       CAST(ra_scaled AS DOUBLE) / 1000000000000.0 AS ra
+       |       round(CAST(ra_scaled AS DOUBLE) / 1000000000000.0, 12) AS ra
        |FROM miss
        |ORDER BY ra_scaled DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
     val und = graft.operators.Triangles.undirected(pageTransitions(s, d))
@@ -1345,9 +1345,15 @@ object Relational {
       .groupBy(col("a"), col("b"))
       .agg(lcount().as("cn"),
         sum(col("w").cast("decimal(38,0)")).cast("decimal(38,0)").as("ra_scaled"))
+    // ra_scaled ≤ cn·10¹² over the PAGE vocabulary (domain-bounded, not
+    // data-sized) sits comfortably in BIGINT, and the certified surface
+    // carries it as such — wide decimals don't hash portably; ra pinned
+    // at 12
     wed.join(und, wed("a") === und("u") && wed("b") === und("v"), "left_anti")
-      .select(col("a"), col("b"), col("cn"), col("ra_scaled"),
-        (col("ra_scaled").cast("double") / lit(1000000000000.0)).as("ra"))
+      .select(col("a"), col("b"), col("cn"),
+        col("ra_scaled").cast(LongType).as("ra_scaled"),
+        round(col("ra_scaled").cast("double") / lit(1000000000000.0), 12)
+          .as("ra"))
       .orderBy(col("ra_scaled").desc, col("a").asc, col("b").asc)
       .limit(20)
   }
@@ -1481,7 +1487,7 @@ object Relational {
     "events_mann_kendall",
     """WITH per AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
       |                   CAST(count(*) AS BIGINT) AS n
-      |            FROM events GROUP BY 1),
+      |            FROM events WHERE ts IS NOT NULL GROUP BY 1),
       |p AS (SELECT CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sg
       |      FROM per a JOIN per b ON b.h > a.h),
       |sa AS (SELECT CAST(COALESCE(SUM(sg), 0) AS BIGINT) AS s FROM p),
@@ -1490,12 +1496,12 @@ object Relational {
       |       FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM per GROUP BY n)),
       |v AS (SELECT n_times, s,
       |             CAST(CAST(n_times AS HUGEINT) * (n_times - 1) * (2 * n_times + 5)
-      |                  - tsum AS DECIMAL(38,0)) AS var18
+      |                  - tsum AS BIGINT) AS var18
       |      FROM sa CROSS JOIN nt CROSS JOIN tg)
       |SELECT n_times, s, var18,
-      |       CASE WHEN var18 > 0 THEN
+      |       CASE WHEN var18 > 0 THEN round(
       |         CAST(s - (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END) AS DOUBLE)
-      |           / sqrt(CAST(var18 AS DOUBLE) / 18.0) END AS z
+      |           / sqrt(CAST(var18 AS DOUBLE) / 18.0), 12) END AS z
       |FROM v""".stripMargin) { (s, d) =>
     graft.operators.Stats.mannKendall(
       Tables.events(s, d),
@@ -1730,7 +1736,7 @@ object Relational {
     */
   private[queries] val changepointOracleSql: String =
     """WITH ev AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h
-      |            FROM events),
+      |            FROM events WHERE ts IS NOT NULL),
       |per AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1),
       |cum AS (SELECT h, SUM(n) OVER (ORDER BY h) AS pre,
       |               row_number() OVER (ORDER BY h) AS t
@@ -1739,12 +1745,14 @@ object Relational {
       |               CAST(count(*) AS BIGINT) AS n_times
       |        FROM per),
       |dev AS (SELECT h, CAST(t AS BIGINT) AS t, n_times, total,
-      |               CAST(abs(CAST(n_times AS HUGEINT) * pre
-      |                        - CAST(t AS HUGEINT) * total) AS DECIMAL(38,0)) AS dev_scaled
+      |               abs(CAST(n_times AS HUGEINT) * pre
+      |                   - CAST(t AS HUGEINT) * total) AS dev_scaled
       |        FROM cum CROSS JOIN tot WHERE t < n_times)
-      |SELECT h AS cp_time, t, n_times, total, dev_scaled,
-      |       CAST(dev_scaled AS DOUBLE)
-      |         / (CAST(n_times AS DOUBLE) * CAST(total AS DOUBLE)) AS cusum
+      |SELECT h AS cp_time, t, n_times, total,
+      |       CAST((dev_scaled * 1000000000000)
+      |            // (CAST(n_times AS HUGEINT) * total) AS BIGINT) AS cusum_e12,
+      |       round(CAST(dev_scaled AS DOUBLE)
+      |             / (CAST(n_times AS DOUBLE) * CAST(total AS DOUBLE)), 12) AS cusum
       |FROM dev ORDER BY dev_scaled DESC, h LIMIT 1""".stripMargin
 
   private val changepoint = Q(
@@ -1766,7 +1774,7 @@ object Relational {
     "events_theilsen",
     """WITH per AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
       |                   CAST(count(*) AS BIGINT) AS y
-      |            FROM events GROUP BY 1),
+      |            FROM events WHERE ts IS NOT NULL GROUP BY 1),
       |p AS (SELECT CAST(b.y - a.y AS BIGINT) AS dy, CAST(b.x - a.x AS BIGINT) AS dx
       |      FROM per a JOIN per b ON b.x > a.x),
       |f AS (SELECT dy, dx, ((dy % dx) + dx) % dx AS r FROM p),
@@ -1777,8 +1785,8 @@ object Relational {
       |r AS (SELECT slope_scaled, row_number() OVER (ORDER BY slope_scaled) AS rn,
       |             count(*) OVER () AS m
       |      FROM sl)
-      |SELECT CAST(m AS BIGINT) AS n_pairs, slope_scaled,
-      |       CAST(slope_scaled AS DOUBLE) / 1000000000000.0 AS slope
+      |SELECT CAST(m AS BIGINT) AS n_pairs,
+      |       round(CAST(slope_scaled AS DOUBLE) / 1000000000000.0, 12) AS slope
       |FROM r WHERE rn = GREATEST(1, CAST(ceil(0.5 * m) AS BIGINT))""".stripMargin) {
     (s, d) =>
       graft.operators.Stats.theilSen(

@@ -878,14 +878,20 @@ object StreamingQueries {
     val fold = StreamMarkov.applyBatch(store, "mcnt", "mlast",
       "user_id", "ts", "event_id", "k") _
     // driver-side day list is calendar-bounded, not data-sized
-    val days = ev.select(to_date(col("ts")).as("day")).distinct()
+    // null-ts rows coalesce to a sentinel day BEFORE any real day — the
+    // range predicates below are all false on NULL, which would silently
+    // drop those rows from every batch while the one-shot window (nulls
+    // first under ORDER BY ts) keeps them; routing them whole into batch
+    // 0 preserves maintained ≡ one-shot on such feeds
+    val day = coalesce(to_date(col("ts")),
+      lit(java.sql.Date.valueOf("0001-01-01")))
+    val days = ev.select(day.as("day")).distinct()
       .orderBy(col("day")).collect().map(_.getDate(0))
     if (days.nonEmpty) {
       val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
-      fold(ev.filter(to_date(col("ts")) < lit(d1)), 0L)
-      fold(ev.filter(to_date(col("ts")) >= lit(d1) &&
-        to_date(col("ts")) < lit(d2)), 1L)
-      fold(ev.filter(to_date(col("ts")) >= lit(d2)), 2L)
+      fold(ev.filter(day < lit(d1)), 0L)
+      fold(ev.filter(day >= lit(d1) && day < lit(d2)), 1L)
+      fold(ev.filter(day >= lit(d2)), 2L)
     }
     // C1 guard: empty feed → no count partitions ever land
     val counts =
@@ -966,14 +972,20 @@ object StreamingQueries {
     val ev = Relational.pageEvents(s, d)
     val fold = StreamMarkov.applyBatch(store, "mcnt", "mlast",
       "user_id", "ts", "event_id", "k") _
-    val days = ev.select(to_date(col("ts")).as("day")).distinct()
+    // null-ts rows coalesce to a sentinel day BEFORE any real day — the
+    // range predicates below are all false on NULL, which would silently
+    // drop those rows from every batch while the one-shot window (nulls
+    // first under ORDER BY ts) keeps them; routing them whole into batch
+    // 0 preserves maintained ≡ one-shot on such feeds
+    val day = coalesce(to_date(col("ts")),
+      lit(java.sql.Date.valueOf("0001-01-01")))
+    val days = ev.select(day.as("day")).distinct()
       .orderBy(col("day")).collect().map(_.getDate(0))
     if (days.nonEmpty) {
       val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
-      fold(ev.filter(to_date(col("ts")) < lit(d1)), 0L)
-      fold(ev.filter(to_date(col("ts")) >= lit(d1) &&
-        to_date(col("ts")) < lit(d2)), 1L)
-      fold(ev.filter(to_date(col("ts")) >= lit(d2)), 2L)
+      fold(ev.filter(day < lit(d1)), 0L)
+      fold(ev.filter(day >= lit(d1) && day < lit(d2)), 1L)
+      fold(ev.filter(day >= lit(d2)), 2L)
     }
     // C1 guard: empty feed → no count partitions ever land
     val edges =

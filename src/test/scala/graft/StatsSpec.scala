@@ -103,13 +103,13 @@ class StatsSpec extends SparkSpec {
 
   test("ksTwoSample matches hand-computed D, exact at every range count") {
     // a = {1,2,3,4}, b = {3,4,5,6}: F_a - F_b peaks at x=2 (2/4 - 0/4)
-    // and x=4 (4/4 - 2/4) -> D = 1/2, d_scaled = max|cuma*4 - cumb*4| = 8
+    // and x=4 (4/4 - 2/4) -> D = 1/2; d_e12 = (8·1e12) div 16 = 5e11
     val df = (Seq(1, 2, 3, 4).map((_, true)) ++ Seq(3, 4, 5, 6).map((_, false)))
       .toDF("v", "a")
     for (n <- Seq(1, 2, 32)) {
       val r = Stats.ksTwoSample(df, col("v"), col("a"), nRanges = n).head()
       assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
-      assert(r.getDecimal(2).longValueExact() == 8L, s"nRanges=$n")
+      assert(r.getLong(2) == 500000000000L, s"nRanges=$n")
       assert(math.abs(r.getDouble(3) - 0.5) < 1e-15, s"nRanges=$n")
     }
     // identical samples -> D = 0
@@ -129,12 +129,12 @@ class StatsSpec extends SparkSpec {
       .toDF("s", "y")
     val r = Stats.aucExact(tied, col("s"), col("y")).head()
     assert(r.getDouble(3) == 0.5)
-    assert(r.getDecimal(2).longValueExact() == 2L * 3L) // 2PN·0.5
+    assert(r.getLong(2) == 500000000000L) // 0.5 on the e12 lattice
     // hand case with a mix: pos {3,1}, neg {2,1}: pairs (3>2)+(3>1)+(1>2=0)+(1=1 half)
     // AUC = (1+1+0+0.5)/4 = 0.625, lattice = 5
     val mix = (Seq(3, 1).map((_, true)) ++ Seq(2, 1).map((_, false))).toDF("s", "y")
     val m = Stats.aucExact(mix, col("s"), col("y")).head()
-    assert(m.getDecimal(2).longValueExact() == 5L && m.getDouble(3) == 0.625)
+    assert(m.getLong(2) == 625000000000L && m.getDouble(3) == 0.625)
     // single class -> NULL
     assert(Stats.aucExact(Seq((1, true)).toDF("s", "y"), col("s"), col("y"))
       .head().isNullAt(3))
@@ -227,8 +227,9 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(0) == 2.0)
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
       ((3L, 1L, 2L, 2L)))
-    assert(r.getDecimal(5).longValueExact == 1333333333333L) // (4*1e12)//3 + 0
-    assert(math.abs(r.getDouble(6) - 1333333333333.0 / 1e12 / 5) < 1e-15)
+    // gini_e12 = ((4*1e12)//3 + 0) div 5
+    assert(r.getLong(5) == 1333333333333L / 5)
+    assert(math.abs(r.getDouble(6) - 1333333333333.0 / 1e12 / 5) < 5e-13)
     // constant score: no valid split -> EMPTY, not a degenerate row
     val const = Seq((4, true), (4, false), (4, true)).toDF("s", "y")
     assert(Stats.giniStump(Stats.scoreClassCounts(const, col("s"), col("y")))
@@ -246,7 +247,7 @@ class StatsSpec extends SparkSpec {
     val r = got.head
     assert(r.getInt(0) == 3 && r.getLong(1) == 3L)
     assert(r.getLong(2) == 6L && r.getLong(3) == 30L)
-    assert(r.getDecimal(4).longValueExact == 72L)
+    assert(r.getLong(4) == 400000000000L) // (72·1e12) div 180
     assert(r.getDouble(5) == 72.0 / (6.0 * 30.0))
     // flat series: every deviation 0 -> earliest time, cusum exactly 0
     val flat = Seq(1, 2, 3, 4).flatMap(t => Seq.fill(5)(t))
@@ -259,7 +260,7 @@ class StatsSpec extends SparkSpec {
     for (nr <- Seq(1, 2, 7)) {
       val g = Stats.cusumChangepoint(rows.map(Tuple1(_)).toDF("t"), col("t"),
         nRanges = nr).head()
-      assert(g.getInt(0) == 3 && g.getDecimal(4).longValueExact == 72L,
+      assert(g.getInt(0) == 3 && g.getLong(4) == 400000000000L,
         s"nRanges=$nr")
     }
   }
@@ -292,7 +293,7 @@ class StatsSpec extends SparkSpec {
     val gr = Stats.isotonicCalibration(
       rb.toDF("bucket", "n", "n_pos")
         .withColumn("ssum", lit(0).cast("decimal(38,0)")))
-      .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(4).toBigInteger))
+      .collect().map(r => r.getLong(0) -> BigInt(r.getLong(4)))
       .toMap
     assert(gr == latticeIso)
     // monotone by construction
@@ -307,20 +308,19 @@ class StatsSpec extends SparkSpec {
     val r = Stats.mannKendall(up.map(Tuple1(_)).toDF("t"), col("t")).head()
     assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
     // no ties: var18 = 4*3*13 = 156; z = (6-1)/sqrt(156/18)
-    assert(r.getDecimal(2).longValueExact == 156L)
-    assert(r.getDouble(3) == 5.0 / math.sqrt(156.0 / 18.0))
+    assert(r.getLong(2) == 156L)
+    assert(math.abs(r.getDouble(3) - 5.0 / math.sqrt(156.0 / 18.0)) < 5e-13)
     // constant series: every pair ties -> S = 0, var18 = 0 -> z NULL
     val flat = Seq(1, 2, 3).flatMap(t => Seq.fill(2)(t))
     val fr = Stats.mannKendall(flat.map(Tuple1(_)).toDF("t"), col("t")).head()
-    assert(fr.getLong(1) == 0L && fr.getDecimal(2).longValueExact == 0L &&
-      fr.isNullAt(3))
+    assert(fr.getLong(1) == 0L && fr.getLong(2) == 0L && fr.isNullAt(3))
     // mixed ties: buckets with counts 2,1,2,3 -> pairs sgn:
     // (2,1)-1 (2,2)0 (2,3)+1 (1,2)+1 (1,3)+1 (2,3)+1 -> S=3; tie group
     // {2,2}: t=2 -> tsum = 2*1*9 = 18; var18 = 4*3*13 - 18 = 138
     val mixed = Seq(1 -> 2, 2 -> 1, 3 -> 2, 4 -> 3)
       .flatMap { case (t, n) => Seq.fill(n)(t) }
     val mr = Stats.mannKendall(mixed.map(Tuple1(_)).toDF("t"), col("t")).head()
-    assert(mr.getLong(1) == 3L && mr.getDecimal(2).longValueExact == 138L)
+    assert(mr.getLong(1) == 3L && mr.getLong(2) == 138L)
   }
 
   test("pettittChangepoint == brute-force sgn double sum, ties included, at several range counts") {
@@ -339,10 +339,11 @@ class StatsSpec extends SparkSpec {
       val got = Stats.pettittChangepoint(rows.toDF("t", "v"),
         col("t"), col("v"), nRanges = nr).head()
       assert(got.getInt(0) == best._1, s"nRanges=$nr")
-      assert(got.getDecimal(3).longValueExact == best._2, s"nRanges=$nr")
+      assert(got.getLong(3) == best._2, s"nRanges=$nr")
       assert(got.getLong(2) == rows.size)
-      assert(got.getDouble(4) ==
-        best._2.toDouble * 4.0 / (rows.size.toDouble * rows.size), s"nRanges=$nr")
+      assert(math.abs(got.getDouble(4) -
+        best._2.toDouble * 4.0 / (rows.size.toDouble * rows.size)) < 5e-13,
+        s"nRanges=$nr")
     }
     // identical distribution throughout: |U| can still be nonzero, but a
     // single distinct time has no split -> EMPTY
@@ -357,18 +358,17 @@ class StatsSpec extends SparkSpec {
     val pts = Seq((0, 0), (1, 3), (2, 6), (3, 9), (4, 100))
     val r = Stats.theilSen(pts.toDF("x", "y"), col("x"), col("y")).head()
     assert(r.getLong(0) == 10L)
-    assert(r.getDecimal(1).longValueExact == 3000000000000L)
-    assert(r.getDouble(2) == 3.0)
+    assert(r.getDouble(1) == 3.0)
     // negative non-divisible slope floors: (0,0),(2,-3) -> floor(-1.5e12)
     val neg = Stats.theilSen(Seq((0, 0), (2, -3)).toDF("x", "y"),
       col("x"), col("y")).head()
-    assert(neg.getDecimal(1).longValueExact == -1500000000000L)
+    assert(neg.getDouble(1) == -1.5)
     // rank-ceil(m/2) selection: slopes (0,1)=1, (1,2)=3, (0,2)=2
     // -> sorted {1,2,3}, rank ceil(1.5)=2 -> median 2
     val med = Stats.theilSen(Seq((0, 0), (1, 1), (2, 4)).toDF("x", "y"),
       col("x"), col("y")).head()
     assert(med.getLong(0) == 3L)
-    assert(med.getDecimal(1).longValueExact == 2000000000000L)
+    assert(med.getDouble(1) == 2.0)
     // single point: no pairs -> EMPTY
     assert(Stats.theilSen(Seq((5, 5)).toDF("x", "y"), col("x"), col("y"))
       .collect().isEmpty)
@@ -401,7 +401,7 @@ class StatsSpec extends SparkSpec {
         Stats.scoreClassCounts(df, col("s"), col("y")), nRanges = nr)
         .collect().head
       assert(got.getDouble(0) == bthr, s"nRanges=$nr")
-      assert(BigInt(got.getDecimal(5).toBigInteger) == bg, s"nRanges=$nr")
+      assert(BigInt(got.getLong(5)) == bg / n, s"nRanges=$nr")
     }
   }
 }

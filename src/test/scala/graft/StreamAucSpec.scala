@@ -27,7 +27,7 @@ class StreamAucSpec extends SparkSpec {
     val streamed = Stats.aucFromCounts(
       StreamSketch.mergedScoreCounts(store, "auc")).head()
     val oneShot = Stats.aucExact(rows, col("score"), col("y")).head()
-    assert(streamed.getDecimal(2) == oneShot.getDecimal(2))
+    assert(streamed.getLong(2) == oneShot.getLong(2))
     assert(streamed.getDouble(3) == oneShot.getDouble(3))
     assert(streamed.getLong(0) == oneShot.getLong(0))
   }

@@ -36,7 +36,7 @@ class StreamStumpSpec extends SparkSpec {
       val streamed = Stats.giniStump(
         StreamSketch.mergedScoreCounts(store, "stump")).head()
       assert(streamed.getDouble(0) == oneShot.getDouble(0), s"order $order")
-      assert(streamed.getDecimal(5) == oneShot.getDecimal(5), s"order $order")
+      assert(streamed.getLong(5) == oneShot.getLong(5), s"order $order")
       assert((streamed.getLong(1), streamed.getLong(2), streamed.getLong(3),
         streamed.getLong(4)) ==
         ((oneShot.getLong(1), oneShot.getLong(2), oneShot.getLong(3),

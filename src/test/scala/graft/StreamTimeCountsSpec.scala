@@ -34,7 +34,7 @@ class StreamTimeCountsSpec extends SparkSpec {
       val streamed = Stats.cusumFromCounts(
         StreamSketch.mergedTimeCounts(store, "cp")).head()
       assert(streamed.getInt(0) == oneShot.getInt(0), s"order $order")
-      assert(streamed.getDecimal(4) == oneShot.getDecimal(4), s"order $order")
+      assert(streamed.getLong(4) == oneShot.getLong(4), s"order $order")
       assert((streamed.getLong(1), streamed.getLong(2), streamed.getLong(3)) ==
         ((oneShot.getLong(1), oneShot.getLong(2), oneShot.getLong(3))),
         s"order $order")
