@@ -250,8 +250,16 @@ object Bench {
     // 10-100x the warm cost — while a finished-late warmup only costs
     // pass-2 coverage of the slowest tail.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    // ceiling 300 (was 192, set when the full warmup fit in ~150s): at
+    // the 304-query catalog a slow window saturates 192s with ~half the
+    // catalog still cold, and those stragglers then pay 3-10s each
+    // INSIDE pass 1 (observed: pass 1 512s vs pass 2 224s in the same
+    // run — ~290s of migrated cold cost). The Await returns the moment
+    // all warmups finish, so a fast window never spends the extra cap;
+    // a slow one trades capped pass-2 coverage it was losing anyway for
+    // a warm pass 1.
     val warmupCapS = sys.env.getOrElse("SPARK_GRAFT_WARMUP_CAP_S",
-      math.min(budgetS * 0.4, 192.0).toLong.toString).toLong
+      math.min(budgetS * 0.4, 300.0).toLong.toString).toLong
     val warmupDeadline = elapsedS + warmupCapS
     // 20-wide (was 16): warmup is Janino-compile-bound on the driver, and
     // on this 32-thread box the wider pool shortens the compile wall
