@@ -374,6 +374,33 @@ class StatsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("every lattice readout presents its documented shape on ZERO-row input") {
+    // the driver-certified 1-row/≤1-row readouts must not throw or emit
+    // surprise shapes when the feed is empty — the cheap canary for a
+    // future zero-row driver probe (argmax family → EMPTY; aggregate
+    // family → one all-NULL/zero row with the same schema)
+    val ev = Seq((1, 10)).toDF("t", "v").limit(0)
+    val sy = Seq((1, true)).toDF("s", "y").limit(0)
+    // aggregate family: one row, NULL statistic
+    val auc = Stats.aucExact(sy, col("s"), col("y")).collect()
+    assert(auc.length == 1 && auc.head.isNullAt(2) && auc.head.isNullAt(3))
+    assert(Stats.aucExact(sy, col("s"), col("y")).columns.toSeq ==
+      Seq("n_pos", "n_neg", "auc_e12", "auc"))
+    val mk = Stats.mannKendall(ev, col("t")).collect()
+    assert(mk.length == 1 && mk.head.getLong(0) == 0L && mk.head.isNullAt(3))
+    // ks: the (n_a, n_b) groupBy over an empty sweep has nothing to group
+    assert(Stats.ksTwoSample(ev, col("v"), col("t") > 0).collect().isEmpty)
+    // argmax/argmin family: EMPTY, not a degenerate row
+    assert(Stats.giniStump(
+      Stats.scoreClassCounts(sy, col("s"), col("y"))).collect().isEmpty)
+    assert(Stats.cusumChangepoint(ev, col("t")).collect().isEmpty)
+    assert(Stats.pettittChangepoint(ev, col("t"), col("v")).collect().isEmpty)
+    assert(Stats.theilSen(ev, col("t"), col("v")).collect().isEmpty)
+    // bucket-domain family: empty bins -> empty curve
+    assert(Stats.isotonicCalibration(
+      Stats.calibrationBins(ev, col("v"), col("t") > 0)).collect().isEmpty)
+  }
+
   test("giniStump == in-memory brute force at several range counts, ties to lowest thr") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 200).map(_ => (rnd.nextInt(12), rnd.nextBoolean()))
