@@ -377,7 +377,12 @@ object Curation {
     toks.join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(lcount().as("n_toks"),
-        sum(col("r_scaled")).cast(LongType).as("imp_sum"))
+        // accumulate through DECIMAL(38,0): each ratio term is ~10^12-
+        // scaled, so a LongType sum wraps silently (non-ANSI) past ~9.2M
+        // tokens in one document — the oracle sums in HUGEINT (the
+        // bigramScoreHeldout widen-before-accumulate pattern)
+        sum(col("r_scaled").cast("decimal(38,0)")).cast(LongType)
+          .as("imp_sum"))
   }
 
   /** Count–min sketch frequency estimates ([[graft.operators.Sketches]]):
