@@ -84,7 +84,7 @@ object StreamingQueries {
 
   /** Streaming aggregate-view maintenance ([[ViewMaintain.applyBatch]]):
     * the c7 running (count, decimal-sum) state maintained by folding
-    * THREE order-key-split batches of lineitem into the bucketed store.
+    * TWO order-key-split batches of lineitem into the bucketed store.
     * The oracle re-aggregates one-shot — bit-equality proves the
     * bucketed delta merge (including the `__applied` double-fold guard's
     * happy path) equals re-shuffling all of history.
@@ -100,7 +100,8 @@ object StreamingQueries {
     val keys = Seq("l_returnflag", "l_linestatus")
     val sums = Seq("l_quantity", "l_extendedprice")
     val fold = ViewMaintain.applyBatch(store, "vagg", keys, sums, nBuckets = 4) _
-    (0 to 2).foreach(i => fold(li.filter(col("l_orderkey") % 3 === i), i.toLong))
+    fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
+    fold(li.filter(col("l_orderkey") % 3 > 0), 1L)
     // C1 guard: empty feed → no stored state; fromBatch over zero rows
     // reproduces the state schema exactly
     val state =
@@ -628,8 +629,8 @@ object StreamingQueries {
     val fold = ViewMaintain.applyBatch(store, "dsirlm", Seq("bucket"),
       Seq("is_t"), nBuckets = 4) _
     // doc-key hash split, uncorrelated with lang and bucket
-    (0 to 2).foreach(i =>
-      fold(toks.filter(pmod(col("doc_id") * 7, lit(3)) === i), i.toLong))
+    fold(toks.filter(pmod(col("doc_id") * 7, lit(3)) === 0), 0L)
+    fold(toks.filter(pmod(col("doc_id") * 7, lit(3)) > 0), 1L)
     // C1 guard: empty feed → no stored state; fromBatch over zero rows
     // reproduces the state schema exactly
     val state =
@@ -700,8 +701,8 @@ object StreamingQueries {
       .select(col("doc_id"), col("lang"),
         Sketches.hash52(col("tok")).as("h"))
     val fold = StreamSketch.applyKmvSketch(store, "kmv", "lang", "h", k) _
-    (0 to 2).foreach(i =>
-      fold(toks.filter(pmod(col("doc_id") * 7, lit(3)) === i), i.toLong))
+    fold(toks.filter(pmod(col("doc_id") * 7, lit(3)) === 0), 0L)
+    fold(toks.filter(pmod(col("doc_id") * 7, lit(3)) > 0), 1L)
     // C1 guard: empty feed → no sketch partitions ever land
     val merged =
       if (store.exists("kmv")) StreamSketch.mergedKmvSketch(store, "kmv", "lang", "h", k)
@@ -751,8 +752,8 @@ object StreamingQueries {
         .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("spend"),
       col("o_orderkey"))
     val fold = StreamSkyline.applyBatch(store, "front", "d", "spend") _
-    (0 to 2).foreach(i =>
-      fold(pts.filter(pmod(col("o_orderkey"), lit(3)) === i), i.toLong))
+    fold(pts.filter(pmod(col("o_orderkey"), lit(3)) === 0), 0L)
+    fold(pts.filter(pmod(col("o_orderkey"), lit(3)) > 0), 1L)
     // C1 guard: empty feed → no front partition ever lands
     val front =
       if (store.exists("front")) StreamSkyline.currentFront(store, "front")
@@ -762,7 +763,7 @@ object StreamingQueries {
 
   /** Streaming AUC monitor ([[StreamSketch.applyScoreCounts]]): the
     * per-score two-class count store — AUC's mergeable sufficient
-    * statistic — folded over three doc-key-hash batches, read out
+    * statistic — folded over two doc-key-hash batches, read out
     * through the SAME lattice tail as the one-shot `ml_auc` and
     * certified by the SAME oracle string, so "maintained monitor ≡
     * one-shot AUC" is true by construction (the bm25/dsir shared-oracle
@@ -776,8 +777,8 @@ object StreamingQueries {
       .select(col("doc_id"), col("n_chars").as("score"),
         (col("lang") === "en").as("is_en"))
     val fold = StreamSketch.applyScoreCounts(store, "auc", "score", "is_en") _
-    (0 to 2).foreach(i =>
-      fold(docs.filter(pmod(col("doc_id") * 7, lit(3)) === i), i.toLong))
+    fold(docs.filter(pmod(col("doc_id") * 7, lit(3)) === 0), 0L)
+    fold(docs.filter(pmod(col("doc_id") * 7, lit(3)) > 0), 1L)
     // C1 guard: empty feed → no count partitions ever land
     val merged =
       if (store.exists("auc")) StreamSketch.mergedScoreCounts(store, "auc")
@@ -787,7 +788,7 @@ object StreamingQueries {
   }
 
   /** Streaming first-touch funnel ([[StreamFunnel.applyStageMins]]):
-    * per-(user, stage) first-occurrence timestamps folded over three
+    * per-(user, stage) first-occurrence timestamps folded over two
     * user-hash batches (the MIN merge law — the timestamp twin of the
     * HLL register fold), read out through the SAME ordered-funnel
     * aggregate as the one-shot `events_funnel` and certified by the
@@ -805,9 +806,8 @@ object StreamingQueries {
     // per-(user, stage) MIN merge, not just per-batch aggregation;
     // coalesce keeps null-id rows in a batch — the one-shot counts their
     // users in n_users
-    (0 to 2).foreach(i =>
-      fold(ev.filter(pmod(coalesce(col("event_id"), lit(-1L)), lit(3)) === i),
-        i.toLong))
+    fold(ev.filter(pmod(coalesce(col("event_id"), lit(-1L)), lit(3)) === 0), 0L)
+    fold(ev.filter(pmod(coalesce(col("event_id"), lit(-1L)), lit(3)) > 0), 1L)
     // C1 guard: empty feed → no mins partition ever lands
     val mins =
       if (store.exists("funnel"))
@@ -818,7 +818,7 @@ object StreamingQueries {
 
   /** Streaming decision-stump tuner ([[StreamSketch.applyScoreCounts]]):
     * the SAME per-score two-class count store as `c29_stream_auc` — the
-    * stump's sufficient statistic is identical — folded over three
+    * stump's sufficient statistic is identical — folded over two
     * doc-key-hash batches, read out through the SAME exact-Gini lattice
     * as the one-shot `ml_stump_gini` and certified by the SAME oracle
     * string, so "maintained threshold tuner ≡ one-shot split picker" is
@@ -835,8 +835,8 @@ object StreamingQueries {
     val fold = StreamSketch.applyScoreCounts(store, "stump", "score", "is_en") _
     // split on a different doc-key hash than c29 so the two shared-store
     // maintainers certify distinct batch partitions of the same corpus
-    (0 to 2).foreach(i =>
-      fold(docs.filter(pmod(col("doc_id") * 11, lit(3)) === i), i.toLong))
+    fold(docs.filter(pmod(col("doc_id") * 11, lit(3)) === 0), 0L)
+    fold(docs.filter(pmod(col("doc_id") * 11, lit(3)) > 0), 1L)
     // C1 guard: empty feed → no count partitions ever land
     val merged =
       if (store.exists("stump")) StreamSketch.mergedScoreCounts(store, "stump")
@@ -848,7 +848,7 @@ object StreamingQueries {
   /** Streaming reliability monitor ([[StreamSketch.applyCalibBins]]):
     * per-decile (count, positives, scaled-probability-sum) triples —
     * calibration's SUM-mergeable sufficient statistic, ≤ 11 rows per
-    * batch — folded over three doc-key-hash batches, read out through
+    * batch — folded over two doc-key-hash batches, read out through
     * the SAME pinned divisions as the one-shot `ml_calibration` and
     * certified by the SAME oracle string: maintained honesty monitor ≡
     * one-shot reliability diagram by construction.
@@ -859,8 +859,8 @@ object StreamingQueries {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), (col("lang") === "en").as("is_en"))
     val fold = StreamSketch.applyCalibBins(store, "calib", "n_chars", "is_en") _
-    (0 to 2).foreach(i =>
-      fold(docs.filter(pmod(col("doc_id") * 13, lit(3)) === i), i.toLong))
+    fold(docs.filter(pmod(col("doc_id") * 13, lit(3)) === 0), 0L)
+    fold(docs.filter(pmod(col("doc_id") * 13, lit(3)) > 0), 1L)
     // C1 guard: empty feed → no bin partitions ever land
     val merged =
       if (store.exists("calib")) StreamSketch.mergedCalibBins(store, "calib")
@@ -897,10 +897,9 @@ object StreamingQueries {
     val days = ev.select(day.as("day")).distinct()
       .orderBy(col("day")).collect().map(_.getDate(0))
     if (days.nonEmpty) {
-      val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
+      val d1 = days(days.length / 2)
       fold(ev.filter(day < lit(d1)), 0L)
-      fold(ev.filter(day >= lit(d1) && day < lit(d2)), 1L)
-      fold(ev.filter(day >= lit(d2)), 2L)
+      fold(ev.filter(day >= lit(d1)), 1L)
     }
     // C1 guard: empty feed → no count partitions ever land
     val counts =
@@ -912,7 +911,7 @@ object StreamingQueries {
 
   /** Streaming feed-shift monitor ([[StreamSketch.applyTimeCounts]]):
     * per-hour event counts — CUSUM's SUM-mergeable sufficient
-    * statistic — folded over three event-key-hash batches (the count
+    * statistic — folded over two event-key-hash batches (the count
     * fold is order-free, unlike `c33`'s lag stitch), read out through
     * the SAME exact lattice as the one-shot `events_changepoint` and
     * certified by the SAME oracle string: the always-current "when did
@@ -925,9 +924,8 @@ object StreamingQueries {
       .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"),
         col("event_id"))
     val fold = StreamSketch.applyTimeCounts(store, "cp", "h") _
-    (0 to 2).foreach(i =>
-      fold(ev.filter(pmod(coalesce(col("event_id"), lit(-1L)), lit(3)) === i),
-        i.toLong))
+    fold(ev.filter(pmod(coalesce(col("event_id"), lit(-1L)), lit(3)) === 0), 0L)
+    fold(ev.filter(pmod(coalesce(col("event_id"), lit(-1L)), lit(3)) > 0), 1L)
     // C1 guard: empty feed → no count partitions ever land
     val merged =
       if (store.exists("cp")) StreamSketch.mergedTimeCounts(store, "cp")
@@ -996,10 +994,9 @@ object StreamingQueries {
     val days = ev.select(day.as("day")).distinct()
       .orderBy(col("day")).collect().map(_.getDate(0))
     if (days.nonEmpty) {
-      val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
+      val d1 = days(days.length / 2)
       fold(ev.filter(day < lit(d1)), 0L)
-      fold(ev.filter(day >= lit(d1) && day < lit(d2)), 1L)
-      fold(ev.filter(day >= lit(d2)), 2L)
+      fold(ev.filter(day >= lit(d1)), 1L)
     }
     // C1 guard: empty feed → no count partitions ever land
     val edges =
