@@ -469,12 +469,16 @@ object Stats {
       .agg(sum(col("term")).cast(dec38).as("auc2pn"))
       .crossJoin(broadcast(tot))
       .select(col("n_pos"), col("n_neg"),
-        // the certified surface carries the SCALE-PROOF form of the
+        // the certified surface carries the scale-proof form of the
         // lattice: auc_e12 = (auc2pn·10¹²) div (2·p·n) ∈ [0, 10¹²] is
-        // BIGINT at ANY corpus size (the raw auc2pn ≤ 2pn outgrows
-        // int64 past ~2·10⁹ rows per class and wide decimals don't
-        // hash portably across engines); the division is the exact
-        // truncating decimal `div`, reproducible bit for bit
+        // BIGINT (the raw auc2pn ≤ 2pn outgrows int64 past ~2·10⁹ rows
+        // per class and wide decimals don't hash portably across
+        // engines); the division is the exact truncating decimal `div`,
+        // reproducible bit for bit. Bound: the ·10¹² product lives in
+        // DECIMAL(38,0), which caps auc2pn at ~10²⁶, i.e. ~10¹³ rows
+        // PER CLASS — far past any real feed, but past it Spark
+        // (non-ANSI) returns NULL while DuckDB's HUGEINT survives to
+        // ~1.7·10³⁸, so the engines would diverge rather than wrap.
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("(auc2pn * 1000000000000) div " +
             "(2 * cast(n_pos as decimal(38,0)) * n_neg)"))
@@ -795,8 +799,10 @@ object Stats {
       .limit(1)
       // the argmax key stays the full H·T-sized decimal lattice; the
       // certified surface carries cusum_e12 = (dev·10¹²) div (H·T) ∈
-      // [0, 10¹²] — BIGINT at any scale (wide decimals don't hash
-      // portably) — plus the pinned statistic rounded to 12
+      // [0, 10¹²] — BIGINT (wide decimals don't hash portably) — plus
+      // the pinned statistic rounded to 12. Bound: dev·10¹² lives in
+      // DECIMAL(38,0) → dev ≤ ~10²⁶ (~10¹³ events per side); past it
+      // Spark NULLs while DuckDB HUGEINT survives — divergence, not wrap
       .select(col("__x").as("cp_time"), col("t"), col("n_times"),
         col("total"),
         expr("(dev_scaled * 1000000000000) div " +
@@ -978,9 +984,11 @@ object Stats {
       .agg(max(abs(col("cuma").cast(dec38) * col("n_b") -
         col("cumb").cast(dec38) * col("n_a"))).cast(dec38).as("d_scaled"))
       // certified surface: d_e12 = (d_scaled·10¹²) div (n_a·n_b) ∈
-      // [0, 10¹²] — BIGINT at any scale (the raw lattice is n_a·n_b-
-      // sized and wide decimals don't hash portably); exact truncating
-      // decimal div, plus the pinned D rounded to 12
+      // [0, 10¹²] — BIGINT (the raw lattice is n_a·n_b-sized and wide
+      // decimals don't hash portably); exact truncating decimal div,
+      // plus the pinned D rounded to 12. Bound: the ·10¹² product in
+      // DECIMAL(38,0) caps d_scaled at ~10²⁶ (~10¹³ rows per sample);
+      // past it Spark NULLs while DuckDB HUGEINT survives
       .select(col("n_a"), col("n_b"),
         when(col("n_a") > 0 && col("n_b") > 0,
           expr("(d_scaled * 1000000000000) div " +

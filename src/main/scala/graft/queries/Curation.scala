@@ -381,8 +381,18 @@ object Curation {
         // scaled, so a LongType sum wraps silently (non-ANSI) past ~9.2M
         // tokens in one document — the oracle sums in HUGEINT (the
         // bigramScoreHeldout widen-before-accumulate pattern)
-        sum(col("r_scaled").cast("decimal(38,0)")).cast(LongType)
-          .as("imp_sum"))
+        sum(col("r_scaled").cast("decimal(38,0)")).as("imp_dec"))
+      // loud BIGINT-bound guard on the presented cast: past 2⁶³ Spark's
+      // non-ANSI decimal→long cast wraps silently while DuckDB's
+      // HUGEINT→BIGINT cast errors — the engines would diverge instead
+      // of failing together. A feed that far out of bound (≈9.2·10¹⁸ /
+      // 10¹² ≈ 9.2M× the expected per-doc ratio mass) now raises on the
+      // Spark side too.
+      .select(col("doc_id"), col("n_toks"),
+        when(col("imp_dec") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit("dsir imp_sum overflows BIGINT for doc_id="),
+            col("doc_id").cast("string"))).cast(LongType))
+          .otherwise(col("imp_dec").cast(LongType)).as("imp_sum"))
   }
 
   /** Count–min sketch frequency estimates ([[graft.operators.Sketches]]):

@@ -40,6 +40,14 @@ object Tables {
       k => k._1.read.parquet(s"$sfDir/$name.parquet"))
   }
 
+  /** Evict every cached plan under `dir` — for probe queries (e.g. the
+    * empty-source guard) that route a throwaway staged directory through
+    * this cache and then delete it; without eviction each probe run would
+    * pin plans for paths that no longer exist.
+    */
+  def evictDir(dir: String): Unit =
+    plans.keySet.removeIf(_._2 == dir)
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

@@ -130,6 +130,33 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unscalable join shapes:\n${offenders.mkString("\n")}")
   }
 
+  test("no registered query surfaces a decimal-typed column (driver hash gate)") {
+    // The r17 correctness red was exactly this shape: 12 queries whose
+    // certified output schema contained a DecimalType hash-mismatched the
+    // DuckDB oracle while being value-identical — the two engines format
+    // and scale decimals differently, and the driver's compare hashes the
+    // textual values. The certified surface convention is BIGINT lattices
+    // (`*_e12`) plus `round(double, 12)` terminals; DECIMAL(38,x) stays a
+    // legitimate INTERNAL accumulator type, so only the PRESENTED schema
+    // is constrained here. This guard turns the next decimal-surfaced
+    // query into a local test failure instead of a round-trip through the
+    // driver's correctness gate.
+    def hasDecimal(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasDecimal(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val bad = SparkEntry.queries(n)(spark, sfDir).schema.fields
+        .filter(f => hasDecimal(f.dataType)).map(_.name)
+      if (bad.isEmpty) None else Some(s"$n: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"decimal-typed certified surface (use BIGINT lattices / round(_,12)):\n${offenders.mkString("\n")}")
+  }
+
   test("dedup family reads the persisted signature store instead of re-shingling") {
     // The MinHash consumers share ONE persisted wide-signature frame
     // (LlmText.corpusWide) — the production contract that the signature
