@@ -322,7 +322,12 @@ object Bench {
     // on this 32-thread box the wider pool shortens the compile wall
     // without starving the concurrent prebuild jobs.
     val pool = Executors.newFixedThreadPool(20)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // silent failure reporter: straggler continuations that complete after
+    // the post-deadline (or post-completion) shutdown get rejected by the
+    // dying pool — without this, each rejection prints a full stack trace
+    // through the default reporter, burying the log (and they carry no
+    // information: past the deadline those continuations are no-ops)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool, _ => ())
     // First into the queue: force-build the memoized per-dir artifacts at
     // the TIMED dir (warehouses, partitioned fact, shared dedup signature
     // frame) so no timed query pays first-touch construction. Submitted
@@ -381,12 +386,25 @@ object Bench {
       }
     val allWarm = Future.sequence(prebuilds ++ warmups)
     val totalSteps = prebuilds.size + warmups.size
+    val streamWarmCount = queries.count(_._1.contains("stream"))
     while (!allWarm.isCompleted && elapsedS < warmupDeadline + 2) {
       try Await.ready(allWarm, Duration(2, TimeUnit.SECONDS))
       catch { case _: TimeoutException => () }
       val frac = warmupSteps.size.toDouble / math.max(1, totalSteps)
       val wElapsed = elapsedS - warmupStart
-      if (frac >= 0.25 && wElapsed > 30) {
+      // never cut while ARTIFACT BUILDS are in flight (warehouse/fact
+      // prebuilds, stream maintained-store fills — the steps a cold
+      // BuildCache makes long): cutting those doesn't save their cost, it
+      // MOVES it into pass 1 under the 75s per-query cap, where a >75s
+      // rebuild becomes a timeout error (observed in the r19 rebuild run:
+      // a 161s cut left warehouse builds to pass 1, 459s vs 263s warm).
+      // Once builds are done, everything left is the sub-second majority's
+      // codegen warmup — cheap to abandon, exactly what the cut is for.
+      val buildsDone =
+        warmupSteps.keySet.count(_.startsWith("prebuild:")) >= prebuilds.size &&
+        warmupSteps.keySet.count(k =>
+          k.startsWith("warm:") && k.contains("stream")) >= streamWarmCount
+      if (buildsDone && frac >= 0.25 && wElapsed > 30) {
         val slowdown =
           math.min(3.0, math.max(1.0, (wElapsed / frac) / baselineWarmupS))
         val margin = 45.0
@@ -399,7 +417,15 @@ object Bench {
       }
     }
     if (!allWarm.isCompleted) spark.sparkContext.cancelJobGroup("warmup")
-    pool.shutdownNow()
+    // graceful shutdown, not shutdownNow: queued warmup bodies check the
+    // (now-passed) deadline and no-op, and Future.sequence's continuations
+    // still need a live pool — shutdownNow had them spraying ~20
+    // RejectedExecutionException stack traces into the log every time the
+    // deadline cut warmup. In-flight Spark work is already gone via the
+    // job-group cancel; give stragglers a short drain before pass 1.
+    pool.shutdown()
+    try pool.awaitTermination(10, TimeUnit.SECONDS)
+    catch { case _: Throwable => () }
     warmupS = elapsedS
 
     // Two timed passes, per-query minimum: a single pass benchmarks the
