@@ -41,6 +41,26 @@ object Bench {
   private val jvmStart = System.nanoTime()
   private def elapsedS: Double = (System.nanoTime() - jvmStart) / 1e9
 
+  /** The adaptive warmup deadline (absolute elapsed seconds): the latest
+    * moment warmup may run to while the remaining budget still fits what
+    * it can still buy — two complete passes (2.05 × predicted × slowdown
+    * + 45 s margin) when that fits with ≥ 120 s of warmup, else one
+    * complete pass + a partial anomaly pass (1.15 ×) with a 120 s floor
+    * (cutting warmup below that migrates 10-100× cold-compile costs into
+    * pass 1 and loses more than it saves). Never exceeds the static cap.
+    * Pure so BenchSpec can pin the regime boundaries.
+    */
+  def warmupDeadlineTarget(budgetS: Double, warmupStart: Double,
+      warmupCapS: Double, predictedPassS: Double, slowdown: Double): Double = {
+    val margin = 45.0
+    val latest2 = budgetS - 2.05 * predictedPassS * slowdown - margin
+    val latest1 = budgetS - 1.15 * predictedPassS * slowdown - margin
+    val target =
+      if (latest2 >= warmupStart + 120) latest2
+      else math.max(warmupStart + 120, latest1)
+    math.min(warmupStart + warmupCapS, target)
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -407,13 +427,8 @@ object Bench {
       if (buildsDone && frac >= 0.25 && wElapsed > 30) {
         val slowdown =
           math.min(3.0, math.max(1.0, (wElapsed / frac) / baselineWarmupS))
-        val margin = 45.0
-        val latest2 = budgetS - 2.05 * predictedPassS * slowdown - margin
-        val latest1 = budgetS - 1.15 * predictedPassS * slowdown - margin
-        val target =
-          if (latest2 >= warmupStart + 120) latest2
-          else math.max(warmupStart + 120, latest1)
-        warmupDeadline = math.min(warmupStart + warmupCapS, target)
+        warmupDeadline = warmupDeadlineTarget(
+          budgetS, warmupStart, warmupCapS.toDouble, predictedPassS, slowdown)
       }
     }
     if (!allWarm.isCompleted) spark.sparkContext.cancelJobGroup("warmup")
