@@ -27,8 +27,12 @@ object Bfs {
 
   def hops(und: DataFrame, source: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
+    // materialized once: each relaxation round re-references adj; the
+    // truncation keeps the upstream edge derivation from re-executing
+    // per round (vocabulary-bounded frame)
     val adj = und.select(col("u").as("c"), col("v").as("n"))
       .unionAll(und.select(col("v").as("c"), col("u").as("n")))
+      .localCheckpoint()
     var dist = und.sparkSession.range(1)
       .select(lit(source).cast(LongType).as("node"), lit(0L).as("dist"))
     for (i <- 1 to rounds) {

@@ -32,9 +32,21 @@ object Hits {
 
   def scores(edges: DataFrame, iters: Int, base: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
+    // Truncate lineage at the iteration boundaries: the unrolled tree
+    // references `e`/`nodes` in every round's two joins and both
+    // normalizes, and each round's frame embeds the previous round
+    // TWICE (raw join + the 1-row max), so the logical plan grows
+    // exponentially in `iters` — at 2 rounds the un-truncated tree
+    // re-plans the upstream edge extraction 272 times (measured; zero
+    // static exchange reuse). localCheckpoint materializes the
+    // vocabulary-bounded frames once (node/edge-sized — the same bound
+    // the Scale-shape note below relies on) and every later reference
+    // reads the stored blocks; identical values, linear plan.
     val e = edges.select(col("src"), col("dst"), col("w").cast(LongType).as("w"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     // raw → normalized: every node present (missing raw = 0), one 1-row
     // broadcast max frame, truncating integer division on positives
     def normalize(raw: DataFrame): DataFrame =
@@ -49,10 +61,12 @@ object Hits {
         e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("s").cast("decimal(38,0)") * col("w")).as("r")))
+        .localCheckpoint()
       hub = normalize(
         e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src").as("node"))
           .agg(sum(col("s").cast("decimal(38,0)") * col("w")).as("r")))
+        .localCheckpoint()
     }
     auth.withColumnRenamed("s", "auth")
       .join(hub.withColumnRenamed("s", "hub"), Seq("node"))

@@ -39,8 +39,12 @@ object LabelProp {
 
   def propagate(und: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
+    // materialized once: every round's vote join re-references adj, so
+    // without truncation the upstream edge derivation re-executes per
+    // round (vocabulary-bounded frame, same budget as the labels)
     val adj = und.select(col("u").as("c"), col("v").as("n"))
       .unionAll(und.select(col("v").as("c"), col("u").as("n")))
+      .localCheckpoint()
     val nodes = adj.select(col("c").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").cast(LongType).as("label"))
     for (i <- 1 to rounds) {

@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * canonical distributed PageRank step; nothing is collected, and the
   * rank frame stays node-sized. Dangling nodes (no out-edges) simply
   * contribute nothing, and nodes with no in-edges settle at the teleport
-  * floor. The iteration count is a caller-fixed unroll; past ~10 rounds,
-  * checkpoint the rank frame per round (as [[Dedup.dupClusters]] does)
-  * to keep lineage O(1).
+  * floor. The iteration count is a caller-fixed unroll; the weighted
+  * edge list and node frame are localCheckpoint-materialized once so the
+  * per-round joins read stored blocks instead of re-running the upstream
+  * extraction (past ~10 rounds, checkpoint the rank frame per round too,
+  * as [[Dedup.dupClusters]] does, to keep lineage O(1)).
   *
   * Input `edges`: (src, dst, w) with positive integral weights.
   * Output: (node, rank) — BIGINT ppm after `iters` rounds.
@@ -40,12 +42,19 @@ object PageRank {
     require(dampNum >= 0 && dampDen > dampNum,
       s"damping must satisfy 0 <= num < den, got $dampNum/$dampDen")
     val teleport = baseRank * (dampDen - dampNum) / dampDen
-    val outW = edges.groupBy(col("src"))
+    // materialize the caller's edge list ONCE (localCheckpoint): outW, the
+    // out-weight-joined e, and the node frame all re-reference it, and e is
+    // then re-referenced by every round's join — without truncation the
+    // upstream edge extraction re-plans and re-executes 4+ times (all these
+    // frames are the vocabulary-bounded graph, tiny relative to the raw feed)
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val outW = e0.groupBy(col("src"))
       .agg(sum(col("w")).cast("long").as("outw"))
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .join(outW, Seq("src"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val e = e0.join(outW, Seq("src")).localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     var rank = nodes.select(col("node"), lit(baseRank).as("rank"))
     for (_ <- 1 to iters) {
       val inbound = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
@@ -86,12 +95,13 @@ object PageRank {
     require(dampNum >= 0 && dampDen > dampNum,
       s"damping must satisfy 0 <= num < den, got $dampNum/$dampDen")
     val teleport = baseRank * (dampDen - dampNum) / dampDen
-    val outW = edges.groupBy(col("src"))
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val outW = e0.groupBy(col("src"))
       .agg(sum(col("w")).cast("long").as("outw"))
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .join(outW, Seq("src"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val e = e0.join(outW, Seq("src")).localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .join(broadcast(seeds.select(col("node")).distinct()
         .withColumn("__seed", lit(1))), Seq("node"), "left")
       .select(col("node"),
@@ -99,6 +109,7 @@ object PageRank {
           .as("tele"),
         when(col("__seed").isNotNull, lit(baseRank)).otherwise(lit(0L))
           .as("r0"))
+      .localCheckpoint()
     var rank = nodes.select(col("node"), col("r0").as("rank"))
     for (_ <- 1 to iters) {
       val inbound = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
