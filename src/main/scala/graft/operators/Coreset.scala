@@ -51,13 +51,36 @@ object Coreset {
       StructField("rnk", LongType, nullable = false),
       StructField("vec_id", LongType, nullable = false),
       StructField("radius", dec, nullable = true)))
-    def centerElements(id: Long) = el.filter(col("vec_id") === id)
-      .select(col("i"), col("x").as("cx"))
-    def d2To(cel: DataFrame) = el
-      .join(broadcast(cel), Seq("i"))
-      .groupBy(col("vec_id"))
-      .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx"))).cast(dec))
-        .as("d2"))
+    // materialize the element stream ONCE: every round's distance pass
+    // scans it, so k rounds re-ran the upstream parquet scan + dim×
+    // posexplode ~k times — localCheckpoint makes those reads stored
+    // element blocks (guide §2.4/§5: don't recompute what every
+    // iteration re-reads; the element stream is the corpus the caller
+    // already scans per round, so this adds no new memory class)
+    val elC = el.localCheckpoint()
+    // the picked center travels as ONE array literal (dim doubles —
+    // driver state the operator already holds: picks are k·dim by
+    // contract), so each round's distance pass is a single groupBy over
+    // the checkpointed elements: no per-round broadcast-exchange build,
+    // no join — the same shuffle-fewer-bytes/remove-the-join move as
+    // guide §2.3-2.4. Collected doubles re-enter as literals bit-exactly,
+    // and the per-element arithmetic ((x − cx)² cast DECIMAL, decimal
+    // SUM) is unchanged, so the result is identical to the broadcast-
+    // join formulation the oracle unrolls.
+    def d2To(center: Array[Double]) = {
+      val cx = element_at(lit(center), (col("i") + 1).cast("int"))
+      elC
+        .groupBy(col("vec_id"))
+        .agg(sum(((col("x") - cx) * (col("x") - cx)).cast(dec))
+          .as("d2"))
+    }
+    def toCenterArray(rows: Array[Row]): Array[Double] = {
+      val dim = rows.map(r => r.getAs[Number]("i").intValue()).max + 1
+      val arr = new Array[Double](dim)
+      rows.foreach(r => arr(r.getAs[Number]("i").intValue()) =
+        r.getAs[Number]("x").doubleValue())
+      arr
+    }
     // round-12 BEFORE the double cast: a DECIMAL(38,18)'s unscaled value
     // exceeds 2^53, and some engines convert via unscaled-int → double →
     // ·10^-scale (two roundings, 1 ULP off the correct cast); at scale 12
@@ -65,21 +88,33 @@ object Coreset {
     def present(df: DataFrame) =
       df.select(col("rnk"), col("vec_id"),
         round(col("radius"), 12).cast(DoubleType).as("radius"))
-    val seed = el.select(col("vec_id")).orderBy(col("vec_id")).limit(1).collect()
-    if (seed.isEmpty)
+    // seed pick fetches id AND elements in one job (limit(1) runs before
+    // the join, so the join touches dim rows)
+    val seedRows = elC
+      .join(elC.select(col("vec_id")).orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("__seed")),
+        col("vec_id") === col("__seed"))
+      .select(col("vec_id"), col("i"), col("x")).collect()
+    if (seedRows.isEmpty)
       return present(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], decSchema))
-    var picks = Vector[(Long, Long, java.math.BigDecimal)]((1L, seed.head.getLong(0), null))
-    var scored = d2To(centerElements(seed.head.getLong(0)))
+    val seedId = seedRows.head.getLong(0)
+    var picks = Vector[(Long, Long, java.math.BigDecimal)]((1L, seedId, null))
+    var scored = d2To(toCenterArray(seedRows))
       .withColumnRenamed("d2", "mind2").localCheckpoint()
     for (r <- 2L to k.toLong) {
+      // ONE collect per round: the argmax row (rank r's pick + radius)
+      // joined back to the checkpointed elements for its dim x-values —
+      // replaces the separate argmax collect + center-filter scan
       val next = scored
         .filter(!col("vec_id").isInCollection(picks.map(_._2)))
-        .orderBy(col("mind2").desc, col("vec_id")).limit(1).collect()
+        .orderBy(col("mind2").desc, col("vec_id")).limit(1)
+        .join(elC, Seq("vec_id"))
+        .select(col("vec_id"), col("mind2"), col("i"), col("x")).collect()
       if (next.nonEmpty) {
         val id = next.head.getLong(0)
         picks :+= ((r, id, next.head.getDecimal(1)))
         scored = scored
-          .join(d2To(centerElements(id)), Seq("vec_id"))
+          .join(d2To(toCenterArray(next)), Seq("vec_id"))
           .select(col("vec_id"), least(col("mind2"), col("d2")).as("mind2"))
           .localCheckpoint()
       }

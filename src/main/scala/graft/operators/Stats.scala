@@ -535,7 +535,18 @@ object Stats {
       .select(col("__x").as("__vx"), col("r2").as("__rx"))
     val ry = midranks2(rows.select(col("__vy").as("__x")), nRanges)
       .select(col("__x").as("__vy"), col("r2").as("__ry"))
-    val st = rows.join(rx, Seq("__vx")).join(ry, Seq("__vy"))
+    // SHUFFLE_HASH-hint both rank joins (guide §3.1 — pick the strategy
+    // deliberately): the unhinted plan broadcast the DATA-SIZED `rows`
+    // frame (parquet size estimates undershoot after projection) and
+    // then ran the second join + the whole five-sum decimal aggregate
+    // as a chain of 1-task stages (measured: ~2.0 s of the query's
+    // 4.7 s serialized on one core). With the hints both joins shuffle
+    // on the value key and build the RANK side (distinct-value counts,
+    // ≤ rows, and per-partition 1/nRanges of that) — the pairing and
+    // the partial aggregation stay distributed at any scale.
+    val st = rows
+      .join(ry.hint("shuffle_hash"), Seq("__vy"))
+      .join(rx.hint("shuffle_hash"), Seq("__vx"))
       .agg(
         count(lit(1)).cast(LongType).as("n"),
         sum(col("__rx").cast(dec38)).cast(dec38).as("sx"),
