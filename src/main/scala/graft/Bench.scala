@@ -94,6 +94,23 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan parallelism derived from the CORE COUNT, not a byte
+      // constant (guide §6 / round-19 profiling): the harness tables are
+      // single ~1-11 MB parquet files, and the default 4 MB
+      // openCostInBytes floor packed e.g. lineitem's 600k rows into 3
+      // scan tasks on a 32-core box — every scan-bound query ran ≤ 10%
+      // utilized (q1's scan-agg stage wall 2.4 s at 3 tasks). 512 KB /
+      // minPartitionNum=cpus splits lineitem ~21 ways while leaving the
+      // sub-MB dims at 1-2 splits (a first cut at 256 KB / 2×cpus split
+      // everything ~42 ways and the M×R shuffle-block inflation, guide
+      // §2.2, regressed the shuffle-heavy small queries). minPartitionNum
+      // scales with SPARK_GRAFT_CPUS (a no-op at cluster scale, where
+      // files vastly outnumber cores); the open cost is env-tunable with
+      // a local-NVMe default — production object-store deployments keep
+      // Spark's 4 MB via SPARK_GRAFT_OPEN_COST.
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "524288"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -17,6 +17,9 @@ object BenchOne {
     val spark = SparkSession.builder()
       .appName("graft-bench-one").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.minPartitionNum", "32")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "524288"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
